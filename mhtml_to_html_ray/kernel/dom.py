@@ -1,0 +1,708 @@
+"""HTML DOM kernel: a lightweight html5-shaped parser plus a serializer that
+replicates the reference's custom serializer byte-for-byte
+(`/root/reference/lib/dom-parser-node.js`).
+
+The parser is NOT a full HTML5 tree-construction implementation — it covers
+the constructs the reference's own test corpus exercises (implicit
+html/head/body, raw-text elements, RCDATA, comments, doctypes, entities,
+templates with content fragments, simple auto-closing) while keeping the node
+API surface the convert walk needs (dom-parser-node.js:125-261).
+
+The serializer is a faithful port of dom-parser-node.js:263-371:
+* void tags, lowercased tag names, attributes double-quoted
+* text escaped per parent element (raw-text parents skip entity escaping;
+  style/script text gets ``</`` → ``<\\/`` with an idempotence guard)
+* attributes with unwritable names dropped gapless
+* doctype reconstructed on its own line before the root element
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+VOID_TAGS = frozenset(
+    "area base basefont bgsound br col command embed frame hr img input "
+    "keygen link meta param source track wbr".split()
+)
+RAW_TEXT_TAGS = frozenset(
+    "style script xmp iframe noembed noframes plaintext noscript".split()
+)
+# tokenizer-level raw containers (spec RAWTEXT + script data); RCDATA decodes entities
+_TOKENIZER_RAW = frozenset(
+    "style script xmp iframe noembed noframes noscript".split()
+)
+_TOKENIZER_RCDATA = frozenset(("title", "textarea"))
+_HEAD_TAGS = frozenset(
+    "base basefont bgsound link meta title style script template noscript noframes".split()
+)
+# HTML elements for which a stray "/>" is ignored (the element stays open)
+_KNOWN_HTML_TAGS = VOID_TAGS | RAW_TEXT_TAGS | _HEAD_TAGS | frozenset(
+    """html head body div p span a ul ol li dl dt dd table thead tbody tfoot tr
+    td th caption colgroup col form fieldset legend label input button select
+    option optgroup textarea h1 h2 h3 h4 h5 h6 blockquote pre code em strong
+    b i u s small sub sup figure figcaption main section article aside header
+    footer nav address hgroup details summary dialog menu img picture source
+    video audio track canvas map area object param embed iframe template slot
+    ins del q cite abbr dfn kbd samp var time data output progress meter ruby
+    rt rp bdi bdo wbr br hr mark""".split()
+)
+_P_CLOSERS = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr
+    listing main menu nav ol p plaintext pre section summary table ul
+    xmp""".split()
+)
+
+_JAVASCRIPT_MIME_TYPE = "text/javascript"
+_TEXT_ESCAPE_RE = re.compile(r"[& <>]")
+_TEXT_ESCAPE_ENTITIES = {"&": "&amp;", " ": "&nbsp;", "<": "&lt;", ">": "&gt;"}
+_ATTRIBUTE_ESCAPE_RE = re.compile(r'[& "]')
+_ATTRIBUTE_ESCAPE_ENTITIES = {"&": "&amp;", " ": "&nbsp;", '"': "&quot;"}
+_INVALID_ATTR_NAME_RE = re.compile(r"[\"'>/=]")
+_CLOSING_TAG_MARKER_RE = re.compile(r"</", re.IGNORECASE)
+# a marker already carrying its backslash is left alone: serializing twice
+# writes the same text as serializing once (dom-parser-node.js:70-75)
+_SELF_CLOSING_TAG_MARKER_RE = re.compile(r"(?<!\\)/>", re.IGNORECASE)
+
+
+class Node:
+    __slots__ = ("parent_node",)
+    node_name = "#node"
+    child_nodes: list | None = None
+
+    def __init__(self) -> None:
+        self.parent_node = None
+
+    # --- tree manipulation (dom-parser-node.js:197-235) ---
+    def remove(self) -> None:
+        parent = self.parent_node
+        if parent is not None and self in parent.child_nodes:
+            parent.child_nodes.remove(self)
+            self.parent_node = None
+
+    def replace_with(self, *nodes: "Node") -> None:
+        parent = self.parent_node
+        if parent is not None and self in parent.child_nodes:
+            index = parent.child_nodes.index(self)
+            parent.child_nodes[index : index + 1] = list(nodes)
+            for node in nodes:
+                node.parent_node = parent
+            self.parent_node = None
+
+    def after(self, *nodes: "Node") -> None:
+        parent = self.parent_node
+        if parent is not None and self in parent.child_nodes:
+            index = parent.child_nodes.index(self)
+            parent.child_nodes[index + 1 : index + 1] = list(nodes)
+            for node in nodes:
+                node.parent_node = parent
+
+
+class Text(Node):
+    __slots__ = ("value",)
+    node_name = "#text"
+
+    def __init__(self, value: str) -> None:
+        super().__init__()
+        self.value = value
+
+
+class Comment(Node):
+    __slots__ = ("data",)
+    node_name = "#comment"
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+
+class DocumentType(Node):
+    __slots__ = ("name", "public_id", "system_id")
+    node_name = "#documentType"
+
+    def __init__(self, name: str, public_id: str = "", system_id: str = "") -> None:
+        super().__init__()
+        self.name = name
+        self.public_id = public_id
+        self.system_id = system_id
+
+
+class _ParentNode(Node):
+    __slots__ = ("child_nodes",)
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.child_nodes: list[Node] = []
+
+    def append_child(self, child: Node) -> Node:
+        self.child_nodes.append(child)
+        child.parent_node = self
+        return child
+
+    def prepend(self, *nodes: Node) -> None:
+        self.child_nodes[0:0] = list(nodes)
+        for node in nodes:
+            node.parent_node = self
+
+    @property
+    def first_child(self) -> Node | None:
+        return self.child_nodes[0] if self.child_nodes else None
+
+    def get_elements_by_tag_name(self, tag_name: str) -> list["Element"]:
+        found: list[Element] = []
+        tag_name = tag_name.lower()
+        for node in self.child_nodes:
+            if isinstance(node, Element):
+                if node.tag_name.lower() == tag_name:
+                    found.append(node)
+                found.extend(node.get_elements_by_tag_name(tag_name))
+                if node.content is not None:
+                    found.extend(node.content.get_elements_by_tag_name(tag_name))
+        return found
+
+
+class Fragment(_ParentNode):
+    __slots__ = ()
+    node_name = "#document-fragment"
+
+
+class Element(_ParentNode):
+    __slots__ = ("tag_name", "attrs", "content")
+
+    def __init__(self, tag_name: str, attrs: list[list[str]] | None = None) -> None:
+        super().__init__()
+        self.tag_name = tag_name
+        self.attrs: list[list[str]] = attrs if attrs is not None else []
+        # template elements carry their children in a separate fragment
+        self.content: Fragment | None = Fragment() if tag_name == "template" else None
+
+    @property
+    def node_name(self) -> str:  # type: ignore[override]
+        return self.tag_name
+
+    # --- attributes (dom-parser-node.js:158-195) ---
+    def _find_attr(self, name: str) -> int:
+        lowered = name.lower()
+        for index, attr in enumerate(self.attrs):
+            if attr[0] == name or attr[0].lower() == lowered:
+                return index
+        return -1
+
+    def get_attribute(self, name: str) -> str | None:
+        index = self._find_attr(name)
+        return self.attrs[index][1] if index != -1 else None
+
+    def get_attribute_names(self) -> list[str]:
+        return [attr[0] for attr in self.attrs]
+
+    def set_attribute(self, name: str, value: str) -> None:
+        index = self._find_attr(name)
+        if index == -1:
+            self.attrs.append([name, value])
+        else:
+            self.attrs[index][1] = value
+
+    def remove_attribute(self, name: str) -> None:
+        index = self._find_attr(name)
+        if index != -1:
+            del self.attrs[index]
+
+    @property
+    def text_content(self) -> str:
+        return "".join(
+            node.value for node in self.child_nodes if isinstance(node, Text)
+        )
+
+    @property
+    def outer_html(self) -> str:
+        return serialize(self)
+
+
+class Document(_ParentNode):
+    __slots__ = ()
+    node_name = "#document"
+
+    def create_element(self, tag_name: str) -> Element:
+        return Element(tag_name.lower())
+
+    def create_text_node(self, data: str) -> Text:
+        return Text(data)
+
+    @property
+    def doctype(self) -> DocumentType | None:
+        first = self.first_child
+        return first if isinstance(first, DocumentType) else None
+
+    @property
+    def document_element(self) -> Element | None:
+        for node in self.child_nodes:
+            if isinstance(node, Element) and node.tag_name.lower() == "html":
+                return node
+        return None
+
+    @property
+    def head(self) -> Element | None:
+        root = self.document_element
+        if root is None:
+            return None
+        for node in root.child_nodes:
+            if isinstance(node, Element) and node.tag_name.lower() == "head":
+                return node
+        return None
+
+    @property
+    def body(self) -> Element | None:
+        root = self.document_element
+        if root is None:
+            return None
+        for node in root.child_nodes:
+            if isinstance(node, Element) and node.tag_name.lower() == "body":
+                return node
+        return None
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+
+_TAG_NAME_RE = re.compile(r"[A-Za-z][^\s/>]*")
+_ATTR_NAME_RE = re.compile(r"[^\s/>=]+")
+_WS_RE = re.compile(r"[\s]+")
+_DOCTYPE_RE = re.compile(
+    r"""^\s*([^\s>]*)\s*(?:(PUBLIC)\s+(["'])(.*?)\3\s*(?:(["'])(.*?)\5)?|(SYSTEM)\s+(["'])(.*?)\8)?""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _unescape(text: str) -> str:
+    return _htmlmod.unescape(text) if "&" in text else text
+
+
+class _Tokenizer:
+    def __init__(self, source: str) -> None:
+        self.source = source
+        self.pos = 0
+
+    def tokens(self):
+        source = self.source
+        n = len(source)
+        while self.pos < n:
+            lt = source.find("<", self.pos)
+            if lt == -1:
+                yield ("text", source[self.pos :])
+                self.pos = n
+                return
+            if lt > self.pos:
+                yield ("text", source[self.pos : lt])
+            self.pos = lt
+            if source.startswith("<!--", lt):
+                end = source.find("-->", lt + 4)
+                if end == -1:
+                    yield ("comment", source[lt + 4 :])
+                    self.pos = n
+                else:
+                    yield ("comment", source[lt + 4 : end])
+                    self.pos = end + 3
+            elif source.startswith("<!", lt) or source.startswith("<?", lt):
+                gt = source.find(">", lt + 2)
+                content = source[lt + 2 : gt if gt != -1 else n]
+                if content[:7].lower() == "doctype":
+                    yield ("doctype", content[7:])
+                else:
+                    yield ("comment", ("?" if source[lt + 1] == "?" else "") + content)
+                self.pos = n if gt == -1 else gt + 1
+            elif source.startswith("</", lt):
+                m = _TAG_NAME_RE.match(source, lt + 2)
+                if m is None:
+                    # "</" not followed by a letter is a bogus comment / text
+                    gt = source.find(">", lt + 2)
+                    if gt == -1:
+                        yield ("text", source[lt:])
+                        self.pos = n
+                    else:
+                        yield ("comment", source[lt + 2 : gt])
+                        self.pos = gt + 1
+                else:
+                    gt = source.find(">", m.end())
+                    yield ("endtag", m.group(0).lower())
+                    self.pos = n if gt == -1 else gt + 1
+            else:
+                m = _TAG_NAME_RE.match(source, lt + 1)
+                if m is None:
+                    yield ("text", "<")
+                    self.pos = lt + 1
+                    continue
+                tag = m.group(0).lower()
+                attrs, self_closing, end = self._read_attributes(m.end())
+                self.pos = end
+                yield ("starttag", tag, attrs, self_closing)
+                if tag == "plaintext":
+                    yield ("rawtext", source[self.pos :])
+                    self.pos = n
+                elif tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA:
+                    raw, self.pos = self._read_raw_content(tag, self.pos)
+                    if tag in _TOKENIZER_RCDATA:
+                        raw = _unescape(raw)
+                    if raw:
+                        yield ("rawtext", raw)
+                    yield ("endtag", tag)
+
+    def _read_attributes(self, pos: int):
+        source = self.source
+        n = len(source)
+        attrs: list[list[str]] = []
+        self_closing = False
+        while pos < n:
+            m = _WS_RE.match(source, pos)
+            if m:
+                pos = m.end()
+            if pos >= n:
+                break
+            c = source[pos]
+            if c == ">":
+                return attrs, self_closing, pos + 1
+            if c == "/":
+                if source.startswith("/>", pos):
+                    return attrs, True, pos + 2
+                pos += 1
+                continue
+            m = _ATTR_NAME_RE.match(source, pos)
+            if m is None:
+                pos += 1
+                continue
+            name = m.group(0).lower()
+            pos = m.end()
+            m = _WS_RE.match(source, pos)
+            if m:
+                pos = m.end()
+            value = ""
+            if pos < n and source[pos] == "=":
+                pos += 1
+                m = _WS_RE.match(source, pos)
+                if m:
+                    pos = m.end()
+                if pos < n and source[pos] in "\"'":
+                    quote = source[pos]
+                    end = source.find(quote, pos + 1)
+                    if end == -1:
+                        value = source[pos + 1 :]
+                        pos = n
+                    else:
+                        value = source[pos + 1 : end]
+                        pos = end + 1
+                else:
+                    start = pos
+                    while pos < n and source[pos] not in ">\t\n\f\r ":
+                        pos += 1
+                    value = source[start:pos]
+            if not any(attr[0] == name for attr in attrs):
+                attrs.append([name, _unescape(value)])
+        return attrs, self_closing, n
+
+    def _read_raw_content(self, tag: str, pos: int):
+        source = self.source
+        pattern = re.compile(rf"</{re.escape(tag)}(?=[\s/>])|</{re.escape(tag)}$", re.IGNORECASE)
+        m = pattern.search(source, pos)
+        if m is None:
+            return source[pos:], len(source)
+        content = source[pos : m.start()]
+        gt = source.find(">", m.start())
+        return content, (len(source) if gt == -1 else gt + 1)
+
+
+# ---------------------------------------------------------------------------
+# tree builder
+
+
+def parse_html(source: str) -> Document:
+    """Parse an HTML string into a Document with implied html/head/body."""
+    document = Document()
+    html_el: Element | None = None
+    head_el: Element | None = None
+    body_el: Element | None = None
+    head_closed = False
+    # stack of open elements once we're in the body (or head content)
+    stack: list[_ParentNode] = []
+
+    def current() -> _ParentNode:
+        if stack:
+            top = stack[-1]
+            if isinstance(top, Element) and top.content is not None:
+                return top.content
+            return top
+        return document
+
+    def ensure_html() -> Element:
+        nonlocal html_el
+        if html_el is None:
+            html_el = Element("html")
+            document.append_child(html_el)
+        return html_el
+
+    def ensure_head() -> Element:
+        nonlocal head_el
+        ensure_html()
+        if head_el is None:
+            head_el = Element("head")
+            html_el.append_child(head_el)
+        return head_el
+
+    def ensure_body() -> Element:
+        nonlocal body_el, head_closed
+        ensure_head()
+        head_closed = True
+        if body_el is None:
+            body_el = Element("body")
+            html_el.append_child(body_el)
+        return body_el
+
+    def insertion_parent(for_text: bool = False, ws: bool = False) -> _ParentNode:
+        if stack:
+            return current()
+        if body_el is not None:
+            return body_el
+        if head_closed:
+            # between </head> and <body>: whitespace rides along inside <html>
+            if ws:
+                return ensure_html()
+            return ensure_body()
+        if for_text and not ws:
+            return ensure_body()
+        if head_el is not None:
+            return head_el
+        if ws:
+            return document if html_el is None else html_el
+        return ensure_body()
+
+    def auto_close(tag: str) -> None:
+        if not stack:
+            return
+        top = stack[-1]
+        if not isinstance(top, Element):
+            return
+        top_tag = top.tag_name
+        if tag in _P_CLOSERS and top_tag == "p":
+            stack.pop()
+        elif tag == "li" and top_tag == "li":
+            stack.pop()
+        elif tag in ("dd", "dt") and top_tag in ("dd", "dt"):
+            stack.pop()
+        elif tag in ("td", "th") and top_tag in ("td", "th"):
+            stack.pop()
+        elif tag == "tr" and top_tag in ("td", "th"):
+            stack.pop()
+            if stack and isinstance(stack[-1], Element) and stack[-1].tag_name == "tr":
+                stack.pop()
+        elif tag == "option" and top_tag == "option":
+            stack.pop()
+
+    tokenizer = _Tokenizer(source)
+    for token in tokenizer.tokens():
+        kind = token[0]
+        if kind == "text":
+            text = _unescape(token[1])
+            if not text:
+                continue
+            is_ws = text.strip() == ""
+            if is_ws and html_el is None and not stack:
+                continue  # whitespace before <html> is dropped
+            parent = insertion_parent(for_text=True, ws=is_ws)
+            if not is_ws and parent is head_el and not stack:
+                parent = ensure_body()
+            last = parent.child_nodes[-1] if parent.child_nodes else None
+            if isinstance(last, Text):
+                last.value += text
+            else:
+                parent.append_child(Text(text))
+        elif kind == "rawtext":
+            if token[1]:
+                current_parent = current() if stack else insertion_parent(True, False)
+                current_parent.append_child(Text(token[1]))
+        elif kind == "comment":
+            parent = document if html_el is None and not stack else insertion_parent(ws=True)
+            parent.append_child(Comment(token[1]))
+        elif kind == "doctype":
+            if html_el is None and document.doctype is None:
+                m = _DOCTYPE_RE.match(token[1])
+                if m:
+                    name = (m.group(1) or "").lower()
+                    public_id = m.group(4) or ""
+                    system_id = m.group(6) or m.group(9) or ""
+                    document.append_child(DocumentType(name, public_id, system_id))
+        elif kind == "starttag":
+            _, tag, attrs, self_closing = token
+            if tag == "html":
+                if html_el is None:
+                    html_el = Element("html", attrs)
+                    document.append_child(html_el)
+                continue
+            if tag == "head":
+                if head_el is None and not head_closed:
+                    ensure_head()
+                    stack.append(head_el)
+                continue
+            if tag == "body":
+                while stack:
+                    stack.pop()
+                if body_el is None:
+                    ensure_head()
+                    body_el = Element("body", attrs)
+                    ensure_html().append_child(body_el)
+                head_closed = True
+                continue
+            element = Element(tag, attrs)
+            if not stack:
+                if not head_closed and body_el is None and tag in _HEAD_TAGS:
+                    parent = ensure_head()
+                else:
+                    parent = ensure_body()
+            else:
+                auto_close(tag)
+                parent = current()
+            parent.append_child(element)
+            is_void = tag in VOID_TAGS
+            closes_itself = self_closing and tag not in _KNOWN_HTML_TAGS
+            if not is_void and not closes_itself and tag not in _TOKENIZER_RAW and tag != "plaintext" and tag not in _TOKENIZER_RCDATA:
+                stack.append(element)
+            elif tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA:
+                # raw content is delivered as a single following rawtext token;
+                # push so it lands inside, popped by the implicit end tag below
+                stack.append(element)
+        elif kind == "endtag":
+            tag = token[1]
+            if tag == "head":
+                if stack and stack[-1] is head_el:
+                    stack.pop()
+                head_closed = True
+                continue
+            if tag in ("body", "html"):
+                while stack:
+                    stack.pop()
+                head_closed = True
+                continue
+            for index in range(len(stack) - 1, -1, -1):
+                node = stack[index]
+                if isinstance(node, Element) and node.tag_name == tag:
+                    del stack[index:]
+                    break
+
+    # rawtext elements pushed above may remain if their end tag never came
+    return document
+
+
+# ---------------------------------------------------------------------------
+# serializer (dom-parser-node.js:263-371)
+
+
+def _should_escape_entities(text_node: Text) -> bool:
+    parent = text_node.parent_node
+    tag = getattr(parent, "tag_name", None)
+    return bool(tag) and tag.lower() not in RAW_TEXT_TAGS
+
+
+def _should_escape_text(text_node: Text) -> bool:
+    parent = text_node.parent_node
+    tag = getattr(parent, "tag_name", None)
+    if not tag:
+        return False
+    tag = tag.lower()
+    if tag == "style":
+        return True
+    if tag == "script":
+        parent_type = parent.get_attribute("type") if isinstance(parent, Element) else None
+        return not parent_type or parent_type == _JAVASCRIPT_MIME_TYPE
+    return False
+
+
+def _serialize_text(text_node: Text) -> str:
+    if _should_escape_entities(text_node):
+        return _TEXT_ESCAPE_RE.sub(
+            lambda m: _TEXT_ESCAPE_ENTITIES[m.group(0)], text_node.value
+        )
+    if _should_escape_text(text_node):
+        value = _CLOSING_TAG_MARKER_RE.sub("<\\/", text_node.value)
+        return _SELF_CLOSING_TAG_MARKER_RE.sub("\\/>", value)
+    return text_node.value
+
+
+def _escape_attribute(value: str) -> str:
+    return _ATTRIBUTE_ESCAPE_RE.sub(
+        lambda m: _ATTRIBUTE_ESCAPE_ENTITIES[m.group(0)], value
+    )
+
+
+def _serialize_element(element: Element) -> str:
+    tag = element.tag_name.lower()
+    parts = ["<", tag]
+    # an attribute whose name cannot be written is dropped before joining, so
+    # it does not leave a gap between the ones around it
+    attributes = " ".join(
+        f'{name}="{_escape_attribute(value)}"'
+        for name, value in element.attrs
+        if not _INVALID_ATTR_NAME_RE.search(name)
+    )
+    if attributes:
+        parts.extend([" ", attributes])
+    parts.append(">")
+    children = (
+        element.content.child_nodes
+        if tag == "template" and element.content is not None
+        else element.child_nodes
+    )
+    parts.extend(serialize(child) for child in children)
+    if tag not in VOID_TAGS:
+        parts.extend(["</", tag, ">"])
+    return "".join(parts)
+
+
+def serialize(node: Node) -> str:
+    if isinstance(node, Text):
+        return _serialize_text(node)
+    if isinstance(node, Comment):
+        return f"<!--{node.data}-->"
+    if isinstance(node, (Fragment, Document)):
+        return "".join(serialize(child) for child in node.child_nodes)
+    return _serialize_element(node)  # type: ignore[arg-type]
+
+
+def serialize_doctype(doctype: DocumentType) -> str:
+    result = f"<!DOCTYPE {doctype.name}"
+    if doctype.public_id:
+        result += f' PUBLIC "{doctype.public_id}"'
+    if doctype.system_id:
+        result += f' "{doctype.system_id}"'
+    return result + ">"
+
+
+class DOM:
+    """parseDOM result shape (util.js:315-334): a document plus serialize()."""
+
+    __slots__ = ("document",)
+
+    def __init__(self, document: Document) -> None:
+        self.document = document
+
+    def serialize(self) -> str:
+        result = ""
+        doctype = self.document.doctype
+        if doctype is not None:
+            result += serialize_doctype(doctype) + "\n"
+        root = self.document.document_element
+        if root is not None:
+            result += root.outer_html
+        return result
+
+
+def parse_dom(source: str, content_type: str | None = "text/html") -> DOM:
+    """Parse markup; like the reference's injected DOMParser the content type
+    is accepted but everything parses as HTML, and a missing head is created
+    (dom-parser-node.js:147-156)."""
+    document = parse_html(source)
+    if document.document_element is None:
+        # ensure a root exists even for pathological input
+        document.append_child(Element("html"))
+    if document.head is None:
+        head = document.create_element("head")
+        document.document_element.prepend(head)
+    return DOM(document)
