@@ -1,0 +1,195 @@
+"""Stylesheet rewriting (ported from reference test/stylesheet.test.js)."""
+
+import base64
+import re
+
+import pytest
+
+from mhtml_to_html_ray.kernel.convert import convert
+from tests.helpers import ORIGIN, concat_bytes, encode_single_byte_charset, page, resource
+
+PNG_BASE64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+PNG_URI = f"data:image/png;base64,{PNG_BASE64}"
+IMAGE_PART = resource(f"{ORIGIN}/i.png", "image/png", PNG_BASE64, "base64")
+LINK = '<link rel="stylesheet" href="s.css">'
+
+
+def stylesheet(body, location=f"{ORIGIN}/s.css"):
+    return resource(location, "text/css", body)
+
+
+def style_of(**options):
+    data = convert(page(**options)).data
+    match = re.search(r"<style[^>]*>([\s\S]*?)</style>", data)
+    return match.group(1) if match else None
+
+
+def head_of(**options):
+    return re.search(r"<head[^>]*>[\s\S]*</head>", convert(page(**options)).data).group(0)
+
+
+def test_linked_stylesheet_becomes_style_element():
+    assert style_of(head=LINK, parts=[stylesheet("p{color:red}")]) == "p{color:red}"
+
+
+def test_media_carried_over():
+    head = head_of(
+        head='<link rel="stylesheet" media="print" href="s.css">', parts=[stylesheet("p{color:red}")]
+    )
+    assert re.search(r'<style[^>]*media="print"', head)
+
+
+def test_source_url_recorded():
+    head = head_of(head=LINK, parts=[stylesheet("p{color:red}")])
+    assert f'data-original-href="{ORIGIN}/s.css"' in head
+
+
+def test_url_inlined_with_original_comment():
+    style = style_of(head=LINK, parts=[stylesheet("p{background:url(i.png)}"), IMAGE_PART])
+    assert PNG_URI in style, "the image was not inlined"
+    assert f"/* original URL: {ORIGIN}/i.png */" in style, "the original URL was not recorded"
+
+
+def test_unresolved_url_keeps_address():
+    style = style_of(head=LINK, parts=[stylesheet("p{background:url(gone.png)}")])
+    assert f"{ORIGIN}/gone.png" in style, "the address was lost"
+    assert "--mhtml-to-html-url" not in style, "the internal marker leaked"
+
+
+@pytest.mark.parametrize(
+    "rule",
+    ["@import url(other.css);", '@import "other.css";', '@import "other.css" screen;'],
+    ids=["url()", "bare string", "string with media query"],
+)
+def test_import_inlined(rule):
+    style = style_of(head=LINK, parts=[stylesheet(rule), stylesheet("p{color:blue}", f"{ORIGIN}/other.css")])
+    assert "data:text/css;base64," in style, "the imported sheet was not inlined"
+    assert "--mhtml-to-html-url" not in style
+
+
+def test_unresolved_import_keeps_address():
+    style = style_of(head=LINK, parts=[stylesheet('@import "gone.css";')])
+    assert f"{ORIGIN}/gone.css" in style
+    assert "--mhtml-to-html-url" not in style
+
+
+def test_import_chain_followed():
+    style = style_of(
+        head=LINK,
+        parts=[
+            stylesheet("@import url(a.css);"),
+            stylesheet("@import url(b.css);", f"{ORIGIN}/a.css"),
+            stylesheet("p{color:green}", f"{ORIGIN}/b.css"),
+        ],
+    )
+    assert "data:text/css;base64," in style, "the chain was not followed"
+
+
+def test_self_import_terminates():
+    style = style_of(head=LINK, parts=[stylesheet("@import url(s.css);p{color:red}")])
+    assert isinstance(style, str) and len(style) > 0
+
+
+def test_style_attribute_rewritten():
+    data = convert(page(body='<p style="background:url(i.png)">x</p>', parts=[IMAGE_PART])).data
+    assert PNG_URI in data, "the style attribute was not rewritten"
+
+
+def test_data_uri_left_alone():
+    style = style_of(head=LINK, parts=[stylesheet(f'p{{background:url("{PNG_URI}")}}')])
+    assert PNG_URI in style
+    assert "original URL" not in style, "a data URI has no original URL to record"
+
+
+def test_inline_style_element_rewritten():
+    style = style_of(head="<style>p{background:url(i.png)}</style>", parts=[IMAGE_PART])
+    assert PNG_URI in style
+
+
+@pytest.mark.parametrize("rule", ["@import;", "@import foo;"])
+def test_broken_import_does_not_crash(rule):
+    style = style_of(head=f"<style>{rule}p{{color:red}}</style>")
+    assert "color:red" in style, "the rules after the broken import were lost"
+
+
+def test_broken_charset_leaves_sheet():
+    style = style_of(head=LINK, parts=[stylesheet("@charset ;p{color:red}")])
+    assert "color:red" in style
+
+
+def test_unparsable_sheet_passed_through():
+    style = style_of(head=LINK, parts=[stylesheet("p{color:red")])
+    assert isinstance(style, str) and "color" in style
+
+
+def test_multi_keyword_rel_recognized():
+    head = head_of(
+        head='<link rel="stylesheet dns-prefetch" href="s.css">', parts=[stylesheet("p{color:red}")]
+    )
+    assert "<style" in head
+
+
+def test_alternate_stylesheet_stays_link():
+    head = head_of(
+        head='<link rel="alternate stylesheet" title="Dark" href="s.css">',
+        parts=[stylesheet("p{color:red}")],
+    )
+    assert "<style" not in head, "the alternate sheet was applied unconditionally"
+    assert re.search(r'<link[^>]*href="data:text/css[^"]*"', head), "not inlined"
+    assert re.search(r'<link[^>]*title="Dark"', head), "the name of the set was lost"
+    assert re.search(r'<link[^>]*rel="alternate stylesheet"', head)
+
+
+def test_preferred_stylesheet_stays_link():
+    head = head_of(
+        head='<link rel="stylesheet" title="Light" href="s.css">', parts=[stylesheet("p{color:red}")]
+    )
+    assert "<style" not in head
+    assert re.search(r'<link[^>]*href="data:text/css[^"]*"', head)
+    assert re.search(r'<link[^>]*title="Light"', head)
+
+
+def test_untitled_stylesheet_inlined():
+    head = head_of(head=LINK, parts=[stylesheet("p{color:red}")])
+    assert "<style" in head
+    assert not re.search(r'<link[^>]*href="data:text/css', head), "a persistent sheet left as a link"
+
+
+def test_titled_style_element_keeps_title():
+    head = head_of(head='<style title="Light">p{color:red}</style>')
+    assert re.search(r'<style[^>]*title="Light"', head), "the name of the set was lost"
+
+
+def test_alternate_sheet_urls_still_rewritten():
+    head = head_of(
+        head='<link rel="alternate stylesheet" title="Dark" href="s.css">',
+        parts=[stylesheet("p{background:url(i.png)}"), IMAGE_PART],
+    )
+    href = re.search(r'<link[^>]*href="(data:text/css[^"]*)"', head).group(1)
+    css = base64.b64decode(href[href.index("base64,") + 7 :]).decode()
+    assert PNG_URI in css, "the image inside the alternate sheet was not inlined"
+
+
+def test_charset_rule_decodes_and_is_removed():
+    cyrillic = "Привет"
+    css = concat_bytes(
+        '@charset "windows-1251";\r\n.a::after{content:"',
+        encode_single_byte_charset(cyrillic, "windows-1251"),
+        '"}',
+    )
+    boundary = "----=_B"
+    raw = concat_bytes(
+        f'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="{boundary}"\r\n\r\n',
+        f"--{boundary}\r\nContent-Type: text/html; charset=utf-8\r\nContent-Transfer-Encoding: 8bit\r\n",
+        f"Content-Location: {ORIGIN}/\r\n\r\n<html><head>{LINK}</head><body>x</body></html>\r\n",
+        f"--{boundary}\r\nContent-Type: text/css\r\nContent-Transfer-Encoding: 8bit\r\n",
+        f"Content-Location: {ORIGIN}/s.css\r\n\r\n",
+        css,
+        f"\r\n--{boundary}--\r\n",
+    )
+    data = convert(raw).data
+    style = re.search(r"<style[^>]*>([\s\S]*?)</style>", data).group(1)
+    assert cyrillic in style, f"decoded with the wrong charset: {style}"
+    assert "@charset" not in style, "the charset rule was left in the output"
