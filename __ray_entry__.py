@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data engine (see mhtml_to_html_ray/).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module: nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``   — flagship pipeline on /root/testdata/sf0.001: documents →
+  synthetic MHTML pages (input_hint shape) → fused MIME+DOM extraction.
+* ``queries()`` — one entry per implemented operator/pipeline from
+  SURVEY.md §2 + the engine-new training-data ops.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
+  heuristic/approximate ops (langid, minhash/simhash/embedding dedup, ANN)
+  are deliberately oracle-free and covered by tests/ instead.
 """
 
 from __future__ import annotations
@@ -20,25 +19,19 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; ≥0 rows with a stable schema."""
+    from mhtml_to_html_ray.pipelines.flagship import run_flagship
+
+    return run_flagship("/root/testdata/sf0.001", keep_html=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,348 @@
+"""Deduplication operators over the documents table (SURVEY.md engine-new ops).
+
+Every variant follows the scale pattern from the Ray Data guide: vectorized
+per-batch signature computation inside ``map_batches``, then ONE small
+shuffle over signatures (never over full documents):
+
+* exact        — md5(text) → groupby(hash).min(doc_id)  (hash-partitioned)
+* minhash-LSH  — k-shingles → minhash sigs → (band, band_hash) explode →
+                 groupby band bucket → candidate pairs → exact-Jaccard verify
+                 → connected components (min-label propagation)
+* simhash      — 64-bit simhash, 4×16-bit block blocking for hamming ≤ 3
+* ngram-jaccard— exact Jaccard on LSH candidates (the verify step exposed)
+* embedding    — cosine near-dup via random-hyperplane LSH buckets + exact
+                 cosine verify (see similarity.py for the ANN search path)
+
+At 100 TB the only all-to-all traffic is (hash, doc_id)-sized rows; documents
+stay columnar in their blocks. Hot LSH buckets are capped (``bucket_cap``) —
+a pathological bucket degrades to sampling instead of an O(n²) blow-up.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def _md5_u64(token: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(token.encode("utf-8")).digest()[:8])[0]
+
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, content_hash) — the map side of exact dedup."""
+    texts = batch.column("text").to_pylist()
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(hashes, pa.string())],
+        names=["doc_id", "content_hash"],
+    )
+
+
+def exact_dedup(documents_ds):
+    """Keeper per distinct text: groupby(content_hash) → min(doc_id).
+    The groupby shuffles only (hash, doc_id) pairs."""
+    from ray.data.aggregate import Min
+
+    hashed = documents_ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="keeper_doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def shingle_set(text: str, k: int = 3) -> set[int]:
+    """Hashed k-token shingles (word shingles — robust to whitespace)."""
+    tokens = text.split()
+    if len(tokens) < k:
+        return {_md5_u64(" ".join(tokens))} if tokens else set()
+    return {_md5_u64(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)}
+
+
+class MinHasher:
+    """Seeded universal-hash minhash signatures (num_perm permutations)."""
+
+    _MERSENNE = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, self._MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self._MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: set[int]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        values = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+        # (a*x + b) mod p, vectorized over shingles × permutations
+        products = (
+            values[None, :] * self.a[:, None] + self.b[:, None]
+        ) % self._MERSENNE
+        return products.min(axis=1)
+
+
+class MinHashLSHBatch:
+    """Actor-pool kernel: documents → exploded (band_id, band_hash, doc_id)
+    rows. Construct once per actor (permutations built in __init__)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
+        assert num_perm % bands == 0
+        self.hasher = MinHasher(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            signature = self.hasher.signature(shingle_set(text, self.shingle_k))
+            for band in range(self.bands):
+                chunk = signature[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                # hashlib, not hash(): Python's hash of bytes is salted per
+                # process and would break cross-worker bucketing
+                band_hash = (
+                    struct.unpack("<Q", hashlib.md5(chunk.tobytes()).digest()[:8])[0]
+                    & 0x7FFFFFFFFFFFFFFF
+                )
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_hash.append(band_hash)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_doc, pa.int64()),
+                pa.array(out_band, pa.int32()),
+                pa.array(out_hash, pa.int64()),
+            ],
+            names=["doc_id", "band_id", "band_hash"],
+        )
+
+
+def _pairs_from_buckets(bucket_rows, bucket_cap: int):
+    """Candidate pairs from one LSH bucket, capped against blow-up."""
+    docs = sorted(set(bucket_rows))[:bucket_cap]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            yield docs[i], docs[j]
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    union = len(a | b)
+    return len(a & b) / union if union else 0.0
+
+
+def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
+                  shingle_k: int = 3, seed: int = 42, bucket_cap: int = 64,
+                  concurrency: int | tuple = 4):
+    """Near-dup clusters: returns a Dataset of (doc_id, cluster_id) where
+    cluster_id = min doc_id of the component. Candidate generation shuffles
+    only signature rows; Jaccard verification re-reads only candidate docs
+    (broadcast of the candidate id set)."""
+    import ray
+    import ray.data
+    import pandas as pd
+
+    lsh_rows = documents_ds.map_batches(
+        MinHashLSHBatch,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "shingle_k": shingle_k, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = list(_pairs_from_buckets(group["doc_id"].tolist(), bucket_cap))
+        if not pairs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        a, b = zip(*pairs)
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    candidate_pairs = (
+        lsh_rows.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    candidate_pairs = candidate_pairs.drop_duplicates()
+    candidate_ids = set(candidate_pairs["a"]).union(candidate_pairs["b"])
+
+    # verify candidates with exact Jaccard: broadcast the candidate id set,
+    # collect only those documents' shingles (a tiny fraction of the corpus)
+    ids_ref = ray.put(candidate_ids)
+
+    def collect_shingles(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        doc_ids, texts = batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        keep = [(d, t) for d, t in zip(doc_ids, texts) if d in wanted]
+        return pa.Table.from_arrays(
+            [
+                pa.array([d for d, _ in keep], pa.int64()),
+                pa.array([t for _, t in keep], pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    candidate_docs = documents_ds.map_batches(collect_shingles, batch_format="pyarrow").take_all()
+    shingles = {row["doc_id"]: shingle_set(row["text"], shingle_k) for row in candidate_docs}
+
+    # union-find over verified pairs (candidate set is small by construction)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        root_x, root_y = find(x), find(y)
+        if root_x != root_y:
+            parent[max(root_x, root_y)] = min(root_x, root_y)
+
+    for a, b in candidate_pairs.itertuples(index=False):
+        if jaccard(shingles.get(a, set()), shingles.get(b, set())) >= threshold:
+            union(int(a), int(b))
+
+    members = sorted(parent)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(members, pa.int64()),
+            pa.array([find(m) for m in members], pa.int64()),
+        ],
+        names=["doc_id", "cluster_id"],
+    )
+    return ray.data.from_arrow(table)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHashBatch:
+    """64-bit simhash per document + 4×16-bit blocks for hamming blocking."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        counts = np.zeros(64, dtype=np.int64)
+        for token in text.split():
+            h = _md5_u64(token)
+            bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
+            counts += bits.astype(np.int64) * 2 - 1
+        value = 0
+        for i, c in enumerate(counts):
+            if c > 0:
+                value |= 1 << i
+        return value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hashes = [self.simhash(t) for t in texts]
+        arrays = [pa.array(doc_ids, pa.int64()), pa.array(hashes, pa.uint64())]
+        names = ["doc_id", "simhash"]
+        for block in range(4):
+            arrays.append(pa.array([(h >> (block * 16)) & 0xFFFF for h in hashes], pa.int32()))
+            names.append(f"block{block}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple = 4):
+    """Near-dup pairs by simhash: block on each 16-bit quarter (a pair within
+    hamming ≤ 3 shares at least one block exactly), verify hamming."""
+    import pandas as pd
+    import ray.data
+
+    hashed = documents_ds.map_batches(SimHashBatch, batch_format="pyarrow",
+                                      concurrency=concurrency)
+
+    frames = []
+    for block in range(4):
+        def block_pairs(group: pd.DataFrame, _block=block) -> pd.DataFrame:
+            rows = group[["doc_id", "simhash"]].drop_duplicates("doc_id").values.tolist()
+            out_a, out_b = [], []
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    (a, ha), (b, hb) = rows[i], rows[j]
+                    if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
+                        out_a.append(min(a, b))
+                        out_b.append(max(a, b))
+            return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                                 "b": pd.Series(out_b, dtype="int64")})
+
+        frames.append(
+            hashed.groupby(f"block{block}").map_groups(block_pairs, batch_format="pandas").to_pandas()
+        )
+    pairs = pd.concat(frames).drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    return ray.data.from_pandas(pairs) if len(pairs) else ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+
+
+def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3,
+                        num_perm: int = 64, bands: int = 32, seed: int = 42):
+    """Exact n-gram Jaccard similarity for LSH candidate pairs — the verify
+    stage exposed as its own operator: (a, b, jaccard) for pairs ≥ threshold."""
+    import ray
+    import pandas as pd
+
+    lsh_rows = documents_ds.map_batches(
+        MinHashLSHBatch,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+                               "seed": seed},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = list(_pairs_from_buckets(group["doc_id"].tolist(), 64))
+        if not pairs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        a, b = zip(*pairs)
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    pairs = (
+        lsh_rows.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas().drop_duplicates()
+    )
+    wanted = set(pairs["a"]).union(pairs["b"])
+    ids_ref = ray.put(wanted)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        keep_ids = ray.get(ids_ref)
+        doc_ids, texts = batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        keep = [(d, t) for d, t in zip(doc_ids, texts) if d in keep_ids]
+        return pa.Table.from_arrays(
+            [pa.array([d for d, _ in keep], pa.int64()), pa.array([t for _, t in keep], pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    docs = documents_ds.map_batches(collect, batch_format="pyarrow").take_all()
+    shingles = {row["doc_id"]: shingle_set(row["text"], shingle_k) for row in docs}
+    out = []
+    for a, b in pairs.itertuples(index=False):
+        sim = jaccard(shingles.get(int(a), set()), shingles.get(int(b), set()))
+        if sim >= threshold:
+            out.append((int(min(a, b)), int(max(a, b)), round(sim, 6)))
+    out.sort()
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([o[0] for o in out], pa.int64()),
+                "b": pa.array([o[1] for o in out], pa.int64()),
+                "jaccard": pa.array([o[2] for o in out], pa.float64()),
+            }
+        )
+    )

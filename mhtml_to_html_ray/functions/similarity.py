@@ -1,0 +1,212 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+* brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix (``ray.put`` once, read per task), per-batch partial top-k, tiny
+  final merge — the exact baseline.
+* LSH-bucketed ANN: seeded random-hyperplane signatures bucket the corpus;
+  search probes the query's bucket (+ multi-probe neighbors), trading recall
+  for touching a fraction of the rows — the scale path.
+* embedding-cosine near-dup: hyperplane buckets → exact-cosine verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
+    values = batch.column(column)
+    arr = np.array(values.to_pylist(), dtype=np.float64)
+    return arr
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(embeddings_ds, query_vec, k: int = 10):
+    """Exact cosine top-k: per-batch matmul + partial top-k, merged on the
+    driver (k rows per batch ≪ data size). Returns (vec_id, cosine) sorted by
+    (-cosine, vec_id)."""
+    import ray
+
+    query = np.asarray(query_vec, dtype=np.float64)
+    query = query / (np.linalg.norm(query) or 1.0)
+    query_ref = ray.put(query)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(query_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(_matrix(batch))
+        sims = m @ q
+        take = min(k, len(ids))
+        idx = np.argpartition(-sims, take - 1)[:take] if len(ids) > take else np.arange(len(ids))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "cosine": pa.array(np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6, pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    partials.sort(key=lambda row: (-row["cosine"], row["vec_id"]))
+    top = partials[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in top], pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in top], pa.float64()),
+        }
+    )
+
+
+class HyperplaneLSH:
+    """Seeded random-hyperplane signatures: b-bit bucket ids."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(bits, dim)
+        self.bits = bits
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes.T) > 0
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        return signs @ weights
+
+    def probes(self, vec: np.ndarray, n_flip: int = 1) -> list[int]:
+        """Multi-probe: the home bucket plus every bucket 1 bit-flip away."""
+        base = int(self.bucket(vec[None, :])[0])
+        out = [base]
+        if n_flip >= 1:
+            out.extend(base ^ (1 << i) for i in range(self.bits))
+        return out
+
+
+class LSHBucketBatch:
+    """Actor kernel: embeddings → (vec_id, bucket) rows; planes built once."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 42):
+        self.lsh = HyperplaneLSH(dim, bits, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        m = _normalize(_matrix(batch))
+        buckets = self.lsh.bucket(m)
+        return pa.table({"vec_id": ids, "bucket": pa.array(buckets, pa.int64())})
+
+
+def lsh_topk(embeddings_ds, query_vec, k: int = 10, bits: int = 8, seed: int = 42,
+             concurrency: int | tuple = 2):
+    """ANN top-k: probe the query's LSH bucket neighborhood only. Returns the
+    same schema as brute_force_topk; recall measured against it in tests."""
+    import ray
+
+    query = np.asarray(query_vec, dtype=np.float64)
+    query = query / (np.linalg.norm(query) or 1.0)
+    dim = len(query)
+    lsh = HyperplaneLSH(dim, bits, seed)
+    probe_set = set(lsh.probes(query))
+    probes_ref = ray.put(probe_set)
+    query_ref = ray.put(query)
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        probes = ray.get(probes_ref)
+        q = ray.get(query_ref)
+        local = LSHBucketBatch(dim, bits, seed)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(_matrix(batch))
+        buckets = local.lsh.bucket(m)
+        mask = np.isin(buckets, list(probes))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = m[mask] @ q
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[mask], pa.int64()),
+                "cosine": pa.array(np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6, pa.float64()),
+            }
+        )
+
+    rows = embeddings_ds.map_batches(probe_batch, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda row: (-row["cosine"], row["vec_id"]))
+    top = rows[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in top], pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in top], pa.float64()),
+        }
+    )
+
+
+def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10,
+                          seed: int = 42, bucket_cap: int = 256):
+    """Embedding near-dup: bucket by hyperplane signature, exact cosine within
+    buckets, emit (a, b, cosine ≥ threshold) pairs sorted."""
+    import pandas as pd
+    import ray.data
+
+    # first batch determines dim lazily inside the kernel
+    state: dict = {}
+
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        if "lsh" not in state:
+            state["lsh"] = HyperplaneLSH(m.shape[1], bits, seed)
+        buckets = state["lsh"].bucket(m)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(buckets, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    bucketed = embeddings_ds.map_batches(bucket_batch, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.head(bucket_cap)
+        ids = rows["vec_id"].to_numpy()
+        m = _normalize(np.array([np.asarray(e, dtype=np.float64) for e in rows["embedding"]]))
+        sims = m @ m.T
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a, b = int(ids[i]), int(ids[j])
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_c.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "cosine": pd.Series(out_c, dtype="float64")})
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty or "a" not in pairs.columns:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return ray.data.from_pandas(pairs) if len(pairs) else ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "cosine": pa.array([], pa.float64())})
+    )
+
+
+def label_norm_stats(embeddings_ds):
+    """Per-label mean L2 norm (rounded): a per-batch partial aggregate then a
+    tiny groupby over (label, sum, count) partials — the combiner pattern."""
+    from ray.data.aggregate import Sum, Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label")
+        norms = np.linalg.norm(_matrix(batch), axis=1)
+        return pa.table({"label": labels, "norm_sum": pa.array(norms, pa.float64())})
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("label").aggregate(
+        Sum("norm_sum", alias_name="sum_norm"), Count(alias_name="n")
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis batch kernels for the documents table.
+
+All hot paths are vectorized (pyarrow.compute) or hash small per-row strings;
+each kernel is a plain function usable in ``map_batches(fn,
+batch_format="pyarrow")`` (stateless — no model assets to amortize).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic; deterministic and dependency-free
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "para", "en"},
+    "zh": {"的", "是", "不", "了", "在", "有", "我", "他", "这", "中"},
+}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (whitespace tokens), n_chars."""
+    text = batch.column("text")
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_tokens.cast(pa.int64()), n_chars.cast(pa.int64())],
+        names=["doc_id", "n_tokens", "n_chars"],
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring signals: lengths, alpha/space/punct ratios, mean token
+    length — the usual cheap filters of a web-text pipeline."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.float64())
+    n_alpha = pc.count_substring_regex(text, "[A-Za-z]").cast(pa.float64())
+    n_space = pc.count_substring_regex(text, " ").cast(pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+
+    def _round6(column):
+        # DuckDB-ROUND-compatible: nearbyint(x * 1e6) / 1e6
+        import numpy as np
+
+        values = np.asarray(column.to_numpy(zero_copy_only=False), dtype=np.float64)
+        # half away from zero, matching DuckDB's std::round
+        return pa.array(np.copysign(np.floor(np.abs(values) * 1e6 + 0.5), values) / 1e6,
+                        pa.float64())
+
+    alpha_ratio = _round6(pc.divide(n_alpha, safe_chars))
+    space_ratio = _round6(pc.divide(n_space, safe_chars))
+    mean_token_len = _round6(pc.divide(pc.subtract(n_chars, n_space), safe_tokens))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            n_chars.cast(pa.int64()),
+            n_tokens.cast(pa.int64()),
+            alpha_ratio,
+            space_ratio,
+            mean_token_len,
+        ],
+        names=["doc_id", "n_chars", "n_tokens", "alpha_ratio", "space_ratio", "mean_token_len"],
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint per document (md5 hex — matches DuckDB's md5()
+    oracle; the rolling-hash variant lives in dedup.simhash/minhash)."""
+    texts = batch.column("text").to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(digests, pa.string())],
+        names=["doc_id", "fingerprint"],
+    )
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-profile language ID: argmax of profile-hit ratios, 'und' when
+    nothing matches. A heuristic scorer, not a model — deterministic."""
+    texts = batch.column("text").to_pylist()
+    langs = []
+    scores = []
+    for text in texts:
+        tokens = text.lower().split()
+        if not tokens:
+            langs.append("und")
+            scores.append(0.0)
+            continue
+        best_lang, best = "und", 0.0
+        for lang, profile in _LANG_PROFILES.items():
+            hits = sum(1 for token in tokens if token in profile)
+            score = hits / len(tokens)
+            if score > best:
+                best_lang, best = lang, score
+        langs.append(best_lang if best > 0 else "und")
+        scores.append(round(best, 6))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(langs, pa.string()), pa.array(scores, pa.float64())],
+        names=["doc_id", "pred_lang", "confidence"],
+    )

@@ -1,0 +1,770 @@
+"""The engine's query registry: every operator from SURVEY.md §2 (and the
+engine-new training-data ops) exposed as a named pipeline over the driver's
+testdata, each with a DuckDB oracle where ANSI SQL can express it.
+
+Contract (driver: __ray_entry__.py): each callable takes ``sf_dir`` and
+returns a Dataset / pandas DataFrame / pyarrow Table; the matching entry in
+ORACLE_SQL is run by DuckDB over the same parquet files (views: region nation
+customer supplier part orders lineitem events documents embeddings). Column
+names match exactly; float aggregates are rounded identically on both sides.
+
+None of these call ray.init() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..frontier.canon import canonicalize
+from ..functions import dedup, multimodal, similarity, textstats
+from .flagship import run_flagship
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _sorted_table(ds_or_table, sort_keys: list[str]):
+    if hasattr(ds_or_table, "to_pandas") and not isinstance(ds_or_table, pa.Table):
+        df = ds_or_table.to_pandas()
+        return df.sort_values(sort_keys).reset_index(drop=True)
+    return ds_or_table.sort_by([(k, "ascending") for k in sort_keys])
+
+
+def _mod(array, m: int) -> pa.Array:
+    """Elementwise modulo (pyarrow.compute ships no modulo kernel; numpy view
+    is zero-copy for non-null int columns)."""
+    if isinstance(array, pa.ChunkedArray):
+        array = array.combine_chunks()
+    return pa.array(array.to_numpy(zero_copy_only=False) % m)
+
+
+
+def _lit(value: str, n: int) -> pa.Array:
+    # typed even when n == 0 (a bare [] becomes a null array and breaks joins)
+    return pa.array([value] * n, pa.string())
+
+
+def _round(column, digits: int) -> pa.Array:
+    """Round like DuckDB's ROUND(DOUBLE, d): nearbyint(x * 10^d) / 10^d —
+    pyarrow's pc.round differs by an ulp at large magnitudes."""
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    values = np.asarray(column.to_numpy(zero_copy_only=False), dtype=np.float64)
+    scale = 10.0 ** digits
+    rounded = np.copysign(np.floor(np.abs(values) * scale + 0.5), values) / scale
+    return pa.array(rounded, pa.float64())
+
+
+# ---------------------------------------------------------------------------
+# extraction family (the reference kernel end-to-end, SURVEY.md §2.2-2.3)
+
+
+def q_extract_text(sf_dir: str):
+    """Full MIME+DOM extraction: documents → MHTML → parse+convert →
+    (url, title, text_out). The oracle reconstructs all three from SQL —
+    the pipeline is correct only if extraction round-trips byte-identically."""
+    out = run_flagship(sf_dir, keep_html=False).select_columns(["url", "title", "text_out"])
+    return _sorted_table(out, ["url"])
+
+
+def q_extract_page_stats(sf_dir: str):
+    """Extraction output aggregated per lang: n_pages + total_chars of the
+    extracted text (groupby after the extraction stage)."""
+    from ray.data.aggregate import Count, Sum
+
+    out = run_flagship(sf_dir, keep_html=False)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "chars": pc.utf8_length(batch.column("text_out")).cast(pa.int64()),
+            }
+        )
+
+    stats = (
+        out.map_batches(lengths, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_pages"), Sum("chars", alias_name="total_chars"))
+    )
+    return _sorted_table(stats, ["lang"])
+
+
+# ---------------------------------------------------------------------------
+# crawl-shaped family (frontier operators over a synthetic web derived from
+# the orders/lineitem tables — deterministic, so SQL can predict everything)
+
+
+def _orders_url_expr(batch: pa.Table) -> pa.Table:
+    custkey = batch.column("o_custkey")
+    orderkey = batch.column("o_orderkey")
+    host = pc.binary_join_element_wise(
+        _lit("host-", batch.num_rows),
+        pc.cast(_mod(custkey, 20), pa.string()),
+        _lit(".example.com", batch.num_rows),
+        "",
+    )
+    url = pc.binary_join_element_wise(
+        _lit("https://", batch.num_rows),
+        host,
+        _lit("/order/", batch.num_rows),
+        pc.cast(orderkey, pa.string()),
+        "",
+    )
+    return pa.table(
+        {
+            "url": url,
+            "host": host,
+            "priority": _round(batch.column("o_totalprice"), 2),
+            "orderkey": orderkey,
+        }
+    )
+
+
+def q_frontier_seed(sf_dir: str):
+    """Frontier admission projection: orders → (url, host, priority)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.map_batches(_orders_url_expr, batch_format="pyarrow").drop_columns(["orderkey"])
+    return _sorted_table(out, ["url"])
+
+
+def q_frontier_host_budget(sf_dir: str):
+    """Per-host politeness budgeting: groupby(host) → url count, total
+    priority, budget = min(n_urls, 10) — the per-wave host aggregate that
+    feeds the scheduler (SURVEY.md §2.6 aggregations)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    frontier = ds.map_batches(_orders_url_expr, batch_format="pyarrow")
+    agg = frontier.groupby("host").aggregate(
+        Count(alias_name="n_urls"), Sum("priority", alias_name="sum_priority")
+    )
+
+    def budget(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_urls": batch.column("n_urls"),
+                "sum_priority": _round(batch.column("sum_priority"), 2),
+                "budget": pc.min_element_wise(
+                    batch.column("n_urls"), pa.scalar(10, pa.int64())
+                ),
+            }
+        )
+
+    return _sorted_table(agg.map_batches(budget, batch_format="pyarrow"), ["host"])
+
+
+def q_frontier_topk(sf_dir: str):
+    """Wave prioritization: global top-100 by (priority desc, url asc) —
+    sort + limit (SURVEY.md §2.6 sort/top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    frontier = ds.map_batches(_orders_url_expr, batch_format="pyarrow").drop_columns(["orderkey"])
+    top = frontier.sort(["priority", "url"], descending=[True, False]).limit(100)
+    return top.to_pandas()
+
+
+def q_url_seen_antijoin(sf_dir: str):
+    """URL-seen anti-join: frontier urls minus the seen set (broadcast the
+    seen keys, filter inside map_batches — the semi/anti-join pattern)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    frontier = ds.map_batches(_orders_url_expr, batch_format="pyarrow")
+    # the seen set: urls already crawled (every third order) — broadcast the
+    # keys once, filter inside map_batches (anti-join without a shuffle)
+    seen_urls = {
+        row["url"]
+        for row in frontier.map_batches(
+            lambda b: b.filter(pc.equal(_mod(b.column("orderkey"), 3), 0)).select(["url"]),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    seen_ref = ray.put(seen_urls)
+
+    def not_seen(batch: pa.Table) -> pa.Table:
+        seen = ray.get(seen_ref)
+        mask = pa.array([u not in seen for u in batch.column("url").to_pylist()])
+        return pa.table({"url": batch.filter(mask).column("url")})
+
+    out = frontier.map_batches(not_seen, batch_format="pyarrow")
+    return _sorted_table(out, ["url"])
+
+
+def q_crawl_bfs_wave1(sf_dir: str):
+    """One BSP crawl wave: seed orders (o_orderkey % 100 == 1) at wave 0,
+    their lineitem children discovered at wave 1, exact-deduped."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(_mod(batch.column("o_orderkey"), 100), 1)
+        filtered = batch.filter(mask)
+        t = _orders_url_expr(filtered)
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "wave": pa.array([0] * t.num_rows, pa.int32()),
+                "orderkey": t.column("orderkey"),
+            }
+        )
+
+    seed_ds = orders.map_batches(seeds, batch_format="pyarrow")
+    seed_rows = seed_ds.take_all()
+    seed_keys = {row["orderkey"] for row in seed_rows}
+    keys_ref = ray.put(seed_keys)
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def children(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([k in keys for k in batch.column("l_orderkey").to_pylist()])
+        filtered = batch.filter(mask)
+        url = pc.binary_join_element_wise(
+            _lit("https://items.example.com/item/", filtered.num_rows),
+            pc.cast(filtered.column("l_orderkey"), pa.string()),
+            _lit("/", filtered.num_rows),
+            pc.cast(filtered.column("l_linenumber"), pa.string()),
+            "",
+        )
+        return pa.table({"url": url, "wave": pa.array([1] * filtered.num_rows, pa.int32())})
+
+    child_ds = lineitem.map_batches(children, batch_format="pyarrow")
+    import pandas as pd
+
+    seed_pdf = pd.DataFrame([{"url": r["url"], "wave": r["wave"]} for r in seed_rows])
+    child_pdf = child_ds.to_pandas()
+    visited = pd.concat([seed_pdf, child_pdf]).drop_duplicates("url")
+    return visited.sort_values("url").reset_index(drop=True)
+
+
+def q_canonicalize_urls(sf_dir: str):
+    """The WHATWG canonicalizer (util.js:518-525 / frontier seen keys) over
+    messy synthesized URLs: uppercase scheme+host, default port, dot
+    segments — the oracle writes the expected canonical form directly."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def canon_batch(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_pylist()
+        raw = [
+            f"HTTPS://Host-{k}.Example.COM:443/a/./b/../c%2Fd?q={k}" for k in keys
+        ]
+        canon = [canonicalize(u).canon_url for u in raw]
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int32()),
+                "canon_url": pa.array(canon, pa.string()),
+            }
+        )
+
+    return _sorted_table(ds.map_batches(canon_batch, batch_format="pyarrow"), ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# relational family (generic operator coverage: filter/groupby/join/sort/
+# window/distinct — the §2.6 relational view)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → computed columns → grouped aggregate
+    (partial sums combine per batch under the hood)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": batch.column("l_quantity"),
+                "base_price": batch.column("l_extendedprice"),
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_price", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": _round(batch.column("sum_qty"), 2),
+                "sum_base_price": _round(batch.column("sum_base_price"), 2),
+                "sum_disc_price": _round(batch.column("sum_disc_price"), 2),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+    return _sorted_table(out, ["l_returnflag", "l_linestatus"])
+
+
+def q_top_orders_by_revenue(sf_dir: str):
+    """Join + grouped aggregate + top-k: BUILDING-segment customers
+    (broadcast small side) ⋈ orders ⋈ lineitem → top 10 orders by revenue."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(customers[customers["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    order_keys = set(orders[orders["o_custkey"].isin(building)]["o_orderkey"])
+    keys_ref = ray.put(order_keys)
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([k in keys for k in batch.column("l_orderkey").to_pylist()])
+        filtered = batch.filter(mask)
+        rev = pc.multiply(
+            filtered.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), filtered.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": filtered.column("l_orderkey"), "rev": rev})
+
+    agg = (
+        lineitem.map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue": _round(batch.column("revenue"), 2),
+            }
+        )
+
+    top = (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top.to_pandas()
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-way broadcast join: lineitem ⋈ orders ⋈ customer ⋈ nation →
+    revenue per nation (all dimension sides broadcast once via ray.put)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    cust_nation = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    order_nation = {
+        ok: nation_name.get(cust_nation.get(ck))
+        for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
+    }
+    lookup_ref = ray.put(order_nation)
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        nations = [lookup.get(k) for k in batch.column("l_orderkey").to_pylist()]
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"n_name": pa.array(nations, pa.string()), "rev": rev})
+
+    agg = (
+        lineitem.map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue": _round(batch.column("revenue"), 2),
+            }
+        )
+
+    return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["n_name"])
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling one-hour windows per event_type: count + sum(value) — the
+    streaming-shaped workload as groupby over (type, window)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch.column("ts"), pa.int64())
+        hour = pc.divide(epoch_us, pa.scalar(3_600_000_000))
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.cast(hour, pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": batch.column("hour"),
+                "n": batch.column("n"),
+                "sum_value": _round(batch.column("sum_value"), 4),
+            }
+        )
+
+    return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["event_type", "hour"])
+
+
+def q_top_users(sf_dir: str):
+    """Grouped count + deterministic top-k (sort desc with tie-break)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    top = agg.sort(["n", "user_id"], descending=[True, False]).limit(20)
+    return top.to_pandas()
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values (shuffle-dedup)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    values = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(values, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (documents / embeddings)
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(dedup.exact_dedup(ds), ["content_hash"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.token_count_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_quality_score(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.quality_score_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    agg = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    return _sorted_table(agg, ["lang"])
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (stopword profiles) — no SQL oracle (scored
+    model-ish op); the driver records a rows-only check."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.langid_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_dedup(ds, threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_pairs(ds, max_hamming=3)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def _first_embedding(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = pc.index(table.column("vec_id"), pa.scalar(0, pa.int64())).as_py()
+    idx = idx if idx >= 0 else 0
+    return table.column("embedding")[idx].as_py()
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.brute_force_topk(ds, _first_embedding(sf_dir), k=10)
+
+
+def q_embedding_ann(sf_dir: str):
+    """LSH-bucketed ANN top-10 (the scale path; recall vs brute force is
+    asserted in tests — approximate by design, so no SQL oracle)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.lsh_topk(ds, _first_embedding(sf_dir), k=10, bits=6)
+
+
+def q_embedding_label_stats(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    agg = similarity.label_norm_stats(ds)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(batch.column("sum_norm"), pc.cast(batch.column("n"), pa.float64()))
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "n": batch.column("n"),
+                "mean_norm": _round(mean, 4),
+            }
+        )
+
+    return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["label"])
+
+
+def q_dedup_embedding(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.cosine_near_dup_pairs(ds, threshold=0.95)
+
+
+def q_media_decode(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(multimodal.decode_media(ds), ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "extract_page_stats": q_extract_page_stats,
+    "frontier_seed": q_frontier_seed,
+    "frontier_host_budget": q_frontier_host_budget,
+    "frontier_topk": q_frontier_topk,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "crawl_bfs_wave1": q_crawl_bfs_wave1,
+    "canonicalize_urls": q_canonicalize_urls,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_orders_by_revenue": q_top_orders_by_revenue,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_tumbling": q_events_tumbling,
+    "top_users": q_top_users,
+    "distinct_segments": q_distinct_segments,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_distribution": q_lang_distribution,
+    "langid": q_langid,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann": q_embedding_ann,
+    "embedding_label_stats": q_embedding_label_stats,
+    "dedup_embedding": q_dedup_embedding,
+    "media_decode": q_media_decode,
+}
+
+
+ORACLE_SQL = {
+    "extract_text": """
+        SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
+               'doc-' || CAST(doc_id AS VARCHAR) AS title,
+               text AS text_out
+        FROM documents ORDER BY url
+    """,
+    "extract_page_stats": """
+        SELECT lang, COUNT(*) AS n_pages, SUM(LENGTH(text)) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "frontier_seed": """
+        SELECT 'https://host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/order/'
+                 || CAST(o_orderkey AS VARCHAR) AS url,
+               'host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
+               ROUND(o_totalprice, 2) AS priority
+        FROM orders ORDER BY url
+    """,
+    "frontier_host_budget": """
+        SELECT host, COUNT(*) AS n_urls, ROUND(SUM(priority), 2) AS sum_priority,
+               LEAST(COUNT(*), 10) AS budget
+        FROM (SELECT 'host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
+                     ROUND(o_totalprice, 2) AS priority FROM orders)
+        GROUP BY host ORDER BY host
+    """,
+    "frontier_topk": """
+        SELECT url, host, priority FROM (
+            SELECT 'https://host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/order/'
+                     || CAST(o_orderkey AS VARCHAR) AS url,
+                   'host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
+                   ROUND(o_totalprice, 2) AS priority
+            FROM orders)
+        ORDER BY priority DESC, url LIMIT 100
+    """,
+    "url_seen_antijoin": """
+        SELECT 'https://host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/order/'
+                 || CAST(o_orderkey AS VARCHAR) AS url
+        FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY url
+    """,
+    "crawl_bfs_wave1": """
+        SELECT DISTINCT url, wave FROM (
+            SELECT 'https://host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/order/'
+                     || CAST(o_orderkey AS VARCHAR) AS url, 0 AS wave
+            FROM orders WHERE o_orderkey % 100 = 1
+            UNION ALL
+            SELECT 'https://items.example.com/item/' || CAST(l_orderkey AS VARCHAR) || '/'
+                     || CAST(l_linenumber AS VARCHAR) AS url, 1 AS wave
+            FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 1))
+        ORDER BY url
+    """,
+    "canonicalize_urls": """
+        SELECT c_custkey,
+               'https://host-' || CAST(c_custkey AS VARCHAR)
+                 || '.example.com/a/c%2Fd?q=' || CAST(c_custkey AS VARCHAR) AS canon_url
+        FROM customer ORDER BY c_custkey
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_orders_by_revenue": """
+        SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY l_orderkey
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "events_tumbling": """
+        SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+    """,
+    "top_users": """
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id LIMIT 20
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+    """,
+    "token_count": """
+        SELECT doc_id, LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               LENGTH(text) AS n_chars
+        FROM documents ORDER BY doc_id
+    """,
+    "quality_score": """
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio,
+               ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                     / GREATEST(LENGTH(text), 1), 6) AS space_ratio,
+               ROUND((LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))))
+                     / GREATEST(LENGTH(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_token_len
+        FROM documents ORDER BY doc_id
+    """,
+    "lang_distribution": """
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "embedding_topk": """
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        LIMIT 10
+    """,
+    "embedding_label_stats": """
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS mean_norm
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "media_decode": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                               ELSE 'video/mp4' END AS media_type,
+               OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+               CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                         ELSE OCTET_LENGTH(ENCODE(text)) % 100 + 1 END AS INTEGER) AS frames
+        FROM documents ORDER BY doc_id
+    """,
+    # langid, dedup_minhash, dedup_simhash, ngram_jaccard, embedding_ann and
+    # dedup_embedding are deliberately oracle-free: heuristic / approximate /
+    # iterative operators DuckDB SQL cannot express — the driver records
+    # rows-only checks and tests/test_functions.py pins their semantics.
+}
