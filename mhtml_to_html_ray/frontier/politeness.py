@@ -1,0 +1,79 @@
+"""Per-host politeness: a token-bucket gate shared by every fetch worker.
+
+One actor (shardable by host_hash at cluster scale) serializes requests per
+host and enforces a minimum inter-request gap. Workers call
+``acquire(host)`` before fetching and ``release(host)`` after — a host is
+never fetched by two workers at once, whatever block/actor boundary its URLs
+landed on (the skew problem in SURVEY.md §4: hot hosts are irreducible
+stragglers; the scheduler's wave budget caps them instead).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+
+
+class HostGate:
+    """Plain object (wrapped in a Ray actor below): per-host lock + min-gap."""
+
+    def __init__(self, min_gap_ms: float = 0.0, clock=None):
+        self.min_gap_s = min_gap_ms / 1000.0
+        self.clock = clock or time.monotonic
+        self.lock = threading.Lock()
+        self.busy: set[str] = set()
+        self.last_release: dict[str, float] = {}
+        self.grants: collections.defaultdict[str, int] = collections.defaultdict(int)
+
+    def try_acquire(self, host: str) -> float:
+        """0 → granted; >0 → retry after that many seconds."""
+        with self.lock:
+            now = self.clock()
+            if host in self.busy:
+                return max(self.min_gap_s, 0.001)
+            wait = self.last_release.get(host, -1e18) + self.min_gap_s - now
+            if wait > 0:
+                return wait
+            self.busy.add(host)
+            self.grants[host] += 1
+            return 0.0
+
+    def release(self, host: str) -> None:
+        with self.lock:
+            self.busy.discard(host)
+            self.last_release[host] = self.clock()
+
+    def stats(self) -> dict:
+        with self.lock:
+            return dict(self.grants)
+
+
+def make_gate_actor(min_gap_ms: float = 0.0):
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class HostGateActor(HostGate):
+        pass
+
+    return HostGateActor.remote(min_gap_ms)
+
+
+class GateClient:
+    """Worker-side blocking wrapper around the gate actor."""
+
+    def __init__(self, gate_handle, poll_cap_s: float = 0.05):
+        self.gate = gate_handle
+        self.poll_cap_s = poll_cap_s
+
+    def acquire(self, host: str) -> None:
+        import ray
+
+        while True:
+            wait = ray.get(self.gate.try_acquire.remote(host))
+            if wait <= 0:
+                return
+            time.sleep(min(wait, self.poll_cap_s))
+
+    def release(self, host: str) -> None:
+        self.gate.release.remote(host)

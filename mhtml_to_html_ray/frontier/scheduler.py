@@ -1,0 +1,369 @@
+"""The wave-synchronous crawl scheduler (the north-rule centerpiece).
+
+Generalizes the reference's fetch rounds (convert.js:129-163 — collect →
+filter failed → bounded pool fetch → merge → repeat) into a BSP frontier
+over Ray Data:
+
+  wave t:  frontier_t (sorted by priority desc, discovery_index asc, budget-
+           limited) → host-sorted → FetchWorker actor pool (politeness gate,
+           robots, reference retry policy) → deterministic discovery →
+           canonicalize → admission filter → sharded seen-set first-wins
+           dedup → per-host stats groupby → priority re-score →
+           frontier_{t+1}, checkpointed atomically.
+
+Determinism contract (SURVEY.md §7 hard part 4): the seen set and the
+admitted order (discovery_index) are pure functions of the page data —
+discovery_index is assigned by sorting wave results by the PARENT's
+discovery_index and enumerating each page's links in document order, so any
+cluster size / concurrency yields the identical frontier sequence and seen
+set. tests/test_frontier.py pins both, including equality with the reference
+scheduler's request order on its own fetch-round shapes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..state.checkpoint import CrawlCheckpoint
+from .canon import canonicalize, is_fetchable, stable_hash64, unwrap_urn
+from .discovery import discover
+from .fetch import fetch_with_retry
+from .politeness import GateClient, make_gate_actor
+from .robots import RobotsCache
+from .seen import ShardedSeenSet
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("canon_url", pa.string()),
+        ("host", pa.string()),
+        ("wave", pa.int32()),
+        ("depth", pa.int32()),
+        ("discovery_index", pa.int64()),
+        ("status", pa.int32()),
+        ("attempts", pa.int32()),
+        ("ok", pa.bool_()),
+        ("robots_blocked", pa.bool_()),
+        ("content_type", pa.string()),
+        ("fetch_ms", pa.float64()),
+        ("n_bytes", pa.int64()),
+        ("discovered", pa.list_(pa.string())),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    discovery_mode: str = "subresources"  # subresources | hyperlinks | both
+    max_waves: int = 10
+    wave_budget: int = 100_000
+    max_depth: int = 8
+    max_retries: int = 2
+    num_seen_shards: int = 4
+    fetch_concurrency: int = 2  # actor pool size for the fetch stage
+    batch_size: int = 16
+    min_host_gap_ms: float = 0.0
+    respect_robots: bool = False
+    user_agent: str = "engine-crawler"
+    checkpoint_dir: str | None = None
+    depth_penalty: float = 0.1  # priority decay per depth level
+    retry_sleep_scale: float = 1.0  # tests shrink backoff wall time
+
+
+@dataclass
+class CrawlResult:
+    results: pa.Table  # RESULT_SCHEMA rows across all waves
+    waves: int
+    seen_urls: set[str]
+    metrics: list[dict] = field(default_factory=list)
+
+
+class FetchWorker:
+    """map_batches actor: one transport + robots cache per actor, politeness
+    through the shared gate. Rows come host-sorted; within a batch they are
+    processed in discovery_index order."""
+
+    def __init__(self, transport_factory, gate_handle, config: dict):
+        self.transport = transport_factory()
+        self.gate = GateClient(gate_handle) if gate_handle is not None else None
+        self.config = config
+        self.robots = (
+            RobotsCache(self.transport, config["user_agent"])
+            if config["respect_robots"]
+            else None
+        )
+        scale = config["retry_sleep_scale"]
+        self.sleep_ms = (lambda ms: time.sleep(ms * scale / 1000.0)) if scale > 0 else (lambda ms: None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        rows.sort(key=lambda row: row["discovery_index"])
+        out = []
+        for row in rows:
+            canon_url = row["canon_url"]
+            host = row["host"]
+            if self.robots is not None and not self.robots.allowed(canon_url):
+                out.append(
+                    {**_base_result(row), "status": -1, "attempts": 0, "ok": False,
+                     "robots_blocked": True, "content_type": None, "fetch_ms": 0.0,
+                     "n_bytes": 0, "discovered": []}
+                )
+                continue
+            if self.gate is not None:
+                self.gate.acquire(host)
+            try:
+                outcome = fetch_with_retry(
+                    unwrap_urn(canon_url),
+                    self.transport,
+                    max_retries=self.config["max_retries"],
+                    sleep_ms=self.sleep_ms,
+                )
+            finally:
+                if self.gate is not None:
+                    self.gate.release(host)
+            discovered = (
+                discover(outcome.body, canon_url, self.config["discovery_mode"],
+                         outcome.content_type)
+                if outcome.ok
+                else []
+            )
+            out.append(
+                {**_base_result(row), "status": outcome.status, "attempts": outcome.attempts,
+                 "ok": outcome.ok, "robots_blocked": False,
+                 "content_type": outcome.content_type, "fetch_ms": outcome.fetch_ms,
+                 "n_bytes": len(outcome.body), "discovered": discovered}
+            )
+        return pa.Table.from_pylist(out, schema=RESULT_SCHEMA)
+
+
+def _base_result(row: dict) -> dict:
+    return {
+        "url": row["url"],
+        "canon_url": row["canon_url"],
+        "host": row["host"],
+        "wave": row["wave"],
+        "depth": row["depth"],
+        "discovery_index": row["discovery_index"],
+    }
+
+
+def _frontier_table(rows: list[dict]) -> pa.Table:
+    from ..stages.schemas import FRONTIER_SCHEMA
+
+    return pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+
+
+class CrawlScheduler:
+    """Driver-side orchestration of the wave loop. ``transport_factory`` must
+    be picklable (it ships to the fetch actors)."""
+
+    def __init__(self, transport_factory, config: CrawlConfig | None = None):
+        self.transport_factory = transport_factory
+        self.config = config or CrawlConfig()
+        self.seen = ShardedSeenSet(self.config.num_seen_shards)
+        self.gate = make_gate_actor(self.config.min_host_gap_ms)
+        self.checkpoint = (
+            CrawlCheckpoint(self.config.checkpoint_dir)
+            if self.config.checkpoint_dir
+            else None
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
+        import ray.data
+
+        config = self.config
+        all_results: list[pa.Table] = []
+        metrics: list[dict] = []
+        start_wave = 0
+        frontier_rows: list[dict] = []
+
+        if resume and self.checkpoint is not None and self.checkpoint.latest_wave() is not None:
+            latest = self.checkpoint.latest_wave()
+            self.seen.restore_tables(self.checkpoint.load_seen_tables(latest))
+            frontier_rows = self.checkpoint.load_frontier(latest).to_pylist()
+            start_wave = latest + 1
+            metrics = [self.checkpoint.load_metrics(w) for w in range(latest + 1)]
+            for w in range(latest + 1):
+                prior = self.checkpoint.load_results(w)
+                if prior is not None:
+                    all_results.append(prior)
+        else:
+            # admit seeds in list order — first-wins exactly like resource
+            # registration (parse.js:287-293)
+            next_index = 0
+            for url in seed_urls:
+                canon = canonicalize(url)
+                if not is_fetchable(canon.canon_url):
+                    continue
+                if not self.seen.check_and_add([canon.canon_url])[0]:
+                    continue
+                frontier_rows.append(
+                    {
+                        "url": url,
+                        "canon_url": canon.canon_url,
+                        "host": canon.host,
+                        "host_hash": canon.host_hash,
+                        "depth": 0,
+                        "priority": 1.0,
+                        "discovered_ts": 0,
+                        "wave": 0,
+                        "parent_url": "",
+                        "discovery_index": next_index,
+                    }
+                )
+                next_index += 1
+
+        worker_config = {
+            "discovery_mode": config.discovery_mode,
+            "max_retries": config.max_retries,
+            "respect_robots": config.respect_robots,
+            "user_agent": config.user_agent,
+            "retry_sleep_scale": config.retry_sleep_scale,
+        }
+
+        wave = start_wave
+        while frontier_rows and wave < config.max_waves:
+            wave_started = time.monotonic()
+            # wave ordering: priority desc, then deterministic discovery_index
+            frontier_rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
+            this_wave = frontier_rows[: config.wave_budget]
+            backlog = frontier_rows[config.wave_budget :]
+            for row in this_wave:
+                row["wave"] = wave
+
+            # host-sorted blocks: one host's urls land contiguously, so the
+            # politeness gate serializes instead of ping-ponging
+            this_wave.sort(key=lambda row: (row["host_hash"], row["discovery_index"]))
+            ds = ray.data.from_arrow(_frontier_table(this_wave))
+            fetched = ds.map_batches(
+                FetchWorker,
+                fn_constructor_args=(self.transport_factory, self.gate, worker_config),
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+                concurrency=config.fetch_concurrency,
+            )
+            result_rows = fetched.take_all()
+            # deterministic order for discovery regardless of execution order
+            result_rows.sort(key=lambda row: row["discovery_index"])
+            results_table = pa.Table.from_pylist(result_rows, schema=RESULT_SCHEMA)
+            all_results.append(results_table)
+
+            # per-host stats → priority re-score for the next wave
+            host_stats = self._host_stats(results_table)
+
+            failed_urls = [r["canon_url"] for r in result_rows if not r["ok"] and not r["robots_blocked"]]
+            if failed_urls:
+                self.seen.add_failed(failed_urls)
+
+            # discovery: enumerate children in (parent order, document order);
+            # within-wave first-wins dedup before the seen-set round trip
+            candidates: list[dict] = []
+            candidate_seen: set[str] = set()
+            next_index = (
+                max(row["discovery_index"] for row in this_wave) + 1 if this_wave else 0
+            )
+            base_index = next_index
+            for parent in result_rows:
+                if parent["depth"] + 1 > config.max_depth:
+                    continue
+                for child_url in parent["discovered"]:
+                    canon = canonicalize(child_url, parent["canon_url"])
+                    if not is_fetchable(canon.canon_url):
+                        continue
+                    if canon.canon_url in candidate_seen:
+                        continue
+                    candidate_seen.add(canon.canon_url)
+                    stats = host_stats.get(canon.host, {"ok_rate": 1.0})
+                    priority = stats["ok_rate"] - config.depth_penalty * (parent["depth"] + 1)
+                    candidates.append(
+                        {
+                            "url": child_url,
+                            "canon_url": canon.canon_url,
+                            "host": canon.host,
+                            "host_hash": canon.host_hash,
+                            "depth": parent["depth"] + 1,
+                            "priority": priority,
+                            "discovered_ts": base_index,
+                            "wave": wave + 1,
+                            "parent_url": parent["canon_url"],
+                            "discovery_index": 0,  # assigned after dedup
+                        }
+                    )
+            new_flags = (
+                self.seen.check_and_add([c["canon_url"] for c in candidates])
+                if candidates
+                else []
+            )
+            admitted = []
+            for candidate, is_new in zip(candidates, new_flags):
+                if is_new:
+                    candidate["discovery_index"] = next_index
+                    next_index += 1
+                    admitted.append(candidate)
+
+            frontier_rows = backlog + admitted
+
+            wave_metrics = {
+                "wave": wave,
+                "rows_in": len(this_wave),
+                "fetched_ok": sum(1 for r in result_rows if r["ok"]),
+                "fetched_fail": sum(1 for r in result_rows if not r["ok"] and not r["robots_blocked"]),
+                "robots_blocked": sum(1 for r in result_rows if r["robots_blocked"]),
+                "discovered": sum(len(r["discovered"]) for r in result_rows),
+                "admitted": len(admitted),
+                "backlog": len(backlog),
+                "wall_ms": (time.monotonic() - wave_started) * 1000.0,
+                "hosts": {h: s for h, s in sorted(host_stats.items())},
+            }
+            metrics.append(wave_metrics)
+
+            if self.checkpoint is not None:
+                self.checkpoint.save_wave(
+                    wave,
+                    _frontier_table(frontier_rows),
+                    results_table,
+                    self.seen.snapshot_tables(),
+                    wave_metrics,
+                )
+            wave += 1
+
+        results = (
+            pa.concat_tables(all_results)
+            if all_results
+            else pa.Table.from_pylist([], schema=RESULT_SCHEMA)
+        )
+        return CrawlResult(
+            results=results,
+            waves=wave,
+            seen_urls=self.seen.all_seen_urls(),
+            metrics=metrics,
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _host_stats(results_table: pa.Table) -> dict[str, dict]:
+        """Per-host aggregates feeding next-wave priorities. Kept driver-side
+        here (one small table per wave); at cluster scale this is the
+        ``groupby("host")`` in q_frontier_host_budget."""
+        stats: dict[str, dict] = {}
+        for row in results_table.select(["host", "ok", "fetch_ms"]).to_pylist():
+            entry = stats.setdefault(row["host"], {"n": 0, "ok": 0, "fetch_ms": 0.0})
+            entry["n"] += 1
+            entry["ok"] += 1 if row["ok"] else 0
+            entry["fetch_ms"] += row["fetch_ms"]
+        for entry in stats.values():
+            entry["ok_rate"] = entry["ok"] / entry["n"] if entry["n"] else 1.0
+            entry["mean_fetch_ms"] = entry["fetch_ms"] / entry["n"] if entry["n"] else 0.0
+        return stats
+
+
+def request_log(result: CrawlResult) -> list[str]:
+    """The crawl's request sequence: waves in order, within a wave by
+    discovery_index — the order the reference's scheduler issues them."""
+    rows = result.results.select(["wave", "discovery_index", "canon_url"]).to_pylist()
+    rows.sort(key=lambda row: (row["wave"], row["discovery_index"]))
+    return [row["canon_url"] for row in rows]

@@ -1,0 +1,180 @@
+"""The sharded URL-seen set: exact first-wins membership at frontier scale.
+
+Shard actors each hold a cuckoo filter (fast negative path) backed by an
+exact set (truth — the north rule requires the seen set to MATCH the
+reference scheduler exactly, so approximate membership alone would be wrong:
+a false positive would silently drop a URL). A failed-URL set rides along —
+the reference never re-fetches a URL that failed (convert.js:136,
+retry.test.js:88-96).
+
+Sharding is by ``stable_hash64(canon_url) % n_shards`` — a pure function of
+the canonical URL, so any cluster size produces the same shard assignment and
+the same final seen set. At 10^10 URLs: 64-bit-hash exact sets ≈ 80 GB
+spread over shards; the cuckoo filter (~2 bytes/key) absorbs the negative
+lookups that dominate a crawl.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .canon import stable_hash64
+from .cuckoo import CuckooFilter
+
+
+class SeenShard:
+    """One shard's state — plain object; wrapped in a Ray actor below."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.exact: set[str] = set()
+        self.failed: set[str] = set()
+        self.filter = CuckooFilter(capacity)
+
+    def check_and_add(self, urls: list[str]) -> list[bool]:
+        """True per url when newly added (first-wins dedup)."""
+        out = []
+        for url in urls:
+            if self.filter.might_contain(url) and url in self.exact:
+                out.append(False)
+            else:
+                self.exact.add(url)
+                self.filter.add(url)
+                out.append(True)
+        return out
+
+    def contains(self, urls: list[str]) -> list[bool]:
+        return [self.filter.might_contain(u) and u in self.exact for u in urls]
+
+    def add_failed(self, urls: list[str]) -> None:
+        self.failed.update(urls)
+
+    def filter_failed(self, urls: list[str]) -> list[bool]:
+        """True per url when NOT in the failed set (safe to fetch)."""
+        return [u not in self.failed for u in urls]
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "seen": len(self.exact),
+            "failed": len(self.failed),
+            "filter_count": self.filter.count,
+        }
+
+    # --- checkpointing ---
+    def snapshot(self) -> pa.Table:
+        seen = sorted(self.exact)
+        failed_sorted = sorted(self.failed)
+        return pa.table(
+            {
+                "url": pa.array(seen + failed_sorted, pa.string()),
+                "failed": pa.array([False] * len(seen) + [True] * len(failed_sorted), pa.bool_()),
+            }
+        )
+
+    def restore(self, table: pa.Table) -> None:
+        self.exact = set()
+        self.failed = set()
+        self.filter = CuckooFilter(max(len(table), 1 << 10))
+        for url, failed in zip(table.column("url").to_pylist(), table.column("failed").to_pylist()):
+            if failed:
+                self.failed.add(url)
+            else:
+                self.exact.add(url)
+                self.filter.add(url)
+
+
+def _shard_actor_class():
+    import ray
+
+    @ray.remote(num_cpus=0.1)
+    class SeenShardActor(SeenShard):
+        pass
+
+    return SeenShardActor
+
+
+class ShardedSeenSet:
+    """Driver-side facade over the shard actors: batch routing by
+    hash(canon_url) % n_shards, order-preserving reassembly."""
+
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16):
+        actor_class = _shard_actor_class()
+        self.n_shards = n_shards
+        self.shards = [
+            actor_class.remote(shard_id, capacity_per_shard) for shard_id in range(n_shards)
+        ]
+
+    def _route(self, urls: list[str]) -> list[list[tuple[int, str]]]:
+        routed: list[list[tuple[int, str]]] = [[] for _ in range(self.n_shards)]
+        for index, url in enumerate(urls):
+            routed[stable_hash64(url) % self.n_shards].append((index, url))
+        return routed
+
+    def _fan_out(self, urls: list[str], method: str) -> list[bool]:
+        import ray
+
+        routed = self._route(urls)
+        futures = []
+        for shard, entries in enumerate(routed):
+            if entries:
+                futures.append(
+                    (entries, getattr(self.shards[shard], method).remote([u for _, u in entries]))
+                )
+        out = [False] * len(urls)
+        for entries, future in futures:
+            for (index, _), value in zip(entries, ray.get(future)):
+                out[index] = value
+        return out
+
+    def check_and_add(self, urls: list[str]) -> list[bool]:
+        return self._fan_out(urls, "check_and_add")
+
+    def contains(self, urls: list[str]) -> list[bool]:
+        return self._fan_out(urls, "contains")
+
+    def filter_failed(self, urls: list[str]) -> list[bool]:
+        return self._fan_out(urls, "filter_failed")
+
+    def add_failed(self, urls: list[str]) -> None:
+        import ray
+
+        routed = self._route(urls)
+        ray.get(
+            [
+                self.shards[shard].add_failed.remote([u for _, u in entries])
+                for shard, entries in enumerate(routed)
+                if entries
+            ]
+        )
+
+    def stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([shard.stats.remote() for shard in self.shards])
+
+    def snapshot_tables(self) -> list[pa.Table]:
+        import ray
+
+        return ray.get([shard.snapshot.remote() for shard in self.shards])
+
+    def restore_tables(self, tables: list[pa.Table]) -> None:
+        import ray
+
+        assert len(tables) == self.n_shards
+        ray.get(
+            [shard.restore.remote(table) for shard, table in zip(self.shards, tables)]
+        )
+
+    def total_seen(self) -> int:
+        return sum(s["seen"] for s in self.stats())
+
+    def all_seen_urls(self) -> set[str]:
+        """Test/checkpoint helper — the full exact set (small scales only)."""
+        out: set[str] = set()
+        for table in self.snapshot_tables():
+            for url, failed in zip(table.column("url").to_pylist(),
+                                   table.column("failed").to_pylist()):
+                if not failed:
+                    out.add(url)
+        return out

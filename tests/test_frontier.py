@@ -1,0 +1,348 @@
+"""Frontier engine tests: cuckoo/seen exactness, politeness, robots, and the
+wave scheduler's parity with the reference fetch scheduler (ordering + seen
+set under the same seed list, north rule)."""
+
+import pyarrow as pa
+import pytest
+
+from mhtml_to_html_ray.frontier.canon import canonicalize
+from mhtml_to_html_ray.frontier.cuckoo import CuckooFilter
+from mhtml_to_html_ray.frontier.politeness import HostGate
+from mhtml_to_html_ray.frontier.robots import parse_robots
+from mhtml_to_html_ray.frontier.seen import SeenShard
+from tests.helpers import ORIGIN, page, resource
+
+# ---------------------------------------------------------------------------
+# pure components (no Ray)
+
+
+def test_cuckoo_no_false_negatives():
+    filt = CuckooFilter(capacity=4096)
+    keys = [f"https://h{i % 7}.example/{i}" for i in range(3000)]
+    for key in keys:
+        filt.add(key)
+    assert all(filt.might_contain(k) for k in keys), "a cuckoo filter must never false-negative"
+
+
+def test_cuckoo_low_false_positive_rate():
+    filt = CuckooFilter(capacity=8192)
+    for i in range(4000):
+        filt.add(f"in-{i}")
+    false_positives = sum(filt.might_contain(f"out-{i}") for i in range(4000))
+    assert false_positives / 4000 < 0.05, f"fp rate {false_positives / 4000}"
+
+
+def test_cuckoo_remove():
+    filt = CuckooFilter(capacity=1024)
+    filt.add("a")
+    assert filt.might_contain("a")
+    assert filt.remove("a")
+    assert not filt.might_contain("a")
+
+
+def test_seen_shard_first_wins_and_exactness():
+    shard = SeenShard(0, capacity=1024)
+    flags = shard.check_and_add(["u1", "u2", "u1", "u3", "u2"])
+    assert flags == [True, True, False, True, False]
+    assert shard.contains(["u1", "u4"]) == [True, False]
+    snapshot = shard.snapshot()
+    restored = SeenShard(0)
+    restored.restore(snapshot)
+    assert restored.contains(["u1", "u2", "u3", "u4"]) == [True, True, True, False]
+
+
+def test_seen_shard_failed_set():
+    shard = SeenShard(0)
+    shard.add_failed(["bad"])
+    assert shard.filter_failed(["bad", "good"]) == [False, True]
+    table = shard.snapshot()
+    restored = SeenShard(0)
+    restored.restore(table)
+    assert restored.filter_failed(["bad", "good"]) == [False, True]
+
+
+def test_host_gate_serializes_per_host():
+    gate = HostGate(min_gap_ms=0.0)
+    assert gate.try_acquire("h1") == 0.0
+    assert gate.try_acquire("h1") > 0.0, "two workers on one host at once"
+    assert gate.try_acquire("h2") == 0.0
+    gate.release("h1")
+    assert gate.try_acquire("h1") == 0.0
+
+
+def test_host_gate_min_gap():
+    clock = {"now": 0.0}
+    gate = HostGate(min_gap_ms=100.0, clock=lambda: clock["now"])
+    assert gate.try_acquire("h") == 0.0
+    gate.release("h")
+    wait = gate.try_acquire("h")
+    assert wait == pytest.approx(0.1), "the min gap was not enforced"
+    clock["now"] = 0.2
+    assert gate.try_acquire("h") == 0.0
+
+
+def test_robots_rules():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n\n"
+        "User-agent: special\nDisallow: /\n",
+        user_agent="engine-crawler",
+    )
+    assert rules.allowed("/public/x")
+    assert not rules.allowed("/private/x")
+    assert rules.allowed("/private/ok/page")
+    special = parse_robots(
+        "User-agent: *\nDisallow: /private/\n\nUser-agent: special\nDisallow: /\n",
+        user_agent="special-bot",
+    )
+    assert not special.allowed("/anything")
+
+
+def test_canonicalize_shares_kernel_normalizer():
+    canon = canonicalize("HTTPS://E:443/dir/sub/../i.png")
+    assert canon.canon_url == "https://e/dir/i.png"
+    assert canon.host == "e"
+    relative = canonicalize("i.png", base="https://e/dir/page.html")
+    assert relative.canon_url == "https://e/dir/i.png"
+
+
+# ---------------------------------------------------------------------------
+# the scheduler (Ray)
+
+
+def _crawl(routes, seeds, ray_session, **config_kwargs):
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    defaults = dict(retry_sleep_scale=0.0, num_seen_shards=2, fetch_concurrency=2,
+                    batch_size=4)
+    defaults.update(config_kwargs)
+    scheduler = CrawlScheduler(DictTransportFactory(routes), CrawlConfig(**defaults))
+    return scheduler.run(seeds)
+
+
+PAGE_URL = f"{ORIGIN}/"
+
+
+def _routes_with_page(extra=None, body='<img src="missing.png"><img src="also.png">'):
+    routes = {
+        PAGE_URL: ("multipart/related", bytes(page(body=body))),
+        f"{ORIGIN}/missing.png": ("image/png", b"PNG1"),
+        f"{ORIGIN}/also.png": ("image/png", b"PNG2"),
+    }
+    routes.update(extra or {})
+    return routes
+
+
+def test_wave_crawl_matches_reference_fetch_order(ray_session):
+    """The engine's request sequence equals the reference scheduler's
+    (fetchAndConvert) request log for the same page + resources."""
+    from mhtml_to_html_ray.frontier.scheduler import request_log
+    from mhtml_to_html_ray.kernel.convert import Config, convert
+    from tests.helpers import stub_fetch
+
+    deep_css = f"{ORIGIN}/deep.css"
+    routes = _routes_with_page(
+        {deep_css: ("text/css", b'p{background:url("nested.png")}'),
+         f"{ORIGIN}/nested.png": ("image/png", b"PNG3")},
+        body='<img src="missing.png"><link rel="stylesheet" href="deep.css">'
+        '<img src="also.png">',
+    )
+    # the reference's own round loop over the same archive
+    fetch, ref_log = stub_fetch(
+        {url: {"contentType": ct, "body": body.decode("utf-8", "replace") if isinstance(body, bytes) else body}
+         for url, (ct, body) in routes.items() if url != PAGE_URL}
+    )
+    convert(page(body='<img src="missing.png"><link rel="stylesheet" href="deep.css">'
+                      '<img src="also.png">'),
+            Config(fetch_missing_resources=True, fetch=fetch, sleep_ms=lambda ms: None))
+
+    result = _crawl(routes, [PAGE_URL], ray_session, max_waves=6)
+    engine_log = [u for u in request_log(result) if u != PAGE_URL]
+    assert engine_log == ref_log, f"engine {engine_log} vs reference {ref_log}"
+
+
+def test_wave_crawl_seen_set_matches_reference(ray_session):
+    from mhtml_to_html_ray.kernel.convert import Config, convert
+    from tests.helpers import stub_fetch
+
+    routes = _routes_with_page()
+    fetch, ref_log = stub_fetch(
+        {f"{ORIGIN}/missing.png": {"contentType": "image/png", "body": "PNG1"},
+         f"{ORIGIN}/also.png": {"contentType": "image/png", "body": "PNG2"}}
+    )
+    convert(page(body='<img src="missing.png"><img src="also.png">'),
+            Config(fetch_missing_resources=True, fetch=fetch, sleep_ms=lambda ms: None))
+    result = _crawl(routes, [PAGE_URL], ray_session)
+    assert result.seen_urls == set(ref_log) | {PAGE_URL}
+
+
+def test_each_url_fetched_exactly_once(ray_session):
+    body = '<img src="x.png"><img src="x.png"><img src="y.png">'
+    routes = {
+        PAGE_URL: ("multipart/related", bytes(page(body=body))),
+        f"{ORIGIN}/x.png": ("image/png", b"X"),
+        f"{ORIGIN}/y.png": ("image/png", b"Y"),
+    }
+    result = _crawl(routes, [PAGE_URL], ray_session)
+    urls = result.results.column("canon_url").to_pylist()
+    assert len(urls) == len(set(urls)), f"duplicate fetches: {urls}"
+    assert set(urls) == {PAGE_URL, f"{ORIGIN}/x.png", f"{ORIGIN}/y.png"}
+
+
+def test_failed_urls_never_refetched_across_waves(ray_session):
+    routes = {
+        PAGE_URL: ("multipart/related", bytes(page(body='<img src="gone.png">'))),
+    }
+    result = _crawl(routes, [PAGE_URL], ray_session, max_waves=5)
+    gone = [r for r in result.results.to_pylist() if r["canon_url"].endswith("gone.png")]
+    assert len(gone) == 1, "a failed URL was re-admitted in a later wave"
+    assert gone[0]["ok"] is False
+    assert gone[0]["attempts"] == 1, "404 is permanent: one attempt"
+
+
+def test_transient_failures_retried_with_reference_policy(ray_session):
+    routes = _routes_with_page({f"{ORIGIN}/missing.png": [503, 503, ("image/png", b"OK")]})
+    result = _crawl(routes, [PAGE_URL], ray_session)
+    row = next(r for r in result.results.to_pylist() if r["canon_url"].endswith("missing.png"))
+    assert row["ok"] is True
+    assert row["attempts"] == 3
+
+
+def test_hyperlink_bfs_depth_and_waves(ray_session):
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://site.example/": html_page(["/a", "/b"]),
+        "https://site.example/a": html_page(["/c"]),
+        "https://site.example/b": html_page(["/c", "/d"]),
+        "https://site.example/c": html_page([]),
+        "https://site.example/d": html_page([]),
+    }
+    result = _crawl(routes, ["https://site.example/"], ray_session,
+                    discovery_mode="hyperlinks", max_waves=5)
+    rows = {r["canon_url"]: r for r in result.results.to_pylist()}
+    assert set(rows) == set(routes)
+    assert rows["https://site.example/"]["wave"] == 0
+    assert rows["https://site.example/a"]["wave"] == 1
+    assert rows["https://site.example/b"]["wave"] == 1
+    assert rows["https://site.example/c"]["wave"] == 2, "c discovered at wave 1, fetched at 2"
+    assert rows["https://site.example/d"]["wave"] == 2
+
+
+def test_ordering_and_seen_set_invariant_across_parallelism(ray_session):
+    """The north-rule two-cluster-size criterion at engine level: different
+    shard counts / pool sizes / batch sizes produce the identical request
+    order and seen set."""
+    from mhtml_to_html_ray.frontier.scheduler import request_log
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {}
+    for i in range(12):
+        links = [f"https://h{(i * 7 + j) % 5}.example/p{i}-{j}" for j in range(4)]
+        routes[f"https://h{i % 5}.example/seed{i}"] = html_page(links)
+    for i in range(12):
+        for j in range(4):
+            routes.setdefault(f"https://h{(i * 7 + j) % 5}.example/p{i}-{j}", html_page([]))
+    seeds = [f"https://h{i % 5}.example/seed{i}" for i in range(12)]
+
+    baseline = _crawl(routes, seeds, ray_session, discovery_mode="hyperlinks",
+                      num_seen_shards=1, fetch_concurrency=1, batch_size=64, max_waves=4)
+    for shards, concurrency, batch in [(2, 2, 4), (4, 3, 2)]:
+        other = _crawl(routes, seeds, ray_session, discovery_mode="hyperlinks",
+                       num_seen_shards=shards, fetch_concurrency=concurrency,
+                       batch_size=batch, max_waves=4)
+        assert request_log(other) == request_log(baseline), (
+            f"ordering changed with shards={shards} concurrency={concurrency}"
+        )
+        assert other.seen_urls == baseline.seen_urls
+
+
+def test_checkpoint_resume_equals_uninterrupted(ray_session, tmp_path):
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://r.example/": html_page(["/l1", "/l2"]),
+        "https://r.example/l1": html_page(["/l3"]),
+        "https://r.example/l2": html_page([]),
+        "https://r.example/l3": html_page([]),
+    }
+    base = dict(discovery_mode="hyperlinks", retry_sleep_scale=0.0, num_seen_shards=2,
+                fetch_concurrency=1, batch_size=4)
+
+    full = CrawlScheduler(
+        DictTransportFactory(routes), CrawlConfig(max_waves=5, **base)
+    ).run(["https://r.example/"])
+
+    partial_dir = str(tmp_path / "ckpt")
+    CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=1, checkpoint_dir=partial_dir, **base),
+    ).run(["https://r.example/"])
+    resumed = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=5, checkpoint_dir=partial_dir, **base),
+    ).run(["https://r.example/"], resume=True)
+
+    assert request_log(resumed) == request_log(full), "resume diverged from the full run"
+    assert resumed.seen_urls == full.seen_urls
+
+
+def test_robots_gating(ray_session):
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://rb.example/robots.txt": ("text/plain", b"User-agent: *\nDisallow: /private/\n"),
+        "https://rb.example/": html_page(["/public/a", "/private/b"]),
+        "https://rb.example/public/a": html_page([]),
+        "https://rb.example/private/b": html_page([]),
+    }
+    result = _crawl(routes, ["https://rb.example/"], ray_session,
+                    discovery_mode="hyperlinks", respect_robots=True, max_waves=3)
+    rows = {r["canon_url"]: r for r in result.results.to_pylist()}
+    assert rows["https://rb.example/public/a"]["ok"] is True
+    assert rows["https://rb.example/private/b"]["robots_blocked"] is True
+
+
+def test_metrics_and_lineage_recorded(ray_session, tmp_path):
+    from mhtml_to_html_ray.state.checkpoint import CrawlCheckpoint
+
+    routes = _routes_with_page()
+    result = _crawl(routes, [PAGE_URL], ray_session,
+                    checkpoint_dir=str(tmp_path / "m"), max_waves=4)
+    assert result.metrics, "no per-wave metrics"
+    wave0 = result.metrics[0]
+    for key in ("rows_in", "fetched_ok", "discovered", "admitted", "wall_ms", "hosts"):
+        assert key in wave0
+    checkpoint = CrawlCheckpoint(str(tmp_path / "m"))
+    assert checkpoint.latest_wave() is not None
+    assert checkpoint.load_metrics(0)["rows_in"] == 1
+
+
+def test_wave_budget_carries_backlog(ray_session):
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {"https://wb.example/": html_page([f"/p{i}" for i in range(10)])}
+    for i in range(10):
+        routes[f"https://wb.example/p{i}"] = html_page([])
+    result = _crawl(routes, ["https://wb.example/"], ray_session,
+                    discovery_mode="hyperlinks", wave_budget=4, max_waves=6)
+    rows = result.results.to_pylist()
+    assert len(rows) == 11, "backlogged urls were lost"
+    by_wave = {}
+    for row in rows:
+        by_wave.setdefault(row["wave"], []).append(row["canon_url"])
+    assert len(by_wave[1]) == 4, "the wave budget was not enforced"
