@@ -1,0 +1,168 @@
+"""Training-data op semantics: dedup variants, similarity search (recall of
+the ANN path vs brute force), text stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mhtml_to_html_ray.functions import dedup, similarity, textstats
+
+
+def _docs_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# pure kernels
+
+
+def test_shingles_and_jaccard():
+    a = dedup.shingle_set("the quick brown fox jumps", 3)
+    b = dedup.shingle_set("the quick brown fox leaps", 3)
+    sim = dedup.jaccard(a, b)
+    assert 0 < sim < 1
+    assert dedup.jaccard(a, a) == 1.0
+    assert dedup.jaccard(set(), set()) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    hasher = dedup.MinHasher(num_perm=256)
+    a = dedup.shingle_set(" ".join(f"w{i}" for i in range(100)), 3)
+    b = dedup.shingle_set(" ".join(f"w{i}" for i in range(20, 120)), 3)
+    sig_a, sig_b = hasher.signature(a), hasher.signature(b)
+    estimate = float(np.mean(sig_a == sig_b))
+    exact = dedup.jaccard(a, b)
+    assert abs(estimate - exact) < 0.12, f"minhash estimate {estimate} vs exact {exact}"
+
+
+def test_simhash_similar_texts_close():
+    h1 = dedup.SimHashBatch.simhash("the quick brown fox jumps over the lazy dog")
+    h2 = dedup.SimHashBatch.simhash("the quick brown fox jumps over the lazy cat")
+    h3 = dedup.SimHashBatch.simhash("completely different words entirely here now")
+    near = bin(h1 ^ h2).count("1")
+    far = bin(h1 ^ h3).count("1")
+    assert near < far, f"similar texts not closer: {near} vs {far}"
+
+
+def test_token_count_batch():
+    out = textstats.token_count_batch(_docs_table(["a b  c", "", "one"]))
+    assert out.column("n_tokens").to_pylist() == [3, 0, 1]
+    assert out.column("n_chars").to_pylist() == [6, 0, 3]
+
+
+def test_langid_batch():
+    out = textstats.langid_batch(_docs_table([
+        "the cat and the dog of the house",
+        "der Hund und die Katze ist nicht da",
+        "xxxx yyyy zzzz",
+    ]))
+    assert out.column("pred_lang").to_pylist()[:2] == ["en", "de"]
+    assert out.column("pred_lang").to_pylist()[2] == "und"
+
+
+def test_hyperplane_lsh_deterministic():
+    lsh_a = similarity.HyperplaneLSH(dim=8, bits=10, seed=7)
+    lsh_b = similarity.HyperplaneLSH(dim=8, bits=10, seed=7)
+    m = np.random.RandomState(0).randn(32, 8)
+    assert (lsh_a.bucket(m) == lsh_b.bucket(m)).all()
+
+
+# ---------------------------------------------------------------------------
+# Ray pipelines
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(ray_session):
+    import ray.data
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # ~97% shingle overlap
+    unrelated = " ".join(f"other{i}" for i in range(60))
+    texts = [base, variant, unrelated, base]  # doc 3 is an exact dup of doc 0
+    return ray.data.from_arrow(_docs_table(texts))
+
+
+def test_exact_dedup_keeps_first(near_dup_docs):
+    out = {row["content_hash"]: row["keeper_doc_id"] for row in dedup.exact_dedup(near_dup_docs).take_all()}
+    assert len(out) == 3, "exact dup not collapsed"
+    assert 0 in out.values() and 3 not in out.values(), "first-wins violated"
+
+
+def test_minhash_clusters_near_dups(near_dup_docs):
+    clusters = {row["doc_id"]: row["cluster_id"] for row in dedup.minhash_dedup(
+        near_dup_docs, threshold=0.8, concurrency=1).take_all()}
+    assert clusters.get(0) == clusters.get(3) == 0, "exact dups not clustered"
+    assert clusters.get(1) == 0, "near dup not clustered with base"
+    assert clusters.get(2, 2) == 2, "unrelated doc clustered"
+
+
+def test_simhash_pairs_find_dups(near_dup_docs):
+    pairs = {(row["a"], row["b"]) for row in dedup.simhash_pairs(
+        near_dup_docs, max_hamming=3, concurrency=1).take_all()}
+    assert (0, 3) in pairs, "exact dup pair missed by simhash"
+
+
+def test_ngram_jaccard_pairs(near_dup_docs):
+    rows = dedup.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).take_all()
+    pairs = {(row["a"], row["b"]): row["jaccard"] for row in rows}
+    assert pairs.get((0, 3)) == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(0)
+    vectors = rng.randn(300, 16).astype(np.float32)
+    vectors[7] = vectors[3] * 1.5  # same direction → cosine 1 with 3
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vectors],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(300)], pa.int32()),
+        }
+    )
+    return ray.data.from_arrow(table)
+
+
+def test_brute_force_topk_exact(embeddings_ds):
+    import pyarrow.parquet  # noqa: F401
+
+    query = embeddings_ds.take(4)[3]["embedding"]
+    top = similarity.brute_force_topk(embeddings_ds, query, k=5)
+    ids = top.column("vec_id").to_pylist()
+    assert ids[0] in (3, 7) and ids[1] in (3, 7), "the identical-direction pair must lead"
+    cosines = top.column("cosine").to_pylist()
+    assert cosines == sorted(cosines, reverse=True)
+    assert cosines[0] == pytest.approx(1.0)
+
+
+def test_lsh_ann_recall(embeddings_ds):
+    query = embeddings_ds.take(4)[3]["embedding"]
+    exact = set(similarity.brute_force_topk(embeddings_ds, query, k=10).column("vec_id").to_pylist())
+    approx = set(similarity.lsh_topk(embeddings_ds, query, k=10, bits=6).column("vec_id").to_pylist())
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert {3, 7} <= approx, "the top matches must survive bucketing"
+
+
+def test_cosine_near_dup_pairs(embeddings_ds):
+    pairs = similarity.cosine_near_dup_pairs(embeddings_ds, threshold=0.99).take_all()
+    assert any((row["a"], row["b"]) == (3, 7) for row in pairs), "identical-direction pair missed"
+
+
+def test_media_decode_stub_plumbing(ray_session):
+    import ray.data
+
+    from mhtml_to_html_ray.functions.multimodal import MediaDecodeBatch, decode_media
+
+    docs = ray.data.from_arrow(_docs_table(["hello world", "abc", "x" * 1000]))
+    out = decode_media(docs, batch_size=2, concurrency=1).take_all()
+    assert len(out) == 3
+    assert out[0]["n_bytes"] == len("hello world")
+    assert out[0]["width"] == len("hello world") % 640 + 1
+    with pytest.raises(NotImplementedError):
+        MediaDecodeBatch(real=True)
