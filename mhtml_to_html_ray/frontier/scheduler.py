@@ -98,45 +98,59 @@ class FetchWorker:
         scale = config["retry_sleep_scale"]
         self.sleep_ms = (lambda ms: time.sleep(ms * scale / 1000.0)) if scale > 0 else (lambda ms: None)
 
+    def fetch_batch(self, batch: pa.Table) -> pa.Table:
+        return self(batch)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Group the (host-sorted) batch by host and hold the politeness gate
+        once per host-group — per-URL gate round trips would serialize the
+        whole wave through the gate actor. The min inter-request gap is
+        enforced locally while the host is held (exclusivity makes that
+        correct)."""
         rows = batch.to_pylist()
         rows.sort(key=lambda row: row["discovery_index"])
-        out = []
+        host_groups: dict[str, list[dict]] = {}
         for row in rows:
-            canon_url = row["canon_url"]
-            host = row["host"]
-            if self.robots is not None and not self.robots.allowed(canon_url):
-                out.append(
-                    {**_base_result(row), "status": -1, "attempts": 0, "ok": False,
-                     "robots_blocked": True, "content_type": None, "fetch_ms": 0.0,
-                     "n_bytes": 0, "discovered": []}
-                )
-                continue
-            if self.gate is not None:
+            host_groups.setdefault(row["host"], []).append(row)
+        min_gap_s = self.config.get("min_host_gap_ms", 0.0) / 1000.0
+        results: dict[int, dict] = {}
+        for host, group in host_groups.items():
+            gated = self.gate is not None
+            if gated:
                 self.gate.acquire(host)
             try:
-                outcome = fetch_with_retry(
-                    unwrap_urn(canon_url),
-                    self.transport,
-                    max_retries=self.config["max_retries"],
-                    sleep_ms=self.sleep_ms,
-                )
+                for position, row in enumerate(group):
+                    if gated and min_gap_s > 0 and position > 0:
+                        time.sleep(min_gap_s)
+                    results[row["discovery_index"]] = self._fetch_one(row)
             finally:
-                if self.gate is not None:
+                if gated:
                     self.gate.release(host)
-            discovered = (
-                discover(outcome.body, canon_url, self.config["discovery_mode"],
-                         outcome.content_type)
-                if outcome.ok
-                else []
-            )
-            out.append(
-                {**_base_result(row), "status": outcome.status, "attempts": outcome.attempts,
-                 "ok": outcome.ok, "robots_blocked": False,
-                 "content_type": outcome.content_type, "fetch_ms": outcome.fetch_ms,
-                 "n_bytes": len(outcome.body), "discovered": discovered}
-            )
+        out = [results[row["discovery_index"]] for row in rows]
         return pa.Table.from_pylist(out, schema=RESULT_SCHEMA)
+
+    def _fetch_one(self, row: dict) -> dict:
+        canon_url = row["canon_url"]
+        if self.robots is not None and not self.robots.allowed(canon_url):
+            return {**_base_result(row), "status": -1, "attempts": 0, "ok": False,
+                    "robots_blocked": True, "content_type": None, "fetch_ms": 0.0,
+                    "n_bytes": 0, "discovered": []}
+        outcome = fetch_with_retry(
+            unwrap_urn(canon_url),
+            self.transport,
+            max_retries=self.config["max_retries"],
+            sleep_ms=self.sleep_ms,
+        )
+        discovered = (
+            discover(outcome.body, canon_url, self.config["discovery_mode"],
+                     outcome.content_type)
+            if outcome.ok
+            else []
+        )
+        return {**_base_result(row), "status": outcome.status, "attempts": outcome.attempts,
+                "ok": outcome.ok, "robots_blocked": False,
+                "content_type": outcome.content_type, "fetch_ms": outcome.fetch_ms,
+                "n_bytes": len(outcome.body), "discovered": discovered}
 
 
 def _base_result(row: dict) -> dict:
@@ -170,6 +184,48 @@ class CrawlScheduler:
             if self.config.checkpoint_dir
             else None
         )
+        self._pool: list | None = None
+
+    def _ensure_pool(self, worker_config: dict) -> list:
+        """Persistent fetch-actor pool, built once and reused across waves —
+        per-wave map_batches would re-create the actor pool every wave and
+        the startup cost would dominate short waves (the bench showed it)."""
+        if self._pool is None:
+            import ray
+
+            actor_class = ray.remote(num_cpus=1)(FetchWorker)
+            self._pool = [
+                actor_class.remote(self.transport_factory, self.gate, worker_config)
+                for _ in range(max(1, self.config.fetch_concurrency))
+            ]
+        return self._pool
+
+    def _fetch_wave(self, rows: list[dict], worker_config: dict) -> list[dict]:
+        """Dispatch host-contiguous chunks round-robin over the pool; the
+        politeness gate still serializes any host that spans chunks."""
+        import ray
+
+        pool = self._ensure_pool(worker_config)
+        batch = max(1, self.config.batch_size)
+        chunks = [rows[i : i + batch] for i in range(0, len(rows), batch)]
+        futures = [
+            pool[index % len(pool)].fetch_batch.remote(_frontier_table(chunk))
+            for index, chunk in enumerate(chunks)
+        ]
+        out: list[dict] = []
+        for table in ray.get(futures):
+            out.extend(table.to_pylist())
+        return out
+
+    def close(self) -> None:
+        import ray
+
+        for actor in self._pool or []:
+            ray.kill(actor)
+        self._pool = None
+        ray.kill(self.gate)
+        for shard in self.seen.shards:
+            ray.kill(shard)
 
     # ------------------------------------------------------------------
     def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
@@ -223,6 +279,7 @@ class CrawlScheduler:
             "respect_robots": config.respect_robots,
             "user_agent": config.user_agent,
             "retry_sleep_scale": config.retry_sleep_scale,
+            "min_host_gap_ms": config.min_host_gap_ms,
         }
 
         wave = start_wave
@@ -238,15 +295,7 @@ class CrawlScheduler:
             # host-sorted blocks: one host's urls land contiguously, so the
             # politeness gate serializes instead of ping-ponging
             this_wave.sort(key=lambda row: (row["host_hash"], row["discovery_index"]))
-            ds = ray.data.from_arrow(_frontier_table(this_wave))
-            fetched = ds.map_batches(
-                FetchWorker,
-                fn_constructor_args=(self.transport_factory, self.gate, worker_config),
-                batch_format="pyarrow",
-                batch_size=config.batch_size,
-                concurrency=config.fetch_concurrency,
-            )
-            result_rows = fetched.take_all()
+            result_rows = self._fetch_wave(this_wave, worker_config)
             # deterministic order for discovery regardless of execution order
             result_rows.sort(key=lambda row: row["discovery_index"])
             results_table = pa.Table.from_pylist(result_rows, schema=RESULT_SCHEMA)

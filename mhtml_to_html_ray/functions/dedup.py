@@ -137,24 +137,35 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return len(a & b) / union if union else 0.0
 
 
-def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
-                  shingle_k: int = 3, seed: int = 42, bucket_cap: int = 64,
-                  concurrency: int | tuple = 4):
-    """Near-dup clusters: returns a Dataset of (doc_id, cluster_id) where
-    cluster_id = min doc_id of the component. Candidate generation shuffles
-    only signature rows; Jaccard verification re-reads only candidate docs
-    (broadcast of the candidate id set)."""
-    import ray
-    import ray.data
+
+def _candidate_pairs_from_lsh(lsh_rows_ds, bucket_cap: int, strategy: str = "auto",
+                              n_docs: int | None = None):
+    """Candidate pairs from exploded (band_id, band_hash, doc_id) rows.
+
+    Two physical plans, same result:
+    * "driver"  — collect the signature rows (3 ints/doc/band) and bucket in a
+      dict. Right whenever bands×docs fits the driver (≲ millions of rows);
+      signature rows are ~1000× smaller than the documents they stand for.
+    * "groupby" — the distributed plan: hash-shuffle the signature rows by
+      (band_id, band_hash) and emit pairs per group. Right at corpus scale
+      where even signatures don't fit one machine.
+    "auto" picks by document count (groupby beyond 200k docs).
+    """
     import pandas as pd
 
-    lsh_rows = documents_ds.map_batches(
-        MinHashLSHBatch,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if strategy == "auto":
+        strategy = "groupby" if (n_docs or 0) > 200_000 else "driver"
+    if strategy == "driver":
+        buckets: dict = {}
+        for row in lsh_rows_ds.take_all():
+            buckets.setdefault((row["band_id"], row["band_hash"]), []).append(row["doc_id"])
+        pairs = set()
+        for bucket in buckets.values():
+            if len(bucket) > 1:
+                pairs.update(_pairs_from_buckets(bucket, bucket_cap))
+        ordered = sorted(pairs)
+        return pd.DataFrame({"a": pd.Series([p[0] for p in ordered], dtype="int64"),
+                             "b": pd.Series([p[1] for p in ordered], dtype="int64")})
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         pairs = list(_pairs_from_buckets(group["doc_id"].tolist(), bucket_cap))
@@ -164,12 +175,46 @@ def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, band
         a, b = zip(*pairs)
         return pd.DataFrame({"a": list(a), "b": list(b)})
 
-    candidate_pairs = (
-        lsh_rows.groupby(["band_id", "band_hash"])
+    out = (
+        lsh_rows_ds.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
-    candidate_pairs = candidate_pairs.drop_duplicates()
+    if out.empty or "a" not in out.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
+                  shingle_k: int = 3, seed: int = 42, bucket_cap: int = 64,
+                  concurrency: int | tuple | None = None, pair_strategy: str = "auto"):
+    """Near-dup clusters: returns a Dataset of (doc_id, cluster_id) where
+    cluster_id = min doc_id of the component. Candidate generation shuffles
+    only signature rows; Jaccard verification re-reads only candidate docs
+    (broadcast of the candidate id set)."""
+    import ray
+    import ray.data
+    import pandas as pd
+
+    # stateless tasks by default (the MinHasher costs microseconds to build);
+    # pass concurrency for an actor pool when batches are huge
+    kwargs = dict(batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        lsh_rows = documents_ds.map_batches(
+            MinHashLSHBatch,
+            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                                   "shingle_k": shingle_k, "seed": seed},
+            **kwargs,
+        )
+    else:
+        hasher = MinHashLSHBatch(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
+        lsh_rows = documents_ds.map_batches(hasher, **kwargs)
+
+    candidate_pairs = _candidate_pairs_from_lsh(
+        lsh_rows, bucket_cap, pair_strategy, n_docs=documents_ds.count()
+    )
     candidate_ids = set(candidate_pairs["a"]).union(candidate_pairs["b"])
 
     # verify candidates with exact Jaccard: broadcast the candidate id set,
@@ -256,14 +301,17 @@ class SimHashBatch:
         return pa.Table.from_arrays(arrays, names=names)
 
 
-def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple = 4):
+def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple | None = None):
     """Near-dup pairs by simhash: block on each 16-bit quarter (a pair within
     hamming ≤ 3 shares at least one block exactly), verify hamming."""
     import pandas as pd
     import ray.data
 
-    hashed = documents_ds.map_batches(SimHashBatch, batch_format="pyarrow",
-                                      concurrency=concurrency)
+    if concurrency is not None:
+        hashed = documents_ds.map_batches(SimHashBatch, batch_format="pyarrow",
+                                          concurrency=concurrency)
+    else:
+        hashed = documents_ds.map_batches(SimHashBatch(), batch_format="pyarrow")
 
     frames = []
     for block in range(4):
@@ -296,25 +344,11 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
     import pandas as pd
 
     lsh_rows = documents_ds.map_batches(
-        MinHashLSHBatch,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
-                               "seed": seed},
+        MinHashLSHBatch(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow",
-        concurrency=2,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        pairs = list(_pairs_from_buckets(group["doc_id"].tolist(), 64))
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        a, b = zip(*pairs)
-        return pd.DataFrame({"a": list(a), "b": list(b)})
-
-    pairs = (
-        lsh_rows.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas().drop_duplicates()
-    )
+    pairs = _candidate_pairs_from_lsh(lsh_rows, 64, "auto", n_docs=documents_ds.count())
     wanted = set(pairs["a"]).union(pairs["b"])
     ids_ref = ray.put(wanted)
 

@@ -117,7 +117,10 @@ def _crawl(routes, seeds, ray_session, **config_kwargs):
                     batch_size=4)
     defaults.update(config_kwargs)
     scheduler = CrawlScheduler(DictTransportFactory(routes), CrawlConfig(**defaults))
-    return scheduler.run(seeds)
+    try:
+        return scheduler.run(seeds)
+    finally:
+        scheduler.close()
 
 
 PAGE_URL = f"{ORIGIN}/"
