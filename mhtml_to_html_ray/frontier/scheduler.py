@@ -51,6 +51,10 @@ RESULT_SCHEMA = pa.schema(
         ("fetch_ms", pa.float64()),
         ("n_bytes", pa.int64()),
         ("discovered", pa.list_(pa.string())),
+        # canonicalized in the WORKERS (parallel) — canonicalizing thousands
+        # of child urls on the driver serialized every wave (Amdahl)
+        ("discovered_canon", pa.list_(pa.struct([("canon_url", pa.string()),
+                                                 ("host", pa.string())]))),
     ]
 )
 
@@ -134,7 +138,7 @@ class FetchWorker:
         if self.robots is not None and not self.robots.allowed(canon_url):
             return {**_base_result(row), "status": -1, "attempts": 0, "ok": False,
                     "robots_blocked": True, "content_type": None, "fetch_ms": 0.0,
-                    "n_bytes": 0, "discovered": []}
+                    "n_bytes": 0, "discovered": [], "discovered_canon": []}
         outcome = fetch_with_retry(
             unwrap_urn(canon_url),
             self.transport,
@@ -147,10 +151,18 @@ class FetchWorker:
             if outcome.ok
             else []
         )
+        discovered_canon = []
+        for child in discovered:
+            canon = canonicalize(child, canon_url)
+            if is_fetchable(canon.canon_url):
+                discovered_canon.append({"canon_url": canon.canon_url, "host": canon.host})
+            else:
+                discovered_canon.append(None)
         return {**_base_result(row), "status": outcome.status, "attempts": outcome.attempts,
                 "ok": outcome.ok, "robots_blocked": False,
                 "content_type": outcome.content_type, "fetch_ms": outcome.fetch_ms,
-                "n_bytes": len(outcome.body), "discovered": discovered}
+                "n_bytes": len(outcome.body), "discovered": discovered,
+                "discovered_canon": discovered_canon}
 
 
 def _base_result(row: dict) -> dict:
@@ -185,6 +197,26 @@ class CrawlScheduler:
             else None
         )
         self._pool: list | None = None
+
+    def _worker_config(self) -> dict:
+        config = self.config
+        return {
+            "discovery_mode": config.discovery_mode,
+            "max_retries": config.max_retries,
+            "respect_robots": config.respect_robots,
+            "user_agent": config.user_agent,
+            "retry_sleep_scale": config.retry_sleep_scale,
+            "min_host_gap_ms": config.min_host_gap_ms,
+        }
+
+    def warmup(self) -> None:
+        """Spin up and ping the fetch pool + state actors so a timed run
+        measures steady-state crawling, not process creation."""
+        import ray
+
+        pool = self._ensure_pool(self._worker_config())
+        ray.get([actor.fetch_batch.remote(_frontier_table([])) for actor in pool])
+        self.seen.stats()
 
     def _ensure_pool(self, worker_config: dict) -> list:
         """Persistent fetch-actor pool, built once and reused across waves —
@@ -273,14 +305,7 @@ class CrawlScheduler:
                 )
                 next_index += 1
 
-        worker_config = {
-            "discovery_mode": config.discovery_mode,
-            "max_retries": config.max_retries,
-            "respect_robots": config.respect_robots,
-            "user_agent": config.user_agent,
-            "retry_sleep_scale": config.retry_sleep_scale,
-            "min_host_gap_ms": config.min_host_gap_ms,
-        }
+        worker_config = self._worker_config()
 
         wave = start_wave
         while frontier_rows and wave < config.max_waves:
@@ -319,21 +344,22 @@ class CrawlScheduler:
             for parent in result_rows:
                 if parent["depth"] + 1 > config.max_depth:
                     continue
-                for child_url in parent["discovered"]:
-                    canon = canonicalize(child_url, parent["canon_url"])
-                    if not is_fetchable(canon.canon_url):
+                for child_url, child_canon in zip(parent["discovered"],
+                                                  parent["discovered_canon"]):
+                    if child_canon is None:
                         continue
-                    if canon.canon_url in candidate_seen:
+                    canon_url, host = child_canon["canon_url"], child_canon["host"]
+                    if canon_url in candidate_seen:
                         continue
-                    candidate_seen.add(canon.canon_url)
-                    stats = host_stats.get(canon.host, {"ok_rate": 1.0})
+                    candidate_seen.add(canon_url)
+                    stats = host_stats.get(host, {"ok_rate": 1.0})
                     priority = stats["ok_rate"] - config.depth_penalty * (parent["depth"] + 1)
                     candidates.append(
                         {
                             "url": child_url,
-                            "canon_url": canon.canon_url,
-                            "host": canon.host,
-                            "host_hash": canon.host_hash,
+                            "canon_url": canon_url,
+                            "host": host,
+                            "host_hash": stable_hash64(host),
                             "depth": parent["depth"] + 1,
                             "priority": priority,
                             "discovered_ts": base_index,

@@ -121,13 +121,18 @@ class Config:
 
 @dataclass
 class PageData:
-    """convert() output (convert.js:647-657 / mod.d.ts:273-317)."""
+    """convert() output (convert.js:647-657 / mod.d.ts:273-317).
+
+    ``text`` is engine-side (not in the reference's PageData): the extracted
+    plain text of the final tree, captured before serialization so the
+    extraction stage needn't re-parse its own output."""
 
     data: str
     title: str | None
     favicons: list[dict]
     unfound_resources: list[str]
     anomalies: list[dict]
+    text: str | None = None
 
 
 def get_resource_uri(resource) -> str:
@@ -845,12 +850,15 @@ def convert_walk(mhtml: MHTML, config: Config):
             placeholder.data = ""
             resources[unfound_id] = placeholder
             unfound_resource_ids.append(unfound_id)
+    from .textextract import extract_text_from_document
+
     return PageData(
         data=dom.serialize(),
         title=title,
         favicons=favicons,
         unfound_resources=unfound_resource_ids,
         anomalies=anomalies,
+        text=extract_text_from_document(document),
     )
 
 

@@ -16,9 +16,15 @@ _SKIPPED_TAGS = frozenset(("script", "style", "template", "noscript", "head", "t
 
 def extract_text(html: str) -> str:
     """Concatenated text of the document body (scripts/styles skipped)."""
-    dom = parse_dom(html)
-    body = dom.document.body
-    root = body if body is not None else dom.document
+    return extract_text_from_document(parse_dom(html).document)
+
+
+def extract_text_from_document(document) -> str:
+    """Same contract, straight off an in-memory Document — the extraction
+    stage uses this on the converted tree instead of re-parsing its own
+    serialized output (a whole second parse per page)."""
+    body = document.body
+    root = body if body is not None else document
     out: list[str] = []
     _collect(root, out)
     return "".join(out)

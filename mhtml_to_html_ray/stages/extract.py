@@ -45,7 +45,7 @@ class ExtractBatch:
         result = convert(mhtml, self.config)
         return {
             "html_out": result.data.encode("utf-8"),
-            "text_out": extract_text(result.data),
+            "text_out": result.text if result.text is not None else extract_text(result.data),
             "title": result.title,
             "favicons": result.favicons,
             "unfound_resources": result.unfound_resources,
