@@ -1,0 +1,170 @@
+"""CLI driver (the engine's `mod.js:7-60` equivalent, Ray-native).
+
+    python -m mhtml_to_html_ray.run extract --input pages/*.parquet --output out/
+    python -m mhtml_to_html_ray.run crawl --seeds seeds.txt --routes routes.json \
+        --checkpoint ckpt/ [--resume]
+
+Extraction writes partitioned Parquet: one output directory per input
+fragment with a _SUCCESS marker, so a rerun skips finished partitions instead
+of redoing them (resumable output; the reference converts files sequentially
+and a rerun redoes everything, mod.js:49-58). Per-row errors land in the
+``error`` column — a bad archive never fails the job (mod.js:67-74 per-file
+isolation, re-expressed per row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def cmd_extract(args) -> int:
+    import ray.data
+
+    from .pipelines.flagship import extract_pages
+
+    _init_ray(args.num_cpus)
+    inputs: list[str] = []
+    for pattern in args.input:
+        matched = sorted(glob.glob(pattern))
+        inputs.extend(matched if matched else [pattern])
+    if not inputs:
+        print("no input files", file=sys.stderr)
+        return 1
+    os.makedirs(args.output, exist_ok=True)
+    done = skipped = failed_rows = total_rows = 0
+    for index, path in enumerate(inputs):
+        part_dir = os.path.join(args.output, f"part_{index:05d}")
+        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            skipped += 1
+            continue
+        ds = ray.data.read_parquet(path)
+        out = extract_pages(
+            ds,
+            batch_size=args.batch_size,
+            concurrency=args.concurrency,
+            keep_html=not args.no_html,
+            enable_scripts=args.enable_scripts,
+        )
+        tmp_dir = part_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        out.write_parquet(tmp_dir)
+        # partition-atomic rename + completion marker → reruns skip finished
+        # partitions and a half-written one is replaced wholesale
+        if os.path.exists(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)
+        open(os.path.join(part_dir, "_SUCCESS"), "w").close()
+        summary = ray.data.read_parquet(part_dir)
+        rows = summary.count()
+        errors = summary.map_batches(
+            lambda t: t.select(["error"]), batch_format="pyarrow"
+        ).to_pandas()["error"].notna().sum()
+        total_rows += rows
+        failed_rows += int(errors)
+        done += 1
+        print(f"{path} -> {part_dir}: {rows} rows, {errors} errors", file=sys.stderr)
+    print(
+        json.dumps(
+            {"partitions_done": done, "partitions_skipped": skipped,
+             "rows": total_rows, "error_rows": failed_rows}
+        )
+    )
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    from .frontier.scheduler import CrawlConfig, CrawlScheduler
+    from .frontier.transports import DictTransportFactory
+
+    _init_ray(args.num_cpus)
+    with open(args.seeds) as handle:
+        seeds = [line.strip() for line in handle if line.strip()]
+    with open(args.routes) as handle:
+        raw_routes = json.load(handle)
+    routes = {
+        url: (entry["content_type"], entry["body"].encode("utf-8"))
+        for url, entry in raw_routes.items()
+    }
+    config = CrawlConfig(
+        discovery_mode=args.discovery,
+        max_waves=args.max_waves,
+        wave_budget=args.wave_budget,
+        checkpoint_dir=args.checkpoint,
+        respect_robots=args.robots,
+        min_host_gap_ms=args.host_gap_ms,
+        fetch_concurrency=args.concurrency or 2,
+    )
+    scheduler = CrawlScheduler(DictTransportFactory(routes), config)
+    try:
+        result = scheduler.run(seeds, resume=args.resume)
+    finally:
+        scheduler.close()
+    print(
+        json.dumps(
+            {
+                "urls_fetched": result.results.num_rows,
+                "waves": result.waves,
+                "seen": len(result.seen_urls),
+                "metrics": result.metrics,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="mhtml_to_html_ray")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_extract = sub.add_parser("extract", help="pages parquet → converted HTML parquet")
+    p_extract.add_argument("--input", nargs="+", required=True, help="parquet paths/globs")
+    p_extract.add_argument("--output", required=True)
+    p_extract.add_argument("--batch-size", type=int, default=64)
+    p_extract.add_argument("--concurrency", type=int, default=None)
+    p_extract.add_argument("--no-html", action="store_true", help="drop html_out (text only)")
+    p_extract.add_argument("--enable-scripts", action="store_true")
+    p_extract.set_defaults(func=cmd_extract)
+
+    p_crawl = sub.add_parser("crawl", help="wave-synchronous crawl over a routes file")
+    p_crawl.add_argument("--seeds", required=True, help="text file, one url per line")
+    p_crawl.add_argument("--routes", required=True, help="json: url → {content_type, body}")
+    p_crawl.add_argument("--checkpoint", default=None)
+    p_crawl.add_argument("--resume", action="store_true")
+    p_crawl.add_argument("--discovery", default="subresources",
+                         choices=["subresources", "hyperlinks", "both"])
+    p_crawl.add_argument("--max-waves", type=int, default=10)
+    p_crawl.add_argument("--wave-budget", type=int, default=100_000)
+    p_crawl.add_argument("--robots", action="store_true")
+    p_crawl.add_argument("--host-gap-ms", type=float, default=0.0)
+    p_crawl.add_argument("--concurrency", type=int, default=None)
+    p_crawl.set_defaults(func=cmd_crawl)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
