@@ -417,6 +417,49 @@ def q_revenue_by_nation(sf_dir: str):
     return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["n_name"])
 
 
+def q_supplier_count_by_region(sf_dir: str):
+    """Dimension-chain broadcast join: supplier ⋈ nation ⋈ region →
+    suppliers per region."""
+    import pandas as pd
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    merged = supplier.merge(nation, left_on="s_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    out = (
+        merged.groupby("r_name", as_index=False)
+        .agg(n_suppliers=("s_suppkey", "count"))
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def q_part_type_stats(sf_dir: str):
+    """Groupby over part: count + mean retail price per type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    agg = ds.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="sum_price")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(batch.column("sum_price"),
+                         pc.cast(batch.column("n_parts"), pa.float64()))
+        return pa.table(
+            {
+                "p_type": batch.column("p_type"),
+                "n_parts": batch.column("n_parts"),
+                "avg_price": _round(mean, 2),
+            }
+        )
+
+    return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["p_type"])
+
+
 def q_events_tumbling(sf_dir: str):
     """Tumbling one-hour windows per event_type: count + sum(value) — the
     streaming-shaped workload as groupby over (type, window)."""
@@ -594,6 +637,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "revenue_by_nation": q_revenue_by_nation,
+    "supplier_count_by_region": q_supplier_count_by_region,
+    "part_type_stats": q_part_type_stats,
     "events_tumbling": q_events_tumbling,
     "top_users": q_top_users,
     "distinct_segments": q_distinct_segments,
@@ -698,6 +743,16 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
+    """,
+    "supplier_count_by_region": """
+        SELECT r_name, COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "part_type_stats": """
+        SELECT p_type, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 2) AS avg_price
+        FROM part GROUP BY p_type ORDER BY p_type
     """,
     "events_tumbling": """
         SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
