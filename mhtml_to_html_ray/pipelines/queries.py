@@ -95,6 +95,34 @@ def q_extract_page_stats(sf_dir: str):
     return _sorted_table(stats, ["lang"])
 
 
+def q_extract_anomaly_stats(sf_dir: str):
+    """Recovery-anomaly distribution over the deterministic fixture corpus
+    (the reference's anomaly taxonomy as a pipeline: parse.js:49-52,
+    convert.js:113). sf-independent input by design; rows-only check."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..sources.fixtures import corpus_pages_table
+    from ..stages.extract import ExtractBatch
+
+    table = corpus_pages_table(500, n_hosts=8, seed=42)
+    out = ray.data.from_arrow(table).map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=64
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        types = []
+        for anomaly_list in batch.column("anomalies").to_pylist():
+            for anomaly in anomaly_list or []:
+                types.append(anomaly["type"])
+        return pa.table({"anomaly_type": pa.array(types, pa.string())})
+
+    agg = out.map_batches(explode, batch_format="pyarrow").groupby("anomaly_type").aggregate(
+        Count(alias_name="n")
+    )
+    return _sorted_table(agg, ["anomaly_type"])
+
+
 # ---------------------------------------------------------------------------
 # crawl-shaped family (frontier operators over a synthetic web derived from
 # the orders/lineitem tables — deterministic, so SQL can predict everything)
@@ -628,6 +656,7 @@ def q_media_decode(sf_dir: str):
 QUERIES = {
     "extract_text": q_extract_text,
     "extract_page_stats": q_extract_page_stats,
+    "extract_anomaly_stats": q_extract_anomaly_stats,
     "frontier_seed": q_frontier_seed,
     "frontier_host_budget": q_frontier_host_budget,
     "frontier_topk": q_frontier_topk,

@@ -333,6 +333,28 @@ def test_metrics_and_lineage_recorded(ray_session, tmp_path):
     assert checkpoint.load_metrics(0)["rows_in"] == 1
 
 
+def test_politeness_min_gap_through_scheduler(ray_session):
+    """A host with several urls in one wave must observe the configured
+    minimum inter-request gap (enforced in-worker while the host is held)."""
+    import time as _time
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {"https://slow.example/": html_page([f"/p{i}" for i in range(5)])}
+    for i in range(5):
+        routes[f"https://slow.example/p{i}"] = html_page([])
+    started = _time.monotonic()
+    result = _crawl(routes, ["https://slow.example/"], ray_session,
+                    discovery_mode="hyperlinks", min_host_gap_ms=40.0,
+                    fetch_concurrency=1, batch_size=16, max_waves=3)
+    elapsed = _time.monotonic() - started
+    assert result.results.num_rows == 6
+    # wave 1 fetches 5 urls on one host → at least 4 gaps of 40 ms
+    assert elapsed >= 0.16, f"min host gap not enforced ({elapsed:.3f}s)"
+
+
 def test_wave_budget_carries_backlog(ray_session):
     def html_page(links):
         body = "".join(f'<a href="{link}">x</a>' for link in links)
