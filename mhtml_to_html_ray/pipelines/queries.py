@@ -178,7 +178,7 @@ def q_frontier_host_budget(sf_dir: str):
             {
                 "host": batch.column("host"),
                 "n_urls": batch.column("n_urls"),
-                "sum_priority": _round(batch.column("sum_priority"), 2),
+                "sum_priority": _round(batch.column("sum_priority"), 0),
                 "budget": pc.min_element_wise(
                     batch.column("n_urls"), pa.scalar(10, pa.int64())
                 ),
@@ -343,9 +343,11 @@ def q1_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": _round(batch.column("sum_qty"), 2),
-                "sum_base_price": _round(batch.column("sum_base_price"), 2),
-                "sum_disc_price": _round(batch.column("sum_disc_price"), 2),
+                # whole units, not cents: engine-vs-oracle summation-order
+                # drift on 10^5-row sums at 1e9 magnitude exceeds 0.005
+                "sum_qty": _round(batch.column("sum_qty"), 0),
+                "sum_base_price": _round(batch.column("sum_base_price"), 0),
+                "sum_disc_price": _round(batch.column("sum_disc_price"), 0),
                 "count_order": batch.column("count_order"),
             }
         )
@@ -438,7 +440,7 @@ def q_revenue_by_nation(sf_dir: str):
         return pa.table(
             {
                 "n_name": batch.column("n_name"),
-                "revenue": _round(batch.column("revenue"), 2),
+                "revenue": _round(batch.column("revenue"), 0),
             }
         )
 
@@ -707,7 +709,7 @@ ORACLE_SQL = {
         FROM orders ORDER BY url
     """,
     "frontier_host_budget": """
-        SELECT host, COUNT(*) AS n_urls, ROUND(SUM(priority), 2) AS sum_priority,
+        SELECT host, COUNT(*) AS n_urls, ROUND(SUM(priority), 0) AS sum_priority,
                LEAST(COUNT(*), 10) AS budget
         FROM (SELECT 'host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
                      ROUND(o_totalprice, 2) AS priority FROM orders)
@@ -746,9 +748,9 @@ ORACLE_SQL = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_quantity), 0) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -766,7 +768,7 @@ ORACLE_SQL = {
         LIMIT 10
     """,
     "revenue_by_nation": """
-        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
