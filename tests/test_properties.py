@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) over the byte-level kernel and the
+frontier primitives — the reference's suites pin examples; these pin the
+algebra (round trips, idempotence, no false negatives)."""
+
+import base64
+
+from hypothesis import given, settings, strategies as st
+
+from mhtml_to_html_ray.frontier.canon import canonicalize, stable_hash64
+from mhtml_to_html_ray.frontier.cuckoo import CuckooFilter
+from mhtml_to_html_ray.kernel import srcset
+from mhtml_to_html_ray.kernel.bytesops import (
+    decode_base64_bytes,
+    decode_quoted_printable,
+    encode_base64,
+)
+from mhtml_to_html_ray.kernel.charsets import decode_string, encode_string
+from mhtml_to_html_ray.kernel.dom import parse_dom
+from mhtml_to_html_ray.kernel.urlutil import normalize_location
+
+
+@given(st.binary(max_size=512))
+def test_base64_round_trip(data):
+    assert decode_base64_bytes(encode_base64(data)) == data
+
+
+@given(st.binary(max_size=512))
+def test_base64_forgiving_whitespace(data):
+    encoded = encode_base64(data)
+    noisy = "\r\n".join(encoded[i : i + 7] for i in range(0, len(encoded), 7))
+    assert decode_base64_bytes(noisy) == data
+
+
+@given(st.binary(max_size=256))
+def test_quoted_printable_decodes_reference_encoding(data):
+    # the reference test-helper encoding: =XX for '=' and >0x7E
+    encoded = "".join(
+        f"={b:02X}" if b == 0x3D or b > 0x7E else chr(b) for b in data
+    ).encode("latin-1")
+    assert decode_quoted_printable(encoded) == data
+
+
+@given(st.text(max_size=256))
+def test_utf8_decode_round_trip(text):
+    assert decode_string(encode_string(text)) == text
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=128))
+def test_normalize_location_idempotent(value):
+    once = normalize_location(value)
+    assert normalize_location(once) == once
+
+
+@given(st.from_regex(r"https?://[a-z][a-z0-9.\-]{0,20}(:[0-9]{1,4})?(/[a-zA-Z0-9._~%/\-]{0,30})?", fullmatch=True))
+def test_canonicalize_idempotent_and_stable(url):
+    first = canonicalize(url)
+    second = canonicalize(first.canon_url)
+    assert second.canon_url == first.canon_url
+    assert stable_hash64(first.canon_url) == first.url_hash
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z0-9./\-]{1,12}", fullmatch=True),
+            st.sampled_from(["", "1x", "2w", "100w 50h", "0.5x", "bogus"]),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_srcset_serialize_parse_fixpoint(candidates):
+    value = ", ".join(f"{url} {desc}".strip() for url, desc in candidates)
+    once = srcset.serialize(srcset.parse(value))
+    twice = srcset.serialize(srcset.parse(once))
+    assert once == twice, "srcset round trip must reach a fixpoint"
+
+
+@settings(max_examples=25)
+@given(st.lists(st.text(alphabet="abcdefg/:.", min_size=1, max_size=20), max_size=200))
+def test_cuckoo_never_false_negative(keys):
+    filt = CuckooFilter(capacity=4 * max(len(keys), 1) + 16)
+    inserted = []
+    for key in keys:
+        if filt.add(key):
+            inserted.append(key)
+    for key in inserted:
+        assert filt.might_contain(key)
+
+
+@settings(max_examples=30)
+@given(st.text(max_size=400))
+def test_dom_parse_serialize_terminates_and_is_stable(source):
+    dom = parse_dom(source)
+    once = dom.serialize()
+    # serializing the reparse of the output reaches a fixpoint (the
+    # serializer's escaping idempotence guard, dom-parser-node.js:70-75)
+    twice = parse_dom(once).serialize()
+    thrice = parse_dom(twice).serialize()
+    assert twice == thrice
+
+
+def test_b64_helpers_match_stdlib():
+    payload = bytes(range(256))
+    assert encode_base64(payload) == base64.b64encode(payload).decode()
