@@ -50,30 +50,46 @@ class HostGate:
 
 
 def make_gate_actor(min_gap_ms: float = 0.0):
+    return make_gate_actors(1, min_gap_ms)
+
+
+def make_gate_actors(n_shards: int, min_gap_ms: float = 0.0) -> list:
+    """Gate actors sharded by host hash: per-host state is independent, so
+    sharding is exact — and a single gate actor would be the cluster-wide
+    RPC bottleneck at 10^10-URL scale."""
     import ray
 
     @ray.remote(num_cpus=0)
     class HostGateActor(HostGate):
         pass
 
-    return HostGateActor.remote(min_gap_ms)
+    return [HostGateActor.remote(min_gap_ms) for _ in range(max(1, n_shards))]
 
 
 class GateClient:
-    """Worker-side blocking wrapper around the gate actor."""
+    """Worker-side blocking wrapper over the gate shard(s); a host always
+    routes to the same shard (stable hash)."""
 
-    def __init__(self, gate_handle, poll_cap_s: float = 0.05):
-        self.gate = gate_handle
+    def __init__(self, gate_handles, poll_cap_s: float = 0.05):
+        self.gates = gate_handles if isinstance(gate_handles, list) else [gate_handles]
         self.poll_cap_s = poll_cap_s
+
+    def _gate(self, host: str):
+        if len(self.gates) == 1:
+            return self.gates[0]
+        from .canon import stable_hash64
+
+        return self.gates[stable_hash64(host) % len(self.gates)]
 
     def acquire(self, host: str) -> None:
         import ray
 
+        gate = self._gate(host)
         while True:
-            wait = ray.get(self.gate.try_acquire.remote(host))
+            wait = ray.get(gate.try_acquire.remote(host))
             if wait <= 0:
                 return
             time.sleep(min(wait, self.poll_cap_s))
 
     def release(self, host: str) -> None:
-        self.gate.release.remote(host)
+        self._gate(host).release.remote(host)

@@ -31,7 +31,7 @@ from ..state.checkpoint import CrawlCheckpoint
 from .canon import canonicalize, is_fetchable, stable_hash64, unwrap_urn
 from .discovery import discover
 from .fetch import fetch_with_retry
-from .politeness import GateClient, make_gate_actor
+from .politeness import GateClient, make_gate_actors
 from .robots import RobotsCache
 from .seen import ShardedSeenSet
 
@@ -50,6 +50,7 @@ RESULT_SCHEMA = pa.schema(
         ("content_type", pa.string()),
         ("fetch_ms", pa.float64()),
         ("n_bytes", pa.int64()),
+        ("body", pa.large_binary()),  # kept only when config.keep_bodies
         ("discovered", pa.list_(pa.string())),
         # canonicalized in the WORKERS (parallel) — canonicalizing thousands
         # of child urls on the driver serialized every wave (Amdahl)
@@ -75,6 +76,9 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     depth_penalty: float = 0.1  # priority decay per depth level
     retry_sleep_scale: float = 1.0  # tests shrink backoff wall time
+    num_gate_shards: int = 2  # politeness gate actors (host-hash sharded)
+    keep_bodies: bool = False  # carry fetched bodies into results (for a
+    # downstream extraction stage); off by default to keep waves light
 
 
 @dataclass
@@ -138,7 +142,7 @@ class FetchWorker:
         if self.robots is not None and not self.robots.allowed(canon_url):
             return {**_base_result(row), "status": -1, "attempts": 0, "ok": False,
                     "robots_blocked": True, "content_type": None, "fetch_ms": 0.0,
-                    "n_bytes": 0, "discovered": [], "discovered_canon": []}
+                    "n_bytes": 0, "body": b"", "discovered": [], "discovered_canon": []}
         outcome = fetch_with_retry(
             unwrap_urn(canon_url),
             self.transport,
@@ -161,7 +165,9 @@ class FetchWorker:
         return {**_base_result(row), "status": outcome.status, "attempts": outcome.attempts,
                 "ok": outcome.ok, "robots_blocked": False,
                 "content_type": outcome.content_type, "fetch_ms": outcome.fetch_ms,
-                "n_bytes": len(outcome.body), "discovered": discovered,
+                "n_bytes": len(outcome.body),
+                "body": outcome.body if self.config.get("keep_bodies") else b"",
+                "discovered": discovered,
                 "discovered_canon": discovered_canon}
 
 
@@ -190,7 +196,7 @@ class CrawlScheduler:
         self.transport_factory = transport_factory
         self.config = config or CrawlConfig()
         self.seen = ShardedSeenSet(self.config.num_seen_shards)
-        self.gate = make_gate_actor(self.config.min_host_gap_ms)
+        self.gate = make_gate_actors(self.config.num_gate_shards, self.config.min_host_gap_ms)
         self.checkpoint = (
             CrawlCheckpoint(self.config.checkpoint_dir)
             if self.config.checkpoint_dir
@@ -207,6 +213,7 @@ class CrawlScheduler:
             "user_agent": config.user_agent,
             "retry_sleep_scale": config.retry_sleep_scale,
             "min_host_gap_ms": config.min_host_gap_ms,
+            "keep_bodies": config.keep_bodies,
         }
 
     def warmup(self) -> None:
@@ -255,7 +262,8 @@ class CrawlScheduler:
         for actor in self._pool or []:
             ray.kill(actor)
         self._pool = None
-        ray.kill(self.gate)
+        for gate in self.gate:
+            ray.kill(gate)
         for shard in self.seen.shards:
             ray.kill(shard)
 

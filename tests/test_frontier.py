@@ -371,3 +371,29 @@ def test_wave_budget_carries_backlog(ray_session):
     for row in rows:
         by_wave.setdefault(row["wave"], []).append(row["canon_url"])
     assert len(by_wave[1]) == 4, "the wave budget was not enforced"
+
+
+def test_crawl_and_extract_end_to_end(ray_session):
+    """The north-star flow: frontier crawl feeding the extraction kernel."""
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+    from mhtml_to_html_ray.pipelines.crawl_extract import crawl_and_extract
+
+    def html_page(text, links=()):
+        body = f"<p>{text}</p>" + "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><head><title>{text}</title></head><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://ce.example/": html_page("ROOT", ["/a", "/b"]),
+        "https://ce.example/a": html_page("PAGE-A"),
+        "https://ce.example/b": html_page("PAGE-B"),
+    }
+    config = CrawlConfig(discovery_mode="hyperlinks", max_waves=4, retry_sleep_scale=0.0,
+                         num_seen_shards=2, fetch_concurrency=1, batch_size=8)
+    result, extracted = crawl_and_extract(DictTransportFactory(routes), ["https://ce.example/"], config)
+    rows = {row["url"]: row for row in extracted.take_all()}
+    assert set(rows) == set(routes)
+    assert rows["https://ce.example/"]["title"] == "ROOT"
+    assert rows["https://ce.example/a"]["text_out"] == "PAGE-A"
+    assert all(row["error"] is None for row in rows.values())
+    assert result.results.num_rows == 3
