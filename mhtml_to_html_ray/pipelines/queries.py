@@ -527,6 +527,36 @@ def q_events_tumbling(sf_dir: str):
     return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["event_type", "hour"])
 
 
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column (vectorized json parse per batch) and aggregate it per event
+    type — the nested-field path of a log pipeline."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = [
+            _json.loads(props).get("k", 0) if props else 0
+            for props in batch.column("props").to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(extract_k, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+    return _sorted_table(agg, ["event_type"])
+
+
 def q_top_users(sf_dir: str):
     """Grouped count + deterministic top-k (sort desc with tie-break)."""
     from ray.data.aggregate import Count
@@ -671,6 +701,7 @@ QUERIES = {
     "supplier_count_by_region": q_supplier_count_by_region,
     "part_type_stats": q_part_type_stats,
     "events_tumbling": q_events_tumbling,
+    "events_props_extract": q_events_props_extract,
     "top_users": q_top_users,
     "distinct_segments": q_distinct_segments,
     "dedup_exact": q_dedup_exact,
@@ -789,6 +820,11 @@ ORACLE_SQL = {
         SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+    """,
+    "events_props_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "top_users": """
         SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
