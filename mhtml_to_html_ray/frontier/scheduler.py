@@ -85,8 +85,17 @@ class CrawlConfig:
 class CrawlResult:
     results: pa.Table  # RESULT_SCHEMA rows across all waves
     waves: int
-    seen_urls: set[str]
     metrics: list[dict] = field(default_factory=list)
+    _seen_set: object = None  # ShardedSeenSet, snapshot on demand
+    _seen_cache: set | None = None
+
+    @property
+    def seen_urls(self) -> set[str]:
+        """The exact final URL-seen set (pulled from the shard actors on
+        first access — a full snapshot per call would tax every crawl)."""
+        if self._seen_cache is None:
+            self._seen_cache = self._seen_set.all_seen_urls() if self._seen_set else set()
+        return self._seen_cache
 
 
 class FetchWorker:
@@ -240,16 +249,20 @@ class CrawlScheduler:
         return self._pool
 
     def _fetch_wave(self, rows: list[dict], worker_config: dict) -> list[dict]:
-        """Dispatch host-contiguous chunks round-robin over the pool; the
-        politeness gate still serializes any host that spans chunks."""
+        """Dispatch host-contiguous chunks round-robin over the pool, ONE
+        call per actor per wave (per-chunk calls cost a serialization each);
+        the politeness gate still serializes any host that spans actors."""
         import ray
 
         pool = self._ensure_pool(worker_config)
         batch = max(1, self.config.batch_size)
-        chunks = [rows[i : i + batch] for i in range(0, len(rows), batch)]
+        assignments: list[list[dict]] = [[] for _ in pool]
+        for index, start in enumerate(range(0, len(rows), batch)):
+            assignments[index % len(pool)].extend(rows[start : start + batch])
         futures = [
-            pool[index % len(pool)].fetch_batch.remote(_frontier_table(chunk))
-            for index, chunk in enumerate(chunks)
+            pool[actor_index].fetch_batch.remote(_frontier_table(assigned))
+            for actor_index, assigned in enumerate(assignments)
+            if assigned
         ]
         out: list[dict] = []
         for table in ray.get(futures):
@@ -264,8 +277,9 @@ class CrawlScheduler:
         self._pool = None
         for gate in self.gate:
             ray.kill(gate)
-        for shard in self.seen.shards:
-            ray.kill(shard)
+        # seen shards are NOT killed here: CrawlResult.seen_urls snapshots
+        # them lazily, and they die with their last handle anyway (0.1 cpu
+        # each) — killing them would invalidate results already returned
 
     # ------------------------------------------------------------------
     def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
@@ -422,8 +436,8 @@ class CrawlScheduler:
         return CrawlResult(
             results=results,
             waves=wave,
-            seen_urls=self.seen.all_seen_urls(),
             metrics=metrics,
+            _seen_set=self.seen,
         )
 
     # ------------------------------------------------------------------
