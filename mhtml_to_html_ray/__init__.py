@@ -18,3 +18,19 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def convert_document(data, **config_kwargs):
+    """Library convenience (the reference's `convert(data, config)` surface,
+    lib/mod.js:35-43): one MHTML/HTML document in, PageData out. For bulk
+    work use the Ray pipelines (pipelines.flagship / stages.extract)."""
+    from .kernel.convert import Config, convert
+
+    return convert(data, Config(**config_kwargs) if config_kwargs else None)
+
+
+def parse_document(data):
+    """The reference's `parse(data)` surface (lib/parse.js:68)."""
+    from .kernel.mime import parse
+
+    return parse(data)
