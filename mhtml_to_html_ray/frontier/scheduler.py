@@ -79,6 +79,8 @@ class CrawlConfig:
     num_gate_shards: int = 2  # politeness gate actors (host-hash sharded)
     keep_bodies: bool = False  # carry fetched bodies into results (for a
     # downstream extraction stage); off by default to keep waves light
+    per_host_wave_cap: int | None = None  # skew guard: max urls per host per
+    # wave; the overflow of a hot host spills to the next wave (SURVEY.md §4)
 
 
 @dataclass
@@ -334,8 +336,23 @@ class CrawlScheduler:
             wave_started = time.monotonic()
             # wave ordering: priority desc, then deterministic discovery_index
             frontier_rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
-            this_wave = frontier_rows[: config.wave_budget]
-            backlog = frontier_rows[config.wave_budget :]
+            if config.per_host_wave_cap is not None:
+                # hot-host skew guard: admit at most K urls per host per wave
+                # (in priority order); the rest carries over
+                host_counts: dict[str, int] = {}
+                capped: list[dict] = []
+                spill: list[dict] = []
+                for row in frontier_rows:
+                    count = host_counts.get(row["host"], 0)
+                    if count < config.per_host_wave_cap and len(capped) < config.wave_budget:
+                        host_counts[row["host"]] = count + 1
+                        capped.append(row)
+                    else:
+                        spill.append(row)
+                this_wave, backlog = capped, spill
+            else:
+                this_wave = frontier_rows[: config.wave_budget]
+                backlog = frontier_rows[config.wave_budget :]
             for row in this_wave:
                 row["wave"] = wave
 

@@ -654,6 +654,13 @@ def q_embedding_ann(sf_dir: str):
     return similarity.lsh_topk(ds, _first_embedding(sf_dir), k=10, bits=6)
 
 
+def q_embedding_ivf(sf_dir: str):
+    """IVF ANN top-10 (coarse-quantizer scale path; approximate by design —
+    recall vs brute force asserted in tests, rows-only here)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, _first_embedding(sf_dir), k=10, n_centroids=16, nprobe=4)
+
+
 def q_embedding_label_stats(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     agg = similarity.label_norm_stats(ds)
@@ -715,6 +722,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
+    "embedding_ivf": q_embedding_ivf,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding": q_dedup_embedding,
     "media_decode": q_media_decode,

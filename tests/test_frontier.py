@@ -397,3 +397,54 @@ def test_crawl_and_extract_end_to_end(ray_session):
     assert rows["https://ce.example/a"]["text_out"] == "PAGE-A"
     assert all(row["error"] is None for row in rows.values())
     assert result.results.num_rows == 3
+
+
+def test_per_host_wave_cap_spills_hot_host(ray_session):
+    """SURVEY.md §4 skew mitigation: a hot host's urls spread across waves
+    while other hosts are unaffected."""
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {"https://hot.example/": html_page(
+        [f"https://hot.example/p{i}" for i in range(9)] + ["https://cold.example/only"])}
+    for i in range(9):
+        routes[f"https://hot.example/p{i}"] = html_page([])
+    routes["https://cold.example/only"] = html_page([])
+    result = _crawl(routes, ["https://hot.example/"], ray_session,
+                    discovery_mode="hyperlinks", per_host_wave_cap=3, max_waves=8)
+    rows = result.results.to_pylist()
+    assert len(rows) == 11
+    hot_waves = {}
+    for row in rows:
+        if row["host"] == "hot.example" and row["depth"] == 1:
+            hot_waves.setdefault(row["wave"], 0)
+            hot_waves[row["wave"]] += 1
+    assert max(hot_waves.values()) <= 3, f"cap violated: {hot_waves}"
+    assert len(hot_waves) >= 3, f"hot host not spread across waves: {hot_waves}"
+    cold = next(r for r in rows if r["host"] == "cold.example")
+    assert cold["wave"] == 1, "the cold host should not wait behind the hot one"
+
+
+def test_ivf_topk_recall(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions import similarity
+
+    rng = np.random.RandomState(3)
+    vectors = rng.randn(400, 12).astype(np.float32)
+    vectors[50] = vectors[10] * 2.0
+    table = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vectors], pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(table)
+    query = list(map(float, vectors[10]))
+    exact = set(similarity.brute_force_topk(ds, query, k=10).column("vec_id").to_pylist())
+    approx = set(similarity.ivf_topk(ds, query, k=10, n_centroids=8, nprobe=3)
+                 .column("vec_id").to_pylist())
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    assert {10, 50} <= approx, "the identical-direction pair must survive IVF probing"
