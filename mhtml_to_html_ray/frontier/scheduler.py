@@ -331,6 +331,21 @@ class CrawlScheduler:
 
         worker_config = self._worker_config()
 
+        # discovery_index allocation is GLOBAL and monotone: recomputing it
+        # from the current wave's max would collide with backlogged rows that
+        # carry higher indexes (duplicate keys → duplicate/missing fetches —
+        # caught by the 100k-url soak). Resume restores it from the persisted
+        # frontier + results.
+        next_index = 0
+        for row in frontier_rows:
+            next_index = max(next_index, row["discovery_index"] + 1)
+        for table in all_results:
+            if table.num_rows:
+                next_index = max(
+                    next_index,
+                    max(table.column("discovery_index").to_pylist()) + 1,
+                )
+
         wave = start_wave
         while frontier_rows and wave < config.max_waves:
             wave_started = time.monotonic()
@@ -376,9 +391,6 @@ class CrawlScheduler:
             # within-wave first-wins dedup before the seen-set round trip
             candidates: list[dict] = []
             candidate_seen: set[str] = set()
-            next_index = (
-                max(row["discovery_index"] for row in this_wave) + 1 if this_wave else 0
-            )
             base_index = next_index
             for parent in result_rows:
                 if parent["depth"] + 1 > config.max_depth:

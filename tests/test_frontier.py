@@ -448,3 +448,31 @@ def test_ivf_topk_recall(ray_session):
     recall = len(exact & approx) / 10
     assert recall >= 0.6, f"IVF recall too low: {recall}"
     assert {10, 50} <= approx, "the identical-direction pair must survive IVF probing"
+
+
+def test_no_duplicate_fetches_with_backlog_and_discovery(ray_session):
+    """Regression (100k soak): backlogged rows carry high discovery indexes;
+    new discoveries must not collide with them (collisions silently dropped
+    and duplicated fetches inside the worker's index-keyed result map)."""
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {}
+    for i in range(6):
+        routes[f"https://bd.example/s{i}"] = html_page(
+            [f"https://bd.example/c{i}-{j}" for j in range(4)])
+    for i in range(6):
+        for j in range(4):
+            routes[f"https://bd.example/c{i}-{j}"] = html_page(
+                [f"https://bd.example/g{i}-{j}"])
+            routes[f"https://bd.example/g{i}-{j}"] = html_page([])
+    seeds = [f"https://bd.example/s{i}" for i in range(6)]
+    result = _crawl(routes, seeds, ray_session, discovery_mode="hyperlinks",
+                    wave_budget=5, max_waves=30)
+    rows = result.results.to_pylist()
+    urls = [r["canon_url"] for r in rows]
+    assert len(urls) == len(set(urls)), "duplicate fetches"
+    indexes = [r["discovery_index"] for r in rows]
+    assert len(indexes) == len(set(indexes)), "discovery_index collision"
+    assert set(urls) == set(routes), "some urls were never fetched"
