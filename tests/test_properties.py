@@ -103,3 +103,24 @@ def test_dom_parse_serialize_terminates_and_is_stable(source):
 def test_b64_helpers_match_stdlib():
     payload = bytes(range(256))
     assert encode_base64(payload) == base64.b64encode(payload).decode()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=600))
+def test_mime_parse_never_crashes_and_is_deterministic(raw):
+    from mhtml_to_html_ray.kernel.convert import ConvertError, convert
+    from mhtml_to_html_ray.kernel.mime import parse
+
+    first = parse(raw)
+    second = parse(raw)
+    assert list(first.resources) == list(second.resources)
+    assert first.anomalies == second.anomalies
+    try:
+        a = convert(raw).data
+    except ConvertError:
+        a = None
+    try:
+        b = convert(raw).data
+    except ConvertError:
+        b = None
+    assert a == b, "conversion of the same bytes differed between runs"
