@@ -22,6 +22,8 @@ scheduler's request order on its own fetch-round shapes.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -81,6 +83,9 @@ class CrawlConfig:
     # downstream extraction stage); off by default to keep waves light
     per_host_wave_cap: int | None = None  # skew guard: max urls per host per
     # wave; the overflow of a hot host spills to the next wave (SURVEY.md §4)
+    frontier_storage: str = "memory"  # "memory" | "parquet" (Dataset-backed
+    # backlog — the 10^10-URL path; only one wave is driver-resident)
+    frontier_dir: str | None = None
 
 
 @dataclass
@@ -283,20 +288,33 @@ class CrawlScheduler:
         # them lazily, and they die with their last handle anyway (0.1 cpu
         # each) — killing them would invalidate results already returned
 
+    def _make_frontier_store(self):
+        from .store import MemoryFrontier, ParquetFrontier
+
+        if self.config.frontier_storage == "parquet":
+            root = self.config.frontier_dir or (
+                os.path.join(self.config.checkpoint_dir, "frontier_store")
+                if self.config.checkpoint_dir
+                else tempfile.mkdtemp(prefix="frontier_")
+            )
+            return ParquetFrontier(root)
+        return MemoryFrontier()
+
     # ------------------------------------------------------------------
     def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
-        import ray.data
-
         config = self.config
         all_results: list[pa.Table] = []
         metrics: list[dict] = []
         start_wave = 0
-        frontier_rows: list[dict] = []
+        # only ONE wave (budget-bounded) is ever materialized on the driver;
+        # the backlog lives in the frontier store (a Parquet-backed Dataset
+        # in "parquet" mode — the 10^10-URL path)
+        store = self._make_frontier_store()
 
         if resume and self.checkpoint is not None and self.checkpoint.latest_wave() is not None:
             latest = self.checkpoint.latest_wave()
             self.seen.restore_tables(self.checkpoint.load_seen_tables(latest))
-            frontier_rows = self.checkpoint.load_frontier(latest).to_pylist()
+            store.restore(self.checkpoint.load_frontier(latest))
             start_wave = latest + 1
             metrics = [self.checkpoint.load_metrics(w) for w in range(latest + 1)]
             for w in range(latest + 1):
@@ -306,14 +324,14 @@ class CrawlScheduler:
         else:
             # admit seeds in list order — first-wins exactly like resource
             # registration (parse.js:287-293)
-            next_index = 0
+            seed_rows: list[dict] = []
             for url in seed_urls:
                 canon = canonicalize(url)
                 if not is_fetchable(canon.canon_url):
                     continue
                 if not self.seen.check_and_add([canon.canon_url])[0]:
                     continue
-                frontier_rows.append(
+                seed_rows.append(
                     {
                         "url": url,
                         "canon_url": canon.canon_url,
@@ -324,10 +342,10 @@ class CrawlScheduler:
                         "discovered_ts": 0,
                         "wave": 0,
                         "parent_url": "",
-                        "discovery_index": next_index,
+                        "discovery_index": len(seed_rows),
                     }
                 )
-                next_index += 1
+            store.add(seed_rows)
 
         worker_config = self._worker_config()
 
@@ -336,9 +354,7 @@ class CrawlScheduler:
         # carry higher indexes (duplicate keys → duplicate/missing fetches —
         # caught by the 100k-url soak). Resume restores it from the persisted
         # frontier + results.
-        next_index = 0
-        for row in frontier_rows:
-            next_index = max(next_index, row["discovery_index"] + 1)
+        next_index = store.max_discovery_index() + 1
         for table in all_results:
             if table.num_rows:
                 next_index = max(
@@ -347,27 +363,10 @@ class CrawlScheduler:
                 )
 
         wave = start_wave
-        while frontier_rows and wave < config.max_waves:
+        while store.size() and wave < config.max_waves:
             wave_started = time.monotonic()
             # wave ordering: priority desc, then deterministic discovery_index
-            frontier_rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
-            if config.per_host_wave_cap is not None:
-                # hot-host skew guard: admit at most K urls per host per wave
-                # (in priority order); the rest carries over
-                host_counts: dict[str, int] = {}
-                capped: list[dict] = []
-                spill: list[dict] = []
-                for row in frontier_rows:
-                    count = host_counts.get(row["host"], 0)
-                    if count < config.per_host_wave_cap and len(capped) < config.wave_budget:
-                        host_counts[row["host"]] = count + 1
-                        capped.append(row)
-                    else:
-                        spill.append(row)
-                this_wave, backlog = capped, spill
-            else:
-                this_wave = frontier_rows[: config.wave_budget]
-                backlog = frontier_rows[config.wave_budget :]
+            this_wave = store.select_wave(config.wave_budget, config.per_host_wave_cap)
             for row in this_wave:
                 row["wave"] = wave
 
@@ -431,7 +430,7 @@ class CrawlScheduler:
                     next_index += 1
                     admitted.append(candidate)
 
-            frontier_rows = backlog + admitted
+            store.add(admitted)
 
             wave_metrics = {
                 "wave": wave,
@@ -441,7 +440,7 @@ class CrawlScheduler:
                 "robots_blocked": sum(1 for r in result_rows if r["robots_blocked"]),
                 "discovered": sum(len(r["discovered"]) for r in result_rows),
                 "admitted": len(admitted),
-                "backlog": len(backlog),
+                "backlog": store.size() - len(admitted),
                 "wall_ms": (time.monotonic() - wave_started) * 1000.0,
                 "hosts": {h: s for h, s in sorted(host_stats.items())},
             }
@@ -450,7 +449,7 @@ class CrawlScheduler:
             if self.checkpoint is not None:
                 self.checkpoint.save_wave(
                     wave,
-                    _frontier_table(frontier_rows),
+                    store.snapshot_table(),
                     results_table,
                     self.seen.snapshot_tables(),
                     wave_metrics,

@@ -1,0 +1,157 @@
+"""Frontier storage backends for the wave scheduler.
+
+The scheduler only ever materializes ONE wave (budget-bounded) on the
+driver; where the rest of the frontier lives is this abstraction:
+
+* MemoryFrontier  — a driver-side list. Right at sandbox scale and for
+  tests; at 10^10 URLs the backlog would not fit one process.
+* ParquetFrontier — the scale path: the backlog is a Parquet-backed Ray
+  Dataset. Wave selection is a distributed ``sort(priority desc,
+  discovery_index asc).limit(budget)``; the un-selected remainder plus the
+  wave's admitted discoveries are written back (atomic directory swap).
+  Nothing but the selected wave ever lands on the driver.
+
+Both backends produce the identical wave sequence (selection is a pure
+function of (priority, discovery_index)) — pinned by
+tests/test_frontier.py::test_parquet_frontier_matches_memory.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+
+from ..stages.schemas import FRONTIER_SCHEMA
+
+
+def _frontier_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+
+
+def _apply_host_cap(rows: list[dict], cap: int | None, budget: int) -> tuple[list[dict], list[dict]]:
+    """Priority-ordered rows → (selected, spilled) under budget + per-host cap."""
+    if cap is None:
+        return rows[:budget], rows[budget:]
+    host_counts: dict[str, int] = {}
+    selected: list[dict] = []
+    spilled: list[dict] = []
+    for row in rows:
+        count = host_counts.get(row["host"], 0)
+        if count < cap and len(selected) < budget:
+            host_counts[row["host"]] = count + 1
+            selected.append(row)
+        else:
+            spilled.append(row)
+    return selected, spilled
+
+
+class MemoryFrontier:
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def add(self, rows: list[dict]) -> None:
+        self.rows.extend(rows)
+
+    def size(self) -> int:
+        return len(self.rows)
+
+    def select_wave(self, budget: int, per_host_cap: int | None = None) -> list[dict]:
+        self.rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
+        selected, self.rows = _apply_host_cap(self.rows, per_host_cap, budget)
+        return selected
+
+    def snapshot_table(self) -> pa.Table:
+        return _frontier_table(self.rows)
+
+    def restore(self, table: pa.Table) -> None:
+        self.rows = table.to_pylist()
+
+    def max_discovery_index(self) -> int:
+        return max((row["discovery_index"] for row in self.rows), default=-1)
+
+
+class ParquetFrontier:
+    """Backlog on Parquet, selection via Ray Data sort+limit.
+
+    The per-host cap runs AFTER the distributed top-(budget × headroom)
+    selection: the cap only reorders within the candidate window, so pulling
+    ``budget × headroom`` rows (instead of exactly budget) keeps the result
+    identical to MemoryFrontier whenever any single host holds fewer than
+    (headroom-1)×budget of the top rows — the hot-host regimes the cap
+    exists for. Spilled rows go back to the store."""
+
+    def __init__(self, root: str, headroom: int = 4):
+        self.root = root
+        self.headroom = headroom
+        os.makedirs(root, exist_ok=True)
+        self.current = os.path.join(root, "frontier")
+        self._write(_frontier_table([]))
+
+    # -- storage primitives --
+    def _write(self, table: pa.Table) -> None:
+        import pyarrow.parquet as pq
+
+        tmp = self.current + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        if os.path.exists(self.current):
+            shutil.rmtree(self.current)
+        os.rename(tmp, self.current)
+
+    def _read_table(self) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(self.current)
+
+    # -- frontier API --
+    def add(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        existing = self._read_table()
+        self._write(pa.concat_tables([existing, _frontier_table(rows)]))
+
+    def size(self) -> int:
+        return self._read_table().num_rows
+
+    def select_wave(self, budget: int, per_host_cap: int | None = None) -> list[dict]:
+        import ray.data
+
+        ds = ray.data.read_parquet(self.current)
+        window = budget if per_host_cap is None else budget * self.headroom
+        # the distributed part: only the top-`window` rows reach the driver
+        top = ds.sort(["priority", "discovery_index"], descending=[True, False]).limit(window)
+        candidate_rows = top.take_all()
+        candidate_rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
+        selected, spilled = _apply_host_cap(candidate_rows, per_host_cap, budget)
+        selected_ids = {row["discovery_index"] for row in selected}
+        remainder = self._read_table()
+        if selected_ids:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(
+                    remainder.column("discovery_index"),
+                    value_set=pa.array(sorted(selected_ids), pa.int64()),
+                )
+            )
+            remainder = remainder.filter(mask)
+        self._write(remainder)
+        return selected
+
+    def snapshot_table(self) -> pa.Table:
+        return self._read_table()
+
+    def restore(self, table: pa.Table) -> None:
+        self._write(table)
+
+    def max_discovery_index(self) -> int:
+        table = self._read_table()
+        if table.num_rows == 0:
+            return -1
+        import pyarrow.compute as pc
+
+        return pc.max(table.column("discovery_index")).as_py()

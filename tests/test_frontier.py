@@ -476,3 +476,63 @@ def test_no_duplicate_fetches_with_backlog_and_discovery(ray_session):
     indexes = [r["discovery_index"] for r in rows]
     assert len(indexes) == len(set(indexes)), "discovery_index collision"
     assert set(urls) == set(routes), "some urls were never fetched"
+
+
+def test_parquet_frontier_matches_memory(ray_session, tmp_path):
+    """The Dataset-backed frontier (the 10^10-URL path: backlog on Parquet,
+    wave selection via distributed sort+limit) produces the identical crawl
+    to the in-memory store."""
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {}
+    for i in range(8):
+        routes[f"https://pf.example/s{i}"] = html_page(
+            [f"https://pf.example/c{i}-{j}" for j in range(3)])
+        for j in range(3):
+            routes[f"https://pf.example/c{i}-{j}"] = html_page([])
+    seeds = [f"https://pf.example/s{i}" for i in range(8)]
+    base = dict(discovery_mode="hyperlinks", retry_sleep_scale=0.0, num_seen_shards=2,
+                fetch_concurrency=1, batch_size=8, wave_budget=5, max_waves=20)
+
+    mem_scheduler = CrawlScheduler(DictTransportFactory(routes), CrawlConfig(**base))
+    mem = mem_scheduler.run(seeds)
+    mem_log, mem_seen = request_log(mem), mem.seen_urls
+    mem_scheduler.close()
+
+    pq_scheduler = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(frontier_storage="parquet", frontier_dir=str(tmp_path / "f"), **base),
+    )
+    parquet = pq_scheduler.run(seeds)
+    assert request_log(parquet) == mem_log, "parquet frontier changed the crawl order"
+    assert parquet.seen_urls == mem_seen
+    pq_scheduler.close()
+
+
+def test_parquet_frontier_with_host_cap(ray_session, tmp_path):
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {"https://hp.example/": html_page(
+        [f"https://hp.example/p{i}" for i in range(8)])}
+    for i in range(8):
+        routes[f"https://hp.example/p{i}"] = html_page([])
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    base = dict(discovery_mode="hyperlinks", retry_sleep_scale=0.0, num_seen_shards=2,
+                fetch_concurrency=1, batch_size=8, per_host_wave_cap=3, max_waves=10)
+    mem_s = CrawlScheduler(DictTransportFactory(routes), CrawlConfig(**base))
+    mem = mem_s.run(["https://hp.example/"]); mem_s.close()
+    pq_s = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(frontier_storage="parquet", frontier_dir=str(tmp_path / "g"), **base))
+    parquet = pq_s.run(["https://hp.example/"]); pq_s.close()
+    assert request_log(parquet) == request_log(mem)
