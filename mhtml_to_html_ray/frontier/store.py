@@ -87,6 +87,7 @@ class ParquetFrontier:
         self.headroom = headroom
         os.makedirs(root, exist_ok=True)
         self.current = os.path.join(root, "frontier")
+        self._fragment_counter = 0
         self._write(_frontier_table([]))
 
     # -- storage primitives --
@@ -109,10 +110,17 @@ class ParquetFrontier:
 
     # -- frontier API --
     def add(self, rows: list[dict]) -> None:
+        """Append as a new fragment file — admitting a wave's discoveries
+        must not rewrite the whole backlog (O(frontier) io per wave)."""
         if not rows:
             return
-        existing = self._read_table()
-        self._write(pa.concat_tables([existing, _frontier_table(rows)]))
+        import pyarrow.parquet as pq
+
+        self._fragment_counter += 1
+        pq.write_table(
+            _frontier_table(rows),
+            os.path.join(self.current, f"part-add-{self._fragment_counter:06d}.parquet"),
+        )
 
     def size(self) -> int:
         return self._read_table().num_rows
