@@ -95,6 +95,57 @@ def q_extract_page_stats(sf_dir: str):
     return _sorted_table(stats, ["lang"])
 
 
+def q_extract_charset_title(sf_dir: str):
+    """The charset cascade under oracle check: every document becomes a
+    koi8-r-ENCODED page (meta http-equiv declaration) whose non-ASCII title
+    is derived from doc_id; the pipeline must detect the declaration,
+    re-decode the raw bytes (parse.js:423-473) and return the exact title
+    the oracle reconstructs in SQL."""
+    import ray.data
+
+    from ..kernel.charsets import encode_single_byte_charset
+    from ..stages.extract import ExtractBatch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for doc_id in doc_ids:
+            title = f"Привет-{doc_id}"
+            document = (
+                b"<html><head>"
+                b'<meta http-equiv="Content-Type" content="text/html; charset=koi8-r">'
+                b"<title>" + encode_single_byte_charset(title, "koi8-r") + b"</title>"
+                b"</head><body><p>body</p></body></html>"
+            )
+            htmls.append(
+                b"MIME-Version: 1.0\r\n"
+                b'Content-Type: multipart/related; boundary="----=_C"\r\n\r\n'
+                b"------=_C\r\nContent-Type: text/html\r\n"
+                b"Content-Transfer-Encoding: 8bit\r\n"
+                b"Content-Location: https://charset.fixture.invalid/"
+                + str(doc_id).encode() + b"\r\n\r\n" + document + b"\r\n------=_C--\r\n"
+            )
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://charset.fixture.invalid/{d}" for d in doc_ids], pa.string()
+                ),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    out = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=128
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"), "title": batch.column("title")})
+
+    return _sorted_table(out.map_batches(project, batch_format="pyarrow"), ["url"])
+
+
 def q_extract_anomaly_stats(sf_dir: str):
     """Recovery-anomaly distribution over the deterministic fixture corpus
     (the reference's anomaly taxonomy as a pipeline: parse.js:49-52,
@@ -695,6 +746,7 @@ def q_media_decode(sf_dir: str):
 QUERIES = {
     "extract_text": q_extract_text,
     "extract_page_stats": q_extract_page_stats,
+    "extract_charset_title": q_extract_charset_title,
     "extract_anomaly_stats": q_extract_anomaly_stats,
     "frontier_seed": q_frontier_seed,
     "frontier_host_budget": q_frontier_host_budget,
@@ -739,6 +791,11 @@ ORACLE_SQL = {
     "extract_page_stats": """
         SELECT lang, COUNT(*) AS n_pages, SUM(LENGTH(text)) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "extract_charset_title": """
+        SELECT 'https://charset.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
+               'Привет-' || CAST(doc_id AS VARCHAR) AS title
+        FROM documents ORDER BY url
     """,
     "frontier_seed": """
         SELECT 'https://host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/order/'
