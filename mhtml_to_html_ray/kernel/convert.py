@@ -40,8 +40,8 @@ from .bytesops import (
     is_stylesheet,
 )
 from .charsets import decode_string, encode_string
-from .css import original_url_rewrite, rewrite_stylesheet, serialize_url
-from .dom import Element, Text, parse_dom
+from .css import original_url_rewrite, rewrite_stylesheet
+from .dom import Element
 from .headers import decode_mime_header
 from .mime import (
     ANOMALY_INDEX_SYNTHESIZED,
