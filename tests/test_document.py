@@ -262,3 +262,35 @@ def test_unshowable_archive_rejected():
     )
     with pytest.raises(ConvertError, match="Index page not found"):
         convert(raw)
+
+
+def test_json_ld_date_created_present_when_date_header():
+    raw = concat_bytes(
+        "Date: Fri, 31 Mar 2006 19:25:16 +0400\r\nMIME-Version: 1.0\r\n",
+        'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n',
+        resource(DOCUMENT_LOCATION, "text/html; charset=utf-8",
+                 "<html><head></head><body>x</body></html>"),
+        "\r\n------=_B--\r\n",
+    )
+    data = convert(raw).data
+    assert '"dateCreated": "Fri, 31 Mar 2006 19:25:16 +0400"' in data
+
+
+def test_json_ld_no_date_created_without_header():
+    assert '"dateCreated"' not in data_of()
+
+
+def test_data_uri_favicon_keeps_no_original():
+    result = convert(page(head=f'<link rel="icon" href="{PNG_URI}">'))
+    # a data: href resolves nowhere (data: is not fetched/matched) but must
+    # not gain a data-original-href (setAttribute guard, convert.js:685-693)
+    assert "data-original-href" not in result.data
+
+
+def test_template_without_shadowmode_content_converted():
+    data = data_of(
+        body='<div><template><img src="i.png"></template></div>',
+        parts=[image_part()],
+    )
+    assert PNG_URI in data, "a reference inside a plain template was not inlined"
+    assert "shadowrootmode" not in data
