@@ -536,3 +536,34 @@ def test_parquet_frontier_with_host_cap(ray_session, tmp_path):
         CrawlConfig(frontier_storage="parquet", frontier_dir=str(tmp_path / "g"), **base))
     parquet = pq_s.run(["https://hp.example/"]); pq_s.close()
     assert request_log(parquet) == request_log(mem)
+
+
+def test_discovery_modes_on_plain_html():
+    from mhtml_to_html_ray.frontier.discovery import discover
+
+    body = (b'<html><body><img src="/i.png"><a href="/next">n</a>'
+            b'<link rel="stylesheet" href="/s.css"></body></html>')
+    base = "https://d.example/page"
+    subs = discover(body, base, "subresources", "text/html")
+    assert "https://d.example/i.png" in subs
+    assert "https://d.example/s.css" in subs
+    assert all("next" not in u for u in subs), "hyperlinks are not subresources"
+    links = discover(body, base, "hyperlinks", "text/html")
+    assert links == ["https://d.example/next"]
+    both = discover(body, base, "both", "text/html")
+    assert set(subs) <= set(both) and set(links) <= set(both)
+
+
+def test_discovery_ignores_media_responses():
+    from mhtml_to_html_ray.frontier.discovery import discover
+
+    assert discover(b"<html>looks like markup</html>", "https://d.example/", "both",
+                    "image/png") == []
+
+
+def test_css_discovery_order_and_dedup():
+    from mhtml_to_html_ray.frontier.discovery import discover_css_references
+
+    css = b'@import url("a.css");p{background:url(b.png)}q{background:url(b.png)}'
+    found = discover_css_references(css, "https://c.example/dir/s.css")
+    assert found == ["https://c.example/dir/a.css", "https://c.example/dir/b.png"]
