@@ -22,6 +22,8 @@ from .canon import is_fetchable
 
 def discover_subresources(body: bytes, base_url: str | None = None) -> list[str]:
     """Missing-resource ids of the page, in collecting-walk order."""
+    from ..kernel.urlutil import parse_absolute
+
     try:
         mhtml = parse(body)
         if mhtml.index is None and base_url is not None:
@@ -29,6 +31,20 @@ def discover_subresources(body: bytes, base_url: str | None = None) -> list[str]
             first = next(iter(mhtml.resources.values()), None)
             if first is not None:
                 mhtml.index = first.id
+        # a fetched plain-HTML page carries no Content-Location: its index id
+        # is a generated "_0", useless as a base — rebind it to the fetch URL
+        # so relative references resolve (the crawler's analogue of the
+        # archive's Content-Location)
+        if (
+            base_url is not None
+            and mhtml.index is not None
+            and parse_absolute(mhtml.index) is None
+        ):
+            resource = mhtml.resources.get(mhtml.index)
+            if resource is not None:
+                resource.id = base_url
+                mhtml.resources[base_url] = resource
+                mhtml.index = base_url
         missing = convert_walk(mhtml, Config(fetch_missing_resources=True))
     except Exception:
         return []
