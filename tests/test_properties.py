@@ -124,3 +124,44 @@ def test_mime_parse_never_crashes_and_is_deterministic(raw):
     except ConvertError:
         b = None
     assert a == b, "conversion of the same bytes differed between runs"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_fetch_rounds_reach_fixpoint_and_fetch_once(data):
+    """Generative version of the fetch-round suites: a random subresource
+    graph (images + css chains, some URLs missing) always terminates, fetches
+    every reachable URL exactly once, and never fetches unreachable ones."""
+    from mhtml_to_html_ray.kernel.convert import Config, convert
+    from tests.helpers import ORIGIN, page, stub_fetch
+
+    n_images = data.draw(st.integers(0, 4))
+    n_css = data.draw(st.integers(0, 3))
+    missing = data.draw(st.sets(st.integers(0, 6), max_size=3))
+    routes = {}
+    body_parts = []
+    for i in range(n_images):
+        body_parts.append(f'<img src="img{i}.png">')
+        if i not in missing:
+            routes[f"{ORIGIN}/img{i}.png"] = {"contentType": "image/png", "body": f"I{i}"}
+    head = ""
+    for c in range(n_css):
+        head += f'<link rel="stylesheet" href="c{c}.css">'
+        target = f"c{c + 1}.css" if c + 1 < n_css else f"deep{c}.png"
+        routes[f"{ORIGIN}/c{c}.css"] = {
+            "contentType": "text/css", "body": f'p{{background:url("{target}")}}'}
+        routes[f"{ORIGIN}/deep{c}.png"] = {"contentType": "image/png", "body": f"D{c}"}
+    fetch, log = stub_fetch(routes)
+    result = convert(
+        page(head=head, body="".join(body_parts)),
+        Config(fetch_missing_resources=True, fetch=fetch, sleep_ms=lambda ms: None),
+    )
+    assert isinstance(result.data, str)
+    assert len(log) == len(set(log)), f"a URL was fetched twice: {log}"
+    for url in log:
+        assert url.startswith(ORIGIN)
+    # every present, referenced url was fetched
+    referenced = {f"{ORIGIN}/img{i}.png" for i in range(n_images)}
+    referenced |= {f"{ORIGIN}/c{c}.css" for c in range(n_css)}
+    for url in referenced & set(routes):
+        assert url in log, f"{url} reachable but never fetched"
