@@ -135,7 +135,10 @@ def cmd_crawl(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from . import __version__
+
     parser = argparse.ArgumentParser(prog="mhtml_to_html_ray")
+    parser.add_argument("--version", action="version", version=__version__)
     parser.add_argument("--num-cpus", type=int, default=None)
     sub = parser.add_subparsers(dest="command", required=True)
 
