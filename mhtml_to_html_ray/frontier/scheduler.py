@@ -52,6 +52,7 @@ RESULT_SCHEMA = pa.schema(
         ("content_type", pa.string()),
         ("fetch_ms", pa.float64()),
         ("n_bytes", pa.int64()),
+        ("content_hash", pa.string()),  # md5 of the fetched body ("" if failed)
         ("body", pa.large_binary()),  # kept only when config.keep_bodies
         ("discovered", pa.list_(pa.string())),
         # canonicalized in the WORKERS (parallel) — canonicalizing thousands
@@ -86,6 +87,8 @@ class CrawlConfig:
     frontier_storage: str = "memory"  # "memory" | "parquet" (Dataset-backed
     # backlog — the 10^10-URL path; only one wave is driver-resident)
     frontier_dir: str | None = None
+    dedup_content: bool = False  # mirror guard: a page whose body hash was
+    # already seen contributes no discoveries (first copy wins)
 
 
 @dataclass
@@ -158,7 +161,8 @@ class FetchWorker:
         if self.robots is not None and not self.robots.allowed(canon_url):
             return {**_base_result(row), "status": -1, "attempts": 0, "ok": False,
                     "robots_blocked": True, "content_type": None, "fetch_ms": 0.0,
-                    "n_bytes": 0, "body": b"", "discovered": [], "discovered_canon": []}
+                    "n_bytes": 0, "content_hash": "", "body": b"",
+                    "discovered": [], "discovered_canon": []}
         outcome = fetch_with_retry(
             unwrap_urn(canon_url),
             self.transport,
@@ -178,10 +182,13 @@ class FetchWorker:
                 discovered_canon.append({"canon_url": canon.canon_url, "host": canon.host})
             else:
                 discovered_canon.append(None)
+        import hashlib
+
         return {**_base_result(row), "status": outcome.status, "attempts": outcome.attempts,
                 "ok": outcome.ok, "robots_blocked": False,
                 "content_type": outcome.content_type, "fetch_ms": outcome.fetch_ms,
                 "n_bytes": len(outcome.body),
+                "content_hash": hashlib.md5(outcome.body).hexdigest() if outcome.ok else "",
                 "body": outcome.body if self.config.get("keep_bodies") else b"",
                 "discovered": discovered,
                 "discovered_canon": discovered_canon}
@@ -386,6 +393,19 @@ class CrawlScheduler:
             if failed_urls:
                 self.seen.add_failed(failed_urls)
 
+            # mirror guard: pages whose content hash was already seen (the
+            # seen shards double as the content-hash registry under a
+            # "content:" key prefix) contribute no discoveries
+            expand = {row["discovery_index"]: True for row in result_rows}
+            if config.dedup_content:
+                hashed = [r for r in result_rows if r["ok"] and r["content_hash"]]
+                if hashed:
+                    fresh = self.seen.check_and_add(
+                        ["content:" + r["content_hash"] for r in hashed]
+                    )
+                    for row, is_first in zip(hashed, fresh):
+                        expand[row["discovery_index"]] = is_first
+
             # discovery: enumerate children in (parent order, document order);
             # within-wave first-wins dedup before the seen-set round trip
             candidates: list[dict] = []
@@ -393,6 +413,8 @@ class CrawlScheduler:
             base_index = next_index
             for parent in result_rows:
                 if parent["depth"] + 1 > config.max_depth:
+                    continue
+                if not expand.get(parent["discovery_index"], True):
                     continue
                 for child_url, child_canon in zip(parent["discovered"],
                                                   parent["discovered_canon"]):
