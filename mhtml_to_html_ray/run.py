@@ -43,7 +43,15 @@ def cmd_extract(args) -> int:
     inputs: list[str] = []
     for pattern in args.input:
         matched = sorted(glob.glob(pattern))
-        inputs.extend(matched if matched else [pattern])
+        if matched:
+            inputs.extend(matched)
+        elif any(ch in pattern for ch in "*?["):
+            # an unmatched glob would otherwise surface as a raw Ray
+            # FileNotFoundError traceback mid-job
+            print(f"no files match {pattern!r}", file=sys.stderr)
+            return 1
+        else:
+            inputs.append(pattern)
     if not inputs:
         print("no input files", file=sys.stderr)
         return 1
