@@ -273,14 +273,25 @@ class CrawlScheduler:
         assignments: list[list[dict]] = [[] for _ in pool]
         for index, start in enumerate(range(0, len(rows), batch)):
             assignments[index % len(pool)].extend(rows[start : start + batch])
-        futures = [
-            pool[actor_index].fetch_batch.remote(_frontier_table(assigned))
-            for actor_index, assigned in enumerate(assignments)
-            if assigned
-        ]
+        futures = []
+        lineage: list[dict] = []
+        for actor_index, assigned in enumerate(assignments):
+            if assigned:
+                futures.append((actor_index, len(assigned),
+                                pool[actor_index].fetch_batch.remote(_frontier_table(assigned))))
         out: list[dict] = []
-        for table in ray.get(futures):
-            out.extend(table.to_pylist())
+        for actor_index, rows_in, future in futures:
+            table = ray.get(future)
+            rows = table.to_pylist()
+            out.extend(rows)
+            # per-partition lineage (SURVEY.md §3.3): which shard did what
+            lineage.append({
+                "shard": actor_index,
+                "rows_in": rows_in,
+                "rows_out": len(rows),
+                "fetch_ms": round(sum(r["fetch_ms"] for r in rows), 3),
+            })
+        self._last_wave_lineage = lineage
         return out
 
     def close(self) -> None:
@@ -465,6 +476,7 @@ class CrawlScheduler:
                 "backlog": store.size() - len(admitted),
                 "wall_ms": (time.monotonic() - wave_started) * 1000.0,
                 "hosts": {h: s for h, s in sorted(host_stats.items())},
+                "partitions": list(getattr(self, "_last_wave_lineage", [])),
             }
             metrics.append(wave_metrics)
 

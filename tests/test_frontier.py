@@ -593,3 +593,15 @@ def test_content_dedup_skips_mirror_expansion(ray_session):
     # without dedup_content the behavior is unchanged (targets still once,
     # via URL dedup) — the difference is observable in the metrics
     assert rows["https://cd.example/a"]["content_hash"] == rows["https://cd.example/b"]["content_hash"]
+
+
+def test_per_partition_lineage_in_metrics(ray_session):
+    routes = _routes_with_page()
+    result = _crawl(routes, [PAGE_URL], ray_session, max_waves=3)
+    wave0 = result.metrics[0]
+    assert wave0["partitions"], "no per-partition lineage recorded"
+    partition = wave0["partitions"][0]
+    for key in ("shard", "rows_in", "rows_out", "fetch_ms"):
+        assert key in partition
+    assert sum(p["rows_in"] for p in wave0["partitions"]) == wave0["rows_in"]
+    assert sum(p["rows_out"] for p in wave0["partitions"]) == wave0["rows_in"]
