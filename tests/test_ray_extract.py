@@ -75,3 +75,18 @@ def test_flagship_round_trips_document_text(ray_session):
         assert row["error"] is None
         assert row["text_out"] == expected[doc_id], f"doc {doc_id} text did not round-trip"
         assert row["title"] == f"doc-{doc_id}"
+
+
+def test_actor_pool_extraction_matches_task_pool(ray_session):
+    """extract_pages(concurrency=N) — the stateful actor-pool branch —
+    produces identical output to the stateless task pool."""
+    import ray.data
+
+    from mhtml_to_html_ray.pipelines.flagship import extract_pages
+
+    table = pages_table()
+    tasks = extract_pages(ray.data.from_arrow(table), batch_size=8).take_all()
+    actors = extract_pages(ray.data.from_arrow(table), batch_size=8, concurrency=2).take_all()
+    by_url_tasks = {row["url"]: row["html_out"] for row in tasks}
+    by_url_actors = {row["url"]: row["html_out"] for row in actors}
+    assert by_url_tasks == by_url_actors
