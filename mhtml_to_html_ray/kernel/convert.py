@@ -55,6 +55,17 @@ from .urlutil import parse_absolute, resolve_path
 
 INDEX_PAGE_NOT_FOUND_ERROR = "Index page not found"
 
+# the stylesheet descent (replace_stylesheet_urls → @import → descend) is
+# recursive like the reference's css-tree walk; ~7 frames per import level
+# means Python's default 1000-frame limit caps chains near 140. Raise it so
+# deep-but-legitimate chains convert; a truly pathological page still lands
+# in the extraction stage's per-row error column (RecursionError is trapped
+# there), never a crashed task.
+import sys as _sys
+
+if _sys.getrecursionlimit() < 20_000:
+    _sys.setrecursionlimit(20_000)
+
 EVENT_HANDLER_ATTRIBUTES = frozenset(
     """onafterprint onbeforeprint onbeforeunload onhashchange onlanguagechange
     onmessage onmessageerror onoffline ononline onpagehide onpageshow
@@ -262,11 +273,14 @@ def fetch_and_convert(mhtml, config: Config | None = None, failed_resources=None
         failed_resources = []
     if config.fetch_missing_resources:
         fetch = config.fetch
-        missing = convert_walk(mhtml, config)
-        missing = [resource for resource in missing if resource.id not in failed_resources]
-        if missing:
+        # the reference recurses per round (convert.js:139); a loop here so a
+        # pathological 1000-deep reference chain can't hit the recursion limit
+        while True:
+            missing = convert_walk(mhtml, config)
+            missing = [resource for resource in missing if resource.id not in failed_resources]
+            if not missing:
+                break
             fetch_resources(missing, mhtml, fetch, config, failed_resources)
-            return fetch_and_convert(mhtml, config, failed_resources)
         final_config = Config(
             enable_scripts=config.enable_scripts,
             fetch_missing_resources=False,

@@ -15,6 +15,12 @@ the kernel's codec caches then persist per actor):
 Error policy: a row that cannot be converted lands with ``error`` set and
 empty outputs — never a task failure (mod.js:67-74 per-file error isolation,
 re-expressed per row because a Ray task retry would redo the whole batch).
+
+Known property (shared with the reference): nested ``@import`` chains inline
+as nested base64 data URIs, so output size is exponential in chain depth
+(×4/3 per level). Real pages nest a handful of levels; a hostile page burns
+its own row's time/memory only, and a RecursionError beyond ~2500 levels is
+trapped into the ``error`` column.
 """
 
 from __future__ import annotations
