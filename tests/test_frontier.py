@@ -605,3 +605,40 @@ def test_per_partition_lineage_in_metrics(ray_session):
         assert key in partition
     assert sum(p["rows_in"] for p in wave0["partitions"]) == wave0["rows_in"]
     assert sum(p["rows_out"] for p in wave0["partitions"]) == wave0["rows_in"]
+
+
+def test_parquet_frontier_checkpoint_resume(ray_session, tmp_path):
+    """checkpoint/resume with the Dataset-backed frontier store."""
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://pr.example/": html_page(["/l1", "/l2"]),
+        "https://pr.example/l1": html_page(["/l3"]),
+        "https://pr.example/l2": html_page([]),
+        "https://pr.example/l3": html_page([]),
+    }
+    base = dict(discovery_mode="hyperlinks", retry_sleep_scale=0.0, num_seen_shards=2,
+                fetch_concurrency=1, batch_size=4, frontier_storage="parquet")
+
+    full_s = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=5, frontier_dir=str(tmp_path / "full"), **base))
+    full = full_s.run(["https://pr.example/"])
+    full_log = request_log(full); full_seen = full.seen_urls
+    full_s.close()
+
+    ck = str(tmp_path / "ck")
+    CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=1, checkpoint_dir=ck, **base)).run(["https://pr.example/"])
+    resumed = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=5, checkpoint_dir=ck, **base)).run(
+            ["https://pr.example/"], resume=True)
+    assert request_log(resumed) == full_log
+    assert resumed.seen_urls == full_seen
