@@ -608,6 +608,30 @@ def q_events_props_extract(sf_dir: str):
     return _sorted_table(agg, ["event_type"])
 
 
+def q_events_lag_gap(sf_dir: str):
+    """Partition-sorted window function: per user, the gap (µs) since their
+    previous event — ``groupby(user).map_groups`` over ts-sorted groups, the
+    guide's streaming-shaped pattern (events = an ordered, partitioned log).
+    Deterministic tie-break by event_id; first event per user → -1."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag_gap(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # exact integer microseconds, unit-pinned (float total_seconds()
+        # loses µs on multi-day gaps; a bare int64 view depends on the
+        # datetime64 unit pandas happened to choose)
+        ts_us = group["ts"].astype("datetime64[us]").astype("int64")
+        gap = (ts_us - ts_us.shift(1)).fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {"event_id": group["event_id"], "user_id": group["user_id"], "gap_us": gap}
+        )
+
+    out = ds.groupby("user_id").map_groups(lag_gap, batch_format="pandas")
+    return _sorted_table(out, ["event_id"])
+
+
 def q_top_users(sf_dir: str):
     """Grouped count + deterministic top-k (sort desc with tie-break)."""
     from ray.data.aggregate import Count
@@ -761,6 +785,7 @@ QUERIES = {
     "part_type_stats": q_part_type_stats,
     "events_tumbling": q_events_tumbling,
     "events_props_extract": q_events_props_extract,
+    "events_lag_gap": q_events_lag_gap,
     "top_users": q_top_users,
     "distinct_segments": q_distinct_segments,
     "dedup_exact": q_dedup_exact,
@@ -885,6 +910,12 @@ ORACLE_SQL = {
         SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+    """,
+    "events_lag_gap": """
+        SELECT event_id, user_id,
+               COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+        FROM events ORDER BY event_id
     """,
     "events_props_extract": """
         SELECT event_type, COUNT(*) AS n,
