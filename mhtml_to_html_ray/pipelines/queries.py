@@ -653,6 +653,52 @@ def q_distinct_segments(sf_dir: str):
 # training-data ops (documents / embeddings)
 
 
+def q_top_tokens(sf_dir: str):
+    """Heavy hitters, exactly: explode text to tokens with PARTIAL per-batch
+    counts (the combiner pattern — the groupby shuffles (token, count) rows,
+    never raw tokens), then a small groupby + deterministic top-20."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(text.split())
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(20)
+    return top.to_pandas()
+
+
+def q_approx_distinct_tokens(sf_dir: str):
+    """HyperLogLog distinct-token count: one 4 KB sketch per batch merged on
+    the driver (approximate by design — accuracy vs exact COUNT DISTINCT is
+    pinned in tests; rows-only here)."""
+    from ..functions.sketches import hll_distinct
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tokens(batch: pa.Table):
+        for text in batch.column("text").to_pylist():
+            yield from text.split()
+
+    estimate = hll_distinct(ds, tokens, b=12)
+    return pa.table({"approx_distinct_tokens": pa.array([int(round(estimate))], pa.int64())})
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _sorted_table(dedup.exact_dedup(ds), ["content_hash"])
@@ -788,6 +834,8 @@ QUERIES = {
     "events_lag_gap": q_events_lag_gap,
     "top_users": q_top_users,
     "distinct_segments": q_distinct_segments,
+    "top_tokens": q_top_tokens,
+    "approx_distinct_tokens": q_approx_distinct_tokens,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
@@ -928,6 +976,11 @@ ORACLE_SQL = {
     """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "top_tokens": """
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
     """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id

@@ -166,3 +166,44 @@ def test_media_decode_stub_plumbing(ray_session):
     assert out[0]["width"] == len("hello world") % 640 + 1
     with pytest.raises(NotImplementedError):
         MediaDecodeBatch(real=True)
+
+
+def test_hll_accuracy_and_merge():
+    from mhtml_to_html_ray.functions.sketches import HyperLogLog
+
+    full = HyperLogLog(b=12)
+    left, right = HyperLogLog(b=12), HyperLogLog(b=12)
+    n = 20000
+    for i in range(n):
+        value = f"token-{i}"
+        full.add(value)
+        (left if i % 2 else right).add(value)
+    estimate = full.estimate()
+    assert abs(estimate - n) / n < 0.05, f"HLL estimate {estimate} vs {n}"
+    merged = left.merge(right)
+    assert abs(merged.estimate() - estimate) < 1e-9, "merge must equal the union sketch"
+    round_trip = HyperLogLog.loads(full.dumps())
+    assert round_trip.estimate() == estimate
+
+
+def test_hll_small_cardinality_linear_counting():
+    from mhtml_to_html_ray.functions.sketches import HyperLogLog
+
+    sketch = HyperLogLog(b=12)
+    for i in range(50):
+        sketch.add(f"v{i}")
+    assert abs(sketch.estimate() - 50) < 3
+
+
+def test_approx_distinct_tokens_close_to_exact(ray_session):
+    import duckdb
+
+    from mhtml_to_html_ray.pipelines.queries import q_approx_distinct_tokens
+
+    estimate = q_approx_distinct_tokens("/root/testdata/sf0.001").column(
+        "approx_distinct_tokens")[0].as_py()
+    exact = duckdb.connect().execute(
+        "SELECT COUNT(DISTINCT token) FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+        "AS token FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
+    ).fetchone()[0]
+    assert abs(estimate - exact) / max(exact, 1) < 0.05, f"{estimate} vs exact {exact}"
