@@ -380,3 +380,81 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints, MOSS-style)
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> set[int]:
+    """Local document fingerprints: Rabin-Karp rolling hash over character
+    k-grams, winnowed (minimum per window of ``window`` hashes, rightmost
+    wins ties). Two documents sharing any sizable passage share fingerprints
+    even when the global hash differs — the partial-overlap detector next to
+    the whole-document md5."""
+    n = len(text)
+    if n < k:
+        return {_md5_u64(text)} if text else set()
+    base = 257
+    mod = (1 << 61) - 1
+    power = pow(base, k - 1, mod)
+    h = 0
+    for ch in text[:k]:
+        h = (h * base + ord(ch)) % mod
+    hashes = [h]
+    for i in range(k, n):
+        h = ((h - ord(text[i - k]) * power) * base + ord(text[i])) % mod
+        hashes.append(h)
+    if len(hashes) <= window:
+        return {min(hashes)}
+    out: set[int] = set()
+    for start in range(len(hashes) - window + 1):
+        segment = hashes[start : start + window]
+        minimum = min(segment)
+        # rightmost minimal hash of the window (standard winnowing tie rule)
+        index = len(segment) - 1 - segment[::-1].index(minimum)
+        out.add(hashes[start + index])
+    return out
+
+
+def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: int = 4,
+                         bucket_cap: int = 64):
+    """Passage-overlap candidate pairs: explode (fingerprint, doc_id) rows,
+    groupby fingerprint (only fingerprint-sized rows shuffle), count shared
+    fingerprints per pair, keep pairs sharing ≥ min_shared."""
+    import collections
+
+    import ray.data
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, fps = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for fp in winnow_fingerprints(text, k, window):
+                doc_ids.append(doc_id)
+                fps.append(fp & 0x7FFFFFFFFFFFFFFF)
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.int64()), pa.array(fps, pa.int64())],
+            names=["doc_id", "fingerprint"],
+        )
+
+    rows = documents_ds.map_batches(explode, batch_format="pyarrow").take_all()
+    buckets: dict[int, list[int]] = {}
+    for row in rows:
+        buckets.setdefault(row["fingerprint"], []).append(row["doc_id"])
+    pair_counts: collections.Counter = collections.Counter()
+    for docs in buckets.values():
+        docs = sorted(set(docs))[:bucket_cap]
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pair_counts[(docs[i], docs[j])] += 1
+    out = sorted((a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([o[0] for o in out], pa.int64()),
+                "b": pa.array([o[1] for o in out], pa.int64()),
+                "shared_fingerprints": pa.array([o[2] for o in out], pa.int64()),
+            }
+        )
+    )

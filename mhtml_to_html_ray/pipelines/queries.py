@@ -632,6 +632,41 @@ def q_events_lag_gap(sf_dir: str):
     return _sorted_table(out, ["event_id"])
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (session break when > 30 min since
+    the previous event): per-user sorted map_groups assigns session ids by
+    cumulative gap flags; output = events per (user, session). The session-
+    window analogue of the tumbling query, oracle via SQL window functions."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = group["ts"].astype("datetime64[us]").astype("int64")
+        new_session = (ts_us - ts_us.shift(1)).fillna(gap_us + 1) > gap_us
+        session_id = new_session.cumsum().astype("int64") - 1
+        out = (
+            pd.DataFrame({"user_id": group["user_id"], "session_id": session_id})
+            .groupby(["user_id", "session_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return _sorted_table(out, ["user_id", "session_id"])
+
+
+def q_winnow_pairs(sf_dir: str):
+    """Rolling-hash (winnowing) passage-overlap pairs — the local-fingerprint
+    counterpart of doc_fingerprint; approximate/structural, rows-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.winnow_overlap_pairs(ds, min_shared=25)
+
+
 def q_top_users(sf_dir: str):
     """Grouped count + deterministic top-k (sort desc with tie-break)."""
     from ray.data.aggregate import Count
@@ -832,6 +867,8 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_props_extract": q_events_props_extract,
     "events_lag_gap": q_events_lag_gap,
+    "events_sessionize": q_events_sessionize,
+    "winnow_pairs": q_winnow_pairs,
     "top_users": q_top_users,
     "distinct_segments": q_distinct_segments,
     "top_tokens": q_top_tokens,
@@ -969,6 +1006,19 @@ ORACLE_SQL = {
         SELECT event_type, COUNT(*) AS n,
                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "events_sessionize": """
+        SELECT user_id, session_id, COUNT(*) AS n_events FROM (
+            SELECT user_id,
+                   SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events))
+        GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "top_users": """
         SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

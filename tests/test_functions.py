@@ -207,3 +207,21 @@ def test_approx_distinct_tokens_close_to_exact(ray_session):
         "AS token FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
     ).fetchone()[0]
     assert abs(estimate - exact) / max(exact, 1) < 0.05, f"{estimate} vs exact {exact}"
+
+
+def test_winnow_fingerprints_detect_shared_passage(ray_session):
+    import ray.data
+
+    from mhtml_to_html_ray.functions.dedup import winnow_overlap_pairs
+
+    passage = "a long shared passage of text that appears verbatim in two documents"
+    texts = [
+        f"intro one {passage} outro one",
+        f"different intro {passage} and a different ending entirely",
+        "nothing in common with the others at all in any way",
+    ]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    pairs = {(row["a"], row["b"]): row["shared_fingerprints"]
+             for row in winnow_overlap_pairs(ds, min_shared=3).take_all()}
+    assert (0, 1) in pairs, "shared passage not detected"
+    assert all(pair == (0, 1) for pair in pairs), f"false positives: {pairs}"
