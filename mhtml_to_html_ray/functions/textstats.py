@@ -71,6 +71,53 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# BPE-style pretokenization (GPT-2-shaped, simplified to an RE2-compatible
+# subset so the DuckDB oracle can run the IDENTICAL pattern: no lookahead)
+BPE_TOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|[ ]+"
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens — the BPE-ish pretokenizer count next to the
+    whitespace count (token_count_batch); same regex as the SQL oracle."""
+    text = batch.column("text")
+    n_bpe = pc.count_substring_regex(text, BPE_TOKEN_RE)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_bpe.cast(pa.int64())],
+        names=["doc_id", "n_bpe_tokens"],
+    )
+
+
+def stopword_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, n_stopwords, stopword_ratio (fixed 10-word list,
+    space-split tokens — the classic quality filter signal)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    stop = set(STOPWORDS)
+    n_tokens, n_stop, ratio = [], [], []
+    for text in texts:
+        tokens = text.split(" ")
+        tokens = [t for t in tokens if t]
+        hits = sum(1 for t in tokens if t in stop)
+        n_tokens.append(len(tokens))
+        n_stop.append(hits)
+        denominator = max(len(tokens), 1)
+        value = hits / denominator
+        import numpy as np
+
+        ratio.append(float(np.floor(abs(value) * 1e6 + 0.5) / 1e6))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_tokens, pa.int64()),
+            pa.array(n_stop, pa.int64()),
+            pa.array(ratio, pa.float64()),
+        ],
+        names=["doc_id", "n_tokens", "n_stopwords", "stopword_ratio"],
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint per document (md5 hex — matches DuckDB's md5()
     oracle; the rolling-hash variant lives in dedup.simhash/minhash)."""

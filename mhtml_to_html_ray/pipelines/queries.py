@@ -751,6 +751,20 @@ def q_token_count(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish pretokenizer counts (same RE2-compatible regex as the oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.bpe_token_count_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_stopword_stats(sf_dir: str):
+    """Stopword-ratio quality signal (fixed 10-word list, oracled)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.stopword_stats_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textstats.quality_score_batch, batch_format="pyarrow")
@@ -876,6 +890,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
+    "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
     "lang_distribution": q_lang_distribution,
     "langid": q_langid,
@@ -1043,6 +1059,25 @@ ORACLE_SQL = {
         SELECT doc_id, LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
                LENGTH(text) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    "token_count_bpe": """
+        SELECT doc_id,
+               LENGTH(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|[ ]+'))
+                   AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "stopword_stats": """
+        SELECT doc_id,
+               LENGTH(toks) AS n_tokens,
+               LENGTH(list_filter(toks, t -> t IN
+                   ('the','and','of','a','to','in','is','it','that','for'))) AS n_stopwords,
+               ROUND(LENGTH(list_filter(toks, t -> t IN
+                   ('the','and','of','a','to','in','is','it','that','for')))
+                   / GREATEST(LENGTH(toks), 1), 6) AS stopword_ratio
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+        ORDER BY doc_id
     """,
     "quality_score": """
         SELECT doc_id,
