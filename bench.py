@@ -36,6 +36,8 @@ QUERY_SAMPLE = [
     "quality_score",
     "embedding_topk",
     "dedup_minhash",
+    "top_tokens",
+    "events_sessionize",
 ]
 
 
