@@ -102,6 +102,73 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_convert_files(args) -> int:
+    """The reference CLI's own use case (mod.js:46-75): .mht files in,
+    <stem>.html files out — but parallel over Ray (`read_binary_files`
+    shards the file list) instead of a sequential loop. Per-file errors are
+    logged and the run continues, exactly like the reference (mod.js:67-74).
+    A single input honors --output as the target file, like `mhtml-to-html
+    file.mht --output out.html`."""
+    import pyarrow as pa
+    import ray.data
+
+    _init_ray(args.num_cpus)
+    inputs: list[str] = []
+    for pattern in args.inputs:
+        matched = sorted(glob.glob(pattern))
+        inputs.extend(matched if matched else [pattern])
+    if not inputs:
+        print("no input files", file=sys.stderr)
+        print("usage: convert-files <input.mht>... [--output out]", file=sys.stderr)
+        return 1
+    single_output = args.output if args.output and len(inputs) == 1 else None
+    out_dir = None
+    if args.output and len(inputs) > 1:
+        out_dir = args.output
+        os.makedirs(out_dir, exist_ok=True)
+
+    ds = ray.data.read_binary_files(inputs, include_paths=True)
+
+    def convert_batch(batch: pa.Table) -> pa.Table:
+        from .kernel.convert import Config, ConvertError, convert
+
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        htmls, errors = [], []
+        for blob in blobs:
+            try:
+                htmls.append(convert(bytes(blob), Config(enable_scripts=args.enable_scripts)).data)
+                errors.append(None)
+            except ConvertError as exc:
+                htmls.append("")
+                errors.append(str(exc))
+            except Exception as exc:  # per-file isolation, never a job failure
+                htmls.append("")
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "html": pa.array(htmls, pa.string()),
+                         "error": pa.array(errors, pa.string())})
+
+    converted = failed = 0
+    for row in ds.map_batches(convert_batch, batch_format="pyarrow").take_all():
+        source = row["path"]
+        if row["error"] is not None:
+            failed += 1
+            print(f"{source}: {row['error']}", file=sys.stderr)
+            continue
+        if single_output:
+            target = single_output
+        else:
+            stem = os.path.splitext(os.path.basename(source))[0]
+            directory = out_dir if out_dir else os.path.dirname(source)
+            target = os.path.join(directory, stem + ".html")  # forced .html suffix
+        with open(target, "w", encoding="utf-8") as handle:
+            handle.write(row["html"])
+        converted += 1
+    print(json.dumps({"converted": converted, "failed": failed}))
+    return 0
+
+
 def cmd_crawl(args) -> int:
     from .frontier.scheduler import CrawlConfig, CrawlScheduler
     from .frontier.transports import DictTransportFactory
@@ -158,6 +225,14 @@ def main(argv: list[str] | None = None) -> int:
     p_extract.add_argument("--no-html", action="store_true", help="drop html_out (text only)")
     p_extract.add_argument("--enable-scripts", action="store_true")
     p_extract.set_defaults(func=cmd_extract)
+
+    p_files = sub.add_parser("convert-files",
+                             help=".mht/.mhtml files → standalone .html (the reference CLI's job)")
+    p_files.add_argument("inputs", nargs="*", help="mhtml files / globs")
+    p_files.add_argument("--output", default=None,
+                         help="target file (single input) or directory (many)")
+    p_files.add_argument("--enable-scripts", action="store_true")
+    p_files.set_defaults(func=cmd_convert_files)
 
     p_crawl = sub.add_parser("crawl", help="wave-synchronous crawl over a routes file")
     p_crawl.add_argument("--seeds", required=True, help="text file, one url per line")

@@ -149,3 +149,48 @@ def test_cli_crawl_checkpoint(ray_session, tmp_path):
     assert summary["urls_fetched"] == 2
     assert summary["seen"] == 2
     assert os.path.exists(str(tmp_path / "ck" / "wave_00000" / "_COMPLETE"))
+
+
+def test_cli_convert_files(ray_session, tmp_path):
+    """The reference CLI's own job (mod.js:46-75): .mht in, .html out,
+    per-file errors logged without failing the run, forced .html suffix."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mhtml_to_html_ray.run import main
+
+    good = tmp_path / "page.mht"
+    good.write_bytes(
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+        b"------=_B\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Location: https://cf.example/\r\n\r\n"
+        b"<html><head><title>CF</title></head><body><p>FILECONV</p></body></html>\r\n"
+        b"------=_B--\r\n"
+    )
+    bad = tmp_path / "broken.mht"
+    bad.write_bytes(b"\x00\x05\x16\x07 rubbish")
+
+    buffer = io.StringIO()
+    with redirect_stdout(buffer):
+        assert main(["convert-files", str(good), str(bad)]) == 0
+    summary = json.loads(buffer.getvalue().strip().splitlines()[-1])
+    assert summary == {"converted": 1, "failed": 1}
+    output = (tmp_path / "page.html").read_text(encoding="utf-8")
+    assert "FILECONV" in output and '<meta charset="utf-8">' in output
+    assert not (tmp_path / "broken.html").exists()
+
+    # single input honors --output as the target file
+    target = tmp_path / "custom.html"
+    buffer = io.StringIO()
+    with redirect_stdout(buffer):
+        assert main(["convert-files", str(good), "--output", str(target)]) == 0
+    assert "FILECONV" in target.read_text(encoding="utf-8")
+
+
+def test_cli_convert_files_empty_usage(ray_session, capsys):
+    from mhtml_to_html_ray.run import main
+
+    assert main(["convert-files"]) == 1
+    captured = capsys.readouterr()
+    assert "usage" in captured.err
