@@ -418,12 +418,18 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> set[int]:
 
 
 def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: int = 4,
-                         bucket_cap: int = 64):
+                         bucket_cap: int = 64, strategy: str = "auto"):
     """Passage-overlap candidate pairs: explode (fingerprint, doc_id) rows,
-    groupby fingerprint (only fingerprint-sized rows shuffle), count shared
-    fingerprints per pair, keep pairs sharing ≥ min_shared."""
+    bucket by fingerprint (only fingerprint-sized rows ever shuffle), count
+    shared fingerprints per pair, keep pairs sharing ≥ min_shared.
+
+    Same dual plan as the minhash path: "driver" dict-buckets the exploded
+    rows (right while they fit one process), "groupby" is the distributed
+    plan — groupby(fingerprint) → per-bucket pair emission → groupby(pair)
+    count. "auto" switches on document count."""
     import collections
 
+    import pandas as pd
     import ray.data
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -438,17 +444,43 @@ def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: 
             names=["doc_id", "fingerprint"],
         )
 
-    rows = documents_ds.map_batches(explode, batch_format="pyarrow").take_all()
-    buckets: dict[int, list[int]] = {}
-    for row in rows:
-        buckets.setdefault(row["fingerprint"], []).append(row["doc_id"])
-    pair_counts: collections.Counter = collections.Counter()
-    for docs in buckets.values():
-        docs = sorted(set(docs))[:bucket_cap]
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                pair_counts[(docs[i], docs[j])] += 1
-    out = sorted((a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared)
+    exploded = documents_ds.map_batches(explode, batch_format="pyarrow")
+    if strategy == "auto":
+        strategy = "groupby" if documents_ds.count() > 200_000 else "driver"
+
+    if strategy == "driver":
+        buckets: dict[int, list[int]] = {}
+        for row in exploded.take_all():
+            buckets.setdefault(row["fingerprint"], []).append(row["doc_id"])
+        pair_counts: collections.Counter = collections.Counter()
+        for docs in buckets.values():
+            docs = sorted(set(docs))[:bucket_cap]
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    pair_counts[(docs[i], docs[j])] += 1
+        out = sorted((a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared)
+    else:
+        def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            docs = sorted(set(group["doc_id"].tolist()))[:bucket_cap]
+            out_a, out_b = [], []
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    out_a.append(docs[i])
+                    out_b.append(docs[j])
+            return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                                 "b": pd.Series(out_b, dtype="int64")})
+
+        from ray.data.aggregate import Count
+
+        pairs_ds = exploded.groupby("fingerprint").map_groups(
+            bucket_pairs, batch_format="pandas"
+        )
+        counted = pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="shared"))
+        out = sorted(
+            (row["a"], row["b"], row["shared"])
+            for row in counted.take_all()
+            if row["shared"] >= min_shared
+        )
     return ray.data.from_arrow(
         pa.table(
             {

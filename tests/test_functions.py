@@ -225,3 +225,16 @@ def test_winnow_fingerprints_detect_shared_passage(ray_session):
              for row in winnow_overlap_pairs(ds, min_shared=3).take_all()}
     assert (0, 1) in pairs, "shared passage not detected"
     assert all(pair == (0, 1) for pair in pairs), f"false positives: {pairs}"
+
+
+def test_winnow_strategies_agree(ray_session):
+    import ray.data
+
+    from mhtml_to_html_ray.functions.dedup import winnow_overlap_pairs
+
+    passage = "a long shared passage of text that appears verbatim in two documents"
+    texts = [f"intro {passage} one", f"other {passage} two", "unrelated text entirely"]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    driver = winnow_overlap_pairs(ds, min_shared=3, strategy="driver").take_all()
+    grouped = winnow_overlap_pairs(ds, min_shared=3, strategy="groupby").take_all()
+    assert driver == grouped, "the two physical plans must agree"
