@@ -190,6 +190,9 @@ def cmd_crawl(args) -> int:
         respect_robots=args.robots,
         min_host_gap_ms=args.host_gap_ms,
         fetch_concurrency=args.concurrency or 2,
+        frontier_storage=args.frontier,
+        per_host_wave_cap=args.per_host_cap,
+        dedup_content=args.dedup_content,
     )
     scheduler = CrawlScheduler(DictTransportFactory(routes), config)
     try:
@@ -246,6 +249,12 @@ def main(argv: list[str] | None = None) -> int:
     p_crawl.add_argument("--robots", action="store_true")
     p_crawl.add_argument("--host-gap-ms", type=float, default=0.0)
     p_crawl.add_argument("--concurrency", type=int, default=None)
+    p_crawl.add_argument("--frontier", default="memory", choices=["memory", "parquet"],
+                         help="backlog storage (parquet = Dataset-backed, the scale path)")
+    p_crawl.add_argument("--per-host-cap", type=int, default=None,
+                         help="max urls per host per wave (hot-host spill)")
+    p_crawl.add_argument("--dedup-content", action="store_true",
+                         help="skip link expansion of byte-identical (mirror) pages")
     p_crawl.set_defaults(func=cmd_crawl)
 
     args = parser.parse_args(argv)
