@@ -642,3 +642,20 @@ def test_parquet_frontier_checkpoint_resume(ray_session, tmp_path):
             ["https://pr.example/"], resume=True)
     assert request_log(resumed) == full_log
     assert resumed.seen_urls == full_seen
+
+
+def test_both_discovery_mode_crawls_subresources_and_links(ray_session):
+    """mode='both': one wave discovers a page's subresources (images/css)
+    AND its hyperlinks — the full training-crawl shape."""
+    html = (b'<html><head><link rel="stylesheet" href="/s.css"></head>'
+            b'<body><img src="/i.png"><a href="/next">n</a></body></html>')
+    routes = {
+        "https://bm.example/": ("text/html", html),
+        "https://bm.example/s.css": ("text/css", b"p{color:red}"),
+        "https://bm.example/i.png": ("image/png", b"PNG"),
+        "https://bm.example/next": ("text/html", b"<html><body>leaf</body></html>"),
+    }
+    result = _crawl(routes, ["https://bm.example/"], ray_session,
+                    discovery_mode="both", max_waves=3)
+    urls = set(result.results.column("canon_url").to_pylist())
+    assert urls == set(routes), f"missing: {set(routes) - urls}"
