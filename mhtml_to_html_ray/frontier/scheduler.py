@@ -255,6 +255,10 @@ class CrawlScheduler:
         if self._pool is None:
             import ray
 
+            if self.gate is None:  # rebuilt lazily after close()
+                self.gate = make_gate_actors(
+                    self.config.num_gate_shards, self.config.min_host_gap_ms
+                )
             actor_class = ray.remote(num_cpus=1)(FetchWorker)
             self._pool = [
                 actor_class.remote(self.transport_factory, self.gate, worker_config)
@@ -300,8 +304,11 @@ class CrawlScheduler:
         for actor in self._pool or []:
             ray.kill(actor)
         self._pool = None
-        for gate in self.gate:
+        for gate in self.gate or []:
             ray.kill(gate)
+        # drop the dead handles so a later run()/warmup() rebuilds a live
+        # gate alongside the pool instead of handing workers killed actors
+        self.gate = None
         # seen shards are NOT killed here: CrawlResult.seen_urls snapshots
         # them lazily, and they die with their last handle anyway (0.1 cpu
         # each) — killing them would invalidate results already returned

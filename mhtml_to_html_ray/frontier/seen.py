@@ -30,21 +30,34 @@ class SeenShard:
         self.exact: set[str] = set()
         self.failed: set[str] = set()
         self.filter = CuckooFilter(capacity)
+        # Truth lives in self.exact. The cuckoo filter is ONLY a negative-path
+        # accelerator, and only while every insert has succeeded: a failed
+        # add() loses an evicted victim fingerprint, after which
+        # might_contain() can false-negative for arbitrary keys — so the
+        # first failed insert degrades the shard to exact-set-only probes.
+        self.filter_ok = True
+
+    def _probe(self, url: str) -> bool:
+        """Seen-before test with the filter as a safe fast negative path."""
+        if self.filter_ok and not self.filter.might_contain(url):
+            return False
+        return url in self.exact
 
     def check_and_add(self, urls: list[str]) -> list[bool]:
         """True per url when newly added (first-wins dedup)."""
         out = []
         for url in urls:
-            if self.filter.might_contain(url) and url in self.exact:
+            if self._probe(url):
                 out.append(False)
             else:
                 self.exact.add(url)
-                self.filter.add(url)
+                if self.filter_ok and not self.filter.add(url):
+                    self.filter_ok = False
                 out.append(True)
         return out
 
     def contains(self, urls: list[str]) -> list[bool]:
-        return [self.filter.might_contain(u) and u in self.exact for u in urls]
+        return [self._probe(u) for u in urls]
 
     def add_failed(self, urls: list[str]) -> None:
         self.failed.update(urls)
@@ -59,6 +72,7 @@ class SeenShard:
             "seen": len(self.exact),
             "failed": len(self.failed),
             "filter_count": self.filter.count,
+            "filter_ok": self.filter_ok,
         }
 
     # --- checkpointing ---
@@ -75,13 +89,16 @@ class SeenShard:
     def restore(self, table: pa.Table) -> None:
         self.exact = set()
         self.failed = set()
-        self.filter = CuckooFilter(max(len(table), 1 << 10))
+        # 2x headroom: re-adding at load factor ~1 would fail immediately
+        self.filter = CuckooFilter(max(2 * len(table), 1 << 10))
+        self.filter_ok = True
         for url, failed in zip(table.column("url").to_pylist(), table.column("failed").to_pylist()):
             if failed:
                 self.failed.add(url)
             else:
                 self.exact.add(url)
-                self.filter.add(url)
+                if self.filter_ok and not self.filter.add(url):
+                    self.filter_ok = False
 
 
 def _shard_actor_class():

@@ -341,6 +341,31 @@ def add_missing_resource(missing_resources: list, id: str, transfer_encoding=Non
         missing_resources.append(resource)
 
 
+class OrderedStrSet:
+    """Insertion-ordered string set. The reference's unfoundResources is a JS
+    Set, which iterates in insertion (first-encounter) order
+    (convert.js:639-645); a Python set's iteration order is
+    PYTHONHASHSEED-dependent and would make the unfound_resources output
+    column flap across workers/runs."""
+
+    __slots__ = ("_entries",)
+
+    def __init__(self) -> None:
+        self._entries: dict[str, None] = {}
+
+    def add(self, value: str) -> None:
+        self._entries[value] = None
+
+    def __contains__(self, value: str) -> bool:
+        return value in self._entries
+
+    def __iter__(self):
+        return iter(self._entries)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
 def resolve_reference(resources, missing_resources, unfound_resources, reference: _Reference) -> None:
     """The one place where the collecting and rewriting walks part ways
     (convert.js:776-792)."""
@@ -501,7 +526,9 @@ def convert_walk(mhtml: MHTML, config: Config):
     headers = mhtml.headers
     index = mhtml.index
     anomalies = mhtml.anomalies if mhtml.anomalies is not None else []
-    unfound_resources = mhtml.unfound_resources if mhtml.unfound_resources is not None else set()
+    unfound_resources = (
+        mhtml.unfound_resources if mhtml.unfound_resources is not None else OrderedStrSet()
+    )
     enable_scripts = config.enable_scripts
     fetch_missing = config.fetch_missing_resources
     mhtml_id = mhtml.id

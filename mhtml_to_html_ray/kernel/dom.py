@@ -152,13 +152,15 @@ class _ParentNode(Node):
     def get_elements_by_tag_name(self, tag_name: str) -> list["Element"]:
         found: list[Element] = []
         tag_name = tag_name.lower()
+        # childNodes only — parse5 templates keep their content OUT of
+        # childNodes, so the reference's getElementsByTagName
+        # (dom-parser-node.js:237-248) never sees inside <template>; the
+        # convert walk reaches template content explicitly instead.
         for node in self.child_nodes:
             if isinstance(node, Element):
                 if node.tag_name.lower() == tag_name:
                     found.append(node)
                 found.extend(node.get_elements_by_tag_name(tag_name))
-                if node.content is not None:
-                    found.extend(node.content.get_elements_by_tag_name(tag_name))
         return found
 
 

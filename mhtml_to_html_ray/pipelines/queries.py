@@ -92,7 +92,16 @@ def q_extract_page_stats(sf_dir: str):
         .groupby("lang")
         .aggregate(Count(alias_name="n_pages"), Sum("chars", alias_name="total_chars"))
     )
-    return _sorted_table(stats, ["lang"])
+
+    # DuckDB SUM(BIGINT) → HUGEINT → pandas float64; match the dtype
+    def widen(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_chars"),
+            "total_chars",
+            pc.cast(batch.column("total_chars"), pa.float64()),
+        )
+
+    return _sorted_table(stats.map_batches(widen, batch_format="pyarrow"), ["lang"])
 
 
 def q_extract_charset_title(sf_dir: str):
@@ -215,13 +224,29 @@ def q_frontier_seed(sf_dir: str):
 def q_frontier_host_budget(sf_dir: str):
     """Per-host politeness budgeting: groupby(host) → url count, total
     priority, budget = min(n_urls, 10) — the per-wave host aggregate that
-    feeds the scheduler (SURVEY.md §2.6 aggregations)."""
+    feeds the scheduler (SURVEY.md §2.6 aggregations).
+
+    Priorities are 2-dp dollar values; summing them as float64 flaps by ±1
+    unit with block order when the true sum lands on an x.5 boundary, so the
+    sum is carried as EXACT integer cents (int64) end-to-end and only the
+    dtype is widened to float64 at the edge to match DuckDB's
+    SUM(BIGINT)→HUGEINT→pandas-float64 conversion."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     frontier = ds.map_batches(_orders_url_expr, batch_format="pyarrow")
-    agg = frontier.groupby("host").aggregate(
-        Count(alias_name="n_urls"), Sum("priority", alias_name="sum_priority")
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _round(pc.multiply(batch.column("priority"), pa.scalar(100.0)), 0)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "priority_cents": pc.cast(cents, pa.int64()),
+            }
+        )
+
+    agg = frontier.map_batches(to_cents, batch_format="pyarrow").groupby("host").aggregate(
+        Count(alias_name="n_urls"), Sum("priority_cents", alias_name="sum_priority_cents")
     )
 
     def budget(batch: pa.Table) -> pa.Table:
@@ -229,7 +254,9 @@ def q_frontier_host_budget(sf_dir: str):
             {
                 "host": batch.column("host"),
                 "n_urls": batch.column("n_urls"),
-                "sum_priority": _round(batch.column("sum_priority"), 0),
+                "sum_priority_cents": pc.cast(
+                    batch.column("sum_priority_cents"), pa.float64()
+                ),
                 "budget": pc.min_element_wise(
                     batch.column("n_urls"), pa.scalar(10, pa.int64())
                 ),
@@ -605,7 +632,16 @@ def q_events_props_extract(sf_dir: str):
         .groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
     )
-    return _sorted_table(agg, ["event_type"])
+
+    # DuckDB SUM(BIGINT) → HUGEINT → pandas float64; match the dtype
+    def widen(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_k"),
+            "sum_k",
+            pc.cast(batch.column("sum_k"), pa.float64()),
+        )
+
+    return _sorted_table(agg.map_batches(widen, batch_format="pyarrow"), ["event_type"])
 
 
 def q_events_lag_gap(sf_dir: str):
@@ -646,7 +682,8 @@ def q_events_sessionize(sf_dir: str):
         group = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
         ts_us = group["ts"].astype("datetime64[us]").astype("int64")
         new_session = (ts_us - ts_us.shift(1)).fillna(gap_us + 1) > gap_us
-        session_id = new_session.cumsum().astype("int64") - 1
+        # float64: DuckDB's windowed SUM(CASE...) is HUGEINT → pandas float64
+        session_id = (new_session.cumsum() - 1).astype("float64")
         out = (
             pd.DataFrame({"user_id": group["user_id"], "session_id": session_id})
             .groupby(["user_id", "session_id"], as_index=False)
@@ -931,7 +968,8 @@ ORACLE_SQL = {
         FROM orders ORDER BY url
     """,
     "frontier_host_budget": """
-        SELECT host, COUNT(*) AS n_urls, ROUND(SUM(priority), 0) AS sum_priority,
+        SELECT host, COUNT(*) AS n_urls,
+               SUM(CAST(ROUND(priority * 100, 0) AS BIGINT)) AS sum_priority_cents,
                LEAST(COUNT(*), 10) AS budget
         FROM (SELECT 'host-' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' AS host,
                      ROUND(o_totalprice, 2) AS priority FROM orders)

@@ -43,6 +43,12 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return problems
     a, b = normalize(ray_df), normalize(sql_df)
     for col in a.columns:
+        # the driver's value hash is dtype-sensitive (150 != 150.0) — flag
+        # dtype drift even when the values compare equal
+        if a[col].dtype != b[col].dtype:
+            problems.append(
+                f"dtype mismatch col={col}: {a[col].dtype} vs {b[col].dtype}"
+            )
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             same = (
@@ -51,7 +57,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
                     (math.isnan(x) and math.isnan(y)) or x == y))
                 or x == y
             )
-            if not same:
+            if not same or type(x) is not type(y):
                 problems.append(f"value mismatch col={col} row={i}: {x!r} vs {y!r}")
                 if len(problems) > 5:
                     return problems

@@ -107,6 +107,37 @@ def test_unfound_resources_reported():
     assert complete.unfound_resources == []
 
 
+def test_unfound_resources_in_document_order():
+    """unfoundResources is a JS Set in the reference → insertion (discovery)
+    order; the port must not leak Python set hash order."""
+    body = (
+        '<img src="zzz-first.png"><img src="aaa-second.png">'
+        '<img src="mmm-third.png">'
+    )
+    result = convert(page(body=body))
+    assert result.unfound_resources == [
+        f"{ORIGIN}/zzz-first.png",
+        f"{ORIGIN}/aaa-second.png",
+        f"{ORIGIN}/mmm-third.png",
+    ], "unfound order must be discovery order, not lexical/hash order"
+
+
+def test_template_content_hidden_from_tag_scans():
+    """parse5 keeps template content out of childNodes, so the reference's
+    getElementsByTagName (dom-parser-node.js:237-248) never sees inside
+    <template>; a <title>/<base>/<meta> there must be ignored."""
+    from mhtml_to_html_ray.kernel.dom import parse_html
+
+    doc = parse_html(
+        "<html><head><title>real</title></head><body>"
+        "<template><title>hidden</title><base href='https://evil.example/'>"
+        "</template></body></html>"
+    )
+    titles = doc.get_elements_by_tag_name("title")
+    assert [t.text_content for t in titles] == ["real"]
+    assert doc.get_elements_by_tag_name("base") == []
+
+
 def test_data_uri_left_as_is():
     body = body_of(body=f'<img src="{PNG_URI}">')
     assert f'src="{PNG_URI}"' in body

@@ -51,6 +51,27 @@ def test_seen_shard_first_wins_and_exactness():
     assert restored.contains(["u1", "u2", "u3", "u4"]) == [True, True, True, False]
 
 
+def test_seen_shard_exact_beyond_filter_capacity():
+    """A saturated cuckoo filter loses evicted fingerprints (add() returns
+    False), so might_contain can false-negative; the shard must fall back to
+    the exact set as truth — previously 397/400 already-seen URLs re-admitted
+    as new past ~capacity."""
+    shard = SeenShard(0, capacity=64)
+    urls = [f"https://h{i % 9}.example/{i}" for i in range(400)]
+    first = shard.check_and_add(urls)
+    assert all(first), "first pass must admit every distinct url"
+    second = shard.check_and_add(urls)
+    assert not any(second), "second pass must report every url as already seen"
+    assert shard.contains(urls) == [True] * len(urls)
+    assert not shard.stats()["filter_ok"], "a 64-slot filter must degrade at 400 keys"
+
+    # restore path has the same contract
+    restored = SeenShard(0, capacity=64)
+    restored.restore(shard.snapshot())
+    assert restored.contains(urls) == [True] * len(urls)
+    assert not any(restored.check_and_add(urls))
+
+
 def test_seen_shard_failed_set():
     shard = SeenShard(0)
     shard.add_failed(["bad"])
