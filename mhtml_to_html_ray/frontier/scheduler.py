@@ -87,17 +87,32 @@ class CrawlConfig:
     frontier_storage: str = "memory"  # "memory" | "parquet" (Dataset-backed
     # backlog — the 10^10-URL path; only one wave is driver-resident)
     frontier_dir: str | None = None
+    results_dir: str | None = None  # stream each wave's results to
+    # Parquet instead of accumulating the whole crawl history on the driver
+    # (the 10^10-URL path — round-1 scale-killer 4a); read them back via
+    # CrawlResult.results_dataset()
     dedup_content: bool = False  # mirror guard: a page whose body hash was
     # already seen contributes no discoveries (first copy wins)
 
 
 @dataclass
 class CrawlResult:
-    results: pa.Table  # RESULT_SCHEMA rows across all waves
+    results: pa.Table  # RESULT_SCHEMA rows across all waves (EMPTY when the
+    # crawl streamed to results_dir — use results_dataset() there)
     waves: int
     metrics: list[dict] = field(default_factory=list)
+    results_dir: str | None = None
     _seen_set: object = None  # ShardedSeenSet, snapshot on demand
     _seen_cache: set | None = None
+
+    def results_dataset(self):
+        """All result rows as a Ray Dataset — the scale-safe accessor (reads
+        the streamed per-wave Parquet when results_dir was set)."""
+        import ray.data
+
+        if self.results_dir is not None:
+            return ray.data.read_parquet(self.results_dir)
+        return ray.data.from_arrow(self.results)
 
     @property
     def seen_urls(self) -> set[str]:
@@ -342,9 +357,22 @@ class CrawlScheduler:
             store.restore(self.checkpoint.load_frontier(latest))
             start_wave = latest + 1
             metrics = [self.checkpoint.load_metrics(w) for w in range(latest + 1)]
+            self._resumed_index_floor = -1
             for w in range(latest + 1):
                 prior = self.checkpoint.load_results(w)
-                if prior is not None:
+                if prior is None:
+                    continue
+                if config.results_dir is not None:
+                    # streaming mode: only the max index is needed on the
+                    # driver — prior waves stay on disk
+                    if prior.num_rows:
+                        import pyarrow.compute as _pc
+
+                        self._resumed_index_floor = max(
+                            self._resumed_index_floor,
+                            _pc.max(prior.column("discovery_index")).as_py(),
+                        )
+                else:
                     all_results.append(prior)
         else:
             # admit seeds in list order — first-wins exactly like resource
@@ -380,6 +408,7 @@ class CrawlScheduler:
         # caught by the 100k-url soak). Resume restores it from the persisted
         # frontier + results.
         next_index = store.max_discovery_index() + 1
+        next_index = max(next_index, getattr(self, "_resumed_index_floor", -1) + 1)
         for table in all_results:
             if table.num_rows:
                 next_index = max(
@@ -402,7 +431,10 @@ class CrawlScheduler:
             # deterministic order for discovery regardless of execution order
             result_rows.sort(key=lambda row: row["discovery_index"])
             results_table = pa.Table.from_pylist(result_rows, schema=RESULT_SCHEMA)
-            all_results.append(results_table)
+            if config.results_dir is not None:
+                self._stream_results(results_table, wave)
+            else:
+                all_results.append(results_table)
 
             # per-host stats → priority re-score for the next wave
             host_stats = self._host_stats(results_table)
@@ -506,8 +538,20 @@ class CrawlScheduler:
             results=results,
             waves=wave,
             metrics=metrics,
+            results_dir=config.results_dir,
             _seen_set=self.seen,
         )
+
+    def _stream_results(self, results_table: pa.Table, wave: int) -> None:
+        """One atomically-renamed Parquet file per wave — the driver never
+        holds more than the current wave's results."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.config.results_dir, exist_ok=True)
+        path = os.path.join(self.config.results_dir, f"results-wave-{wave:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(results_table, tmp)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -122,11 +122,24 @@ class ParquetFrontier:
             os.path.join(self.current, f"part-add-{self._fragment_counter:06d}.parquet"),
         )
 
+    def _fragment_paths(self) -> list[str]:
+        return [
+            os.path.join(self.current, name)
+            for name in sorted(os.listdir(self.current))
+            if name.endswith(".parquet")
+        ]
+
     def size(self) -> int:
-        return self._read_table().num_rows
+        """Backlog row count from Parquet FILE METADATA only — the round-1
+        version read the entire backlog into the driver per call."""
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in self._fragment_paths())
 
     def select_wave(self, budget: int, per_host_cap: int | None = None) -> list[dict]:
+        import ray
         import ray.data
+        import pyarrow.compute as pc
 
         ds = ray.data.read_parquet(self.current)
         window = budget if per_host_cap is None else budget * self.headroom
@@ -136,18 +149,35 @@ class ParquetFrontier:
         candidate_rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
         selected, spilled = _apply_host_cap(candidate_rows, per_host_cap, budget)
         selected_ids = {row["discovery_index"] for row in selected}
-        remainder = self._read_table()
         if selected_ids:
-            import pyarrow.compute as pc
+            # remainder rewrite is DISTRIBUTED: the (budget-sized) selected-id
+            # set broadcasts once, every backlog block anti-filters itself and
+            # the remainder streams straight back to Parquet — the backlog
+            # never passes through the driver (round-1 scale-killer 4b)
+            ids_ref = ray.put(pa.array(sorted(selected_ids), pa.int64()))
 
-            mask = pc.invert(
-                pc.is_in(
-                    remainder.column("discovery_index"),
-                    value_set=pa.array(sorted(selected_ids), pa.int64()),
+            def drop_selected(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.invert(
+                        pc.is_in(
+                            batch.column("discovery_index"), value_set=ray.get(ids_ref)
+                        )
+                    )
                 )
-            )
-            remainder = remainder.filter(mask)
-        self._write(remainder)
+
+            remainder_ds = ds.map_batches(drop_selected, batch_format="pyarrow")
+            tmp = self.current + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            remainder_ds.write_parquet(tmp)
+            os.makedirs(tmp, exist_ok=True)  # an all-empty write creates nothing
+            if not any(name.endswith(".parquet") for name in os.listdir(tmp)):
+                import pyarrow.parquet as pq
+
+                pq.write_table(_frontier_table([]), os.path.join(tmp, "part-0.parquet"))
+            if os.path.exists(self.current):
+                shutil.rmtree(self.current)
+            os.rename(tmp, self.current)
         return selected
 
     def snapshot_table(self) -> pa.Table:
@@ -157,9 +187,39 @@ class ParquetFrontier:
         self._write(table)
 
     def max_discovery_index(self) -> int:
-        table = self._read_table()
-        if table.num_rows == 0:
-            return -1
-        import pyarrow.compute as pc
+        """Max via Parquet row-group column statistics (no data read); falls
+        back to a single-column scan for files without stats."""
+        return max(
+            (_stats_column_max(p, "discovery_index") for p in self._fragment_paths()),
+            default=-1,
+        )
 
-        return pc.max(table.column("discovery_index")).as_py()
+
+def _stats_column_max(path: str, column: str) -> int:
+    import pyarrow.parquet as pq
+
+    parquet_file = pq.ParquetFile(path)
+    metadata = parquet_file.metadata
+    if metadata.num_rows == 0:
+        return -1
+    best: int | None = None
+    for rg in range(metadata.num_row_groups):
+        row_group = metadata.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema != column:
+                continue
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                best = None
+                break
+            best = stats.max if best is None else max(best, stats.max)
+        else:
+            continue
+        break
+    if best is not None:
+        return int(best)
+    import pyarrow.compute as pc
+
+    table = pq.read_table(path, columns=[column])
+    return int(pc.max(table.column(column)).as_py()) if table.num_rows else -1

