@@ -1,7 +1,10 @@
 """Pluggable fetch transports (the injected-fetch extension surface,
-mod.d.ts:85). The sandbox has no network: DictTransport serves a routes map
-(the scripted/stub doubles of the reference suites, picklable so it ships to
-fetch actors); a real HTTP transport would slot in with the same signature.
+mod.d.ts:85). DictTransport serves a routes map (the scripted/stub doubles
+of the reference suites, picklable so it ships to fetch actors);
+HttpTransport is the real-network implementation with the same signature
+(convert.js:165-200 semantics: content-type from the response header, thrown
+network errors count as transient, Retry-After surfaced for the retry state
+machine). Tests exercise it against a loopback HTTP server.
 """
 
 from __future__ import annotations
@@ -78,3 +81,69 @@ class DictTransportFactory:
 
     def __call__(self) -> DictTransport:
         return DictTransport(dict(self.routes))
+
+
+@dataclass
+class HttpTransport:
+    """Real HTTP GET over urllib (stdlib only — no extra deps).
+
+    Contract match with the reference's fetch usage (convert.js:165-200):
+    * 2xx → ok; other statuses → ok=False with the status surfaced so the
+      retry state machine classifies transient (429/5xx) vs permanent
+    * network-level failures RAISE — fetch_resource/fetch_with_retry treat a
+      thrown error as transient, exactly like the reference's try/catch
+    * Content-Type / Retry-After come straight from the response headers
+    """
+
+    timeout_s: float = 30.0
+    user_agent: str = "mhtml-to-html-ray"
+    max_bytes: int | None = None  # optional body-size guard for crawls
+
+    def __call__(self, url: str) -> TransportResponse:
+        import urllib.error
+        import urllib.request
+
+        request = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        try:
+            with urllib.request.urlopen(request, timeout=self.timeout_s) as response:
+                body = (
+                    response.read()
+                    if self.max_bytes is None
+                    else response.read(self.max_bytes)
+                )
+                status = response.status
+                return TransportResponse(
+                    ok=200 <= status < 300,
+                    status=status,
+                    body=body,
+                    content_type=response.headers.get("Content-Type"),
+                    retry_after=response.headers.get("Retry-After"),
+                )
+        except urllib.error.HTTPError as error:
+            try:
+                body = error.read() or b""
+            except Exception:
+                body = b""
+            headers = error.headers
+            return TransportResponse(
+                ok=False,
+                status=error.code,
+                body=body,
+                content_type=headers.get("Content-Type") if headers else None,
+                retry_after=headers.get("Retry-After") if headers else None,
+            )
+        # urllib.error.URLError (DNS failure, refused connection, timeout)
+        # intentionally propagates: thrown errors are the transient path
+
+
+class HttpTransportFactory:
+    """Picklable factory for fetch actors crawling the real network."""
+
+    def __init__(self, timeout_s: float = 30.0, user_agent: str = "mhtml-to-html-ray",
+                 max_bytes: int | None = None):
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+        self.max_bytes = max_bytes
+
+    def __call__(self) -> HttpTransport:
+        return HttpTransport(self.timeout_s, self.user_agent, self.max_bytes)

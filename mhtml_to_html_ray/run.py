@@ -129,15 +129,26 @@ def cmd_convert_files(args) -> int:
 
     ds = ray.data.read_binary_files(inputs, include_paths=True)
 
+    fetch_missing = bool(getattr(args, "fetch_missing_resources", False))
+
     def convert_batch(batch: pa.Table) -> pa.Table:
+        from .frontier.transports import HttpTransport
         from .kernel.convert import Config, ConvertError, convert
 
+        config = Config(
+            enable_scripts=args.enable_scripts,
+            # the reference's --fetch-missing-resources (mod.js:7-60):
+            # collect-mode rounds fetch absent subresources over real HTTP
+            # before the final rewrite (convert.js:129-163)
+            fetch_missing_resources=fetch_missing,
+            fetch=HttpTransport() if fetch_missing else None,
+        )
         paths = batch.column("path").to_pylist()
         blobs = batch.column("bytes").to_pylist()
         htmls, errors = [], []
         for blob in blobs:
             try:
-                htmls.append(convert(bytes(blob), Config(enable_scripts=args.enable_scripts)).data)
+                htmls.append(convert(bytes(blob), config).data)
                 errors.append(None)
             except ConvertError as exc:
                 htmls.append("")
@@ -171,17 +182,24 @@ def cmd_convert_files(args) -> int:
 
 def cmd_crawl(args) -> int:
     from .frontier.scheduler import CrawlConfig, CrawlScheduler
-    from .frontier.transports import DictTransportFactory
+    from .frontier.transports import DictTransportFactory, HttpTransportFactory
 
     _init_ray(args.num_cpus)
     with open(args.seeds) as handle:
         seeds = [line.strip() for line in handle if line.strip()]
-    with open(args.routes) as handle:
-        raw_routes = json.load(handle)
-    routes = {
-        url: (entry["content_type"], entry["body"].encode("utf-8"))
-        for url, entry in raw_routes.items()
-    }
+    if args.transport == "http":
+        transport_factory = HttpTransportFactory(user_agent=args.user_agent)
+    else:
+        if not args.routes:
+            print("crawl: --routes is required with --transport dict", file=sys.stderr)
+            return 1
+        with open(args.routes) as handle:
+            raw_routes = json.load(handle)
+        routes = {
+            url: (entry["content_type"], entry["body"].encode("utf-8"))
+            for url, entry in raw_routes.items()
+        }
+        transport_factory = DictTransportFactory(routes)
     config = CrawlConfig(
         discovery_mode=args.discovery,
         max_waves=args.max_waves,
@@ -193,16 +211,23 @@ def cmd_crawl(args) -> int:
         frontier_storage=args.frontier,
         per_host_wave_cap=args.per_host_cap,
         dedup_content=args.dedup_content,
+        results_dir=args.results_dir,
+        user_agent=args.user_agent,
     )
-    scheduler = CrawlScheduler(DictTransportFactory(routes), config)
+    scheduler = CrawlScheduler(transport_factory, config)
     try:
         result = scheduler.run(seeds, resume=args.resume)
     finally:
         scheduler.close()
+    urls_fetched = (
+        result.results.num_rows
+        if result.results_dir is None
+        else sum(m["rows_in"] for m in result.metrics)
+    )
     print(
         json.dumps(
             {
-                "urls_fetched": result.results.num_rows,
+                "urls_fetched": urls_fetched,
                 "waves": result.waves,
                 "seen": len(result.seen_urls),
                 "metrics": result.metrics,
@@ -235,11 +260,22 @@ def main(argv: list[str] | None = None) -> int:
     p_files.add_argument("--output", default=None,
                          help="target file (single input) or directory (many)")
     p_files.add_argument("--enable-scripts", action="store_true")
+    p_files.add_argument("--fetch-missing-resources", action="store_true",
+                         dest="fetch_missing_resources",
+                         help="fetch absent subresources over HTTP before the "
+                              "final rewrite (reference mod.js flag)")
     p_files.set_defaults(func=cmd_convert_files)
 
     p_crawl = sub.add_parser("crawl", help="wave-synchronous crawl over a routes file")
     p_crawl.add_argument("--seeds", required=True, help="text file, one url per line")
-    p_crawl.add_argument("--routes", required=True, help="json: url → {content_type, body}")
+    p_crawl.add_argument("--routes", default=None,
+                         help="json: url → {content_type, body} (dict transport)")
+    p_crawl.add_argument("--transport", default="dict", choices=["dict", "http"],
+                         help="dict = scripted routes file; http = real network")
+    p_crawl.add_argument("--user-agent", default="engine-crawler")
+    p_crawl.add_argument("--results-dir", default=None,
+                         help="stream per-wave results to Parquet here instead "
+                              "of accumulating them in memory")
     p_crawl.add_argument("--checkpoint", default=None)
     p_crawl.add_argument("--resume", action="store_true")
     p_crawl.add_argument("--discovery", default="subresources",
