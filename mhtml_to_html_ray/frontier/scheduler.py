@@ -93,6 +93,10 @@ class CrawlConfig:
     # CrawlResult.results_dataset()
     dedup_content: bool = False  # mirror guard: a page whose body hash was
     # already seen contributes no discoveries (first copy wins)
+    fetch_actor_num_cpus: float = 0.5  # fetch is IO-bound; a FULL cpu per
+    # persistent pool actor can capture the whole cluster and starve the
+    # mid-wave Ray Data jobs (Parquet frontier select/rewrite, streamed
+    # writes) into a standstill — 0.5 leaves scheduler headroom
 
 
 @dataclass
@@ -274,7 +278,7 @@ class CrawlScheduler:
                 self.gate = make_gate_actors(
                     self.config.num_gate_shards, self.config.min_host_gap_ms
                 )
-            actor_class = ray.remote(num_cpus=1)(FetchWorker)
+            actor_class = ray.remote(num_cpus=self.config.fetch_actor_num_cpus)(FetchWorker)
             self._pool = [
                 actor_class.remote(self.transport_factory, self.gate, worker_config)
                 for _ in range(max(1, self.config.fetch_concurrency))

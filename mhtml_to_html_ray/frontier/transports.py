@@ -83,6 +83,44 @@ class DictTransportFactory:
         return DictTransport(dict(self.routes))
 
 
+class SyntheticSiteTransport:
+    """Soak/bench double: a deterministic synthetic web of
+    ``n_hosts × pages_per_host`` pages generated on the fly (no routes dict
+    to ship). Page j of a host links to pages 2j+1 and 2j+2 (binary tree →
+    BFS reaches every page in ~log2 waves); urls look like
+    https://h{i}.soak.example/p{j}."""
+
+    def __init__(self, n_hosts: int, pages_per_host: int):
+        self.n_hosts = n_hosts
+        self.pages_per_host = pages_per_host
+
+    def __call__(self, url: str) -> TransportResponse:
+        try:
+            host_part, page_part = url.split("//", 1)[1].split("/", 1)
+            host_index = int(host_part.split(".", 1)[0][1:])
+            page_index = int(page_part[1:])
+        except (ValueError, IndexError):
+            return TransportResponse(ok=False, status=404)
+        if not (0 <= host_index < self.n_hosts and 0 <= page_index < self.pages_per_host):
+            return TransportResponse(ok=False, status=404)
+        links = "".join(
+            f'<a href="https://h{host_index}.soak.example/p{child}">c</a>'
+            for child in (2 * page_index + 1, 2 * page_index + 2)
+            if child < self.pages_per_host
+        )
+        body = f"<html><body><p>page {page_index}</p>{links}</body></html>".encode()
+        return TransportResponse(ok=True, status=200, body=body, content_type="text/html")
+
+
+class SyntheticSiteFactory:
+    def __init__(self, n_hosts: int, pages_per_host: int):
+        self.n_hosts = n_hosts
+        self.pages_per_host = pages_per_host
+
+    def __call__(self) -> SyntheticSiteTransport:
+        return SyntheticSiteTransport(self.n_hosts, self.pages_per_host)
+
+
 @dataclass
 class HttpTransport:
     """Real HTTP GET over urllib (stdlib only — no extra deps).

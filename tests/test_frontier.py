@@ -620,6 +620,41 @@ def test_streamed_results_resume(ray_session, tmp_path):
     assert resumed_rows == full_rows
 
 
+def test_full_width_fetch_pool_does_not_starve_data_jobs(ray_session, tmp_path):
+    """Regression: a persistent fetch pool as wide as the cluster (here 4
+    actors on the 4-cpu test session) used to capture every CPU and the
+    Parquet frontier's mid-wave Ray Data jobs (sort/select, remainder
+    rewrite, streamed writes) could never schedule — the crawl hung forever.
+    Fractional-cpu fetch actors (fetch_actor_num_cpus) leave headroom."""
+    import threading
+
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler
+    from mhtml_to_html_ray.frontier.transports import SyntheticSiteFactory
+
+    config = CrawlConfig(
+        discovery_mode="hyperlinks", max_waves=10, wave_budget=50,
+        retry_sleep_scale=0.0, num_seen_shards=2,
+        fetch_concurrency=4,  # == the test session's num_cpus
+        batch_size=16,
+        frontier_storage="parquet", frontier_dir=str(tmp_path / "f"),
+        results_dir=str(tmp_path / "r"),
+    )
+    scheduler = CrawlScheduler(SyntheticSiteFactory(4, 20), config)
+    seeds = [f"https://h{i}.soak.example/p0" for i in range(4)]
+    done: dict = {}
+
+    def run() -> None:
+        done["result"] = scheduler.run(seeds)
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    thread.join(timeout=120)
+    assert not thread.is_alive(), "crawl starved its own Ray Data jobs (deadlock)"
+    result = done["result"]
+    assert result.results_dataset().count() == 80  # 4 hosts × 20 pages
+    scheduler.close()
+
+
 def test_parquet_frontier_with_host_cap(ray_session, tmp_path):
     from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler, request_log
 
