@@ -635,35 +635,44 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
 # Winnowing (rolling-hash document fingerprints, MOSS-style)
 
 
+_WINNOW_BASE = np.uint64(257)
+# 257 is odd → invertible mod 2^64; the inverse lets the rolling hash become
+# a prefix-sum difference, fully vectorized under uint64 wraparound
+_WINNOW_BASE_INV = np.uint64(pow(257, -1, 1 << 64))
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> set[int]:
-    """Local document fingerprints: Rabin-Karp rolling hash over character
-    k-grams, winnowed (minimum per window of ``window`` hashes, rightmost
-    wins ties). Two documents sharing any sizable passage share fingerprints
-    even when the global hash differs — the partial-overlap detector next to
-    the whole-document md5."""
+    """Local document fingerprints: Rabin-Karp rolling hash (mod 2^64) over
+    character k-grams, winnowed (minimum per window of ``window`` hashes,
+    rightmost wins ties). Two documents sharing any sizable passage share
+    fingerprints even when the global hash differs — the partial-overlap
+    detector next to the whole-document md5.
+
+    Vectorized (VERDICT r1: the per-character Python loop was the CPU sink):
+    window hash h_i = Σ c_{i+j}·B^{k-1-j} is computed for ALL i at once as
+    (T_{i+k} − T_i)·B^{i+k-1} where T is the prefix sum of c_j·B^{−j}; every
+    product/sum wraps naturally in uint64."""
     n = len(text)
     if n < k:
         return {_md5_u64(text)} if text else set()
-    base = 257
-    mod = (1 << 61) - 1
-    power = pow(base, k - 1, mod)
-    h = 0
-    for ch in text[:k]:
-        h = (h * base + ord(ch)) % mod
-    hashes = [h]
-    for i in range(k, n):
-        h = ((h - ord(text[i - k]) * power) * base + ord(text[i])) % mod
-        hashes.append(h)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    inv_powers = np.full(n, _WINNOW_BASE_INV, dtype=np.uint64)
+    inv_powers[0] = 1
+    np.cumprod(inv_powers, out=inv_powers)  # B^{-i}, wrapping
+    powers = np.full(n, _WINNOW_BASE, dtype=np.uint64)
+    powers[0] = 1
+    np.cumprod(powers, out=powers)  # B^{i}, wrapping
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(codes * inv_powers, out=prefix[1:])
+    hashes = (prefix[k:] - prefix[:-k]) * powers[k - 1 :]
     if len(hashes) <= window:
-        return {min(hashes)}
-    out: set[int] = set()
-    for start in range(len(hashes) - window + 1):
-        segment = hashes[start : start + window]
-        minimum = min(segment)
-        # rightmost minimal hash of the window (standard winnowing tie rule)
-        index = len(segment) - 1 - segment[::-1].index(minimum)
-        out.add(hashes[start + index])
-    return out
+        return {int(hashes.min())}
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # rightmost minimal hash per window (standard winnowing tie rule):
+    # argmin on the REVERSED window finds the right-most minimum first
+    from_right = np.argmin(windows[:, ::-1], axis=1)
+    picked = hashes[np.arange(len(windows)) + (window - 1 - from_right)]
+    return set(np.unique(picked).tolist())
 
 
 def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: int = 4,

@@ -921,6 +921,20 @@ def q_embedding_ivf(sf_dir: str):
     return similarity.ivf_topk(ds, _first_embedding(sf_dir), k=10, n_centroids=16, nprobe=4)
 
 
+def q_embedding_ivf_indexed(sf_dir: str):
+    """Persisted partitioned IVF: build the index (one Parquet partition per
+    inverted list under /tmp), then query it reading ONLY the nprobe matching
+    partitions — the 10^10-vector path where a query must not rescan the
+    corpus. Equality with the scan-based ivf_topk is pinned in tests;
+    rows-only here (approximate by design)."""
+    import tempfile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.ivf_build(ds, index_dir, n_centroids=16)
+    return similarity.ivf_query(index_dir, _first_embedding(sf_dir), k=10, nprobe=4)
+
+
 def q_embedding_label_stats(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     agg = similarity.label_norm_stats(ds)
@@ -992,6 +1006,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
+    "embedding_ivf_indexed": q_embedding_ivf_indexed,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding": q_dedup_embedding,
     "media_decode": q_media_decode,

