@@ -89,32 +89,75 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _space_isolated(text_column, pattern: str = " "):
+    """Every token flanked by its OWN spaces: double each delimiter and pad
+    the ends, so counting ``" word "`` finds adjacent stopwords too (Arrow's
+    RE2 has no lookahead, and plain ``" word "`` counting misses "the the"
+    because the shared space is consumed by the first match)."""
+    doubled = (
+        pc.replace_substring(text_column, pattern, "  ")
+        if pattern == " "
+        else pc.replace_substring_regex(text_column, pattern, "  ")
+    )
+    n = len(text_column)
+    pad = pa.array([" "] * n, pa.string())
+    return pc.binary_join_element_wise(pad, doubled, pad, "")
+
+
 def stopword_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens, n_stopwords, stopword_ratio (fixed 10-word list,
-    space-split tokens — the classic quality filter signal)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    stop = set(STOPWORDS)
-    n_tokens, n_stop, ratio = [], [], []
-    for text in texts:
-        tokens = text.split(" ")
-        tokens = [t for t in tokens if t]
-        hits = sum(1 for t in tokens if t in stop)
-        n_tokens.append(len(tokens))
-        n_stop.append(hits)
-        denominator = max(len(tokens), 1)
-        value = hits / denominator
-        import numpy as np
+    space-split tokens — the classic quality filter signal). Fully
+    vectorized: token counts by regex, stopword hits by per-word substring
+    counts over space-isolated text (10 SIMD scans, no Python token loop)."""
+    import numpy as np
 
-        ratio.append(float(np.floor(abs(value) * 1e6 + 0.5) / 1e6))
+    text = batch.column("text")
+    n_tokens = pc.count_substring_regex(text, "[^ ]+").cast(pa.int64())
+    isolated = _space_isolated(text)
+    hits = pc.count_substring(isolated, f" {STOPWORDS[0]} ").cast(pa.int64())
+    for word in STOPWORDS[1:]:
+        hits = pc.add(hits, pc.count_substring(isolated, f" {word} ").cast(pa.int64()))
+    tokens_np = np.asarray(n_tokens.to_numpy(zero_copy_only=False), dtype=np.float64)
+    hits_np = np.asarray(hits.to_numpy(zero_copy_only=False), dtype=np.float64)
+    value = hits_np / np.maximum(tokens_np, 1.0)
+    ratio = np.floor(np.abs(value) * 1e6 + 0.5) / 1e6
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
-            pa.array(n_tokens, pa.int64()),
-            pa.array(n_stop, pa.int64()),
+            n_tokens,
+            hits,
             pa.array(ratio, pa.float64()),
         ],
         names=["doc_id", "n_tokens", "n_stopwords", "stopword_ratio"],
+    )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher/C4-style repetition signal: fraction of duplicate word bigrams
+    per document (high → boilerplate/spam). doc_id, n_bigrams,
+    n_distinct_bigrams, dup_bigram_frac (round-6, DuckDB-compatible)."""
+    import numpy as np
+
+    texts = batch.column("text").to_pylist()
+    n_bigrams, n_distinct = [], []
+    for text in texts:
+        tokens = text.split()
+        grams = list(zip(tokens, tokens[1:]))
+        n_bigrams.append(len(grams))
+        n_distinct.append(len(set(grams)))
+    total = np.asarray(n_bigrams, dtype=np.float64)
+    distinct = np.asarray(n_distinct, dtype=np.float64)
+    # (t-d)/max(t,1), not 1-d/max(t,1): an EMPTY document has no repetition
+    frac = (total - distinct) / np.maximum(total, 1.0)
+    frac = np.floor(np.abs(frac) * 1e6 + 0.5) / 1e6
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_bigrams, pa.int64()),
+            pa.array(n_distinct, pa.int64()),
+            pa.array(frac, pa.float64()),
+        ],
+        names=["doc_id", "n_bigrams", "n_distinct_bigrams", "dup_bigram_frac"],
     )
 
 
@@ -131,25 +174,37 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Stopword-profile language ID: argmax of profile-hit ratios, 'und' when
-    nothing matches. A heuristic scorer, not a model — deterministic."""
-    texts = batch.column("text").to_pylist()
-    langs = []
-    scores = []
-    for text in texts:
-        tokens = text.lower().split()
-        if not tokens:
-            langs.append("und")
-            scores.append(0.0)
-            continue
-        best_lang, best = "und", 0.0
-        for lang, profile in _LANG_PROFILES.items():
-            hits = sum(1 for token in tokens if token in profile)
-            score = hits / len(tokens)
-            if score > best:
-                best_lang, best = lang, score
-        langs.append(best_lang if best > 0 else "und")
-        scores.append(round(best, 6))
+    nothing matches. A heuristic scorer, not a model — deterministic.
+
+    Vectorized: one (n_docs × n_langs) hit matrix from per-word substring
+    counts over lowercased, whitespace-isolated text; argmax ordering matches
+    the original dict-iteration tie-break (first profile wins ties)."""
+    import numpy as np
+
+    text = batch.column("text")
+    lowered = pc.utf8_lower(text)
+    n_tokens = pc.count_substring_regex(lowered, r"\S+").cast(pa.int64())
+    isolated = _space_isolated(lowered, pattern=r"\s")
+    langs = list(_LANG_PROFILES)
+    hit_matrix = np.zeros((len(text), len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        for word in _LANG_PROFILES[lang]:
+            hit_matrix[:, j] += np.asarray(
+                pc.count_substring(isolated, f" {word} ").to_numpy(zero_copy_only=False)
+            )
+    tokens_np = np.asarray(n_tokens.to_numpy(zero_copy_only=False), dtype=np.float64)
+    scores = hit_matrix / np.maximum(tokens_np, 1.0)[:, None]
+    # strict argmax with first-profile tie-break — but only a strictly
+    # positive best counts as identified (original: score > best starts at 0)
+    best_index = np.argmax(scores, axis=1)
+    best_score = scores[np.arange(len(scores)), best_index]
+    pred = np.where(best_score > 0, np.array(langs, dtype=object)[best_index], "und")
+    confidence = np.round(best_score, 6)
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(langs, pa.string()), pa.array(scores, pa.float64())],
+        [
+            batch.column("doc_id"),
+            pa.array(pred.tolist(), pa.string()),
+            pa.array(confidence, pa.float64()),
+        ],
         names=["doc_id", "pred_lang", "confidence"],
     )

@@ -861,6 +861,35 @@ def q_quality_score(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style duplicate-bigram fraction per document — the repetition
+    quality filter of a web-text pipeline."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.repetition_stats_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_length_filter(sf_dir: str):
+    """Length-window quality filter: documents kept per lang when their char
+    count lies in [200, 1500] — the simplest C4-ish cut, as filter+groupby."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        length = pc.utf8_length(batch.column("text"))
+        mask = pc.and_(
+            pc.greater_equal(length, pa.scalar(200)),
+            pc.less_equal(length, pa.scalar(1500)),
+        )
+        return pa.table({"lang": batch.filter(mask).column("lang")})
+
+    agg = ds.map_batches(keep, batch_format="pyarrow").groupby("lang").aggregate(
+        Count(alias_name="n_kept")
+    )
+    return _sorted_table(agg, ["lang"])
+
+
 def q_lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -998,6 +1027,8 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
+    "repetition_stats": q_repetition_stats,
+    "length_filter": q_length_filter,
     "lang_distribution": q_lang_distribution,
     "langid": q_langid,
     "dedup_minhash": q_dedup_minhash,
@@ -1200,6 +1231,23 @@ ORACLE_SQL = {
     """,
     "lang_distribution": """
         SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "repetition_stats": """
+        SELECT doc_id,
+               LENGTH(g) AS n_bigrams,
+               LENGTH(list_distinct(g)) AS n_distinct_bigrams,
+               ROUND((LENGTH(g) - LENGTH(list_distinct(g))) / GREATEST(LENGTH(g), 1), 6)
+                   AS dup_bigram_frac
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(1, LENGTH(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+            FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents))
+        ORDER BY doc_id
+    """,
+    "length_filter": """
+        SELECT lang, COUNT(*) AS n_kept FROM documents
+        WHERE LENGTH(text) BETWEEN 200 AND 1500
+        GROUP BY lang ORDER BY lang
     """,
     "embedding_topk": """
         SELECT vec_id,

@@ -282,3 +282,38 @@ def test_winnow_strategies_agree(ray_session):
     driver = winnow_overlap_pairs(ds, min_shared=3, strategy="driver").take_all()
     grouped = winnow_overlap_pairs(ds, min_shared=3, strategy="groupby").take_all()
     assert driver == grouped, "the two physical plans must agree"
+
+
+def test_repetition_stats_batch():
+    import pyarrow as pa
+
+    from mhtml_to_html_ray.functions import textstats
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b a b a b",      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            "w x y z",           # 3 distinct of 3
+            "",                  # no bigrams
+        ], pa.string()),
+    })
+    out = textstats.repetition_stats_batch(batch)
+    assert out.column("n_bigrams").to_pylist() == [5, 3, 0]
+    assert out.column("n_distinct_bigrams").to_pylist() == [2, 3, 0]
+    assert out.column("dup_bigram_frac").to_pylist() == [0.6, 0.0, 0.0]
+
+
+def test_stopword_stats_adjacent_stopwords_counted():
+    """The space-isolation trick must count back-to-back stopwords ('the the')
+    that a plain substring count would miss."""
+    import pyarrow as pa
+
+    from mhtml_to_html_ray.functions import textstats
+
+    batch = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["the the and of x"], pa.string()),
+    })
+    out = textstats.stopword_stats_batch(batch)
+    assert out.column("n_tokens").to_pylist() == [5]
+    assert out.column("n_stopwords").to_pylist() == [4]
