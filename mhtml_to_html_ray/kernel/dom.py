@@ -54,6 +54,19 @@ _P_CLOSERS = frozenset(
     xmp""".split()
 )
 
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_P_TARGET = frozenset(("p",))
+# the spec's "button scope" / "list item scope" boundaries (elements whose
+# presence between the target and the top blocks the implied end tag)
+_BUTTON_SCOPE_BOUNDARY = frozenset(
+    ("button", "html", "table", "td", "th", "caption", "applet", "marquee",
+     "object", "template", "select")
+)
+_LIST_ITEM_SCOPE_BOUNDARY = frozenset(
+    ("ul", "ol", "html", "table", "td", "th", "caption", "applet", "marquee",
+     "object", "template", "select", "button")
+)
+
 _JAVASCRIPT_MIME_TYPE = "text/javascript"
 _TEXT_ESCAPE_RE = re.compile(r"[& <>]")
 _TEXT_ESCAPE_ENTITIES = {"&": "&amp;", " ": "&nbsp;", "<": "&lt;", ">": "&gt;"}
@@ -555,6 +568,23 @@ def parse_html(source: str) -> Document:
             return document if html_el is None else html_el
         return ensure_body()
 
+    def pop_scoped(target_tags: frozenset, boundary_tags: frozenset) -> bool:
+        """Implied end tag with SCOPE: pop to the nearest open target unless a
+        boundary element intervenes first (the HTML spec's 'has an element in
+        (list-item/button) scope' checks, which the top-of-stack-only round-1
+        version missed for <li><div><li> / <p><span><div> shapes)."""
+        for index in range(len(stack) - 1, -1, -1):
+            node = stack[index]
+            if not isinstance(node, Element):
+                return False
+            name = node.tag_name.lower()
+            if name in target_tags:
+                del stack[index:]
+                return True
+            if name in boundary_tags:
+                return False
+        return False
+
     def auto_close(tag: str) -> None:
         if not stack:
             return
@@ -562,12 +592,20 @@ def parse_html(source: str) -> Document:
         if not isinstance(top, Element):
             return
         top_tag = top.tag_name
-        if tag in _P_CLOSERS and top_tag == "p":
-            stack.pop()
-        elif tag == "li" and top_tag == "li":
-            stack.pop()
-        elif tag in ("dd", "dt") and top_tag in ("dd", "dt"):
-            stack.pop()
+        if tag in _P_CLOSERS:
+            # close an open <p> anywhere in button scope (spec: "if the stack
+            # of open elements has a p element in button scope")
+            pop_scoped(_P_TARGET, _BUTTON_SCOPE_BOUNDARY)
+            top = stack[-1] if stack else None
+            top_tag = top.tag_name if isinstance(top, Element) else ""
+            if tag in _HEADING_TAGS and top_tag in _HEADING_TAGS:
+                # <h1><h2> implies </h1> (spec "in body" heading rule)
+                stack.pop()
+            return
+        if tag == "li":
+            pop_scoped(frozenset(("li",)), _LIST_ITEM_SCOPE_BOUNDARY)
+        elif tag in ("dd", "dt"):
+            pop_scoped(frozenset(("dd", "dt")), _LIST_ITEM_SCOPE_BOUNDARY)
         elif tag in ("td", "th") and top_tag in ("td", "th"):
             stack.pop()
         elif tag == "tr" and top_tag in ("td", "th"):
@@ -754,7 +792,9 @@ def parse_html(source: str) -> Document:
                     parent = ensure_body()
             else:
                 auto_close(tag)
-                parent = current()
+                # auto_close may have emptied the stack (an implied end tag
+                # at body level); document is never the insertion point
+                parent = current() if stack else insertion_parent()
 
             fostered = False
             if isinstance(parent, Element) and parent.tag_name in _TABLE_SECTION_TAGS:

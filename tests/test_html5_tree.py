@@ -53,6 +53,49 @@ def test_adoption_agency_reconstruction(source, expected):
 
 
 # ---------------------------------------------------------------------------
+# implied end tags with scope (headings, list items, p in button scope)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # <li> closes across a wrapper <div> (list-item scope)
+        (
+            "<body><ul><li>one<div><li>two</ul></body>",
+            "<body><ul><li>one<div></div></li><li>two</li></ul></body>",
+        ),
+        # a heading start tag closes an open heading
+        (
+            "<body><h1>a<h2>b</h2></body>",
+            "<body><h1>a</h1><h2>b</h2></body>",
+        ),
+        # <div> closes an open <p> even with phrasing content open
+        (
+            "<body><p>x<span>y<div>z</div></body>",
+            "<body><p>x<span>y</span></p><div>z</div></body>",
+        ),
+        # but a <button> blocks the p-scope close
+        (
+            "<body><p><button>x<div>y</div></button></p></body>",
+            "<body><p><button>x<div>y</div></button></p></body>",
+        ),
+        # dd/dt close each other across wrappers (bounded by dl scope rules)
+        (
+            "<body><dl><dt>t<dd>d1<div><dd>d2</dl></body>",
+            "<body><dl><dt>t</dt><dd>d1<div></div></dd><dd>d2</dd></dl></body>",
+        ),
+        # nested lists: an inner <ul> bounds the li scope
+        (
+            "<body><ul><li>a<ul><li>b</ul></ul></body>",
+            "<body><ul><li>a<ul><li>b</li></ul></li></ul></body>",
+        ),
+    ],
+)
+def test_implied_end_tags_with_scope(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
 # tables: foster parenting + implied structure
 
 
