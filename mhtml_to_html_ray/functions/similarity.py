@@ -398,16 +398,20 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
                              "b": pd.Series(out_b, dtype="int64"),
                              "cosine": pd.Series(out_c, dtype="float64")})
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    if pairs.empty or "a" not in pairs.columns:
+    pairs_ds = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    if pairs_ds.count() == 0:
         return ray.data.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "cosine": pa.array([], pa.float64())})
         )
-    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    return ray.data.from_pandas(pairs) if len(pairs) else ray.data.from_arrow(
-        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                  "cosine": pa.array([], pa.float64())})
+    # distributed dedup across buckets (a pair can surface in several probe
+    # buckets) — pairs never aggregate on the driver
+    from ray.data.aggregate import Min
+
+    return (
+        pairs_ds.groupby(["a", "b"])
+        .aggregate(Min("cosine", alias_name="cosine"))
+        .sort(["a", "b"])
     )
 
 
