@@ -55,6 +55,18 @@ _P_CLOSERS = frozenset(
 )
 
 _HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_TABLE_STRUCTURE_TAGS = frozenset(
+    ("caption", "colgroup", "col", "tbody", "thead", "tfoot", "tr", "td", "th")
+)
+# start tags that do NOT reconstruct active formatting before insertion (the
+# spec gives these their own insertion rules without the reconstruct step)
+_NO_RECONSTRUCT_TAGS = _P_CLOSERS | frozenset(
+    ("html", "head", "body", "frameset", "frame", "caption", "colgroup",
+     "col", "tbody", "thead", "tfoot", "tr", "td", "th", "li", "dd", "dt",
+     "optgroup", "option", "select", "script", "style", "template", "title",
+     "meta", "link", "base", "noscript", "noframes", "textarea", "svg",
+     "math")
+)
 _P_TARGET = frozenset(("p",))
 # the spec's "button scope" / "list item scope" boundaries (elements whose
 # presence between the target and the top blocks the implied end tag)
@@ -669,10 +681,47 @@ def parse_html(source: str) -> Document:
             parent = tr
         return parent
 
+    # the spec's list of active formatting elements (simplified: no markers —
+    # cleared outright at cell/caption/template boundaries). An entry whose
+    # element was popped implicitly (e.g. a block start closing <p> took the
+    # open <b> with it) is REOPENED as a clone before the next character
+    # token / phrasing start tag — the reconstruction half of the adoption
+    # agency that makes <p><b>x<div>y parse as parse5 does.
+    active_formatting: list[Element] = []
+
+    def remove_active(tag: str) -> None:
+        for index in range(len(active_formatting) - 1, -1, -1):
+            if active_formatting[index].tag_name.lower() == tag:
+                del active_formatting[index]
+                return
+
+    def reconstruct_active() -> None:
+        if not active_formatting:
+            return
+        target_now = current() if stack else None
+        if isinstance(target_now, Element) and target_now.tag_name in _TABLE_SECTION_TAGS:
+            return  # formatting never reconstructs into table structure here
+        open_ids = {id(node) for node in stack}
+        start = len(active_formatting)
+        for index in range(len(active_formatting) - 1, -1, -1):
+            if id(active_formatting[index]) in open_ids:
+                break
+            start = index
+        for index in range(start, len(active_formatting)):
+            entry = active_formatting[index]
+            clone = Element(entry.tag_name, [list(a) for a in entry.attrs])
+            target = current() if stack else insertion_parent()
+            target.append_child(clone)
+            stack.append(clone)
+            active_formatting[index] = clone
+
     def reconstruct_formatting(tag: str) -> bool:
-        """Simplified adoption agency: closing a formatting element that has
-        OTHER formatting elements open above it pops them all and reopens
-        clones — <b><i></b>x</i> becomes <b><i></i></b><i>x</i>."""
+        """Simplified adoption agency, closing half: closing a formatting
+        element that has OTHER formatting elements open above it pops them
+        all and reopens clones — <b><i></b>x</i> becomes
+        <b><i></i></b><i>x</i>. The entry for the closed element leaves the
+        active list; reopened clones replace their entries."""
+        remove_active(tag)
         for index in range(len(stack) - 1, -1, -1):
             node = stack[index]
             if isinstance(node, Element) and node.tag_name.lower() == tag:
@@ -688,6 +737,10 @@ def parse_html(source: str) -> Document:
                         target = current() if stack else insertion_parent()
                         target.append_child(clone)
                         stack.append(clone)
+                        for entry_index, entry in enumerate(active_formatting):
+                            if entry is orphan:
+                                active_formatting[entry_index] = clone
+                                break
                 else:
                     del stack[index:]
                 return True
@@ -713,6 +766,11 @@ def parse_html(source: str) -> Document:
                 and insert_fostered(Text(text))
             ):
                 continue  # character tokens in a table foster-parent out
+            if active_formatting and parent is not head_el:
+                # character tokens reconstruct active formatting (spec)
+                reconstruct_active()
+                if stack:
+                    parent = current()
             last = parent.child_nodes[-1] if parent.child_nodes else None
             if isinstance(last, Text):
                 last.value += text
@@ -784,17 +842,64 @@ def parse_html(source: str) -> Document:
                 elif tag not in ("option", "optgroup", "script", "style", "template", "hr"):
                     continue
 
+            if (
+                tag in _TABLE_STRUCTURE_TAGS
+                and not foreign
+                and not any(
+                    isinstance(node, Element)
+                    and node.tag_name in ("table", "template")
+                    for node in stack
+                )
+            ):
+                continue  # spec "in body": stray td/th/tr/sections are ignored
+
             element = Element(tag_out, attrs)
+            in_head_insert = False
             if not stack:
                 if not head_closed and body_el is None and tag in _HEAD_TAGS:
                     parent = ensure_head()
+                    in_head_insert = True
                 else:
                     parent = ensure_body()
             else:
                 auto_close(tag)
+                if tag in _TABLE_STRUCTURE_TAGS:
+                    # "clear the stack back to a table context": a row/cell/
+                    # section start tag closes anything opened (or fostered)
+                    # since the table — without this, a fostered element
+                    # swallows the rest of the table
+                    for index in range(len(stack) - 1, -1, -1):
+                        node = stack[index]
+                        if isinstance(node, Element) and node.tag_name in (
+                            "table", "tbody", "thead", "tfoot", "tr", "template",
+                        ):
+                            del stack[index + 1 :]
+                            break
                 # auto_close may have emptied the stack (an implied end tag
                 # at body level); document is never the insertion point
                 parent = current() if stack else insertion_parent()
+            if tag == "a" and not foreign:
+                # an open <a> is implicitly closed by a new one BEFORE the
+                # new element is placed (spec) — and its entry must leave the
+                # list first or reconstruction would immediately reopen it
+                for index in range(len(stack) - 1, -1, -1):
+                    node = stack[index]
+                    if isinstance(node, Element) and node.tag_name == "a":
+                        del stack[index:]
+                        parent = current() if stack else insertion_parent()
+                        break
+                remove_active("a")
+            if (
+                active_formatting
+                and not foreign
+                and not in_head_insert
+                and tag not in _NO_RECONSTRUCT_TAGS
+            ):
+                # phrasing start tags reconstruct active formatting (spec
+                # "any other start tag" + the formatting tags themselves)
+                reconstruct_active()
+                if stack:
+                    parent = current()
 
             fostered = False
             if isinstance(parent, Element) and parent.tag_name in _TABLE_SECTION_TAGS:
@@ -805,6 +910,21 @@ def parse_html(source: str) -> Document:
                     fostered = insert_fostered(element)
             if not fostered:
                 parent.append_child(element)
+
+            if not foreign:
+                if tag in _FORMATTING_TAGS:
+                    # Noah's-ark clause: at most 3 identical entries
+                    identical = [
+                        e for e in active_formatting
+                        if e.tag_name == element.tag_name and e.attrs == element.attrs
+                    ]
+                    if len(identical) >= 3:
+                        active_formatting.remove(identical[0])
+                    active_formatting.append(element)
+                elif tag in ("td", "th", "caption", "template"):
+                    # marker boundary (simplified): formatting never crosses
+                    # into table cells / template content
+                    active_formatting.clear()
 
             is_void = tag in VOID_TAGS
             closes_itself = self_closing and (tag not in _KNOWN_HTML_TAGS or foreign)

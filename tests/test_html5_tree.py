@@ -144,6 +144,49 @@ def test_table_foster_parenting(source, expected):
 
 
 # ---------------------------------------------------------------------------
+# active-formatting reconstruction (the other half of the adoption agency)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # THE canonical case: formatting reopens inside the block that
+        # implicitly closed its ancestors
+        (
+            "<body><p><b>x<div>y</div></body>",
+            "<body><p><b>x</b></p><div><b>y</b></div></body>",
+        ),
+        # reconstruction across sibling paragraphs
+        (
+            "<body><p><b>x</p><p>y</p></body>",
+            "<body><p><b>x</b></p><p><b>y</b></p></body>",
+        ),
+        # an explicit close ends it — no reconstruction afterwards
+        ("<body><b>x</b>y</body>", "<body><b>x</b>y</body>"),
+        # <a> implicitly closes an open <a>
+        (
+            '<body><a href="1">one<a href="2">two</body>',
+            '<body><a href="1">one</a><a href="2">two</a></body>',
+        ),
+        # formatting inside list items reopens in the next item
+        (
+            "<body><li><b>x<li>y</body>",
+            "<body><li><b>x</b></li><li><b>y</b></li></body>",
+        ),
+        # formatting before a table fosters out; the table structure survives
+        (
+            "<body><table><b><tr><td>aha</td></tr></table></body>",
+            "<body><b></b><table><tbody><tr><td>aha</td></tr></tbody></table></body>",
+        ),
+        # stray row/cell tags outside any table are ignored (in-body rule)
+        ("<body><tr><td>bare</td></tr></body>", "<body>bare</body>"),
+    ],
+)
+def test_formatting_reconstruction(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
 # select scoping
 
 
