@@ -303,8 +303,9 @@ class CrawlScheduler:
                 futures.append((actor_index, len(assigned),
                                 pool[actor_index].fetch_batch.remote(_frontier_table(assigned))))
         out: list[dict] = []
-        for actor_index, rows_in, future in futures:
-            table = ray.get(future)
+        # one ray.get over the whole pool (serial gets would stack latencies)
+        tables = ray.get([future for _, _, future in futures])
+        for (actor_index, rows_in, _), table in zip(futures, tables):
             rows = table.to_pylist()
             out.extend(rows)
             # per-partition lineage (SURVEY.md §3.3): which shard did what

@@ -139,8 +139,11 @@ class ShardedSeenSet:
                     (entries, getattr(self.shards[shard], method).remote([u for _, u in entries]))
                 )
         out = [False] * len(urls)
-        for entries, future in futures:
-            for (index, _), value in zip(entries, ray.get(future)):
+        # ONE ray.get over every shard future — a per-shard get would wait
+        # for each shard serially and the slowest-shard latency would stack
+        results = ray.get([future for _, future in futures])
+        for (entries, _), values in zip(futures, results):
+            for (index, _), value in zip(entries, values):
                 out[index] = value
         return out
 
