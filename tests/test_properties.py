@@ -165,3 +165,34 @@ def test_fetch_rounds_reach_fixpoint_and_fetch_once(data):
     referenced |= {f"{ORIGIN}/c{c}.css" for c in range(n_css)}
     for url in referenced & set(routes):
         assert url in log, f"{url} reachable but never fetched"
+
+
+def test_tag_soup_fuzz_never_crashes():
+    """Random tag soup through parse+serialize: no exceptions, a body always
+    comes back, and the output re-parses. (Strict serialize idempotence is
+    NOT asserted — the reference itself documents that serialization is not
+    idempotent, parse.js:466-470 comment.)"""
+    import random
+
+    from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+
+    rng = random.Random(7)
+    tags = ["b", "i", "u", "p", "div", "span", "li", "ul", "table", "tr",
+            "td", "h1", "h2", "select", "option", "svg", "a", "em", "dl",
+            "dt", "dd", "template", "button"]
+    for _ in range(800):
+        n = rng.randint(1, 40)
+        parts = []
+        for _ in range(n):
+            tag = rng.choice(tags)
+            kind = rng.random()
+            if kind < 0.45:
+                parts.append(f"<{tag}>")
+            elif kind < 0.8:
+                parts.append(f"</{tag}>")
+            else:
+                parts.append(rng.choice(["x", " ", "y z", "&amp;"]))
+        source = "<body>" + "".join(parts) + "</body>"
+        once = serialize(parse_html(source).body)
+        assert once.startswith("<body>")
+        serialize(parse_html(once).body)  # must re-parse cleanly too
