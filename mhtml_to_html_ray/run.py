@@ -84,11 +84,18 @@ def cmd_extract(args) -> int:
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)
         open(os.path.join(part_dir, "_SUCCESS"), "w").close()
-        summary = ray.data.read_parquet(part_dir)
+        summary = ray.data.read_parquet(part_dir, columns=["error"])
         rows = summary.count()
-        errors = summary.map_batches(
-            lambda t: t.select(["error"]), batch_format="pyarrow"
-        ).to_pandas()["error"].notna().sum()
+
+        def error_partials(t):
+            import pyarrow as pa
+
+            return pa.table(
+                {"n": pa.array([len(t) - t.column("error").null_count], pa.int64())}
+            )
+
+        # distributed partial counts — only 1-row partials reach the driver
+        errors = summary.map_batches(error_partials, batch_format="pyarrow").sum("n") or 0
         total_rows += rows
         failed_rows += int(errors)
         done += 1
@@ -161,7 +168,16 @@ def cmd_convert_files(args) -> int:
                          "error": pa.array(errors, pa.string())})
 
     converted = failed = 0
-    for row in ds.map_batches(convert_batch, batch_format="pyarrow").take_all():
+    # iter_batches streams converted pages to disk one block at a time — a
+    # take_all() would hold every output html in driver memory at once
+    rows = (
+        row
+        for batch in ds.map_batches(convert_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for row in batch.to_pylist()
+    )
+    for row in rows:
         source = row["path"]
         if row["error"] is not None:
             failed += 1
