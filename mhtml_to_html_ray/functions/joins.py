@@ -1,0 +1,124 @@
+"""Temporal join operators Ray Data lacks, built as the composition
+SURVEY.md §2 prescribes (map_batches + groupby(by).map_groups + sort):
+
+* asof_join    — for every left row, the LATEST right row with
+  right.on <= left.on within the same ``by`` group (the classic "state as
+  of event time" join). One hash shuffle on ``by``; within each group a
+  vectorized np.searchsorted merge — never a per-row scan.
+* range_join_count — per left row, HOW MANY right rows fall inside
+  [on - before, on + after] in the same group (windowed containment —
+  the counting form of a band/range join, same physical plan).
+
+Both are exact and deterministic; q_events_asof / q_events_range_count run
+them against DuckDB's ASOF JOIN / explicit range-join SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _sides_union(left_ds, right_ds, by: str, on: str, right_suffix: str):
+    """Union the two inputs under one schema: shared (by, on, _side) plus
+    each side's payload columns (nulls on the other side)."""
+    left_names = [n for n in left_ds.schema().names]
+    right_names = [n for n in right_ds.schema().names]
+    right_payload = [n for n in right_names if n not in (by, on)]
+    left_payload = [n for n in left_names if n not in (by, on)]
+    out_right = [n + right_suffix for n in right_payload]
+
+    left_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        columns = {by: batch.column(by), on: batch.column(on),
+                   "_side": pa.array([0] * batch.num_rows, pa.int8())}
+        for name in left_payload:
+            columns[name] = batch.column(name)
+        for name, out in zip(right_payload, out_right):
+            columns[out] = pa.nulls(batch.num_rows, right_schema[name])
+        return pa.table(columns)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        columns = {by: batch.column(by), on: batch.column(on),
+                   "_side": pa.array([1] * batch.num_rows, pa.int8())}
+        for name in left_payload:
+            columns[name] = pa.nulls(batch.num_rows, left_schema[name])
+        for name, out in zip(right_payload, out_right):
+            columns[out] = batch.column(name)
+        return pa.table(columns)
+
+    union = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    # the union's null padding makes pandas widen integer columns to float64
+    # inside map_groups — record the dtypes to restore on the way out
+    restore: dict[str, str] = {}
+    for name in (by, on, *left_payload):
+        if pa.types.is_integer(left_schema[name]):
+            restore[name] = left_schema[name].to_pandas_dtype().__name__
+    for name, out in zip(right_payload, out_right):
+        if pa.types.is_integer(right_schema[name]):
+            restore[out] = right_schema[name].to_pandas_dtype().__name__
+    return union, left_payload, out_right, restore
+
+
+def asof_join(left_ds, right_ds, by: str, on: str, right_suffix: str = "_r"):
+    """Inner as-of join: left columns + the matching right payload
+    (suffixed). Left rows with no prior right row are dropped."""
+    union, left_payload, out_right, restore = _sides_union(
+        left_ds, right_ds, by, on, right_suffix
+    )
+    out_columns = [by, on, *left_payload, *out_right]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        left_rows = group[group["_side"] == 0]
+        right_rows = group[group["_side"] == 1].sort_values(on)
+        if left_rows.empty or right_rows.empty:
+            frame = pd.DataFrame({c: group[c][0:0] for c in out_columns})
+        else:
+            # latest right.on <= left.on — vectorized over the whole group
+            positions = np.searchsorted(
+                right_rows[on].values, left_rows[on].values, side="right"
+            ) - 1
+            matched = positions >= 0
+            kept = left_rows[matched]
+            source = right_rows.iloc[positions[matched]]
+            out = {c: kept[c].values for c in (by, on, *left_payload)}
+            for name in out_right:
+                out[name] = source[name].values
+            frame = pd.DataFrame(out)
+        return frame.astype(restore, copy=False)
+
+    return union.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def range_join_count(left_ds, right_ds, by: str, on: str,
+                     before, after, count_name: str = "n_in_range"):
+    """Per left row: count of right rows with on in [left.on - before,
+    left.on + after] within the group (before/after must be subtractable
+    from the ``on`` dtype, e.g. np.timedelta64 for timestamps)."""
+    union, left_payload, _, restore = _sides_union(left_ds, right_ds, by, on, "_r")
+    out_columns = [by, on, *left_payload, count_name]
+    restore = {k: v for k, v in restore.items() if k in out_columns}
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        left_rows = group[group["_side"] == 0]
+        right_rows = group[group["_side"] == 1].sort_values(on)
+        if left_rows.empty:
+            frame = pd.DataFrame(
+                {**{c: group[c][0:0] for c in out_columns[:-1]},
+                 count_name: pd.Series([], dtype="int64")}
+            )
+        else:
+            values = right_rows[on].values
+            low = np.searchsorted(values, left_rows[on].values - before, side="left")
+            high = np.searchsorted(values, left_rows[on].values + after, side="right")
+            out = {c: left_rows[c].values for c in (by, on, *left_payload)}
+            out[count_name] = (high - low).astype("int64")
+            frame = pd.DataFrame(out)
+        return frame.astype(restore, copy=False)
+
+    return union.groupby(by).map_groups(merge, batch_format="pandas")

@@ -750,6 +750,105 @@ def q_events_sessionize(sf_dir: str):
     return _sorted_table(out, ["user_id", "session_id"])
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join (the temporal operator Ray Data lacks, built per SURVEY §2:
+    one hash shuffle on the by-key + vectorized searchsorted merge per
+    group): every purchase matched to the user's LATEST view at-or-before
+    it; oracled by DuckDB's native ASOF JOIN."""
+    from ..functions.joins import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "event_id": kept.column("event_id"),
+                "user_id": kept.column("user_id"),
+                "ts": kept.column("ts"),
+            }
+        )
+
+    def views(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        # the right side's join time must ALSO travel as payload (view_ts)
+        # so the gap is computable after the merge
+        return pa.table(
+            {
+                "user_id": kept.column("user_id"),
+                "ts": kept.column("ts"),
+                "view_event_id": kept.column("event_id"),
+                "view_ts": kept.column("ts"),
+            }
+        )
+
+    joined = asof_join(
+        ds.map_batches(purchases, batch_format="pyarrow"),
+        ds.map_batches(views, batch_format="pyarrow"),
+        by="user_id",
+        on="ts",
+        right_suffix="",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(batch.column("ts"), pa.int64()),
+            pc.cast(batch.column("view_ts"), pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "view_event_id": batch.column("view_event_id"),
+                "gap_us": gap,
+            }
+        )
+
+    return _sorted_table(joined.map_batches(finalize, batch_format="pyarrow"), ["event_id"])
+
+
+def q_events_range_count(sf_dir: str):
+    """Range (band) join as a count: per purchase, the user's clicks within
+    ±30 minutes — same shuffle-once searchsorted plan; oracled by an explicit
+    interval-predicate LEFT JOIN."""
+    import numpy as np
+
+    from ..functions.joins import range_join_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "event_id": kept.column("event_id"),
+                "user_id": kept.column("user_id"),
+                "ts": kept.column("ts"),
+            }
+        )
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        return pa.table(
+            {"user_id": kept.column("user_id"), "ts": kept.column("ts")}
+        )
+
+    window = np.timedelta64(30, "m")
+    joined = range_join_count(
+        ds.map_batches(purchases, batch_format="pyarrow"),
+        ds.map_batches(clicks, batch_format="pyarrow"),
+        by="user_id", on="ts", before=window, after=window,
+        count_name="n_clicks",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": batch.column("event_id"), "n_clicks": batch.column("n_clicks")}
+        )
+
+    return _sorted_table(joined.map_batches(finalize, batch_format="pyarrow"), ["event_id"])
+
+
 def q_winnow_pairs(sf_dir: str):
     """Rolling-hash (winnowing) passage-overlap pairs — the local-fingerprint
     counterpart of doc_fingerprint; approximate/structural, rows-only."""
@@ -1016,6 +1115,8 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "events_lag_gap": q_events_lag_gap,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_range_count": q_events_range_count,
     "winnow_pairs": q_winnow_pairs,
     "top_users": q_top_users,
     "distinct_segments": q_distinct_segments,
@@ -1173,6 +1274,22 @@ ORACLE_SQL = {
                            PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
                 FROM events))
         GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "events_asof_join": """
+        SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """,
+    "events_range_count": """
+        SELECT p.event_id, COUNT(c.ts) AS n_clicks
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+        GROUP BY p.event_id ORDER BY p.event_id
     """,
     "top_users": """
         SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

@@ -317,3 +317,42 @@ def test_stopword_stats_adjacent_stopwords_counted():
     out = textstats.stopword_stats_batch(batch)
     assert out.column("n_tokens").to_pylist() == [5]
     assert out.column("n_stopwords").to_pylist() == [4]
+
+
+def test_asof_join_small(ray_session):
+    import numpy as np
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import asof_join, range_join_count
+
+    def ts(minute):
+        return np.datetime64("2024-01-01T00:00", "us") + np.timedelta64(minute, "m")
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "t": pa.array([ts(10), ts(5), ts(1), ts(10)], pa.timestamp("us")),
+        "lid": pa.array([100, 101, 102, 103], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([ts(2), ts(7), ts(20)], pa.timestamp("us")),
+        "rid": pa.array([200, 201, 202], pa.int64()),
+    }))
+    rows = sorted(
+        (r["lid"], r["rid_r"])
+        for r in asof_join(left, right, by="k", on="t", right_suffix="_r").take_all()
+    )
+    # lid 100 (t=10) -> rid 201 (t=7); lid 101 (t=5) -> rid 200 (t=2);
+    # lid 102 (t=1) has no prior right row; k=2's right row is later -> dropped
+    assert rows == [(100, 201), (101, 200)]
+    counts = {
+        r["lid"]: r["n"]
+        for r in range_join_count(
+            left, right, by="k", on="t",
+            before=np.timedelta64(4, "m"), after=np.timedelta64(4, "m"),
+            count_name="n",
+        ).take_all()
+    }
+    # lid 100 (t=10): right t=7 within ±4 -> 1; lid 101 (t=5): t=2 and t=7 -> 2
+    # lid 102 (t=1): t=2 -> 1; lid 103 (k=2, t=10): t=20 outside -> 0
+    assert counts == {100: 1, 101: 2, 102: 1, 103: 0}
