@@ -77,3 +77,87 @@ def hll_distinct(ds, value_fn, b: int = 12) -> float:
     for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
         merged.merge(HyperLogLog.loads(row["sketch"], b))
     return merged.estimate()
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan): d rows × w counters,
+    point query = min over rows — overestimates only, mergeable by
+    element-wise addition. The heavy-hitter companion to HyperLogLog: at
+    100 TB the shuffle carries d×w int64 counters per batch instead of a
+    (token, count) row per distinct token."""
+
+    __slots__ = ("depth", "width", "table")
+
+    def __init__(self, depth: int = 4, width: int = 1 << 12):
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _indexes(self, value: str) -> np.ndarray:
+        # d pairwise-independent-ish hashes from one 64-bit hash (Kirsch-
+        # Mitzenmacher double hashing: h1 + i*h2)
+        h = stable_hash64(value)
+        h1 = h & 0xFFFFFFFF
+        h2 = (h >> 32) | 1
+        return (h1 + np.arange(self.depth, dtype=np.uint64) * h2) % np.uint64(self.width)
+
+    def add(self, value: str, count: int = 1) -> None:
+        self.table[np.arange(self.depth), self._indexes(value)] += count
+
+    def add_many(self, values) -> None:
+        rows = np.arange(self.depth)
+        for value in values:
+            self.table[rows, self._indexes(value)] += 1
+
+    def query(self, value: str) -> int:
+        return int(self.table[np.arange(self.depth), self._indexes(value)].min())
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.table.shape == other.table.shape
+        self.table += other.table
+        return self
+
+    def dumps(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def loads(cls, blob: bytes, depth: int = 4, width: int = 1 << 12) -> "CountMinSketch":
+        sketch = cls(depth, width)
+        sketch.table = np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
+        return sketch
+
+
+def cms_heavy_hitters(ds, value_fn, candidates_fn=None, k: int = 20,
+                      depth: int = 4, width: int = 1 << 12):
+    """Approximate top-k: one CMS partial per batch (merged on the driver)
+    plus a SMALL per-batch candidate set (each batch's local top keys — a
+    heavy hitter globally is a heavy hitter in some batch), then the merged
+    sketch ranks the candidate union. Returns [(key, approx_count)] sorted
+    by (-count, key). ``value_fn(batch) -> iterable of strings``."""
+    import collections
+
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sketch = CountMinSketch(depth, width)
+        counts: collections.Counter = collections.Counter()
+        for value in value_fn(batch):
+            counts[value] += 1
+        for value, count in counts.items():
+            sketch.add(value, count)
+        local_top = [key for key, _ in counts.most_common(k * 4)]
+        return pa.table(
+            {
+                "sketch": pa.array([sketch.dumps()], pa.binary()),
+                "candidates": pa.array([local_top], pa.list_(pa.string())),
+            }
+        )
+
+    merged = CountMinSketch(depth, width)
+    candidates: set[str] = set()
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.merge(CountMinSketch.loads(row["sketch"], depth, width))
+        candidates.update(row["candidates"])
+    ranked = sorted(((key, merged.query(key)) for key in candidates),
+                    key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]

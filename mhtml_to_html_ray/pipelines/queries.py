@@ -907,6 +907,28 @@ def q_top_tokens(sf_dir: str):
     return top.to_pandas()
 
 
+def q_approx_top_tokens(sf_dir: str):
+    """Count-Min-sketch heavy hitters: approximate top-20 tokens — the
+    sketch-shuffle variant of top_tokens (d×w counters per batch instead of
+    per-token rows). Accuracy vs the exact top-k is pinned in tests;
+    rows-only here (approximate by design)."""
+    from ..functions.sketches import cms_heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tokens(batch: pa.Table):
+        for text in batch.column("text").to_pylist():
+            yield from text.split()
+
+    top = cms_heavy_hitters(ds, tokens, k=20)
+    return pa.table(
+        {
+            "token": pa.array([k for k, _ in top], pa.string()),
+            "approx_n": pa.array([n for _, n in top], pa.int64()),
+        }
+    )
+
+
 def q_approx_distinct_tokens(sf_dir: str):
     """HyperLogLog distinct-token count: one 4 KB sketch per batch merged on
     the driver (approximate by design — accuracy vs exact COUNT DISTINCT is
@@ -1122,6 +1144,7 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "top_tokens": q_top_tokens,
     "approx_distinct_tokens": q_approx_distinct_tokens,
+    "approx_top_tokens": q_approx_top_tokens,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,

@@ -356,3 +356,50 @@ def test_asof_join_small(ray_session):
     # lid 100 (t=10): right t=7 within ±4 -> 1; lid 101 (t=5): t=2 and t=7 -> 2
     # lid 102 (t=1): t=2 -> 1; lid 103 (k=2, t=10): t=20 outside -> 0
     assert counts == {100: 1, 101: 2, 102: 1, 103: 0}
+
+
+def test_count_min_sketch_accuracy_and_merge():
+    from mhtml_to_html_ray.functions.sketches import CountMinSketch
+
+    full = CountMinSketch()
+    left, right = CountMinSketch(), CountMinSketch()
+    for i in range(5000):
+        value = f"tok-{i % 37}"  # skewed: 37 keys, ~135 each
+        full.add(value)
+        (left if i % 2 else right).add(value)
+    assert full.query("tok-0") >= 136  # CMS never underestimates
+    assert full.query("tok-0") <= 160  # and stays tight at this load
+    merged = left.merge(right)
+    assert merged.query("tok-5") == full.query("tok-5"), "merge must equal the union sketch"
+    round_trip = CountMinSketch.loads(full.dumps())
+    assert round_trip.query("tok-7") == full.query("tok-7")
+
+
+def test_cms_heavy_hitters_match_exact_topk(ray_session):
+    import collections
+
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sketches import cms_heavy_hitters
+
+    rng_texts = []
+    exact: collections.Counter = collections.Counter()
+    for i in range(200):
+        words = [f"hot{j}" for j in range(10) for _ in range(10 - j)] + [f"cold{i}-{j}" for j in range(5)]
+        rng_texts.append(" ".join(words))
+        exact.update(words)
+    ds = ray.data.from_arrow(_docs_table(rng_texts))
+
+    def tokens(batch):
+        for text in batch.column("text").to_pylist():
+            yield from text.split()
+
+    approx = cms_heavy_hitters(ds, tokens, k=10)
+    approx_keys = {key for key, _ in approx}
+    exact_keys = {key for key, _ in exact.most_common(10)}
+    assert approx_keys == exact_keys, f"heavy hitters missed: {exact_keys - approx_keys}"
+    # counts are close (CMS overestimates only, bounded by the skew here)
+    exact_map = dict(exact)
+    for key, count in approx:
+        assert count >= exact_map[key]
+        assert count <= exact_map[key] * 1.1 + 50
