@@ -428,11 +428,13 @@ class CrawlScheduler:
             this_wave = store.select_wave(config.wave_budget, config.per_host_wave_cap)
             for row in this_wave:
                 row["wave"] = wave
+            select_done = time.monotonic()
 
             # host-sorted blocks: one host's urls land contiguously, so the
             # politeness gate serializes instead of ping-ponging
             this_wave.sort(key=lambda row: (row["host_hash"], row["discovery_index"]))
             result_rows = self._fetch_wave(this_wave, worker_config)
+            fetch_done = time.monotonic()
             # deterministic order for discovery regardless of execution order
             result_rows.sort(key=lambda row: row["discovery_index"])
             results_table = pa.Table.from_pylist(result_rows, schema=RESULT_SCHEMA)
@@ -519,6 +521,12 @@ class CrawlScheduler:
                 "admitted": len(admitted),
                 "backlog": store.size() - len(admitted),
                 "wall_ms": (time.monotonic() - wave_started) * 1000.0,
+                # phase split: where each wave's wall went (select = frontier
+                # store job, fetch = actor pool, admit = driver discovery +
+                # seen-set round trip + store add)
+                "select_ms": round((select_done - wave_started) * 1000.0, 1),
+                "fetch_ms_wall": round((fetch_done - select_done) * 1000.0, 1),
+                "admit_ms": round((time.monotonic() - fetch_done) * 1000.0, 1),
                 "hosts": {h: s for h, s in sorted(host_stats.items())},
                 "partitions": list(getattr(self, "_last_wave_lineage", [])),
             }
