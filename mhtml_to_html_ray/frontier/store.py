@@ -141,6 +141,18 @@ class ParquetFrontier:
         import ray.data
         import pyarrow.compute as pc
 
+        backlog_size = self.size()
+        if backlog_size <= budget:
+            # the whole backlog fits the wave budget — the bound we already
+            # accept driver-resident — so both Ray Data jobs (distributed
+            # sort+limit AND remainder rewrite) are pure fixed cost here
+            # (~0.8 s/wave measured); select locally, write back the spill
+            rows = self._read_table().to_pylist()
+            rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
+            selected, spilled = _apply_host_cap(rows, per_host_cap, budget)
+            self._write(_frontier_table(spilled))
+            return selected
+
         ds = ray.data.read_parquet(self.current)
         window = budget if per_host_cap is None else budget * self.headroom
         # the distributed part: only the top-`window` rows reach the driver
