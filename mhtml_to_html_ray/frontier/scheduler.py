@@ -302,21 +302,24 @@ class CrawlScheduler:
             if assigned:
                 futures.append((actor_index, len(assigned),
                                 pool[actor_index].fetch_batch.remote(_frontier_table(assigned))))
-        out: list[dict] = []
-        # one ray.get over the whole pool (serial gets would stack latencies)
+        import pyarrow.compute as pc
+
+        # one ray.get over the whole pool (serial gets would stack latencies);
+        # results stay ARROW — converting 100k rows to Python dicts and back
+        # was the driver's admit-phase cost at full wave budgets
         tables = ray.get([future for _, _, future in futures])
         for (actor_index, rows_in, _), table in zip(futures, tables):
-            rows = table.to_pylist()
-            out.extend(rows)
             # per-partition lineage (SURVEY.md §3.3): which shard did what
             lineage.append({
                 "shard": actor_index,
                 "rows_in": rows_in,
-                "rows_out": len(rows),
-                "fetch_ms": round(sum(r["fetch_ms"] for r in rows), 3),
+                "rows_out": table.num_rows,
+                "fetch_ms": round(pc.sum(table.column("fetch_ms")).as_py() or 0.0, 3),
             })
         self._last_wave_lineage = lineage
-        return out
+        if not tables:
+            return pa.Table.from_pylist([], schema=RESULT_SCHEMA)
+        return pa.concat_tables(tables)
 
     def close(self) -> None:
         import ray
@@ -433,48 +436,64 @@ class CrawlScheduler:
             # host-sorted blocks: one host's urls land contiguously, so the
             # politeness gate serializes instead of ping-ponging
             this_wave.sort(key=lambda row: (row["host_hash"], row["discovery_index"]))
-            result_rows = self._fetch_wave(this_wave, worker_config)
+            fetched = self._fetch_wave(this_wave, worker_config)
             fetch_done = time.monotonic()
             # deterministic order for discovery regardless of execution order
-            result_rows.sort(key=lambda row: row["discovery_index"])
-            results_table = pa.Table.from_pylist(result_rows, schema=RESULT_SCHEMA)
+            results_table = fetched.sort_by("discovery_index")
             if config.results_dir is not None:
                 self._stream_results(results_table, wave)
             else:
                 all_results.append(results_table)
 
+            import pyarrow.compute as pc
+
             # per-host stats → priority re-score for the next wave
             host_stats = self._host_stats(results_table)
 
-            failed_urls = [r["canon_url"] for r in result_rows if not r["ok"] and not r["robots_blocked"]]
+            ok_col = results_table.column("ok")
+            robots_col = results_table.column("robots_blocked")
+            failed_urls = results_table.filter(
+                pc.and_(pc.invert(ok_col), pc.invert(robots_col))
+            ).column("canon_url").to_pylist()
             if failed_urls:
                 self.seen.add_failed(failed_urls)
 
             # mirror guard: pages whose content hash was already seen (the
             # seen shards double as the content-hash registry under a
             # "content:" key prefix) contribute no discoveries
-            expand = {row["discovery_index"]: True for row in result_rows}
+            expand: dict[int, bool] = {}
             if config.dedup_content:
-                hashed = [r for r in result_rows if r["ok"] and r["content_hash"]]
-                if hashed:
+                hashed_table = results_table.filter(
+                    pc.and_(ok_col, pc.not_equal(results_table.column("content_hash"), ""))
+                )
+                hashed_ids = hashed_table.column("discovery_index").to_pylist()
+                if hashed_ids:
                     fresh = self.seen.check_and_add(
-                        ["content:" + r["content_hash"] for r in hashed]
+                        ["content:" + h
+                         for h in hashed_table.column("content_hash").to_pylist()]
                     )
-                    for row, is_first in zip(hashed, fresh):
-                        expand[row["discovery_index"]] = is_first
+                    for parent_index, is_first in zip(hashed_ids, fresh):
+                        expand[parent_index] = is_first
 
             # discovery: enumerate children in (parent order, document order);
-            # within-wave first-wins dedup before the seen-set round trip
+            # within-wave first-wins dedup before the seen-set round trip.
+            # Only the five narrow columns convert to Python — the wide
+            # result columns (bodies, html) never leave Arrow on the driver.
             candidates: list[dict] = []
             candidate_seen: set[str] = set()
             base_index = next_index
-            for parent in result_rows:
-                if parent["depth"] + 1 > config.max_depth:
+            for depth, parent_index, parent_canon, child_urls, child_canons in zip(
+                results_table.column("depth").to_pylist(),
+                results_table.column("discovery_index").to_pylist(),
+                results_table.column("canon_url").to_pylist(),
+                results_table.column("discovered").to_pylist(),
+                results_table.column("discovered_canon").to_pylist(),
+            ):
+                if depth + 1 > config.max_depth:
                     continue
-                if not expand.get(parent["discovery_index"], True):
+                if not expand.get(parent_index, True):
                     continue
-                for child_url, child_canon in zip(parent["discovered"],
-                                                  parent["discovered_canon"]):
+                for child_url, child_canon in zip(child_urls, child_canons):
                     if child_canon is None:
                         continue
                     canon_url, host = child_canon["canon_url"], child_canon["host"]
@@ -482,18 +501,18 @@ class CrawlScheduler:
                         continue
                     candidate_seen.add(canon_url)
                     stats = host_stats.get(host, {"ok_rate": 1.0})
-                    priority = stats["ok_rate"] - config.depth_penalty * (parent["depth"] + 1)
+                    priority = stats["ok_rate"] - config.depth_penalty * (depth + 1)
                     candidates.append(
                         {
                             "url": child_url,
                             "canon_url": canon_url,
                             "host": host,
                             "host_hash": stable_hash64(host),
-                            "depth": parent["depth"] + 1,
+                            "depth": depth + 1,
                             "priority": priority,
                             "discovered_ts": base_index,
                             "wave": wave + 1,
-                            "parent_url": parent["canon_url"],
+                            "parent_url": parent_canon,
                             "discovery_index": 0,  # assigned after dedup
                         }
                     )
@@ -514,10 +533,13 @@ class CrawlScheduler:
             wave_metrics = {
                 "wave": wave,
                 "rows_in": len(this_wave),
-                "fetched_ok": sum(1 for r in result_rows if r["ok"]),
-                "fetched_fail": sum(1 for r in result_rows if not r["ok"] and not r["robots_blocked"]),
-                "robots_blocked": sum(1 for r in result_rows if r["robots_blocked"]),
-                "discovered": sum(len(r["discovered"]) for r in result_rows),
+                "fetched_ok": int(pc.sum(pc.cast(ok_col, pa.int64())).as_py() or 0),
+                "fetched_fail": len(failed_urls),
+                "robots_blocked": int(pc.sum(pc.cast(robots_col, pa.int64())).as_py() or 0),
+                "discovered": int(
+                    pc.sum(pc.list_value_length(results_table.column("discovered"))).as_py()
+                    or 0
+                ),
                 "admitted": len(admitted),
                 "backlog": store.size() - len(admitted),
                 "wall_ms": (time.monotonic() - wave_started) * 1000.0,
@@ -569,18 +591,28 @@ class CrawlScheduler:
     # ------------------------------------------------------------------
     @staticmethod
     def _host_stats(results_table: pa.Table) -> dict[str, dict]:
-        """Per-host aggregates feeding next-wave priorities. Kept driver-side
-        here (one small table per wave); at cluster scale this is the
+        """Per-host aggregates feeding next-wave priorities — a vectorized
+        pandas groupby over three narrow columns. Kept driver-side here (one
+        small table per wave); at cluster scale this is the
         ``groupby("host")`` in q_frontier_host_budget."""
+        frame = results_table.select(["host", "ok", "fetch_ms"]).to_pandas()
+        if frame.empty:
+            return {}
+        grouped = frame.groupby("host", sort=False).agg(
+            n=("ok", "size"), ok=("ok", "sum"), fetch_ms=("fetch_ms", "sum")
+        )
         stats: dict[str, dict] = {}
-        for row in results_table.select(["host", "ok", "fetch_ms"]).to_pylist():
-            entry = stats.setdefault(row["host"], {"n": 0, "ok": 0, "fetch_ms": 0.0})
-            entry["n"] += 1
-            entry["ok"] += 1 if row["ok"] else 0
-            entry["fetch_ms"] += row["fetch_ms"]
-        for entry in stats.values():
-            entry["ok_rate"] = entry["ok"] / entry["n"] if entry["n"] else 1.0
-            entry["mean_fetch_ms"] = entry["fetch_ms"] / entry["n"] if entry["n"] else 0.0
+        for host, row in grouped.iterrows():
+            n = int(row["n"])
+            ok = int(row["ok"])
+            fetch_ms = float(row["fetch_ms"])
+            stats[host] = {
+                "n": n,
+                "ok": ok,
+                "fetch_ms": fetch_ms,
+                "ok_rate": ok / n if n else 1.0,
+                "mean_fetch_ms": fetch_ms / n if n else 0.0,
+            }
         return stats
 
 
