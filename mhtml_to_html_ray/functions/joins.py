@@ -75,7 +75,10 @@ def asof_join(left_ds, right_ds, by: str, on: str, right_suffix: str = "_r"):
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         left_rows = group[group["_side"] == 0]
-        right_rows = group[group["_side"] == 1].sort_values(on)
+        # payload columns as tiebreakers: among right rows sharing the same
+        # `on` value, searchsorted(side="right")-1 picks the LAST one, so the
+        # sort must fix which row that is regardless of shuffle arrival order
+        right_rows = group[group["_side"] == 1].sort_values([on, *out_right])
         if left_rows.empty or right_rows.empty:
             frame = pd.DataFrame({c: group[c][0:0] for c in out_columns})
         else:
@@ -122,3 +125,73 @@ def range_join_count(left_ds, right_ds, by: str, on: str,
         return frame.astype(restore, copy=False)
 
     return union.groupby(by).map_groups(merge, batch_format="pandas")
+
+def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
+              right_suffix: str = "_r"):
+    """Distributed partitioned inner equijoin on ``key``.
+
+    Deliberately NOT ray.data.Dataset.join: Ray 2.49's hash join emits empty
+    partitions as zero-column blocks that poison schema-dependent downstream
+    operators (see functions/dedup.py:_verified_pairs_ds for the original
+    write-up).  Physical plan instead: tag each side with ``_side`` and
+    ``_bucket = hash(key) % num_buckets``, union under one schema, ONE
+    shuffle (groupby _bucket), then one vectorized pandas merge per bucket.
+    100-TB shape: only the projected join columns move, parallelism is
+    num_buckets, nothing touches the driver.  Right payload columns that
+    collide with left names get ``right_suffix``.
+    """
+    left_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    left_payload = [n for n in left_schema if n != key]
+    right_payload = [n for n in right_schema if n != key]
+    out_right = [n + right_suffix if n in left_schema else n
+                 for n in right_payload]
+
+    def bucket_of(column: pa.ChunkedArray) -> pa.Array:
+        values = column.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(column, pa.ChunkedArray) \
+            else column.to_numpy(zero_copy_only=False)
+        hashed = pd.util.hash_array(np.asarray(values)) % num_buckets
+        return pa.array(hashed.astype(np.int64), pa.int64())
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        columns = {key: batch.column(key),
+                   "_bucket": bucket_of(batch.column(key)),
+                   "_side": pa.array([0] * batch.num_rows, pa.int8())}
+        for name in left_payload:
+            columns[name] = batch.column(name)
+        for name, out in zip(right_payload, out_right):
+            columns[out] = pa.nulls(batch.num_rows, right_schema[name])
+        return pa.table(columns)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        columns = {key: batch.column(key),
+                   "_bucket": bucket_of(batch.column(key)),
+                   "_side": pa.array([1] * batch.num_rows, pa.int8())}
+        for name in left_payload:
+            columns[name] = pa.nulls(batch.num_rows, left_schema[name])
+        for name, out in zip(right_payload, out_right):
+            columns[out] = batch.column(name)
+        return pa.table(columns)
+
+    union = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    # null padding in the union widens pandas ints to float64 — restore
+    restore: dict[str, str] = {}
+    for name in (key, *left_payload):
+        if pa.types.is_integer(left_schema[name]):
+            restore[name] = left_schema[name].to_pandas_dtype().__name__
+    for name, out in zip(right_payload, out_right):
+        if pa.types.is_integer(right_schema[name]):
+            restore[out] = right_schema[name].to_pandas_dtype().__name__
+    out_columns = [key, *left_payload, *out_right]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        left_rows = group.loc[group["_side"] == 0, [key, *left_payload]]
+        right_rows = group.loc[group["_side"] == 1, [key, *out_right]]
+        joined = left_rows.merge(right_rows, on=key, how="inner")
+        return joined[out_columns].astype(restore, copy=False)
+
+    return union.groupby("_bucket").map_groups(merge, batch_format="pandas")

@@ -495,10 +495,17 @@ def q_top_orders_by_revenue(sf_dir: str):
     orderkey and hash-joined with the surviving orders."""
     import ray
 
+    from ..functions.joins import hash_join
+
     customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = customers.filter(
-        lambda row: row["c_mktsegment"] == "BUILDING"
-    ).select_columns(["c_custkey"]).to_pandas()
+
+    def building_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("c_mktsegment"), pa.scalar("BUILDING"))
+        return pa.table({"c_custkey": batch.filter(mask).column("c_custkey")})
+
+    building = customers.map_batches(
+        building_keys, batch_format="pyarrow"
+    ).to_pandas()
     building_ref = ray.put(pa.array(building["c_custkey"], pa.int64()))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -509,11 +516,15 @@ def q_top_orders_by_revenue(sf_dir: str):
         return pa.table({"l_orderkey": batch.filter(mask).column("o_orderkey")})
 
     survivors = orders.map_batches(building_orders, batch_format="pyarrow")
-    joined = _lineitem_revenue_by_orderkey(sf_dir).join(
-        survivors, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    joined = hash_join(
+        _lineitem_revenue_by_orderkey(sf_dir), survivors, key="l_orderkey",
+        num_buckets=32,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
         return pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey"),
@@ -530,44 +541,58 @@ def q_top_orders_by_revenue(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Fact⋈fact shuffle join with dimension broadcast: lineitem revenue is
-    pre-aggregated per orderkey (combiner before the wide step), orders is
-    tagged with n_name through the broadcast customer→nation / nation→name
-    dimension lookups (genuinely small sides — orders itself is NEVER
-    collected on the driver), then one hash join on orderkey and a 25-row
-    groupby."""
+    """Fact⋈fact shuffle joins with dimension broadcast, 100-TB shaped:
+    lineitem revenue is pre-aggregated per orderkey (combiner before any
+    wide step); customer — a FACT at scale, never broadcast or collected —
+    is tagged with n_name by a vectorized np.searchsorted lookup against
+    the broadcast 25-row nation table; orders⋈customer and
+    revenue⋈tagged-orders each run as one distributed hash_join (see
+    functions/joins.py — union + groupby(bucket).map_groups, not
+    Dataset.join); the final groupby is 25 rows."""
     import ray
     from ray.data.aggregate import Sum
 
+    from ..functions.joins import hash_join
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cust_nation_ref = ray.put(
-        {
-            ck: nation_name.get(nk)
-            for ck, nk in zip(customer["c_custkey"], customer["c_nationkey"])
-        }
+    nation = nation.sort_values("n_nationkey").reset_index(drop=True)
+    nation_ref = ray.put(
+        (nation["n_nationkey"].to_numpy(), nation["n_name"].to_numpy())
     )
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    def tag_orders(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_nation_ref)
-        names = [lookup.get(ck) for ck in batch.column("o_custkey").to_pylist()]
+    def tag_customer(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(nation_ref)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        positions = np.searchsorted(keys, nk)
         return pa.table(
             {
-                "l_orderkey": batch.column("o_orderkey"),
-                "n_name": pa.array(names, pa.string()),
+                "o_custkey": batch.column("c_custkey"),
+                "n_name": pa.array(names[positions], pa.string()),
             }
         )
 
-    tagged = orders.map_batches(tag_orders, batch_format="pyarrow")
-    joined = _lineitem_revenue_by_orderkey(sf_dir).join(
-        tagged, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    cust_nation = customer.map_batches(tag_customer, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    tagged = hash_join(orders, cust_nation, key="o_custkey", num_buckets=32)
+    tagged = tagged.map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "n_name": b.column("n_name")})
+        if b.num_rows else pa.table({"l_orderkey": pa.array([], pa.int64()),
+                                     "n_name": pa.array([], pa.string())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        _lineitem_revenue_by_orderkey(sf_dir), tagged, key="l_orderkey",
+        num_buckets=32,
     )
     agg = joined.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
         return pa.table(
             {
                 "n_name": batch.column("n_name"),

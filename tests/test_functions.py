@@ -403,3 +403,91 @@ def test_cms_heavy_hitters_match_exact_topk(ray_session):
     for key, count in approx:
         assert count >= exact_map[key]
         assert count <= exact_map[key] * 1.1 + 50
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "key": rng.integers(0, 50, 200),
+        "lv": rng.integers(0, 1000, 200),
+    })
+    right = pd.DataFrame({
+        "key": rng.integers(0, 80, 120),          # some keys match, some don't
+        "rv": rng.integers(0, 1000, 120),
+        "lv": rng.integers(0, 9, 120),            # name collision -> suffixed
+    })
+    got = (
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="key", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["key", "lv", "rv", "lv_r"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="key", how="inner", suffixes=("", "_r"))
+        .sort_values(["key", "lv", "rv", "lv_r"])
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["key"].dtype == np.int64 and got["rv"].dtype == np.int64
+
+
+def test_hash_join_string_key_and_empty_side(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a.com", "b.com", "a.com"], pa.string()),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a.com", "z.com"], pa.string()),
+        "rank": pa.array([10, 99], pa.int64()),
+    }))
+    got = hash_join(left, right, key="host", num_buckets=4).to_pandas()
+    got = got.sort_values(["host", "n"]).reset_index(drop=True)
+    assert got["host"].tolist() == ["a.com", "a.com"]
+    assert got["n"].tolist() == [1, 3]
+    assert got["rank"].tolist() == [10, 10]
+
+    empty_right = ray.data.from_arrow(pa.table({
+        "host": pa.array([], pa.string()),
+        "rank": pa.array([], pa.int64()),
+    }))
+    assert hash_join(left, empty_right, key="host", num_buckets=4).count() == 0
+
+
+def test_asof_join_deterministic_on_right_ties(ray_session):
+    """Two right rows at the SAME timestamp: the matched payload must be
+    the same whichever shuffle order the rows arrive in (ADVICE r2)."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "t": pa.array([100], pa.int64()),
+        "lid": pa.array([1], pa.int64()),
+    }))
+    results = set()
+    for order in ([200, 201], [201, 200]):
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "t": pa.array([50, 50], pa.int64()),
+            "rid": pa.array(order, pa.int64()),
+        }))
+        rows = asof_join(left, right, by="k", on="t").take_all()
+        results.add(rows[0]["rid_r"])
+    assert results == {201}, "tie must resolve to the max payload both times"
