@@ -93,6 +93,17 @@ class CrawlConfig:
     # CrawlResult.results_dataset()
     dedup_content: bool = False  # mirror guard: a page whose body hash was
     # already seen contributes no discoveries (first copy wins)
+    admit_strategy: str = "auto"  # "driver" | "distributed" | "auto":
+    # the admit phase (discovery enumeration + within-wave dedup + seen-set
+    # check) as a driver loop or a Ray Data pipeline (frontier/admit.py).
+    # Both produce bit-identical frontiers; "auto" switches on wave
+    # discovery volume — the driver loop wins under fixed per-wave Ray job
+    # cost, the pipeline wins when discoveries dominate.
+    admit_distributed_threshold: int = 150_000  # discoveries/wave for
+    # "auto" — measured crossover on the 32-cpu box: the driver loop wins
+    # at ≤125k discoveries/wave (fixed Ray-job cost dominates), the shard
+    # min-reduce wins from ~200k up (1M-url soak, 2-link fanout:
+    # 16.0k vs 14.0k urls/s; the gap grows with fanout and cluster size)
     fetch_actor_num_cpus: float = 0.5  # fetch is IO-bound; a FULL cpu per
     # persistent pool actor can capture the whole cluster and starve the
     # mid-wave Ray Data jobs (Parquet frontier select/rewrite, streamed
@@ -475,60 +486,34 @@ class CrawlScheduler:
                     for parent_index, is_first in zip(hashed_ids, fresh):
                         expand[parent_index] = is_first
 
-            # discovery: enumerate children in (parent order, document order);
-            # within-wave first-wins dedup before the seen-set round trip.
-            # Only the five narrow columns convert to Python — the wide
-            # result columns (bodies, html) never leave Arrow on the driver.
-            candidates: list[dict] = []
-            candidate_seen: set[str] = set()
-            base_index = next_index
-            for depth, parent_index, parent_canon, child_urls, child_canons in zip(
-                results_table.column("depth").to_pylist(),
-                results_table.column("discovery_index").to_pylist(),
-                results_table.column("canon_url").to_pylist(),
-                results_table.column("discovered").to_pylist(),
-                results_table.column("discovered_canon").to_pylist(),
-            ):
-                if depth + 1 > config.max_depth:
-                    continue
-                if not expand.get(parent_index, True):
-                    continue
-                for child_url, child_canon in zip(child_urls, child_canons):
-                    if child_canon is None:
-                        continue
-                    canon_url, host = child_canon["canon_url"], child_canon["host"]
-                    if canon_url in candidate_seen:
-                        continue
-                    candidate_seen.add(canon_url)
-                    stats = host_stats.get(host, {"ok_rate": 1.0})
-                    priority = stats["ok_rate"] - config.depth_penalty * (depth + 1)
-                    candidates.append(
-                        {
-                            "url": child_url,
-                            "canon_url": canon_url,
-                            "host": host,
-                            "host_hash": stable_hash64(host),
-                            "depth": depth + 1,
-                            "priority": priority,
-                            "discovered_ts": base_index,
-                            "wave": wave + 1,
-                            "parent_url": parent_canon,
-                            "discovery_index": 0,  # assigned after dedup
-                        }
-                    )
-            new_flags = (
-                self.seen.check_and_add([c["canon_url"] for c in candidates])
-                if candidates
-                else []
+            n_discovered = int(
+                pc.sum(pc.list_value_length(results_table.column("discovered"))).as_py()
+                or 0
             )
-            admitted = []
-            for candidate, is_new in zip(candidates, new_flags):
-                if is_new:
-                    candidate["discovery_index"] = next_index
-                    next_index += 1
-                    admitted.append(candidate)
+            use_distributed = config.admit_strategy == "distributed" or (
+                config.admit_strategy == "auto"
+                and n_discovered >= config.admit_distributed_threshold
+            )
+            if use_distributed:
+                # scale path: admission as a Ray Data pipeline — workers
+                # enumerate + dedup + call the seen shards directly; the
+                # driver only sorts the ADMITTED rows and assigns indexes
+                # (frontier/admit.py; bit-identical to the loop below)
+                from .admit import distributed_admit
 
-            store.add(admitted)
+                admitted_table = distributed_admit(
+                    results_table, self.seen, host_stats, expand, config,
+                    wave, next_index,
+                )
+                next_index += admitted_table.num_rows
+                store.add_table(admitted_table)
+                admitted_count = admitted_table.num_rows
+            else:
+                admitted_count = self._admit_on_driver(
+                    results_table, host_stats, expand, config, wave,
+                    next_index, store,
+                )
+                next_index += admitted_count
 
             wave_metrics = {
                 "wave": wave,
@@ -536,12 +521,9 @@ class CrawlScheduler:
                 "fetched_ok": int(pc.sum(pc.cast(ok_col, pa.int64())).as_py() or 0),
                 "fetched_fail": len(failed_urls),
                 "robots_blocked": int(pc.sum(pc.cast(robots_col, pa.int64())).as_py() or 0),
-                "discovered": int(
-                    pc.sum(pc.list_value_length(results_table.column("discovered"))).as_py()
-                    or 0
-                ),
-                "admitted": len(admitted),
-                "backlog": store.size() - len(admitted),
+                "discovered": n_discovered,
+                "admitted": admitted_count,
+                "backlog": store.size() - admitted_count,
                 "wall_ms": (time.monotonic() - wave_started) * 1000.0,
                 # phase split: where each wave's wall went (select = frontier
                 # store job, fetch = actor pool, admit = driver discovery +
@@ -576,6 +558,68 @@ class CrawlScheduler:
             results_dir=config.results_dir,
             _seen_set=self.seen,
         )
+
+    def _admit_on_driver(self, results_table: pa.Table, host_stats: dict,
+                         expand: dict, config: CrawlConfig, wave: int,
+                         base_index: int, store) -> int:
+        """The small-wave admit path: enumerate children in (parent order,
+        document order), within-wave first-wins dedup, ONE seen-set round
+        trip, sequential index assignment. Only the five narrow columns
+        convert to Python — the wide result columns (bodies, html) never
+        leave Arrow on the driver. Bit-identical to frontier/admit.py's
+        distributed pipeline (pinned by test_admit_distributed_matches_driver);
+        kept for waves small enough that a Ray Data job's fixed cost would
+        dominate."""
+        candidates: list[dict] = []
+        candidate_seen: set[str] = set()
+        next_index = base_index
+        for depth, parent_index, parent_canon, child_urls, child_canons in zip(
+            results_table.column("depth").to_pylist(),
+            results_table.column("discovery_index").to_pylist(),
+            results_table.column("canon_url").to_pylist(),
+            results_table.column("discovered").to_pylist(),
+            results_table.column("discovered_canon").to_pylist(),
+        ):
+            if depth + 1 > config.max_depth:
+                continue
+            if not expand.get(parent_index, True):
+                continue
+            for child_url, child_canon in zip(child_urls, child_canons):
+                if child_canon is None:
+                    continue
+                canon_url, host = child_canon["canon_url"], child_canon["host"]
+                if canon_url in candidate_seen:
+                    continue
+                candidate_seen.add(canon_url)
+                stats = host_stats.get(host, {"ok_rate": 1.0})
+                priority = stats["ok_rate"] - config.depth_penalty * (depth + 1)
+                candidates.append(
+                    {
+                        "url": child_url,
+                        "canon_url": canon_url,
+                        "host": host,
+                        "host_hash": stable_hash64(host),
+                        "depth": depth + 1,
+                        "priority": priority,
+                        "discovered_ts": base_index,
+                        "wave": wave + 1,
+                        "parent_url": parent_canon,
+                        "discovery_index": 0,  # assigned after dedup
+                    }
+                )
+        new_flags = (
+            self.seen.check_and_add([c["canon_url"] for c in candidates])
+            if candidates
+            else []
+        )
+        admitted = []
+        for candidate, is_new in zip(candidates, new_flags):
+            if is_new:
+                candidate["discovery_index"] = next_index
+                next_index += 1
+                admitted.append(candidate)
+        store.add(admitted)
+        return len(admitted)
 
     def _stream_results(self, results_table: pa.Table, wave: int) -> None:
         """One atomically-renamed Parquet file per wave — the driver never

@@ -36,6 +36,13 @@ class SeenShard:
         # might_contain() can false-negative for arbitrary keys — so the
         # first failed insert degrades the shard to exact-set-only probes.
         self.filter_ok = True
+        # idempotency window for check_and_add_tagged: the urls added under
+        # the CURRENT tag (one crawl wave). A Ray-retried admit task re-asks
+        # about urls its first attempt already added and must get True again
+        # (first-wins would otherwise silently drop them). Cleared when the
+        # tag advances, so memory stays one-wave-bounded.
+        self._tag: object = None
+        self._tag_added: set[str] = set()
 
     def _probe(self, url: str) -> bool:
         """Seen-before test with the filter as a safe fast negative path."""
@@ -55,6 +62,66 @@ class SeenShard:
                     self.filter_ok = False
                 out.append(True)
         return out
+
+    def check_and_add_tagged(self, urls: list[str], tag) -> list[bool]:
+        """check_and_add with retry idempotency: urls added under the same
+        tag answer True on a repeat call (distributed admit — a retried
+        worker task must not see its own earlier adds as duplicates)."""
+        if tag != self._tag:
+            self._tag = tag
+            self._tag_added = set()
+        out = []
+        for url in urls:
+            if url in self._tag_added:
+                out.append(True)
+            elif self._probe(url):
+                out.append(False)
+            else:
+                self.exact.add(url)
+                if self.filter_ok and not self.filter.add(url):
+                    self.filter_ok = False
+                self._tag_added.add(url)
+                out.append(True)
+        return out
+
+    # --- distributed-admit offer protocol (frontier/admit.py) ---
+    def offer(self, table: pa.Table, tag) -> int:
+        """Buffer a batch of wave candidates (zero per-row work here — all
+        dedup is deferred to commit_offers, which makes re-offering the same
+        rows from a Ray-retried task naturally idempotent: duplicates
+        collapse in the commit's drop_duplicates)."""
+        if tag != getattr(self, "_offer_tag", None):
+            self._offer_tag = tag
+            self._offer_tables: list[pa.Table] = []
+        self._offer_tables.append(table)
+        return table.num_rows
+
+    def commit_offers(self, tag) -> pa.Table | None:
+        """First-wins resolution, vectorized: min-(parent_index, ordinal)
+        per url (stable sort + drop_duplicates — the row the sequential
+        loop keeps), already-seen urls rejected in one isin, winners enter
+        the exact set. Clears the buffer — memory stays one-wave-bounded."""
+        if tag != getattr(self, "_offer_tag", None) or not getattr(self, "_offer_tables", None):
+            return None
+        combined = pa.concat_tables(self._offer_tables)
+        self._offer_tables = []
+        frame = combined.to_pandas()
+        frame = frame.sort_values(["parent_index", "ordinal"], kind="stable")
+        frame = frame.drop_duplicates("canon_url", keep="first")
+        fresh = frame[~frame["canon_url"].isin(self.exact).values]
+        if not len(fresh):
+            return None
+        urls = fresh["canon_url"].tolist()
+        self.exact.update(urls)
+        if self.filter_ok:
+            for url in urls:
+                if not self.filter.add(url):
+                    self.filter_ok = False
+                    break
+        from .admit import CANDIDATE_SCHEMA
+
+        return pa.Table.from_pandas(fresh, schema=CANDIDATE_SCHEMA,
+                                    preserve_index=False)
 
     def contains(self, urls: list[str]) -> list[bool]:
         return [self._probe(u) for u in urls]
@@ -128,7 +195,7 @@ class ShardedSeenSet:
             routed[stable_hash64(url) % self.n_shards].append((index, url))
         return routed
 
-    def _fan_out(self, urls: list[str], method: str) -> list[bool]:
+    def _fan_out(self, urls: list[str], method: str, *extra) -> list[bool]:
         import ray
 
         routed = self._route(urls)
@@ -136,7 +203,9 @@ class ShardedSeenSet:
         for shard, entries in enumerate(routed):
             if entries:
                 futures.append(
-                    (entries, getattr(self.shards[shard], method).remote([u for _, u in entries]))
+                    (entries,
+                     getattr(self.shards[shard], method).remote(
+                         [u for _, u in entries], *extra))
                 )
         out = [False] * len(urls)
         # ONE ray.get over every shard future — a per-shard get would wait
@@ -149,6 +218,9 @@ class ShardedSeenSet:
 
     def check_and_add(self, urls: list[str]) -> list[bool]:
         return self._fan_out(urls, "check_and_add")
+
+    def check_and_add_tagged(self, urls: list[str], tag) -> list[bool]:
+        return self._fan_out(urls, "check_and_add_tagged", tag)
 
     def contains(self, urls: list[str]) -> list[bool]:
         return self._fan_out(urls, "contains")

@@ -54,6 +54,11 @@ class MemoryFrontier:
     def add(self, rows: list[dict]) -> None:
         self.rows.extend(rows)
 
+    def add_table(self, table: pa.Table) -> None:
+        """Arrow ingest (distributed admit path). MemoryFrontier is
+        driver-resident by definition, so the pylist conversion is fine."""
+        self.rows.extend(table.to_pylist())
+
     def size(self) -> int:
         return len(self.rows)
 
@@ -119,6 +124,19 @@ class ParquetFrontier:
         self._fragment_counter += 1
         pq.write_table(
             _frontier_table(rows),
+            os.path.join(self.current, f"part-add-{self._fragment_counter:06d}.parquet"),
+        )
+
+    def add_table(self, table: pa.Table) -> None:
+        """Arrow ingest (distributed admit path): the admitted wave goes
+        straight Arrow→Parquet — zero Python rows on the driver."""
+        if table.num_rows == 0:
+            return
+        import pyarrow.parquet as pq
+
+        self._fragment_counter += 1
+        pq.write_table(
+            table.cast(FRONTIER_SCHEMA),
             os.path.join(self.current, f"part-add-{self._fragment_counter:06d}.parquet"),
         )
 

@@ -42,6 +42,8 @@ def main() -> int:
     parser.add_argument("--shards", type=int, default=16)
     parser.add_argument("--concurrency", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--admit-strategy", default="auto",
+                        choices=["auto", "driver", "distributed"])
     args = parser.parse_args()
 
     import ray
@@ -66,6 +68,7 @@ def main() -> int:
         fetch_concurrency=args.concurrency,
         batch_size=args.batch_size,
         retry_sleep_scale=0.0,
+        admit_strategy=args.admit_strategy,
         frontier_storage="parquet",
         frontier_dir=os.path.join(work, "frontier"),
         results_dir=os.path.join(work, "results"),
@@ -108,6 +111,10 @@ def main() -> int:
         "distinct_urls": n_distinct,
         "exactly_once": n_rows == n_distinct == total_urls,
         "waves": result.waves,
+        "phase_ms": {
+            phase: round(sum(m.get(phase, 0.0) for m in result.metrics), 1)
+            for phase in ("select_ms", "fetch_ms_wall", "admit_ms")
+        },
         "urls_per_sec": round(n_rows / wall, 1),
         "wall_sec": round(wall, 1),
         "driver_rss_mb_series": series[:40],

@@ -834,3 +834,75 @@ def test_both_discovery_mode_crawls_subresources_and_links(ray_session):
                     discovery_mode="both", max_waves=3)
     urls = set(result.results.column("canon_url").to_pylist())
     assert urls == set(routes), f"missing: {set(routes) - urls}"
+
+
+def _fanout_routes(n_seeds=8, fanout=6, hosts=4):
+    """A synthetic web wide enough to exercise cross-batch dedup: every page
+    links `fanout` children, children shared across parents."""
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {}
+    for i in range(n_seeds):
+        links = [f"https://w{(i + j) % hosts}.example/p{(i * 3 + j) % (n_seeds * 2)}"
+                 for j in range(fanout)]
+        routes[f"https://w{i % hosts}.example/seed{i}"] = html_page(links)
+    for i in range(n_seeds * 2):
+        for h in range(hosts):
+            child_links = [f"https://w{(h + 1) % hosts}.example/leaf{i}-{h}"] if i % 2 else []
+            routes.setdefault(f"https://w{h}.example/p{i}", html_page(child_links))
+    for i in range(n_seeds * 2):
+        for h in range(hosts):
+            routes.setdefault(f"https://w{h}.example/leaf{i}-{(h - 1) % hosts}",
+                              html_page([]))
+    seeds = [f"https://w{i % hosts}.example/seed{i}" for i in range(n_seeds)]
+    return routes, seeds
+
+
+def test_admit_distributed_matches_driver(ray_session):
+    """The distributed admit pipeline (frontier/admit.py) must produce the
+    bit-identical crawl to the sequential driver loop: same request order,
+    same discovery_index sequence, same seen set, same priorities."""
+    from mhtml_to_html_ray.frontier.scheduler import request_log
+
+    routes, seeds = _fanout_routes()
+    results = {}
+    for strategy in ("driver", "distributed"):
+        result = _crawl(routes, seeds, ray_session, discovery_mode="hyperlinks",
+                        admit_strategy=strategy, max_waves=5)
+        table = result.results.select(
+            ["wave", "discovery_index", "canon_url", "depth"]
+        ).to_pylist()
+        table.sort(key=lambda r: (r["wave"], r["discovery_index"]))
+        results[strategy] = (request_log(result), table, result.seen_urls)
+    assert results["driver"][0] == results["distributed"][0], "request order diverged"
+    assert results["driver"][1] == results["distributed"][1], "index/depth diverged"
+    assert results["driver"][2] == results["distributed"][2], "seen set diverged"
+
+
+def test_admit_distributed_matches_driver_parquet_frontier(ray_session, tmp_path):
+    """Same equivalence with the Parquet-backed frontier store — the
+    add_table Arrow ingest path must round-trip the admitted rows exactly."""
+    from mhtml_to_html_ray.frontier.scheduler import request_log
+
+    routes, seeds = _fanout_routes(n_seeds=6, fanout=4)
+    logs = {}
+    for strategy in ("driver", "distributed"):
+        result = _crawl(routes, seeds, ray_session, discovery_mode="hyperlinks",
+                        admit_strategy=strategy, max_waves=5,
+                        frontier_storage="parquet",
+                        frontier_dir=str(tmp_path / f"frontier_{strategy}"))
+        logs[strategy] = request_log(result)
+    assert logs["driver"] == logs["distributed"]
+
+
+def test_check_and_add_tagged_idempotent():
+    shard = SeenShard(0, capacity=1024)
+    assert shard.check_and_add_tagged(["a", "b"], tag=1) == [True, True]
+    # a retried task re-asks under the SAME tag: must answer True again
+    assert shard.check_and_add_tagged(["a", "b"], tag=1) == [True, True]
+    # next wave: now they are duplicates
+    assert shard.check_and_add_tagged(["a", "c"], tag=2) == [False, True]
+    # and the retry window for tag 1 is gone (memory stays wave-bounded)
+    assert shard._tag_added == {"c"}
