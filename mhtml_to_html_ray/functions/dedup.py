@@ -222,7 +222,8 @@ def _unpack_shingles(packed: bytes) -> set[int]:
     return set(np.frombuffer(packed, dtype=np.uint64).tolist())
 
 
-def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_k: int):
+def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_k: int,
+                       emit_jaccard: bool = False):
     """Distributed Jaccard verify: candidate pairs meet their endpoints'
     shingle sets through two union + groupby(key).map_groups equijoin rounds
     (shingles travel as packed-uint64 binary payloads); the verify itself
@@ -307,15 +308,19 @@ def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_
         pair_rows = group[group["sh_doc"].isna()]
         out_a: list[int] = []
         out_b: list[int] = []
+        out_j: list[float] = []
         if not doc_rows.empty and not pair_rows.empty:
             shingles_b = _unpack_shingles(doc_rows["sh_doc"].iloc[0])
             for other, sh_pair in zip(pair_rows["other"], pair_rows["sh_pair"]):
-                if jaccard(_unpack_shingles(sh_pair), shingles_b) >= threshold:
+                sim = jaccard(_unpack_shingles(sh_pair), shingles_b)
+                if sim >= threshold:
                     out_a.append(int(other))
                     out_b.append(int(group["key"].iloc[0]))
-        return pa.table(
-            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
-        )
+                    out_j.append(sim)
+        cols = {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        if emit_jaccard:
+            cols["jaccard"] = pa.array(out_j, pa.float64())
+        return pa.table(cols)
 
     return round1.union(side_docs).groupby("key").map_groups(
         verify_b, batch_format="pandas"
@@ -384,6 +389,7 @@ def connected_components_ds(pairs_ds, max_iter: int = 50):
             }
         )
 
+    converged = False
     for _ in range(max_iter):
         labels = (
             edge_side.union(labels.map_batches(label_side, batch_format="pyarrow"))
@@ -396,8 +402,22 @@ def connected_components_ds(pairs_ds, max_iter: int = 50):
         # labels only ever decrease, so an unchanged sum means a fixpoint
         current_sum = labels.sum("label")
         if current_sum == previous_sum:
+            converged = True
             break
         previous_sum = current_sum
+    if not converged:
+        # a component with diameter > max_iter would exit here mid-propagation
+        # and silently split one cluster into several — say so loudly
+        import warnings
+
+        warnings.warn(
+            f"connected_components_ds: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds; a component with diameter > "
+            f"{max_iter} exists and its cluster labels are split. Raise "
+            f"max_iter or pre-contract long chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -444,7 +464,12 @@ def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, band
         return ray.data.from_arrow(empty)
 
     if cluster_strategy == "distributed":
-        verified = _verified_pairs_ds(documents_ds, candidate_pairs, threshold, shingle_k)
+        # materialize once: .count() below would otherwise execute the full
+        # two-round shingle-join verify, then connected_components_ds would
+        # re-execute the same lazy lineage from scratch (ADVICE round 2)
+        verified = _verified_pairs_ds(
+            documents_ds, candidate_pairs, threshold, shingle_k
+        ).materialize()
         if verified.count() == 0:
             return ray.data.from_arrow(empty)
         labels = connected_components_ds(verified)
@@ -597,10 +622,18 @@ def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple |
 
 
 def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3,
-                        num_perm: int = 64, bands: int = 32, seed: int = 42):
+                        num_perm: int = 64, bands: int = 32, seed: int = 42,
+                        strategy: str = "auto"):
     """Exact n-gram Jaccard similarity for LSH candidate pairs — the verify
-    stage exposed as its own operator: (a, b, jaccard) for pairs ≥ threshold."""
+    stage exposed as its own operator: (a, b, jaccard) for pairs ≥ threshold.
+
+    ``strategy``: "driver" collects candidate shingle sets and verifies in
+    one process (fine while LSH candidates fit); "distributed" routes the
+    verify through the same shingle-equijoin rounds as minhash_dedup
+    (_verified_pairs_ds) so nothing doc-sized lands on the driver — the
+    100-TB path. "auto" switches on corpus size. Equivalence-tested."""
     import ray
+    import ray.data
     import pandas as pd
 
     lsh_rows = documents_ds.map_batches(
@@ -608,7 +641,40 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
         batch_format="pyarrow",
     )
 
-    pairs = _candidate_pairs_from_lsh(lsh_rows, 64, "auto", n_docs=documents_ds.count())
+    n_docs = documents_ds.count()
+    pairs = _candidate_pairs_from_lsh(lsh_rows, 64, "auto", n_docs=n_docs)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not len(pairs):
+        return ray.data.from_arrow(empty)
+    if strategy == "auto":
+        strategy = "distributed" if n_docs > 200_000 else "driver"
+
+    if strategy == "distributed":
+        verified = _verified_pairs_ds(
+            documents_ds, pairs, threshold, shingle_k, emit_jaccard=True
+        )
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return empty
+            a = batch.column("a")
+            b = batch.column("b")
+            return pa.table(
+                {
+                    "a": pc.min_element_wise(a, b),
+                    "b": pc.max_element_wise(a, b),
+                    "jaccard": pc.round(batch.column("jaccard"), ndigits=6),
+                }
+            )
+
+        return verified.map_batches(normalize, batch_format="pyarrow").sort(["a", "b"])
+
     wanted = set(pairs["a"]).union(pairs["b"])
     docs = _candidate_shingles_ds(documents_ds, wanted, shingle_k).take_all()
     shingles = {row["doc_id"]: _unpack_shingles(row["shingles"]) for row in docs}
@@ -618,7 +684,6 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
         if sim >= threshold:
             out.append((int(min(a, b)), int(max(a, b)), round(sim, 6)))
     out.sort()
-    import ray.data
 
     return ray.data.from_arrow(
         pa.table(

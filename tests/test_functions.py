@@ -154,6 +154,50 @@ def test_ngram_jaccard_pairs(near_dup_docs):
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
 
 
+def test_ngram_jaccard_strategies_agree(near_dup_docs):
+    """The distributed verify (shingle equijoin rounds, nothing doc-sized on
+    the driver) must produce exactly the driver path's (a, b, jaccard)."""
+    driver = [
+        (row["a"], row["b"], row["jaccard"])
+        for row in dedup.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.5, strategy="driver"
+        ).take_all()
+    ]
+    distributed = [
+        (row["a"], row["b"], row["jaccard"])
+        for row in dedup.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.5, strategy="distributed"
+        ).take_all()
+    ]
+    assert driver == distributed
+    assert driver, "fixture must produce at least one verified pair"
+
+
+def test_connected_components_nonconvergence_warns(ray_session):
+    """A chain longer than max_iter rounds must raise a RuntimeWarning rather
+    than silently returning split cluster labels (ADVICE round 2)."""
+    import warnings
+
+    import ray.data
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in chain], pa.int64()),
+                "b": pa.array([b for _, b in chain], pa.int64()),
+            }
+        )
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components_ds(pairs, max_iter=2).take_all()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    )
+
+
 @pytest.fixture(scope="module")
 def embeddings_ds(ray_session):
     import ray.data
