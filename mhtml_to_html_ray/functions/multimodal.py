@@ -1,21 +1,31 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata.
 
-The image/audio decode libraries are not available in this container, so the
-decode kernels are STUBS behind a clearly-marked switch:
+Two decode paths behind one actor-pool stage (``MediaDecodeBatch``):
 
-* ``decode_media_batch(..., real=True)`` raises NotImplementedError — the
-  place a Pillow/ffmpeg-backed decoder plugs in.
-* the default deterministic fake decoder exercises ALL the Ray-side plumbing
-  for real: binary column in, struct metadata out, actor-pool stage, small
-  batch sizes for large payloads.
+* ``real=False`` (default) — a deterministic fake decoder whose outputs are
+  derivable from byte lengths, so the whole stage is SQL-oracle-able
+  (octet_length etc.). All the Ray-side plumbing (binary column in, struct
+  metadata out, actor pool, small batch sizes for large payloads) is real.
+* ``real=True`` — a REAL metadata decoder built on stdlib only (no Pillow /
+  ffmpeg in this container): PNG IHDR, GIF logical-screen descriptor, JPEG
+  SOF scan, WAV via the ``wave`` module. Containers that genuinely need a
+  codec (mp4/webm/...) raise NotImplementedError per payload, surfaced as an
+  ``error`` row (``on_error="null"``, default) or raised (``on_error=
+  "raise"``) — the stage never silently fakes a real decode.
 
 The payload synthesis is deterministic from the documents table so the fake
-decode is SQL-oracle-able (octet_length etc.).
+decode is SQL-oracle-able.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave as _wave
+
 import pyarrow as pa
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def synthesize_media_batch(batch: pa.Table) -> pa.Table:
@@ -33,26 +43,163 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real (stdlib-only) metadata decoders: one dict per payload, keys drawn from
+# {width, height, frames, channels, sample_rate_hz, duration_ms}
+
+
+def decode_png_meta(data: bytes) -> dict:
+    """PNG signature + IHDR chunk (always first per the PNG spec): width and
+    height are the two big-endian u32s at bytes 16..24."""
+    if len(data) < 24 or not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    chunk_type = data[12:16]
+    if chunk_type != b"IHDR":
+        raise ValueError("PNG missing leading IHDR chunk")
+    width, height = struct.unpack(">II", data[16:24])
+    if not width or not height:
+        raise ValueError("PNG with zero dimension")
+    return {"width": width, "height": height, "frames": 1}
+
+
+def decode_gif_meta(data: bytes) -> dict:
+    """GIF87a/GIF89a logical screen descriptor: little-endian u16 pair."""
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", data[6:10])
+    if not width or not height:
+        raise ValueError("GIF with zero dimension")
+    return {"width": width, "height": height, "frames": 1}
+
+
+def decode_jpeg_meta(data: bytes) -> dict:
+    """Walk JPEG marker segments to the first SOFn (baseline/progressive
+    frame header) and read its height/width; skips tables and APPn blocks by
+    declared length."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        # SOF0..SOF15 minus the table/extension markers C4/C8/CC
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(data):
+                raise ValueError("truncated SOF")
+            height, width = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            if not width or not height:
+                raise ValueError("JPEG with zero dimension")
+            return {"width": width, "height": height, "frames": 1}
+        pos += 2 + seg_len
+    raise ValueError("JPEG without SOF frame header")
+
+
+def decode_wav_meta(data: bytes) -> dict:
+    """RIFF/WAVE via the stdlib ``wave`` module: channels, sample rate, frame
+    count, duration."""
+    try:
+        with _wave.open(io.BytesIO(data), "rb") as handle:
+            channels = handle.getnchannels()
+            rate = handle.getframerate()
+            frames = handle.getnframes()
+    except (_wave.Error, EOFError) as exc:
+        raise ValueError(f"not a decodable WAV: {exc}") from exc
+    duration_ms = int(round(frames / rate * 1000)) if rate else 0
+    return {
+        "frames": frames,
+        "channels": channels,
+        "sample_rate_hz": rate,
+        "duration_ms": duration_ms,
+    }
+
+
+_SNIFFERS = (
+    (lambda d: d.startswith(_PNG_SIG), decode_png_meta),
+    (lambda d: d[:6] in (b"GIF87a", b"GIF89a"), decode_gif_meta),
+    (lambda d: d[:2] == b"\xff\xd8", decode_jpeg_meta),
+    (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WAVE", decode_wav_meta),
+)
+
+
+def decode_media_meta(data: bytes, media_type: str = "") -> dict:
+    """Dispatch on sniffed magic bytes (declared media_type is advisory only,
+    like the MIME kernel's markup sniffing — cf. reference lib/parse.js
+    content-type fallbacks). Raises NotImplementedError for container types
+    that genuinely need a codec, ValueError for corrupt payloads."""
+    for sniff, decoder in _SNIFFERS:
+        if sniff(data):
+            return decoder(data)
+    if media_type.startswith(("video/", "audio/")) or media_type in (
+        "image/webp",
+        "image/avif",
+    ):
+        raise NotImplementedError(
+            f"decoding {media_type or 'this container'} requires a codec "
+            "library not present in this environment"
+        )
+    raise ValueError("unrecognized media payload (no known magic bytes)")
+
+
+_REAL_FIELDS = (
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("frames", pa.int64()),
+    ("channels", pa.int32()),
+    ("sample_rate_hz", pa.int32()),
+    ("duration_ms", pa.int64()),
+)
+
+
 class MediaDecodeBatch:
     """Actor-pool decode stage. ``real=False`` (default) runs the
-    deterministic fake decoder; ``real=True`` raises NotImplementedError
-    where a real decoder (PIL.Image.open / soundfile / pyav) would load —
-    keeping the actor signature, schema and batch sizing identical."""
+    deterministic fake decoder (oracle-able); ``real=True`` runs the stdlib
+    metadata decoder above. ``on_error`` (real path only): "null" emits an
+    ``error`` string and null metadata for undecodable payloads, "raise"
+    propagates — per-payload failures must not be able to kill a 100-TB job
+    unless the caller opts in."""
 
-    def __init__(self, real: bool = False):
+    def __init__(self, real: bool = False, on_error: str = "null"):
         self.real = real
-        if real:
-            # the import-try gate a real deployment would use
-            raise NotImplementedError(
-                "media decode requires image/audio libs not present in this "
-                "environment; construct with real=False for the fake decoder"
-            )
+        if on_error not in ("null", "raise"):
+            raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         media_types = batch.column("media_type").to_pylist()
         n_bytes = [len(p) for p in payloads]
+        if self.real:
+            metas: list[dict] = []
+            errors: list[str | None] = []
+            for payload, media_type in zip(payloads, media_types):
+                try:
+                    metas.append(decode_media_meta(payload, media_type))
+                    errors.append(None)
+                except (ValueError, NotImplementedError) as exc:
+                    if self.on_error == "raise":
+                        raise
+                    metas.append({})
+                    errors.append(f"{type(exc).__name__}: {exc}")
+            cols = {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "media_type": pa.array(media_types, pa.string()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+            }
+            for name, dtype in _REAL_FIELDS:
+                cols[name] = pa.array([m.get(name) for m in metas], dtype)
+            cols["error"] = pa.array(errors, pa.string())
+            return pa.table(cols)
         # fake "decode": dimensions derived deterministically from the bytes
         width = [(n % 640) + 1 for n in n_bytes]
         height = [(n % 480) + 1 for n in n_bytes]
@@ -70,14 +217,70 @@ class MediaDecodeBatch:
         )
 
 
-def decode_media(documents_ds, batch_size: int = 32, concurrency=2):
-    """documents → synthesized media → actor-pool fake decode. Small batches:
+def synthesize_real_media_batch(batch: pa.Table) -> pa.Table:
+    """documents → REAL media payloads (valid PNG / WAV bytes) with metadata
+    a pure function of doc_id — so decoding them back with the real stdlib
+    decoder is SQL-oracle-able:
+
+    * even doc_id → PNG, width = doc_id % 640 + 1, height = doc_id % 480 + 1
+    * odd  doc_id → WAV, channels = (doc_id >> 1) % 2 + 1, rate 8000 Hz,
+      frames = (doc_id % 100 + 1) * 80 → duration_ms = frames / 8 exactly
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    types: list[str] = []
+    payloads: list[bytes] = []
+    for doc_id in doc_ids:
+        if doc_id % 2 == 0:
+            width = doc_id % 640 + 1
+            height = doc_id % 480 + 1
+            ihdr = struct.pack(">II", width, height) + bytes([8, 6, 0, 0, 0])
+            payloads.append(
+                _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+            )
+            types.append("image/png")
+        else:
+            channels = (doc_id >> 1) % 2 + 1
+            frames = (doc_id % 100 + 1) * 80
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as handle:
+                handle.setnchannels(channels)
+                handle.setsampwidth(2)
+                handle.setframerate(8000)
+                handle.writeframes(b"\x00\x00" * (channels * frames))
+            payloads.append(buf.getvalue())
+            types.append("audio/wav")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+def decode_media_real(documents_ds, batch_size: int = 32, concurrency=2):
+    """documents → synthesized VALID PNG/WAV payloads → real stdlib decode.
+    Every row must decode (error stays null); the metadata round-trips the
+    synthesis arithmetic, which is what the SQL oracle checks."""
+    media = documents_ds.map_batches(synthesize_real_media_batch, batch_format="pyarrow")
+    return media.map_batches(
+        MediaDecodeBatch,
+        fn_constructor_kwargs={"real": True, "on_error": "null"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def decode_media(documents_ds, batch_size: int = 32, concurrency=2, real: bool = False,
+                 on_error: str = "null"):
+    """documents → synthesized media → actor-pool decode. Small batches:
     real media payloads are MBs each, so batch × concurrency must fit the
     worker heap (the guide's memory rule)."""
     media = documents_ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
     return media.map_batches(
         MediaDecodeBatch,
-        fn_constructor_kwargs={"real": False},
+        fn_constructor_kwargs={"real": real, "on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -117,10 +117,12 @@ class _LSHProbeBatch:
     actor), not per batch — per-batch state setup was the round-1
     anti-pattern flagged at similarity.py:117."""
 
-    def __init__(self, dim: int, bits: int, seed: int, probes: frozenset, query: np.ndarray):
+    def __init__(self, dim: int, bits: int, seed: int, probes: frozenset, query: np.ndarray,
+                 k: int):
         self.lsh = HyperplaneLSH(dim, bits, seed)
         self.probes = np.fromiter(probes, dtype=np.int64, count=len(probes))
         self.query = query
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -131,10 +133,18 @@ class _LSHProbeBatch:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
         sims = m[mask] @ self.query
+        ids = ids[mask]
+        # per-batch partial top-k (mirrors brute_force_topk): a hot bucket
+        # must not flood the driver with every matching row
+        take = min(self.k, len(ids))
+        idx = (
+            np.argpartition(-sims, take - 1)[:take] if len(ids) > take
+            else np.arange(len(ids))
+        )
         return pa.table(
             {
-                "vec_id": pa.array(ids[mask], pa.int64()),
-                "cosine": pa.array(np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6, pa.float64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "cosine": pa.array(np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6, pa.float64()),
             }
         )
 
@@ -152,7 +162,7 @@ def lsh_topk(embeddings_ds, query_vec, k: int = 10, bits: int = 8, seed: int = 4
     rows = embeddings_ds.map_batches(
         _LSHProbeBatch,
         fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed,
-                               "probes": probe_set, "query": query},
+                               "probes": probe_set, "query": query, "k": k},
         batch_format="pyarrow",
         concurrency=concurrency,
     ).take_all()
@@ -231,11 +241,17 @@ def ivf_topk(embeddings_ds, query_vec, k: int = 10, n_centroids: int = 16,
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
         sims = m[mask] @ q
+        ids = ids[mask]
+        take = min(k, len(ids))  # partial top-k: bound rows per batch at k
+        idx = (
+            np.argpartition(-sims, take - 1)[:take] if len(ids) > take
+            else np.arange(len(ids))
+        )
         return pa.table(
             {
-                "vec_id": pa.array(ids[mask], pa.int64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
                 "cosine": pa.array(
-                    np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6,
+                    np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6,
                     pa.float64(),
                 ),
             }

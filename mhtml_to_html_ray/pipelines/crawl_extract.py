@@ -1,14 +1,16 @@
 """The full north-star flow in one pipeline: frontier crawl → fetched page
 bodies → fused MIME+DOM extraction → extraction output Dataset.
 
-    crawl (wave-synchronous scheduler, bodies kept)        — actors
-      └→ results table (url, wave, body, …)                — Arrow
-           └→ map_batches(ExtractBatch)                    — task pool
-                └→ html_out / text_out / title / anomalies
+    crawl (wave-synchronous scheduler, bodies streamed to Parquet)  — actors
+      └→ results_dataset() (url, wave, body, …)                     — Dataset
+           └→ map_batches(to pages schema)                          — tasks
+                └→ map_batches(ExtractBatch)                        — task pool
+                     └→ html_out / text_out / title / anomalies
 
-At cluster scale the crawl writes per-wave body partitions to Parquet and
-extraction streams over them (see run.py / state.checkpoint); here the wave
-results flow straight into the extraction stage.
+Bodies NEVER accumulate as one whole-crawl Arrow table on the driver: unless
+the caller pre-set ``crawl_config.results_dir``, a temp directory is used and
+each wave's results stream to per-wave Parquet there (scheduler), with
+extraction reading them back as a Dataset.
 """
 
 from __future__ import annotations
@@ -19,28 +21,11 @@ from ..frontier.scheduler import CrawlConfig, CrawlResult, CrawlScheduler
 from ..stages.extract import ExtractBatch
 
 
-def crawl_and_extract(
-    transport_factory,
-    seeds: list[str],
-    crawl_config: CrawlConfig | None = None,
-    batch_size: int = 64,
-):
-    """Run a crawl (bodies kept), then extract every successfully fetched
-    page. Returns (CrawlResult, extraction Dataset)."""
-    import ray.data
-
-    config = crawl_config or CrawlConfig()
-    config.keep_bodies = True
-    scheduler = CrawlScheduler(transport_factory, config)
-    try:
-        result: CrawlResult = scheduler.run(seeds)
-    finally:
-        scheduler.close()
-
-    fetched = result.results
-    ok_mask = fetched.column("ok")
-    pages = fetched.filter(ok_mask)
-    pages_table = pa.table(
+def _pages_batch(batch: pa.Table) -> pa.Table:
+    """RESULT_SCHEMA rows → the pages schema ExtractBatch consumes; drops
+    failed fetches."""
+    pages = batch.filter(batch.column("ok"))
+    return pa.table(
         {
             "url": pages.column("canon_url"),
             "warc_ts": pa.array([0] * pages.num_rows, pa.int64()).cast(pa.timestamp("us")),
@@ -49,11 +34,38 @@ def crawl_and_extract(
             "lang": pa.array(["und"] * pages.num_rows, pa.string()),
         }
     )
-    ds = ray.data.from_arrow(pages_table)
-    extracted = ds.map_batches(
-        ExtractBatch(keep_html=True),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
+
+
+def crawl_and_extract(
+    transport_factory,
+    seeds: list[str],
+    crawl_config: CrawlConfig | None = None,
+    batch_size: int = 64,
+):
+    """Run a crawl (bodies kept, streamed to Parquet), then extract every
+    successfully fetched page. Returns (CrawlResult, extraction Dataset)."""
+    import tempfile
+
+    config = crawl_config or CrawlConfig()
+    config.keep_bodies = True
+    if config.results_dir is None:
+        # stream wave bodies to disk rather than accumulating a whole-crawl
+        # Arrow table (bodies included) on the driver — VERDICT round 2 #6
+        config.results_dir = tempfile.mkdtemp(prefix="crawl_results_")
+    scheduler = CrawlScheduler(transport_factory, config)
+    try:
+        result: CrawlResult = scheduler.run(seeds)
+    finally:
+        scheduler.close()
+
+    extracted = (
+        result.results_dataset()
+        .map_batches(_pages_batch, batch_format="pyarrow")
+        .map_batches(
+            ExtractBatch(keep_html=True),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     )
     return result, extracted

@@ -1138,6 +1138,21 @@ def q_media_decode(sf_dir: str):
     return _sorted_table(multimodal.decode_media(ds), ["doc_id"])
 
 
+def q_media_decode_real(sf_dir: str):
+    """Synthesized VALID PNG/WAV payloads decoded by the REAL stdlib metadata
+    decoder (PNG IHDR / wave module); the oracle recomputes the metadata from
+    the synthesis arithmetic, so a hash match proves the decoder round-trips."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.decode_media_real(ds)
+    return _sorted_table(
+        out.select_columns(
+            ["doc_id", "media_type", "width", "height", "frames", "channels",
+             "sample_rate_hz", "duration_ms"]
+        ),
+        ["doc_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1190,6 +1205,7 @@ QUERIES = {
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding": q_dedup_embedding,
     "media_decode": q_media_decode,
+    "media_decode_real": q_media_decode_real,
 }
 
 
@@ -1437,6 +1453,18 @@ ORACLE_SQL = {
                CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS INTEGER) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                          ELSE OCTET_LENGTH(ENCODE(text)) % 100 + 1 END AS INTEGER) AS frames
+        FROM documents ORDER BY doc_id
+    """,
+    "media_decode_real": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 1 END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 1 END AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                         ELSE (doc_id % 100 + 1) * 80 END AS BIGINT) AS frames,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id // 2) % 2 + 1 END AS INTEGER) AS channels,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 END AS INTEGER) AS sample_rate_hz,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 100 + 1) * 10 END AS BIGINT) AS duration_ms
         FROM documents ORDER BY doc_id
     """,
     # langid, dedup_minhash, dedup_simhash, ngram_jaccard, embedding_ann and

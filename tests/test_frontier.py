@@ -417,7 +417,11 @@ def test_crawl_and_extract_end_to_end(ray_session):
     assert rows["https://ce.example/"]["title"] == "ROOT"
     assert rows["https://ce.example/a"]["text_out"] == "PAGE-A"
     assert all(row["error"] is None for row in rows.values())
-    assert result.results.num_rows == 3
+    assert result.results_dataset().count() == 3
+    # bodies stream to a (default temp) results_dir — the whole-crawl Arrow
+    # table must NOT have accumulated on the driver
+    assert result.results_dir is not None
+    assert result.results.num_rows == 0
 
 
 def test_per_host_wave_cap_spills_hot_host(ray_session):

@@ -252,8 +252,111 @@ def test_media_decode_stub_plumbing(ray_session):
     assert len(out) == 3
     assert out[0]["n_bytes"] == len("hello world")
     assert out[0]["width"] == len("hello world") % 640 + 1
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, 6, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x03" + bytes(9))
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav_bytes(channels: int, rate: int, n_frames: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as handle:
+        handle.setnchannels(channels)
+        handle.setsampwidth(2)
+        handle.setframerate(rate)
+        handle.writeframes(b"\x00\x00" * channels * n_frames)
+    return buf.getvalue()
+
+
+def test_media_decode_real_stdlib(ray_session):
+    """The real=True path decodes PNG/GIF/JPEG/WAV metadata with stdlib only;
+    codec-requiring containers and garbage surface as error rows."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.multimodal import MediaDecodeBatch
+
+    payloads = [
+        _png_bytes(640, 480),
+        _gif_bytes(320, 200),
+        _jpeg_bytes(800, 600),
+        _wav_bytes(2, 8000, 8000),
+        b"\x00\x00\x00\x18ftypmp42" + bytes(32),  # mp4: needs a codec
+        b"not media at all",
+    ]
+    types = ["image/png", "image/gif", "image/jpeg", "audio/wav", "video/mp4",
+             "application/octet-stream"]
+    media = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(MediaDecodeBatch, fn_constructor_kwargs={"real": True},
+                     batch_format="pyarrow", batch_size=2, concurrency=1)
+        .take_all()
+    )
+    rows = {row["doc_id"]: row for row in out}
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["frames"]) == (640, 480, 1)
+    assert (rows[1]["width"], rows[1]["height"]) == (320, 200)
+    assert (rows[2]["width"], rows[2]["height"]) == (800, 600)
+    assert rows[3]["channels"] == 2
+    assert rows[3]["sample_rate_hz"] == 8000
+    assert rows[3]["frames"] == 8000
+    assert rows[3]["duration_ms"] == 1000
+    for i in range(4):
+        assert rows[i]["error"] is None
+    assert rows[4]["error"].startswith("NotImplementedError")
+    assert rows[4]["width"] is None
+    assert rows[5]["error"].startswith("ValueError")
+
+
+def test_media_decode_real_on_error_raise():
+    from mhtml_to_html_ray.functions.multimodal import MediaDecodeBatch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["video/mp4"], pa.string()),
+            "payload": pa.array([b"\x00\x00\x00\x18ftypmp42"], pa.large_binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        MediaDecodeBatch(real=True)
+        MediaDecodeBatch(real=True, on_error="raise")(batch)
+    # truncated/corrupt image payloads are ValueError, not a crash
+    bad = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image/png"], pa.string()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\n\x00\x00"], pa.large_binary()),
+        }
+    )
+    out = MediaDecodeBatch(real=True)(bad)
+    assert out.column("error")[0].as_py().startswith("ValueError")
 
 
 def test_hll_accuracy_and_merge():
