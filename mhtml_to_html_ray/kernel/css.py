@@ -111,15 +111,33 @@ def tokenize(css: str) -> list[tuple[str, str]]:
 _WORD_RE = re.compile(r"[A-Za-z0-9_\-@#.%!]+")
 
 
+# CSS syntax spec escape: backslash + 1-6 hex digits consumes one trailing
+# whitespace; otherwise backslash + any char is that char literally
+_CSS_ESCAPE_RE = re.compile(r"\\([0-9a-fA-F]{1,6})[ \t\n\r\f]?|\\(.)", re.DOTALL)
+
+
+def _css_unescape(text: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        hex_digits = m.group(1)
+        if hex_digits is not None:
+            codepoint = int(hex_digits, 16)
+            if codepoint == 0 or codepoint > 0x10FFFF or 0xD800 <= codepoint <= 0xDFFF:
+                return "�"
+            return chr(codepoint)
+        return m.group(2)
+
+    return _CSS_ESCAPE_RE.sub(repl, text)
+
+
 def url_value(token_text: str) -> str:
-    """Inner value of a url(...) token, quotes stripped and trimmed."""
+    """Inner value of a url(...) token, quotes stripped and trimmed; escapes
+    decoded per the CSS syntax spec (hex escapes become their codepoint —
+    url(\\2018foo) is '‘foo', not '2018foo' — matching css-tree)."""
     inner = token_text[4:-1] if token_text.endswith(")") else token_text[4:]
     inner = inner.strip(_WS)
     if len(inner) >= 2 and inner[0] in "\"'" and inner[-1] == inner[0]:
         inner = inner[1:-1]
-    # generic single-char unescape (serialize_url re-escapes; anything less
-    # doubles backslashes on the idempotence round trip)
-    return re.sub(r"\\(.)", r"\1", inner)
+    return _css_unescape(inner)
 
 
 _URL_ESCAPE_RE = re.compile(r"([\s\"'()\\])")
@@ -140,7 +158,7 @@ def string_value(token_text: str) -> str:
     inner = token_text
     if len(inner) >= 2 and inner[0] in "\"'" and inner[-1] == inner[0]:
         inner = inner[1:-1]
-    return re.sub(r"\\(.)", r"\1", inner)
+    return _css_unescape(inner)
 
 
 def read_leading_charset(css: str) -> str | None:

@@ -261,3 +261,20 @@ def test_wild_css_rewrite_fixpoint(source, expected):
 
     once = rewrite_stylesheet(source, lambda v: None, lambda v: None)
     assert rewrite_stylesheet(once, lambda v: None, lambda v: None) == once
+
+
+def test_css_hex_escapes_decode_to_codepoints():
+    """CSS syntax spec: \\XXXXXX + optional whitespace is a codepoint, not
+    literal digits (ADVICE round 2 — css-tree decodes these)."""
+    from mhtml_to_html_ray.kernel.css import string_value, url_value
+
+    # greedy up-to-6 hex digits: the 'f' of "foo" is consumed → U+2018F
+    assert url_value("url(\\2018foo)") == "\U0002018foo"
+    assert url_value("url(\\2018 foo)") == "‘foo"  # one trailing ws eaten
+    assert url_value('url("a\\26 b.png")') == "a&b.png"
+    assert url_value("url(sp\\ ace.png)") == "sp ace.png"  # non-hex unchanged
+    assert string_value('"\\201C"') == "“"
+    # out-of-range / surrogate / NUL → U+FFFD per spec
+    assert string_value('"\\110000"') == "�"
+    assert string_value('"\\d800"') == "�"
+    assert string_value('"\\0"') == "�"
