@@ -5,8 +5,13 @@ replicates the reference's custom serializer byte-for-byte
 The parser is NOT a full HTML5 tree-construction implementation — it covers
 the constructs the reference's own test corpus exercises (implicit
 html/head/body, raw-text elements, RCDATA, comments, doctypes, entities,
-templates with content fragments, simple auto-closing) while keeping the node
-API surface the convert walk needs (dom-parser-node.js:125-261).
+templates with content fragments, simple auto-closing) plus the conformance
+tranches the wild web hits: adoption-agency reconstruction, table foster
+parenting with implied tbody/tr/colgroup and cell/caption formatting
+markers, scoped implied end tags, select scoping, frameset modes, and
+foreign content with SVG/MathML name adjustment, integration points and
+breakout — while keeping the node API surface the convert walk needs
+(dom-parser-node.js:125-261).
 
 The serializer is a faithful port of dom-parser-node.js:263-371:
 * void tags, lowercased tag names, attributes double-quoted
@@ -68,6 +73,23 @@ _NO_RECONSTRUCT_TAGS = _P_CLOSERS | frozenset(
      "math")
 )
 _P_TARGET = frozenset(("p",))
+# HTML spec "tree construction dispatcher": MathML text integration points —
+# tokens at these parse as HTML unless the tag is mglyph/malignmark
+_MATHML_TEXT_INTEGRATION = frozenset(("mi", "mo", "mn", "ms", "mtext"))
+# HTML spec foreign-content "breakout" start tags: these pop the open foreign
+# elements and reprocess in the HTML namespace (plus <font> with
+# color/face/size, handled inline)
+_BREAKOUT_TAGS = frozenset(
+    """b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4
+    h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small span
+    strong strike sub sup table tt u ul var""".split()
+)
+_MATHML_ATTR_ADJUST = {"definitionurl": "definitionURL"}
+# start tags that flip the spec's frameset-ok flag to "not ok" ("in body")
+_FRAMESET_NOT_OK_TAGS = frozenset(
+    """pre listing li dd dt button applet marquee object table area br embed
+    img keygen wbr input hr textarea xmp iframe select""".split()
+)
 # the spec's "button scope" / "list item scope" boundaries (elements whose
 # presence between the target and the top blocks the implied end tag)
 _BUTTON_SCOPE_BOUNDARY = frozenset(
@@ -195,14 +217,18 @@ class Fragment(_ParentNode):
 
 
 class Element(_ParentNode):
-    __slots__ = ("tag_name", "attrs", "content")
+    __slots__ = ("tag_name", "attrs", "content", "namespace")
 
-    def __init__(self, tag_name: str, attrs: list[list[str]] | None = None) -> None:
+    def __init__(self, tag_name: str, attrs: list[list[str]] | None = None,
+                 namespace: str = "html") -> None:
         super().__init__()
         self.tag_name = tag_name
         self.attrs: list[list[str]] = attrs if attrs is not None else []
         # template elements carry their children in a separate fragment
         self.content: Fragment | None = Fragment() if tag_name == "template" else None
+        # "html" | "svg" | "math" — drives foreign-content token handling
+        # (integration points, breakout) during parsing only
+        self.namespace = namespace
 
     @property
     def node_name(self) -> str:  # type: ignore[override]
@@ -580,6 +606,20 @@ def parse_html(source: str) -> Document:
             return document if html_el is None else html_el
         return ensure_body()
 
+    def prune_stack(index: int) -> None:
+        """del stack[index:], clearing active formatting when a marker-bearing
+        element (cell/caption/template — the spec pushes a formatting MARKER
+        at these) is among the popped: formatting opened inside a cell must
+        not reconstruct outside it."""
+        removed = stack[index:]
+        del stack[index:]
+        if any(
+            isinstance(node, Element)
+            and node.tag_name.lower() in ("td", "th", "caption", "template")
+            for node in removed
+        ):
+            active_formatting.clear()
+
     def pop_scoped(target_tags: frozenset, boundary_tags: frozenset) -> bool:
         """Implied end tag with SCOPE: pop to the nearest open target unless a
         boundary element intervenes first (the HTML spec's 'has an element in
@@ -591,7 +631,7 @@ def parse_html(source: str) -> Document:
                 return False
             name = node.tag_name.lower()
             if name in target_tags:
-                del stack[index:]
+                prune_stack(index)
                 return True
             if name in boundary_tags:
                 return False
@@ -619,9 +659,9 @@ def parse_html(source: str) -> Document:
         elif tag in ("dd", "dt"):
             pop_scoped(frozenset(("dd", "dt")), _LIST_ITEM_SCOPE_BOUNDARY)
         elif tag in ("td", "th") and top_tag in ("td", "th"):
-            stack.pop()
+            prune_stack(len(stack) - 1)
         elif tag == "tr" and top_tag in ("td", "th"):
-            stack.pop()
+            prune_stack(len(stack) - 1)
             if stack and isinstance(stack[-1], Element) and stack[-1].tag_name == "tr":
                 stack.pop()
         elif tag in ("option", "optgroup") and top_tag == "option":
@@ -636,11 +676,55 @@ def parse_html(source: str) -> Document:
                 return node
         return None
 
-    def in_foreign_content() -> bool:
-        return any(
-            isinstance(node, Element) and node.tag_name.lower() in ("svg", "math")
-            for node in stack
-        )
+    def top_element() -> Element | None:
+        for node in reversed(stack):
+            if isinstance(node, Element):
+                return node
+        return None
+
+    def is_html_integration_point(element: Element) -> bool:
+        """SVG foreignObject/desc/title; MathML annotation-xml carrying an
+        HTML encoding (HTML spec 'tree construction dispatcher')."""
+        tag = element.tag_name.lower()
+        if element.namespace == "svg" and tag in ("foreignobject", "desc", "title"):
+            return True
+        if element.namespace == "math" and tag == "annotation-xml":
+            encoding = (element.get_attribute("encoding") or "").lower()
+            return encoding in ("text/html", "application/xhtml+xml")
+        return False
+
+    def token_namespace(tag: str | None = None, for_text: bool = False) -> str:
+        """Namespace the next token is processed in, per the spec dispatcher:
+        decided by the ADJUSTED CURRENT NODE — html namespace, a MathML text
+        integration point (for anything but mglyph/malignmark), or an HTML
+        integration point all dispatch to the HTML rules."""
+        top = top_element()
+        if top is None or top.namespace == "html":
+            return "html"
+        if (
+            top.namespace == "math"
+            and top.tag_name.lower() in _MATHML_TEXT_INTEGRATION
+            and (for_text or (tag is not None and tag not in ("mglyph", "malignmark")))
+        ):
+            return "html"
+        if is_html_integration_point(top):
+            return "html"
+        return top.namespace
+
+    def breakout_foreign() -> None:
+        """Foreign-content breakout: pop foreign elements until the current
+        node is an HTML element, a MathML text integration point, or an HTML
+        integration point; the token then reprocesses as HTML."""
+        while stack:
+            top = stack[-1]
+            if not isinstance(top, Element) or top.namespace == "html":
+                return
+            if (
+                top.tag_name.lower() in _MATHML_TEXT_INTEGRATION
+                and top.namespace == "math"
+            ) or is_html_integration_point(top):
+                return
+            stack.pop()
 
     def foster_parent_target() -> tuple[_ParentNode, int] | None:
         """(parent, index) slot immediately before the deepest open table."""
@@ -667,8 +751,13 @@ def parse_html(source: str) -> Document:
         return True
 
     def synthesize_table_structure(parent: Element, tag: str) -> _ParentNode:
-        """Implied <tbody>/<tr> like parse5: <table><tr> gets a tbody,
-        <table><td> gets tbody+tr."""
+        """Implied <tbody>/<tr>/<colgroup> like parse5: <table><tr> gets a
+        tbody, <table><td> gets tbody+tr, <table><col> gets a colgroup."""
+        if parent.tag_name == "table" and tag == "col":
+            colgroup = Element("colgroup")
+            parent.append_child(colgroup)
+            stack.append(colgroup)
+            return colgroup
         if parent.tag_name == "table" and tag in ("tr", "td", "th"):
             tbody = Element("tbody")
             parent.append_child(tbody)
@@ -746,6 +835,11 @@ def parse_html(source: str) -> Document:
                 return True
         return False
 
+    # spec "frameset-ok" flag + the open <frameset> (None = not in frameset
+    # modes); while set with no body, only frameset/frame/noframes tokens land
+    frameset_ok = True
+    frameset_el: Element | None = None
+
     tokenizer = _Tokenizer(source)
     for token in tokenizer.tokens():
         kind = token[0]
@@ -753,7 +847,22 @@ def parse_html(source: str) -> Document:
             text = _unescape(token[1])
             if not text:
                 continue
-            is_ws = text.strip() == ""
+            # ASCII whitespace only (spec): &nbsp; and unicode spaces are
+            # CONTENT — they must foster-parent out of tables, keep ws-only
+            # runs out of <head>, etc.
+            is_ws = text.strip(" \t\n\r\f") == ""
+            if frameset_el is not None and body_el is None:
+                # "in/after frameset": whitespace stays, content is dropped
+                if is_ws and stack:
+                    parent = current()
+                    last = parent.child_nodes[-1] if parent.child_nodes else None
+                    if isinstance(last, Text):
+                        last.value += text
+                    else:
+                        parent.append_child(Text(text))
+                continue
+            if not is_ws:
+                frameset_ok = False
             if is_ws and html_el is None and not stack:
                 continue  # whitespace before <html> is dropped
             parent = insertion_parent(for_text=True, ws=is_ws)
@@ -812,16 +921,79 @@ def parse_html(source: str) -> Document:
                     ensure_html().append_child(body_el)
                 head_closed = True
                 continue
-            foreign = in_foreign_content()
-            if foreign or tag in ("svg", "math"):
+            context_ns = token_namespace(tag)
+            foreign = context_ns != "html"
+            if foreign and (
+                tag in _BREAKOUT_TAGS
+                or (
+                    tag == "font"
+                    and any(a[0].lower() in ("color", "face", "size") for a in attrs)
+                )
+            ):
+                # spec breakout: pop the foreign elements, reprocess as HTML
+                breakout_foreign()
+                context_ns = "html"
+                foreign = False
+            if tag == "svg":
+                element_ns = "svg"
+            elif tag == "math":
+                element_ns = "math"
+            elif foreign:
+                element_ns = context_ns
+            else:
+                element_ns = "html"
+            if element_ns == "svg":
                 # parse5 re-camelCases SVG tag/attribute names (the attr case
                 # survives into serialized output — the reference serializer
                 # lowercases TAGS only, dom-parser-node.js:315) and honors
                 # self-closing inside foreign content
                 tag_out = _SVG_TAG_ADJUST.get(tag, tag)
                 attrs = [[_SVG_ATTR_ADJUST.get(a[0], a[0]), a[1]] for a in attrs]
+            elif element_ns == "math":
+                tag_out = tag
+                attrs = [[_MATHML_ATTR_ADJUST.get(a[0], a[0]), a[1]] for a in attrs]
             else:
                 tag_out = tag
+            foreign = element_ns != "html"
+
+            # frameset modes ("in body" frameset rules + "in/after frameset")
+            if not foreign and tag == "frameset":
+                if frameset_el is not None:
+                    if stack:  # nested frameset inside the open one
+                        element = Element("frameset", attrs)
+                        current().append_child(element)
+                        stack.append(element)
+                    continue
+                if not frameset_ok:
+                    continue  # spec: ignored once real body content exists
+                if body_el is not None:
+                    body_el.remove()
+                    body_el = None
+                while stack:
+                    stack.pop()
+                active_formatting.clear()
+                ensure_head()  # frameset docs still carry an (empty) head
+                frameset_el = Element("frameset", attrs)
+                ensure_html().append_child(frameset_el)
+                head_closed = True
+                stack.append(frameset_el)
+                continue
+            if not foreign and tag == "frame" and (
+                frameset_el is None or body_el is not None
+            ):
+                continue  # <frame> only exists inside a frameset
+            if frameset_el is not None and body_el is None and not foreign:
+                if tag == "frame":
+                    parent = current() if stack else ensure_html()
+                    parent.append_child(Element("frame", attrs))
+                elif tag == "noframes":
+                    parent = current() if stack else ensure_html()
+                    element = Element("noframes", attrs)
+                    parent.append_child(element)
+                    stack.append(element)  # its rawtext token follows
+                continue  # every other tag is ignored in frameset modes
+            if not foreign and tag in _FRAMESET_NOT_OK_TAGS:
+                frameset_ok = False
 
             # "in select" mode: a nested <select> acts as </select>; form
             # controls pop the select first; everything but option/optgroup/
@@ -853,7 +1025,7 @@ def parse_html(source: str) -> Document:
             ):
                 continue  # spec "in body": stray td/th/tr/sections are ignored
 
-            element = Element(tag_out, attrs)
+            element = Element(tag_out, attrs, namespace=element_ns)
             in_head_insert = False
             if not stack:
                 if not head_closed and body_el is None and tag in _HEAD_TAGS:
@@ -867,13 +1039,17 @@ def parse_html(source: str) -> Document:
                     # "clear the stack back to a table context": a row/cell/
                     # section start tag closes anything opened (or fostered)
                     # since the table — without this, a fostered element
-                    # swallows the rest of the table
+                    # swallows the rest of the table. A <col> while its
+                    # colgroup is open stays there (spec "in column group").
+                    table_context = (
+                        ("table", "tbody", "thead", "tfoot", "tr", "template", "colgroup")
+                        if tag == "col"
+                        else ("table", "tbody", "thead", "tfoot", "tr", "template")
+                    )
                     for index in range(len(stack) - 1, -1, -1):
                         node = stack[index]
-                        if isinstance(node, Element) and node.tag_name in (
-                            "table", "tbody", "thead", "tfoot", "tr", "template",
-                        ):
-                            del stack[index + 1 :]
+                        if isinstance(node, Element) and node.tag_name in table_context:
+                            prune_stack(index + 1)
                             break
                 # auto_close may have emptied the stack (an implied end tag
                 # at body level); document is never the insertion point
@@ -885,7 +1061,7 @@ def parse_html(source: str) -> Document:
                 for index in range(len(stack) - 1, -1, -1):
                     node = stack[index]
                     if isinstance(node, Element) and node.tag_name == "a":
-                        del stack[index:]
+                        prune_stack(index)
                         parent = current() if stack else insertion_parent()
                         break
                 remove_active("a")
@@ -952,7 +1128,7 @@ def parse_html(source: str) -> Document:
                 node = stack[index]
                 # .lower(): foreign-content tag names are stored camelCase
                 if isinstance(node, Element) and node.tag_name.lower() == tag:
-                    del stack[index:]
+                    prune_stack(index)
                     break
 
     # rawtext elements pushed above may remain if their end tag never came

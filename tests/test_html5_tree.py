@@ -130,7 +130,8 @@ def test_implied_end_tags_with_scope(source, expected):
         # caption/colgroup are legal table children — not fostered
         (
             "<body><table><caption>c</caption><col span=\"2\"><tr><td>y</td></tr></table></body>",
-            "<body><table><caption>c</caption><col span=\"2\"><tbody><tr><td>y</td></tr></tbody></table></body>",
+            # parse5 wraps a bare <col> in an implied <colgroup>
+            "<body><table><caption>c</caption><colgroup><col span=\"2\"></colgroup><tbody><tr><td>y</td></tr></tbody></table></body>",
         ),
         # text inside a cell is NOT fostered
         (
@@ -270,3 +271,170 @@ def test_math_attrs_not_svg_cased_outside_svg():
 def test_reparse_fixpoint(source):
     once = body_html(source)
     assert body_html(once) == once
+
+
+# ---------------------------------------------------------------------------
+# round-3 tranche: foreign-content integration points + breakout (HTML spec
+# "tree construction dispatcher" / "rules for parsing tokens in foreign
+# content" — parse5's dispatcher)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # breakout: an HTML phrasing tag pops the open foreign elements
+        ("<body><svg><b>x</b></svg></body>", "<body><svg></svg><b>x</b></body>"),
+        (
+            "<body><svg><g><div>d</div></svg></body>",
+            "<body><svg><g></g></svg><div>d</div></body>",
+        ),
+        # <font> breaks out only when it carries color/face/size
+        (
+            '<body><svg><font color="red">t</font></svg></body>',
+            '<body><svg></svg><font color="red">t</font></body>',
+        ),
+        ("<body><svg><font>t</font></svg></body>", "<body><svg><font>t</font></svg></body>"),
+        # MathML text integration points: HTML rules apply inside mi/mo/mn/ms/mtext
+        ("<body><math><mi><b>x</b></mi></math></body>",
+         "<body><math><mi><b>x</b></mi></math></body>"),
+        ("<body><math><mtext>hi</mtext></math></body>",
+         "<body><math><mtext>hi</mtext></math></body>"),
+        # mglyph/malignmark stay MathML at a text integration point
+        ("<body><math><mi><mglyph/>x</mi></math></body>",
+         "<body><math><mi><mglyph></mglyph>x</mi></math></body>"),
+        # annotation-xml is an HTML integration point ONLY with an HTML encoding
+        (
+            '<body><math><annotation-xml encoding="text/html"><div>d</div></annotation-xml></math></body>',
+            '<body><math><annotation-xml encoding="text/html"><div>d</div></annotation-xml></math></body>',
+        ),
+        (
+            "<body><math><annotation-xml><div>d</div></annotation-xml></math></body>",
+            "<body><math><annotation-xml></annotation-xml></math><div>d</div></body>",
+        ),
+        # svg desc/title are HTML integration points like foreignObject
+        ("<body><svg><desc><b>bold</b></desc></svg></body>",
+         "<body><svg><desc><b>bold</b></desc></svg></body>"),
+        # HTML rules (p closed by div) apply inside foreignObject
+        (
+            "<body><svg><foreignobject><p>a<div>b</div></foreignobject></svg></body>",
+            "<body><svg><foreignobject><p>a</p><div>b</div></foreignobject></svg></body>",
+        ),
+        # MathML attribute adjustment
+        ('<body><math definitionurl="u"><mrow>x</mrow></math></body>',
+         '<body><math definitionURL="u"><mrow>x</mrow></math></body>'),
+    ],
+)
+def test_foreign_integration_points_and_breakout(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# round-3 tranche: "in caption" / "in cell" closing + in-table character runs
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # a row start tag implies </caption>
+        (
+            "<body><table><caption>cap<tr><td>x</td></tr></table></body>",
+            "<body><table><caption>cap</caption><tbody><tr><td>x</td></tr></tbody></table></body>",
+        ),
+        # a second <caption> implies the first's end
+        (
+            "<body><table><caption>a<caption>b<tr><td>c</table></body>",
+            "<body><table><caption>a</caption><caption>b</caption><tbody><tr><td>c</td></tr></tbody></table></body>",
+        ),
+        # </table> closes an open cell and row
+        (
+            "<body><table><tr><td>x</table>after</body>",
+            "<body><table><tbody><tr><td>x</td></tr></tbody></table>after</body>",
+        ),
+        # a new <tr> closes the open cell and row
+        (
+            "<body><table><tbody><tr><td>1<tr><td>2</table></body>",
+            "<body><table><tbody><tr><td>1</td></tr><tr><td>2</td></tr></tbody></table></body>",
+        ),
+        # formatting opened inside a CELL does not reconstruct outside the
+        # table (the cell pushes a formatting marker)
+        (
+            "<body><table><tr><td><b>x</td></tr></table>y</body>",
+            "<body><table><tbody><tr><td><b>x</b></td></tr></tbody></table>y</body>",
+        ),
+        # likewise for a CAPTION marker
+        (
+            "<body><table><caption><b>x</table>y</body>",
+            "<body><table><caption><b>x</b></caption></table>y</body>",
+        ),
+        # non-ws character run in table context foster-parents out whole
+        ("<body><table>a b<td>y</table></body>",
+         "<body>a b<table><tbody><tr><td>y</td></tr></tbody></table></body>"),
+        # ASCII-whitespace-only runs stay inside the table
+        ("<body><table> <tr><td>a</table></body>",
+         "<body><table> <tbody><tr><td>a</td></tr></tbody></table></body>"),
+        # &nbsp; is NOT ASCII whitespace — it fosters out like content
+        ("<body><table>&nbsp;<tr><td>a</table></body>",
+         "<body>&nbsp;<table><tbody><tr><td>a</td></tr></tbody></table></body>"),
+        # a bare <col> gets an implied <colgroup>; a second col joins it
+        (
+            "<body><table><col><col><tr><td>x</table></body>",
+            "<body><table><colgroup><col><col></colgroup><tbody><tr><td>x</td></tr></tbody></table></body>",
+        ),
+        # explicit colgroup unchanged; closed by the row start
+        (
+            '<body><table><colgroup><col span="2"></colgroup><tr><td>x</table></body>',
+            '<body><table><colgroup><col span="2"></colgroup><tbody><tr><td>x</td></tr></tbody></table></body>',
+        ),
+    ],
+)
+def test_caption_cell_and_table_text(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# round-3 tranche: frameset modes
+
+
+def doc_html(source: str) -> str:
+    from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+
+    return serialize(parse_html(source))
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # the canonical frameset document: head implied, body replaced
+        (
+            '<html><frameset cols="50%,50%"><frame src="a"><frame src="b"></frameset></html>',
+            '<html><head></head><frameset cols="50%,50%"><frame src="a"><frame src="b"></frameset></html>',
+        ),
+        # nested framesets
+        (
+            '<frameset rows="2"><frameset cols="2"><frame></frameset><frame></frameset>',
+            '<html><head></head><frameset rows="2"><frameset cols="2"><frame></frameset><frame></frameset></html>',
+        ),
+        # frameset-ok: real body content makes a later frameset (and its
+        # frames) a no-op
+        ("<body>text<frameset><frame></frameset></body>",
+         "<html><head></head><body>text</body></html>"),
+        ("<body><table></table><frameset><frame></frameset></body>",
+         "<html><head></head><body><table></table></body></html>"),
+        # an element that does NOT flip frameset-ok (div) is discarded with
+        # the body when the frameset takes over (spec "in body" frameset rule)
+        ("<div></div><frameset></frameset>",
+         "<html><head></head><frameset></frameset></html>"),
+        # noframes fallback content (raw text) inside and after the frameset
+        ("<frameset><noframes>fallback</noframes></frameset>",
+         "<html><head></head><frameset><noframes>fallback</noframes></frameset></html>"),
+        ("<frameset></frameset><noframes>x</noframes>",
+         "<html><head></head><frameset></frameset><noframes>x</noframes></html>"),
+        # stray text inside a frameset is dropped; frames survive
+        ("<frameset>junk<frame></frameset>",
+         "<html><head></head><frameset><frame></frameset></html>"),
+        # <frame> outside a frameset never inserts
+        ("<body><frame>x</body>", "<html><head></head><body>x</body></html>"),
+    ],
+)
+def test_frameset_modes(source, expected):
+    assert doc_html(source) == expected
