@@ -62,10 +62,26 @@ class HyperLogLog:
         return sketch
 
 
-def hll_distinct(ds, value_fn, b: int = 12) -> float:
+def _tree_reduce(partials_ds, merge_batch, fanin: int = 64):
+    """Hierarchical sketch merge: each level folds up to ``fanin`` sketch
+    rows into one inside map_batches, so the DRIVER only ever take_all()s
+    O(fanin) rows no matter how many input batches there were — at 100 TB a
+    million 4 KB HLL partials would otherwise be 4 GB of driver traffic.
+    Merges must be associative+commutative (max/add/union are)."""
+    level = partials_ds.materialize()
+    n = level.count()
+    while n > fanin:
+        level = level.map_batches(
+            merge_batch, batch_format="pyarrow", batch_size=fanin
+        ).materialize()
+        n = level.count()
+    return level.take_all()
+
+
+def hll_distinct(ds, value_fn, b: int = 12, fanin: int = 64) -> float:
     """Approximate distinct count over a Dataset: one HLL partial per batch
-    (2^b bytes each), merged on the driver. ``value_fn(batch) -> iterable of
-    strings``."""
+    (2^b bytes each), tree-merged distributed; the driver folds only the
+    final fan-in. ``value_fn(batch) -> iterable of strings``."""
     import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -73,8 +89,15 @@ def hll_distinct(ds, value_fn, b: int = 12) -> float:
         sketch.add_many(value_fn(batch))
         return pa.table({"sketch": pa.array([sketch.dumps()], pa.binary())})
 
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        merged_level = HyperLogLog(b)
+        for blob in batch.column("sketch").to_pylist():
+            merged_level.merge(HyperLogLog.loads(blob, b))
+        return pa.table({"sketch": pa.array([merged_level.dumps()], pa.binary())})
+
     merged = HyperLogLog(b)
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    for row in _tree_reduce(partials, merge_batch, fanin=fanin):
         merged.merge(HyperLogLog.loads(row["sketch"], b))
     return merged.estimate()
 
@@ -128,12 +151,13 @@ class CountMinSketch:
 
 
 def cms_heavy_hitters(ds, value_fn, candidates_fn=None, k: int = 20,
-                      depth: int = 4, width: int = 1 << 12):
-    """Approximate top-k: one CMS partial per batch (merged on the driver)
-    plus a SMALL per-batch candidate set (each batch's local top keys — a
-    heavy hitter globally is a heavy hitter in some batch), then the merged
-    sketch ranks the candidate union. Returns [(key, approx_count)] sorted
-    by (-count, key). ``value_fn(batch) -> iterable of strings``."""
+                      depth: int = 4, width: int = 1 << 12, fanin: int = 64):
+    """Approximate top-k: one CMS partial per batch (tree-merged distributed,
+    candidates capped per level) plus a SMALL per-batch candidate set (each
+    batch's local top keys — a heavy hitter globally is a heavy hitter in
+    some batch), then the merged sketch ranks the candidate union. Returns
+    [(key, approx_count)] sorted by (-count, key). ``value_fn(batch) ->
+    iterable of strings``."""
     import collections
 
     import pyarrow as pa
@@ -153,9 +177,32 @@ def cms_heavy_hitters(ds, value_fn, candidates_fn=None, k: int = 20,
             }
         )
 
+    candidate_cap = k * 64
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        merged_level = CountMinSketch(depth, width)
+        keys: set[str] = set()
+        for blob, cands in zip(batch.column("sketch").to_pylist(),
+                               batch.column("candidates").to_pylist()):
+            merged_level.merge(CountMinSketch.loads(blob, depth, width))
+            keys.update(cands)
+        # bound the carried candidate set: rank by the level's merged sketch
+        # (covers exactly the candidates' batches) and keep a k*64 margin —
+        # a global heavy hitter is level-heavy long before it nears rank k
+        if len(keys) > candidate_cap:
+            ranked_keys = sorted(keys, key=lambda key: (-merged_level.query(key), key))
+            keys = set(ranked_keys[:candidate_cap])
+        return pa.table(
+            {
+                "sketch": pa.array([merged_level.dumps()], pa.binary()),
+                "candidates": pa.array([sorted(keys)], pa.list_(pa.string())),
+            }
+        )
+
     merged = CountMinSketch(depth, width)
     candidates: set[str] = set()
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    for row in _tree_reduce(partials, merge_batch, fanin=fanin):
         merged.merge(CountMinSketch.loads(row["sketch"], depth, width))
         candidates.update(row["candidates"])
     ranked = sorted(((key, merged.query(key)) for key in candidates),

@@ -638,3 +638,28 @@ def test_asof_join_deterministic_on_right_ties(ray_session):
         rows = asof_join(left, right, by="k", on="t").take_all()
         results.add(rows[0]["rid_r"])
     assert results == {201}, "tie must resolve to the max payload both times"
+
+
+def test_sketch_tree_reduce_matches_flat_merge(ray_session):
+    """The hierarchical sketch merge (fanin-bounded driver traffic) must be
+    exactly equivalent to folding every partial on the driver — max/add/union
+    merges are associative+commutative, so a tiny fanin is a pure topology
+    change."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions import sketches
+
+    texts = [f"tok{i % 37} tok{i % 11} tok{i}" for i in range(200)]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(16)
+
+    def values(batch):
+        for text in batch.column("text").to_pylist():
+            yield from text.split()
+
+    flat = sketches.hll_distinct(docs, values, fanin=10_000)
+    tree = sketches.hll_distinct(docs, values, fanin=2)
+    assert tree == flat
+
+    flat_top = sketches.cms_heavy_hitters(docs, values, k=10, fanin=10_000)
+    tree_top = sketches.cms_heavy_hitters(docs, values, k=10, fanin=2)
+    assert tree_top == flat_top
