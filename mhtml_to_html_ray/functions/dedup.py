@@ -328,14 +328,17 @@ def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_
 
 
 def connected_components_ds(pairs_ds, max_iter: int = 50):
-    """Distributed connected components by iterative min-label propagation:
-    labels(node)=node, then repeat (per-node group: spread the group's best
-    known label to every neighbor → groupby(node).min(label)) until the label
-    sum stops falling. Replaces the driver union-find the day near-dup pairs
-    stop fitting one process (VERDICT round-1 item 9); O(component diameter)
-    shuffle rounds, and near-dup components are shallow.
+    """Distributed connected components by min-label propagation with
+    POINTER DOUBLING: each iteration first spreads labels one hop along
+    edges (per-node group: spread the group's best known label to every
+    neighbor → groupby(node).min(label)), then shortcuts label(node) →
+    label(label(node)) — so label distances halve per round and convergence
+    is O(log diameter) shuffle rounds, not O(diameter) (ADVICE round 2: a
+    long chain of sliding-boilerplate near-dups previously needed one round
+    per hop). Replaces the driver union-find the day near-dup pairs stop
+    fitting one process (VERDICT round-1 item 9).
 
-    The propagate step is a union + groupby(key).map_groups equijoin (not
+    Both steps are union + groupby(key).map_groups equijoins (not
     ``Dataset.join`` — see _verified_pairs_ds for why)."""
     import pandas as pd
     from ray.data.aggregate import Min
@@ -389,12 +392,55 @@ def connected_components_ds(pairs_ds, max_iter: int = 50):
             }
         )
 
+    def shortcut_request(batch: pa.Table) -> pa.Table:
+        # a (node, label) row asks node `label` for ITS label
+        return pa.table(
+            {
+                "key": batch.column("label"),
+                "dst": batch.column("node"),
+                "label": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def shortcut(group: pd.DataFrame) -> pa.Table:
+        """key = some node k; label rows carry label(k); dst rows are nodes
+        whose current label is k → their new label is label(k)."""
+        label_rows = group[group["label"].notna()]
+        requesters = [int(d) for d in group["dst"].dropna()]
+        if label_rows.empty:
+            # k has no label row (k is itself a minimal label) — keep as-is
+            return pa.table(
+                {
+                    "node": pa.array(requesters, pa.int64()),
+                    "label": pa.array([int(group["key"].iloc[0])] * len(requesters), pa.int64()),
+                }
+            )
+        best = int(label_rows["label"].min())
+        nodes = [int(group["key"].iloc[0])] + requesters
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([best] * len(nodes), pa.int64()),
+            }
+        )
+
     converged = False
     for _ in range(max_iter):
+        # one hop along edges
         labels = (
             edge_side.union(labels.map_batches(label_side, batch_format="pyarrow"))
             .groupby("key")
             .map_groups(propagate, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # pointer doubling: label(node) ← label(label(node))
+        labels = (
+            labels.map_batches(shortcut_request, batch_format="pyarrow")
+            .union(labels.map_batches(label_side, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(shortcut, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

@@ -180,7 +180,9 @@ def test_connected_components_nonconvergence_warns(ray_session):
 
     import ray.data
 
-    chain = [(i, i + 1) for i in range(12)]
+    # pointer doubling covers distance ~2^r+... per round; 60 hops is well
+    # beyond what max_iter=2 rounds can reach
+    chain = [(i, i + 1) for i in range(60)]
     pairs = ray.data.from_arrow(
         pa.table(
             {
@@ -663,3 +665,29 @@ def test_sketch_tree_reduce_matches_flat_merge(ray_session):
     flat_top = sketches.cms_heavy_hitters(docs, values, k=10, fanin=10_000)
     tree_top = sketches.cms_heavy_hitters(docs, values, k=10, fanin=2)
     assert tree_top == flat_top
+
+
+def test_connected_components_long_chain_converges_fast(ray_session):
+    """Pointer doubling: a 100-hop chain converges well inside max_iter=10
+    (min-label-only propagation would need 100 rounds)."""
+    import warnings
+
+    import ray.data
+
+    chain = [(i, i + 1) for i in range(100)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in chain], pa.int64()),
+                "b": pa.array([b for _, b in chain], pa.int64()),
+            }
+        )
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = {
+            row["node"]: row["label"]
+            for row in dedup.connected_components_ds(pairs, max_iter=10).take_all()
+        }
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
+    assert labels == {i: 0 for i in range(101)}
