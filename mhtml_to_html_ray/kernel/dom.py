@@ -880,6 +880,16 @@ def parse_html(source: str) -> Document:
                 reconstruct_active()
                 if stack:
                     parent = current()
+            # spec: a newline IMMEDIATELY after <pre>/<listing> is ignored
+            if (
+                text.startswith("\n")
+                and isinstance(parent, Element)
+                and parent.tag_name in ("pre", "listing")
+                and not parent.child_nodes
+            ):
+                text = text[1:]
+                if not text:
+                    continue
             last = parent.child_nodes[-1] if parent.child_nodes else None
             if isinstance(last, Text):
                 last.value += text
@@ -888,7 +898,17 @@ def parse_html(source: str) -> Document:
         elif kind == "rawtext":
             if token[1]:
                 current_parent = current() if stack else insertion_parent(True, False)
-                current_parent.append_child(Text(token[1]))
+                raw = token[1]
+                # spec: a newline immediately after <textarea> is ignored
+                if (
+                    raw.startswith("\n")
+                    and isinstance(current_parent, Element)
+                    and current_parent.tag_name == "textarea"
+                    and not current_parent.child_nodes
+                ):
+                    raw = raw[1:]
+                if raw:
+                    current_parent.append_child(Text(raw))
         elif kind == "comment":
             parent = document if html_el is None and not stack else insertion_parent(ws=True)
             parent.append_child(Comment(token[1]))
@@ -906,6 +926,11 @@ def parse_html(source: str) -> Document:
                 if html_el is None:
                     html_el = Element("html", attrs)
                     document.append_child(html_el)
+                else:
+                    # spec: a second <html> merges attrs NOT already present
+                    for name, value in attrs:
+                        if html_el.get_attribute(name) is None:
+                            html_el.attrs.append([name, value])
                 continue
             if tag == "head":
                 if head_el is None and not head_closed:
@@ -919,6 +944,11 @@ def parse_html(source: str) -> Document:
                     ensure_head()
                     body_el = Element("body", attrs)
                     ensure_html().append_child(body_el)
+                else:
+                    # spec: a second <body> merges attrs not already present
+                    for name, value in attrs:
+                        if body_el.get_attribute(name) is None:
+                            body_el.attrs.append([name, value])
                 head_closed = True
                 continue
             context_ns = token_namespace(tag)

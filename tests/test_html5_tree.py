@@ -438,3 +438,32 @@ def doc_html(source: str) -> str:
 )
 def test_frameset_modes(source, expected):
     assert doc_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# round-3 tranche 2: pre/textarea leading newline, html/body attr merging
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # a newline immediately after <pre>/<textarea>/<listing> is ignored
+        ("<body><pre>\nkeep</pre></body>", "<body><pre>keep</pre></body>"),
+        ("<body><pre>\n\ntwo</pre></body>", "<body><pre>\ntwo</pre></body>"),
+        ("<body><textarea>\nkeep</textarea></body>",
+         "<body><textarea>keep</textarea></body>"),
+        # only IMMEDIATELY after the start tag: other first content keeps it
+        ("<body><pre>x\ny</pre></body>", "<body><pre>x\ny</pre></body>"),
+        ("<body><pre><!--c-->\nz</pre></body>", "<body><pre><!--c-->\nz</pre></body>"),
+    ],
+)
+def test_pre_textarea_leading_newline(source, expected):
+    assert body_html(source) == expected
+
+
+def test_second_html_body_tags_merge_attrs():
+    out = doc_html('<html><body class="a">x<body id="b" class="c">y</html>')
+    # class already present on body → kept; id is new → merged
+    assert out == '<html><head></head><body class="a" id="b">xy</body></html>'
+    out2 = doc_html('<html lang="en"><body>x</body></html><html lang="de" dir="ltr">')
+    assert out2 == '<html lang="en" dir="ltr"><head></head><body>x</body></html>'
