@@ -59,6 +59,10 @@ def decode_png_meta(data: bytes) -> dict:
     width, height = struct.unpack(">II", data[16:24])
     if not width or not height:
         raise ValueError("PNG with zero dimension")
+    if width > 0x7FFFFFFF or height > 0x7FFFFFFF:
+        # the PNG spec caps dimensions at 2^31-1; larger u32 values are
+        # corrupt AND would overflow the int32 metadata columns
+        raise ValueError("PNG with out-of-spec dimension")
     return {"width": width, "height": height, "frames": 1}
 
 
@@ -114,6 +118,8 @@ def decode_wav_meta(data: bytes) -> dict:
             frames = handle.getnframes()
     except (_wave.Error, EOFError) as exc:
         raise ValueError(f"not a decodable WAV: {exc}") from exc
+    if channels > 0x7FFFFFFF or rate > 0x7FFFFFFF:
+        raise ValueError("WAV with out-of-range header fields")
     duration_ms = int(round(frames / rate * 1000)) if rate else 0
     return {
         "frames": frames,

@@ -42,6 +42,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_rows(ids: np.ndarray, sims: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-batch partial top-k on the ROUNDED cosine with
+    vec_id tie-break — the same (-cosine, vec_id) order the driver merge
+    uses, so within-batch truncation can never drop a row the global sort
+    would have kept (ties at the k boundary were previously arbitrary via
+    argpartition over unrounded floats)."""
+    rounded = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+    order = np.lexsort((ids, -rounded))[: min(k, len(ids))]
+    return ids[order], rounded[order]
+
+
 def brute_force_topk(embeddings_ds, query_vec, k: int = 10):
     """Exact cosine top-k: per-batch matmul + partial top-k, merged on the
     driver (k rows per batch ≪ data size). Returns (vec_id, cosine) sorted by
@@ -57,12 +68,11 @@ def brute_force_topk(embeddings_ds, query_vec, k: int = 10):
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _normalize(_matrix(batch))
         sims = m @ q
-        take = min(k, len(ids))
-        idx = np.argpartition(-sims, take - 1)[:take] if len(ids) > take else np.arange(len(ids))
+        ids_k, cos_k = _topk_rows(ids, sims, k)
         return pa.table(
             {
-                "vec_id": pa.array(ids[idx], pa.int64()),
-                "cosine": pa.array(np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6, pa.float64()),
+                "vec_id": pa.array(ids_k, pa.int64()),
+                "cosine": pa.array(cos_k, pa.float64()),
             }
         )
 
@@ -136,15 +146,11 @@ class _LSHProbeBatch:
         ids = ids[mask]
         # per-batch partial top-k (mirrors brute_force_topk): a hot bucket
         # must not flood the driver with every matching row
-        take = min(self.k, len(ids))
-        idx = (
-            np.argpartition(-sims, take - 1)[:take] if len(ids) > take
-            else np.arange(len(ids))
-        )
+        ids_k, cos_k = _topk_rows(ids, sims, self.k)
         return pa.table(
             {
-                "vec_id": pa.array(ids[idx], pa.int64()),
-                "cosine": pa.array(np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6, pa.float64()),
+                "vec_id": pa.array(ids_k, pa.int64()),
+                "cosine": pa.array(cos_k, pa.float64()),
             }
         )
 
@@ -242,18 +248,11 @@ def ivf_topk(embeddings_ds, query_vec, k: int = 10, n_centroids: int = 16,
                              "cosine": pa.array([], pa.float64())})
         sims = m[mask] @ q
         ids = ids[mask]
-        take = min(k, len(ids))  # partial top-k: bound rows per batch at k
-        idx = (
-            np.argpartition(-sims, take - 1)[:take] if len(ids) > take
-            else np.arange(len(ids))
-        )
+        ids_k, cos_k = _topk_rows(ids, sims, k)  # bound rows per batch at k
         return pa.table(
             {
-                "vec_id": pa.array(ids[idx], pa.int64()),
-                "cosine": pa.array(
-                    np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6,
-                    pa.float64(),
-                ),
+                "vec_id": pa.array(ids_k, pa.int64()),
+                "cosine": pa.array(cos_k, pa.float64()),
             }
         )
 
@@ -357,18 +356,11 @@ def ivf_query(index_dir: str, query_vec, k: int = 10, nprobe: int = 4):
         q = ray.get(query_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         sims = _normalize(_matrix(batch)) @ q
-        take = min(k, len(ids))
-        idx = (
-            np.argpartition(-sims, take - 1)[:take] if len(ids) > take
-            else np.arange(len(ids))
-        )
+        ids_k, cos_k = _topk_rows(ids, sims, k)
         return pa.table(
             {
-                "vec_id": pa.array(ids[idx], pa.int64()),
-                "cosine": pa.array(
-                    np.copysign(np.floor(np.abs(sims[idx]) * 1e6 + 0.5), sims[idx]) / 1e6,
-                    pa.float64(),
-                ),
+                "vec_id": pa.array(ids_k, pa.int64()),
+                "cosine": pa.array(cos_k, pa.float64()),
             }
         )
 

@@ -85,6 +85,10 @@ _BREAKOUT_TAGS = frozenset(
     strong strike sub sup table tt u ul var""".split()
 )
 _MATHML_ATTR_ADJUST = {"definitionurl": "definitionURL"}
+# formatting-marker sentinel pushed onto the active-formatting list at
+# cell/caption/template boundaries (HTML spec "insert a marker"); clears
+# truncate to the last marker instead of wiping pre-table formatting
+_AF_MARKER = object()
 # start tags that flip the spec's frameset-ok flag to "not ok" ("in body")
 _FRAMESET_NOT_OK_TAGS = frozenset(
     """pre listing li dd dt button applet marquee object table area br embed
@@ -607,18 +611,27 @@ def parse_html(source: str) -> Document:
         return ensure_body()
 
     def prune_stack(index: int) -> None:
-        """del stack[index:], clearing active formatting when a marker-bearing
-        element (cell/caption/template — the spec pushes a formatting MARKER
-        at these) is among the popped: formatting opened inside a cell must
-        not reconstruct outside it."""
+        """del stack[index:], clearing active formatting UP TO THE LAST
+        MARKER for each marker-bearing element (cell/caption/template — the
+        spec pushes a formatting marker at these) among the popped:
+        formatting opened inside a cell must not reconstruct outside it,
+        while formatting opened BEFORE the table still does."""
         removed = stack[index:]
         del stack[index:]
-        if any(
-            isinstance(node, Element)
-            and node.tag_name.lower() in ("td", "th", "caption", "template")
+        n_markers = sum(
+            1
             for node in removed
-        ):
-            active_formatting.clear()
+            if isinstance(node, Element)
+            and node.tag_name.lower() in ("td", "th", "caption", "template")
+        )
+        for _ in range(n_markers):
+            for af_index in range(len(active_formatting) - 1, -1, -1):
+                if active_formatting[af_index] is _AF_MARKER:
+                    del active_formatting[af_index:]
+                    break
+            else:
+                active_formatting.clear()
+                break
 
     def pop_scoped(target_tags: frozenset, boundary_tags: frozenset) -> bool:
         """Implied end tag with SCOPE: pop to the nearest open target unless a
@@ -693,18 +706,18 @@ def parse_html(source: str) -> Document:
             return encoding in ("text/html", "application/xhtml+xml")
         return False
 
-    def token_namespace(tag: str | None = None, for_text: bool = False) -> str:
-        """Namespace the next token is processed in, per the spec dispatcher:
-        decided by the ADJUSTED CURRENT NODE — html namespace, a MathML text
-        integration point (for anything but mglyph/malignmark), or an HTML
-        integration point all dispatch to the HTML rules."""
+    def token_namespace(tag: str | None = None) -> str:
+        """Namespace the next start tag is processed in, per the spec
+        dispatcher: decided by the ADJUSTED CURRENT NODE — html namespace, a
+        MathML text integration point (for anything but mglyph/malignmark),
+        or an HTML integration point all dispatch to the HTML rules."""
         top = top_element()
         if top is None or top.namespace == "html":
             return "html"
         if (
             top.namespace == "math"
             and top.tag_name.lower() in _MATHML_TEXT_INTEGRATION
-            and (for_text or (tag is not None and tag not in ("mglyph", "malignmark")))
+            and tag not in ("mglyph", "malignmark")
         ):
             return "html"
         if is_html_integration_point(top):
@@ -779,8 +792,13 @@ def parse_html(source: str) -> Document:
     active_formatting: list[Element] = []
 
     def remove_active(tag: str) -> None:
+        # search stops at the last marker (spec: the <a>/adoption lookups
+        # consider only entries after it)
         for index in range(len(active_formatting) - 1, -1, -1):
-            if active_formatting[index].tag_name.lower() == tag:
+            entry = active_formatting[index]
+            if entry is _AF_MARKER:
+                return
+            if entry.tag_name.lower() == tag:
                 del active_formatting[index]
                 return
 
@@ -793,7 +811,9 @@ def parse_html(source: str) -> Document:
         open_ids = {id(node) for node in stack}
         start = len(active_formatting)
         for index in range(len(active_formatting) - 1, -1, -1):
-            if id(active_formatting[index]) in open_ids:
+            entry = active_formatting[index]
+            # reconstruction never crosses a marker or an already-open entry
+            if entry is _AF_MARKER or id(entry) in open_ids:
                 break
             start = index
         for index in range(start, len(active_formatting)):
@@ -875,12 +895,9 @@ def parse_html(source: str) -> Document:
                 and insert_fostered(Text(text))
             ):
                 continue  # character tokens in a table foster-parent out
-            if active_formatting and parent is not head_el:
-                # character tokens reconstruct active formatting (spec)
-                reconstruct_active()
-                if stack:
-                    parent = current()
-            # spec: a newline IMMEDIATELY after <pre>/<listing> is ignored
+            # spec: a newline IMMEDIATELY after <pre>/<listing> is ignored —
+            # checked BEFORE formatting reconstruction, which may reparent
+            # the text into a reopened clone inside the pre
             if (
                 text.startswith("\n")
                 and isinstance(parent, Element)
@@ -890,6 +907,11 @@ def parse_html(source: str) -> Document:
                 text = text[1:]
                 if not text:
                     continue
+            if active_formatting and parent is not head_el:
+                # character tokens reconstruct active formatting (spec)
+                reconstruct_active()
+                if stack:
+                    parent = current()
             last = parent.child_nodes[-1] if parent.child_nodes else None
             if isinstance(last, Text):
                 last.value += text
@@ -938,6 +960,8 @@ def parse_html(source: str) -> Document:
                     stack.append(head_el)
                 continue
             if tag == "body":
+                if frameset_el is not None and body_el is None:
+                    continue  # "in/after frameset": <body> is ignored
                 while stack:
                     stack.pop()
                 if body_el is None:
@@ -950,6 +974,24 @@ def parse_html(source: str) -> Document:
                         if body_el.get_attribute(name) is None:
                             body_el.attrs.append([name, value])
                 head_closed = True
+                continue
+            # "in/after frameset": only frameset/frame/noframes insert — ANY
+            # other start tag (foreign roots included) is ignored outright,
+            # before namespace dispatch can route it elsewhere
+            if frameset_el is not None and body_el is None:
+                if tag == "frameset":
+                    if stack:  # nested frameset inside the open one
+                        element = Element("frameset", attrs)
+                        current().append_child(element)
+                        stack.append(element)
+                elif tag == "frame":
+                    if stack:  # "after frameset" ignores stray <frame>
+                        current().append_child(Element("frame", attrs))
+                elif tag == "noframes":
+                    parent = current() if stack else ensure_html()
+                    element = Element("noframes", attrs)
+                    parent.append_child(element)
+                    stack.append(element)  # its rawtext token follows
                 continue
             context_ns = token_namespace(tag)
             foreign = context_ns != "html"
@@ -986,14 +1028,9 @@ def parse_html(source: str) -> Document:
                 tag_out = tag
             foreign = element_ns != "html"
 
-            # frameset modes ("in body" frameset rules + "in/after frameset")
+            # "in body" frameset rules (the in/after-frameset modes are
+            # handled before namespace dispatch above)
             if not foreign and tag == "frameset":
-                if frameset_el is not None:
-                    if stack:  # nested frameset inside the open one
-                        element = Element("frameset", attrs)
-                        current().append_child(element)
-                        stack.append(element)
-                    continue
                 if not frameset_ok:
                     continue  # spec: ignored once real body content exists
                 if body_el is not None:
@@ -1008,20 +1045,8 @@ def parse_html(source: str) -> Document:
                 head_closed = True
                 stack.append(frameset_el)
                 continue
-            if not foreign and tag == "frame" and (
-                frameset_el is None or body_el is not None
-            ):
+            if not foreign and tag == "frame":
                 continue  # <frame> only exists inside a frameset
-            if frameset_el is not None and body_el is None and not foreign:
-                if tag == "frame":
-                    parent = current() if stack else ensure_html()
-                    parent.append_child(Element("frame", attrs))
-                elif tag == "noframes":
-                    parent = current() if stack else ensure_html()
-                    element = Element("noframes", attrs)
-                    parent.append_child(element)
-                    stack.append(element)  # its rawtext token follows
-                continue  # every other tag is ignored in frameset modes
             if not foreign and tag in _FRAMESET_NOT_OK_TAGS:
                 frameset_ok = False
 
@@ -1122,15 +1147,17 @@ def parse_html(source: str) -> Document:
                     # Noah's-ark clause: at most 3 identical entries
                     identical = [
                         e for e in active_formatting
-                        if e.tag_name == element.tag_name and e.attrs == element.attrs
+                        if e is not _AF_MARKER
+                        and e.tag_name == element.tag_name and e.attrs == element.attrs
                     ]
                     if len(identical) >= 3:
                         active_formatting.remove(identical[0])
                     active_formatting.append(element)
                 elif tag in ("td", "th", "caption", "template"):
-                    # marker boundary (simplified): formatting never crosses
-                    # into table cells / template content
-                    active_formatting.clear()
+                    # spec "insert a marker": formatting never crosses INTO a
+                    # cell; pre-table formatting survives past it (the marker
+                    # is popped with the cell in prune_stack)
+                    active_formatting.append(_AF_MARKER)
 
             is_void = tag in VOID_TAGS
             closes_itself = self_closing and (tag not in _KNOWN_HTML_TAGS or foreign)

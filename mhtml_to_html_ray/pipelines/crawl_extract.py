@@ -44,9 +44,13 @@ def crawl_and_extract(
 ):
     """Run a crawl (bodies kept, streamed to Parquet), then extract every
     successfully fetched page. Returns (CrawlResult, extraction Dataset)."""
+    import dataclasses
     import tempfile
 
-    config = crawl_config or CrawlConfig()
+    # copy, never mutate the caller's config: a reused config object must not
+    # inherit this run's temp results_dir (a second crawl would mix its waves
+    # with the first's stale ones) nor a forced keep_bodies
+    config = dataclasses.replace(crawl_config) if crawl_config is not None else CrawlConfig()
     config.keep_bodies = True
     if config.results_dir is None:
         # stream wave bodies to disk rather than accumulating a whole-crawl

@@ -691,3 +691,41 @@ def test_connected_components_long_chain_converges_fast(ray_session):
         }
     assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
     assert labels == {i: 0 for i in range(101)}
+
+
+def test_media_decode_oversized_dims_error_row():
+    """A corrupt PNG declaring u32 dimensions beyond int32 must surface as a
+    ValueError row, not crash the batch after the decode try/except."""
+    import struct
+
+    from mhtml_to_html_ray.functions.multimodal import MediaDecodeBatch
+
+    ihdr = struct.pack(">II", 0x80000000, 10) + bytes([8, 6, 0, 0, 0])
+    bad_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+               + b"\x00\x00\x00\x00")
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image/png"], pa.string()),
+            "payload": pa.array([bad_png], pa.large_binary()),
+        }
+    )
+    out = MediaDecodeBatch(real=True)(batch)
+    assert out.column("error")[0].as_py().startswith("ValueError")
+    assert out.column("width")[0].as_py() is None
+
+
+def test_topk_rows_tie_break_deterministic():
+    """Ties at the k boundary resolve by smallest vec_id on the ROUNDED
+    cosine — matching the driver's (-cosine, vec_id) merge order."""
+    from mhtml_to_html_ray.functions.similarity import _topk_rows
+
+    ids = np.array([9, 3, 7, 1, 5], dtype=np.int64)
+    sims = np.array([1.0, 1.0, 1.0, 1.0, 1.0])
+    out_ids, out_cos = _topk_rows(ids, sims, 3)
+    assert out_ids.tolist() == [1, 3, 5]
+    assert out_cos.tolist() == [1.0, 1.0, 1.0]
+    # sub-1e-6 noise must not reorder ties
+    noisy = np.array([1.0, 1.0 - 2e-8, 1.0 + 2e-8, 1.0, 1.0 - 1e-8])
+    out_ids2, _ = _topk_rows(ids, noisy, 3)
+    assert out_ids2.tolist() == [1, 3, 5]

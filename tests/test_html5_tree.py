@@ -467,3 +467,46 @@ def test_second_html_body_tags_merge_attrs():
     assert out == '<html><head></head><body class="a" id="b">xy</body></html>'
     out2 = doc_html('<html lang="en"><body>x</body></html><html lang="de" dir="ltr">')
     assert out2 == '<html lang="en" dir="ltr"><head></head><body>x</body></html>'
+
+
+# ---------------------------------------------------------------------------
+# round-3 review regressions (self-review of the tranche)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # formatting opened BEFORE the table survives the cell marker and
+        # reconstructs after it (markers truncate, not wipe, the list)
+        (
+            "<body><div><b>bold</div><table><tr><td>c</td></tr></table>after</body>",
+            "<body><div><b>bold</b></div><table><tbody><tr><td>c</td></tr></tbody></table><b>after</b></body>",
+        ),
+        # a newline right after <pre> is dropped even when formatting
+        # reconstruction reparents the text into a clone inside the pre
+        (
+            "<body><div><b>x</div><pre>\nY</pre></body>",
+            "<body><div><b>x</b></div><pre><b>Y</b></pre></body>",
+        ),
+    ],
+)
+def test_marker_truncation_and_pre_newline_with_reconstruction(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # <body> after a closed frameset is ignored ("after frameset" mode)
+        ("<frameset><frame></frameset><body>x</body>",
+         "<html><head></head><frameset><frame></frameset></html>"),
+        # foreign roots are ignored inside a frameset too
+        ("<frameset><svg></svg><frame></frameset>",
+         "<html><head></head><frameset><frame></frameset></html>"),
+        # a stray <frame> after the frameset closed is ignored
+        ("<frameset></frameset><frame>",
+         "<html><head></head><frameset></frameset></html>"),
+    ],
+)
+def test_frameset_mode_ignores(source, expected):
+    assert doc_html(source) == expected
