@@ -248,6 +248,13 @@ class CrawlScheduler:
     def __init__(self, transport_factory, config: CrawlConfig | None = None):
         self.transport_factory = transport_factory
         self.config = config or CrawlConfig()
+        if self.config.admit_strategy not in ("driver", "distributed", "auto"):
+            # a typo would otherwise silently degrade every wave to the
+            # driver loop
+            raise ValueError(
+                f"admit_strategy must be 'driver', 'distributed' or 'auto', "
+                f"got {self.config.admit_strategy!r}"
+            )
         self.seen = ShardedSeenSet(self.config.num_seen_shards)
         self.gate = make_gate_actors(self.config.num_gate_shards, self.config.min_host_gap_ms)
         self.checkpoint = (

@@ -36,13 +36,6 @@ class SeenShard:
         # might_contain() can false-negative for arbitrary keys — so the
         # first failed insert degrades the shard to exact-set-only probes.
         self.filter_ok = True
-        # idempotency window for check_and_add_tagged: the urls added under
-        # the CURRENT tag (one crawl wave). A Ray-retried admit task re-asks
-        # about urls its first attempt already added and must get True again
-        # (first-wins would otherwise silently drop them). Cleared when the
-        # tag advances, so memory stays one-wave-bounded.
-        self._tag: object = None
-        self._tag_added: set[str] = set()
 
     def _probe(self, url: str) -> bool:
         """Seen-before test with the filter as a safe fast negative path."""
@@ -63,34 +56,23 @@ class SeenShard:
                 out.append(True)
         return out
 
-    def check_and_add_tagged(self, urls: list[str], tag) -> list[bool]:
-        """check_and_add with retry idempotency: urls added under the same
-        tag answer True on a repeat call (distributed admit — a retried
-        worker task must not see its own earlier adds as duplicates)."""
-        if tag != self._tag:
-            self._tag = tag
-            self._tag_added = set()
-        out = []
-        for url in urls:
-            if url in self._tag_added:
-                out.append(True)
-            elif self._probe(url):
-                out.append(False)
-            else:
-                self.exact.add(url)
-                if self.filter_ok and not self.filter.add(url):
-                    self.filter_ok = False
-                self._tag_added.add(url)
-                out.append(True)
-        return out
-
     # --- distributed-admit offer protocol (frontier/admit.py) ---
     def offer(self, table: pa.Table, tag) -> int:
         """Buffer a batch of wave candidates (zero per-row work here — all
         dedup is deferred to commit_offers, which makes re-offering the same
         rows from a Ray-retried task naturally idempotent: duplicates
-        collapse in the commit's drop_duplicates)."""
-        if tag != getattr(self, "_offer_tag", None):
+        collapse in the commit's drop_duplicates). An offer carrying an
+        OLDER tag than the current one (a zombie retry of a prior wave,
+        possible on a real cluster after a false-dead node rejoins) is
+        dropped — it must not reset the buffer holding the current wave."""
+        current = getattr(self, "_offer_tag", None)
+        if current is not None and tag != current:
+            try:
+                if tag < current:
+                    return 0  # stale wave's zombie task: ignore outright
+            except TypeError:
+                pass  # unordered tags fall back to reset-on-change
+        if tag != current:
             self._offer_tag = tag
             self._offer_tables: list[pa.Table] = []
         self._offer_tables.append(table)
@@ -218,9 +200,6 @@ class ShardedSeenSet:
 
     def check_and_add(self, urls: list[str]) -> list[bool]:
         return self._fan_out(urls, "check_and_add")
-
-    def check_and_add_tagged(self, urls: list[str], tag) -> list[bool]:
-        return self._fan_out(urls, "check_and_add_tagged", tag)
 
     def contains(self, urls: list[str]) -> list[bool]:
         return self._fan_out(urls, "contains")

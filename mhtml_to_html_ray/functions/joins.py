@@ -22,7 +22,13 @@ import pyarrow as pa
 
 def _sides_union(left_ds, right_ds, by: str, on: str, right_suffix: str):
     """Union the two inputs under one schema: shared (by, on, _side) plus
-    each side's payload columns (nulls on the other side)."""
+    each side's payload columns (nulls on the other side).
+
+    Caveat (temporal joins only): the null padding makes pandas widen int
+    payload columns to float64 inside map_groups; the recorded ``restore``
+    dtypes cast back, which is exact up to 2**53 — int64 payloads beyond
+    that (e.g. 64-bit hash ids) would lose low bits. hash_join avoids this
+    entirely by joining Arrow-native; route such payloads through it."""
     left_names = [n for n in left_ds.schema().names]
     right_names = [n for n in right_ds.schema().names]
     right_payload = [n for n in right_names if n not in (by, on)]
@@ -135,10 +141,12 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     operators (see functions/dedup.py:_verified_pairs_ds for the original
     write-up).  Physical plan instead: tag each side with ``_side`` and
     ``_bucket = hash(key) % num_buckets``, union under one schema, ONE
-    shuffle (groupby _bucket), then one vectorized pandas merge per bucket.
-    100-TB shape: only the projected join columns move, parallelism is
-    num_buckets, nothing touches the driver.  Right payload columns that
-    collide with left names get ``right_suffix``.
+    shuffle (groupby _bucket), then one Arrow-native (Acero) join per
+    bucket — typed end-to-end (no pandas float widening; int64 ids above
+    2**53 survive bit-exact) and null keys never match, per SQL inner-join
+    semantics.  100-TB shape: only the projected join columns move,
+    parallelism is num_buckets, nothing touches the driver.  Right payload
+    columns that collide with left names get ``right_suffix``.
     """
     left_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
     right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
@@ -178,20 +186,22 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    # null padding in the union widens pandas ints to float64 — restore
-    restore: dict[str, str] = {}
-    for name in (key, *left_payload):
-        if pa.types.is_integer(left_schema[name]):
-            restore[name] = left_schema[name].to_pandas_dtype().__name__
-    for name, out in zip(right_payload, out_right):
-        if pa.types.is_integer(right_schema[name]):
-            restore[out] = right_schema[name].to_pandas_dtype().__name__
     out_columns = [key, *left_payload, *out_right]
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        left_rows = group.loc[group["_side"] == 0, [key, *left_payload]]
-        right_rows = group.loc[group["_side"] == 1, [key, *out_right]]
-        joined = left_rows.merge(right_rows, on=key, how="inner")
-        return joined[out_columns].astype(restore, copy=False)
+    def merge(group: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join (Acero): payloads keep their exact
+        # types end-to-end (no pandas float64 widening — an int64 id above
+        # 2**53 survives bit-exact), and null join keys never match,
+        # matching SQL inner-equijoin semantics.
+        import pyarrow.compute as pc
 
-    return union.groupby("_bucket").map_groups(merge, batch_format="pandas")
+        side = group.column("_side")
+        left_rows = group.filter(pc.equal(side, 0)).select([key, *left_payload])
+        right_rows = group.filter(pc.equal(side, 1)).select([key, *out_right])
+        if left_rows.num_rows == 0 or right_rows.num_rows == 0:
+            return pa.table(
+                {name: pa.array([], group.schema.field(name).type) for name in out_columns}
+            )
+        return left_rows.join(right_rows, keys=key, join_type="inner").select(out_columns)
+
+    return union.groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -566,10 +566,19 @@ def q_revenue_by_nation(sf_dir: str):
         keys, names = ray.get(nation_ref)
         nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
         positions = np.searchsorted(keys, nk)
+        # guard absent nation keys: clip, then verify the looked-up key
+        # actually matches — an unmatched customer DROPS (inner-join
+        # semantics) instead of indexing out of bounds or silently taking
+        # the insertion point's wrong nation
+        positions = np.clip(positions, 0, len(keys) - 1)
+        matched = keys[positions] == nk
         return pa.table(
             {
-                "o_custkey": batch.column("c_custkey"),
-                "n_name": pa.array(names[positions], pa.string()),
+                "o_custkey": pa.array(
+                    batch.column("c_custkey").to_numpy(zero_copy_only=False)[matched],
+                    pa.int64(),
+                ),
+                "n_name": pa.array(names[positions][matched], pa.string()),
             }
         )
 

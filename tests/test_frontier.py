@@ -901,12 +901,47 @@ def test_admit_distributed_matches_driver_parquet_frontier(ray_session, tmp_path
     assert logs["driver"] == logs["distributed"]
 
 
-def test_check_and_add_tagged_idempotent():
-    shard = SeenShard(0, capacity=1024)
-    assert shard.check_and_add_tagged(["a", "b"], tag=1) == [True, True]
-    # a retried task re-asks under the SAME tag: must answer True again
-    assert shard.check_and_add_tagged(["a", "b"], tag=1) == [True, True]
-    # next wave: now they are duplicates
-    assert shard.check_and_add_tagged(["a", "c"], tag=2) == [False, True]
-    # and the retry window for tag 1 is gone (memory stays wave-bounded)
-    assert shard._tag_added == {"c"}
+def test_offer_stale_tag_does_not_wipe_current_wave():
+    """A zombie task from wave N offering after wave N+1 started must be
+    ignored — not reset the buffer holding wave N+1's candidates."""
+    import pyarrow as pa
+
+    from mhtml_to_html_ray.frontier.admit import CANDIDATE_SCHEMA
+    from mhtml_to_html_ray.frontier.seen import SeenShard
+
+    def candidates(urls, parent_base):
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "canon_url": pa.array(urls, pa.string()),
+                "host": pa.array(["h"] * len(urls), pa.string()),
+                "host_hash": pa.array([0] * len(urls), pa.uint64()),
+                "depth": pa.array([1] * len(urls), pa.int32()),
+                "priority": pa.array([0.0] * len(urls), pa.float64()),
+                "parent_url": pa.array(["p"] * len(urls), pa.string()),
+                "parent_index": pa.array(
+                    [parent_base + i for i in range(len(urls))], pa.int64()
+                ),
+                "ordinal": pa.array([0] * len(urls), pa.int64()),
+            },
+            schema=CANDIDATE_SCHEMA,
+        )
+
+    shard = SeenShard(0)
+    shard.offer(candidates(["https://a/1"], 0), tag=1)
+    assert shard.commit_offers(1).num_rows == 1
+    # wave 2 buffers two candidates...
+    shard.offer(candidates(["https://a/2"], 10), tag=2)
+    # ...then a wave-1 zombie arrives: must be ignored
+    assert shard.offer(candidates(["https://a/zombie"], 0), tag=1) == 0
+    shard.offer(candidates(["https://a/3"], 11), tag=2)
+    committed = shard.commit_offers(2)
+    urls = set(committed.column("canon_url").to_pylist())
+    assert urls == {"https://a/2", "https://a/3"}, urls
+
+
+def test_admit_strategy_validated():
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler
+
+    with pytest.raises(ValueError, match="admit_strategy"):
+        CrawlScheduler(lambda: None, CrawlConfig(admit_strategy="distrubuted"))

@@ -729,3 +729,25 @@ def test_topk_rows_tie_break_deterministic():
     noisy = np.array([1.0, 1.0 - 2e-8, 1.0 + 2e-8, 1.0, 1.0 - 1e-8])
     out_ids2, _ = _topk_rows(ids, noisy, 3)
     assert out_ids2.tolist() == [1, 3, 5]
+
+
+def test_hash_join_big_int64_payload_and_null_keys(ray_session):
+    """Arrow-native bucket join: int64 payloads above 2**53 survive
+    bit-exact (no pandas float widening) and null keys never match (SQL
+    inner-join semantics)."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    big = 2**53 + 1
+    left = ray.data.from_arrow(pa.table(
+        {"key": pa.array([1, 2, None], pa.int64()),
+         "big_id": pa.array([big, big + 2, big + 4], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"key": pa.array([1, None], pa.int64()),
+         "tag": pa.array(["x", "y"], pa.string())}))
+    rows = hash_join(left, right, key="key").take_all()
+    assert len(rows) == 1, rows  # null keys must not pair up
+    assert rows[0]["key"] == 1
+    assert rows[0]["big_id"] == big  # exact — 2**53+1, not 2**53
+    assert rows[0]["tag"] == "x"
