@@ -13,11 +13,12 @@ of url space, so they double as the dedup reducers):
     → map_batches(enumerate children + priority + host_hash; each task
       routes its candidates straight to the owning shard actors — the
       q_url_seen_antijoin worker→actor pattern)                 [parallel]
-    → SeenShard.offer(): per url, keep the min-(parent_index, ordinal)
-      candidate — a MIN-REDUCE, so Ray-retried tasks re-offering the same
-      rows are naturally idempotent; urls already in the exact set are
-      rejected here                                             [parallel]
-    → SeenShard.commit_offers(): winners enter the exact set and return to
+    → SeenShard.offer(): BUFFER the candidate rows (no per-row work —
+      stale-tag zombies dropped)                                [parallel]
+    → SeenShard.commit_offers(): per-url min-(parent_index, ordinal)
+      MIN-REDUCE in one vectorized pass (Ray-retried tasks re-offering the
+      same rows are naturally idempotent), already-seen urls rejected by
+      O(wave) exact-set probes; winners enter the exact set and return to
       the driver as Arrow — ADMITTED rows only, not the discovery stream
     → driver sorts by (parent_index, ordinal) and assigns
       discovery_index = base + arange                           [vectorized]
@@ -68,6 +69,7 @@ def distributed_admit(
     config,
     wave: int,
     base_index: int,
+    tag=None,
 ) -> pa.Table:
     """Returns the admitted frontier rows (FRONTIER_SCHEMA, discovery_index
     assigned, index-sorted) for ``store.add_table``.
@@ -101,7 +103,8 @@ def distributed_admit(
         {host: stats["ok_rate"] for host, stats in host_stats.items()}
     )
     depth_penalty = config.depth_penalty
-    tag = wave  # offer() min-reduce key: retries of this wave's tasks merge
+    if tag is None:
+        tag = wave  # offer() min-reduce key: retries of this wave's tasks merge
     shards = seen.shards
     n_shards = seen.n_shards
 

@@ -263,6 +263,10 @@ class CrawlScheduler:
             else None
         )
         self._pool: list | None = None
+        # monotone across run() calls: offer tags are (epoch, wave) so a
+        # second crawl's wave 0 always outranks the first crawl's last wave
+        # in the shards' stale-offer guard
+        self._run_epoch = 0
 
     def _worker_config(self) -> dict:
         config = self.config
@@ -368,6 +372,7 @@ class CrawlScheduler:
 
     # ------------------------------------------------------------------
     def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
+        self._run_epoch += 1
         config = self.config
         all_results: list[pa.Table] = []
         metrics: list[dict] = []
@@ -510,7 +515,7 @@ class CrawlScheduler:
 
                 admitted_table = distributed_admit(
                     results_table, self.seen, host_stats, expand, config,
-                    wave, next_index,
+                    wave, next_index, tag=(self._run_epoch, wave),
                 )
                 next_index += admitted_table.num_rows
                 store.add_table(admitted_table)

@@ -90,7 +90,15 @@ class SeenShard:
         frame = combined.to_pandas()
         frame = frame.sort_values(["parent_index", "ordinal"], kind="stable")
         frame = frame.drop_duplicates("canon_url", keep="first")
-        fresh = frame[~frame["canon_url"].isin(self.exact).values]
+        # O(wave) set probes — NOT Series.isin(self.exact), which would
+        # materialize the shard's entire seen set per wave (O(total_seen))
+        import numpy as np
+
+        seen_mask = np.fromiter(
+            (url in self.exact for url in frame["canon_url"].values),
+            dtype=bool, count=len(frame),
+        )
+        fresh = frame[~seen_mask]
         if not len(fresh):
             return None
         urls = fresh["canon_url"].tolist()
@@ -177,7 +185,7 @@ class ShardedSeenSet:
             routed[stable_hash64(url) % self.n_shards].append((index, url))
         return routed
 
-    def _fan_out(self, urls: list[str], method: str, *extra) -> list[bool]:
+    def _fan_out(self, urls: list[str], method: str) -> list[bool]:
         import ray
 
         routed = self._route(urls)
@@ -187,7 +195,7 @@ class ShardedSeenSet:
                 futures.append(
                     (entries,
                      getattr(self.shards[shard], method).remote(
-                         [u for _, u in entries], *extra))
+                         [u for _, u in entries]))
                 )
         out = [False] * len(urls)
         # ONE ray.get over every shard future — a per-shard get would wait

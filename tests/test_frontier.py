@@ -945,3 +945,37 @@ def test_admit_strategy_validated():
 
     with pytest.raises(ValueError, match="admit_strategy"):
         CrawlScheduler(lambda: None, CrawlConfig(admit_strategy="distrubuted"))
+
+
+def test_distributed_admit_across_two_runs_of_one_scheduler(ray_session):
+    """Offer tags are (epoch, wave): a second run() on the SAME scheduler —
+    whose seen shards survived the first — must admit its discoveries, not
+    drop them as stale-wave zombies."""
+    from mhtml_to_html_ray.frontier.scheduler import CrawlConfig, CrawlScheduler
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://r1.example/": html_page(["/a", "/b"]),
+        "https://r1.example/a": html_page([]),
+        "https://r1.example/b": html_page([]),
+        "https://r2.example/": html_page(["/c"]),
+        "https://r2.example/c": html_page([]),
+    }
+    config = CrawlConfig(discovery_mode="hyperlinks", max_waves=4,
+                         retry_sleep_scale=0.0, num_seen_shards=2,
+                         fetch_concurrency=1, batch_size=8,
+                         admit_strategy="distributed")
+    scheduler = CrawlScheduler(DictTransportFactory(routes), config)
+    try:
+        first = scheduler.run(["https://r1.example/"])
+        second = scheduler.run(["https://r2.example/"])
+    finally:
+        scheduler.close()
+    assert first.results.num_rows == 3
+    # the second crawl's wave-0 offers (epoch 2) must outrank epoch-1 tags
+    urls = set(second.results.column("canon_url").to_pylist())
+    assert urls == {"https://r2.example/", "https://r2.example/c"}, urls
