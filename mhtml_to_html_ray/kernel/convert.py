@@ -836,6 +836,11 @@ def convert_walk(mhtml: MHTML, config: Config):
                     http_equiv = http_equiv.lower()
                     if http_equiv in ("refresh", "content-security-policy"):
                         removed_nodes.append(child)
+            # NOTE deliberate reference-parity inconsistency: the COLLECT
+            # walk (fetch_missing=True) never descends into template content
+            # (so template assets are not queued for fetching), while the
+            # rewrite walk does and reports them unfound — convert.js:589
+            # gates identically; byte-parity outranks the fix
             elif tag == "TEMPLATE" and not fetch_missing:
                 shadow_mode = child.get_attribute("shadowmode")
                 if shadow_mode:

@@ -183,19 +183,39 @@ def read_leading_charset(css: str) -> str | None:
 
 
 def remove_leading_charset(css: str) -> str:
-    """Drop the leading @charset rule (through its ``;``)."""
-    m = re.match(r"^\s*@charset\s+(\"[^\"]*\"|'[^']*')\s*;", css, re.IGNORECASE)
+    """Drop the leading @charset rule (through its ``;``) — skipping the
+    same whitespace AND comments read_leading_charset skips, so a sheet
+    whose charset triggered a re-decode never keeps the (now wrong)
+    declaration in the transcoded output."""
+    m = re.match(
+        r"^(?:\s|/\*.*?\*/)*@charset\s+(\"[^\"]*\"|'[^']*')\s*;",
+        css, re.IGNORECASE | re.DOTALL,
+    )
     if m:
         return css[m.end() :]
     return css
 
 
+# at-rules whose block contains RULES (selectors live inside — a ':' there
+# is a pseudo-class, not a declaration separator)
+_RULE_BLOCK_AT = frozenset(
+    ("@media", "@supports", "@document", "@-moz-document", "@layer",
+     "@container", "@scope", "@keyframes", "@-webkit-keyframes",
+     "@-moz-keyframes", "@-o-keyframes")
+)
+
+
 def _minify(tokens: list[tuple[str, str]]) -> str:
     """css-tree generate()-style compact output: comments dropped (rewrite
     comments injected as 'raw' tokens survive), whitespace collapsed, spaces
-    removed next to structural punctuation."""
+    removed next to structural punctuation. Colon spacing is CONTEXT-aware:
+    spaces drop around ':' only inside declaration blocks — inside nested
+    RULE blocks (@media/@supports/...), 'a :hover' keeps its descendant
+    combinator exactly as css-tree generate() does."""
     out: list[str] = []
-    depth = 0
+    # block contexts: "rules" (selectors between colons matter) vs "decls"
+    context: list[str] = ["rules"]
+    prelude_at: str | None = None  # at-keyword opening the current prelude
     pending_ws = False
 
     def last_char() -> str:
@@ -208,24 +228,37 @@ def _minify(tokens: list[tuple[str, str]]) -> str:
             pending_ws = True
             continue
         first = text[0]
+        if kind == "word" and first == "@":
+            prelude_at = text.lower()
         if kind == "char" and first in "{};,":
             if first == "{":
-                depth += 1
+                if context[-1] == "decls":
+                    context.append("decls")  # nested braces inside a value
+                else:
+                    context.append(
+                        "rules" if prelude_at in _RULE_BLOCK_AT else "decls"
+                    )
+                prelude_at = None
             elif first == "}":
-                depth = max(0, depth - 1)
+                if len(context) > 1:
+                    context.pop()
+                prelude_at = None
                 # trailing ; before } is dropped, like css-tree
                 while out and out[-1] == ";":
                     out.pop()
+            elif first == ";":
+                prelude_at = None
             pending_ws = False
             out.append(text)
             continue
-        if kind == "char" and first == ":" and depth > 0:
+        in_decls = context[-1] == "decls"
+        if kind == "char" and first == ":" and in_decls:
             pending_ws = False
             out.append(text)
             continue
         if pending_ws:
             if last_char() not in "{};,(" and last_char() != "" and not (
-                last_char() == ":" and depth > 0
+                last_char() == ":" and in_decls
             ):
                 out.append(" ")
             pending_ws = False

@@ -336,6 +336,50 @@ def _unescape(text: str) -> str:
     return _htmlmod.unescape(text) if "&" in text else text
 
 
+_ATTR_ENTITY_RE = re.compile(r"&(#[0-9]{1,10};?|#[xX][0-9a-fA-F]{1,8};?|[a-zA-Z][a-zA-Z0-9]{0,31};?)")
+
+
+def _unescape_attr(text: str) -> str:
+    """Entity decoding with the HTML-spec ATTRIBUTE exception: a legacy
+    (no-semicolon) named reference followed by '=' or an alphanumeric stays
+    VERBATIM — html.unescape would turn href="?id=1&region=US" into
+    "?id=1®ion=US" (parse5/browsers do not)."""
+    if "&" not in text:
+        return text
+    from html.entities import html5 as _html5
+
+    out: list[str] = []
+    pos = 0
+    for m in _ATTR_ENTITY_RE.finditer(text):
+        out.append(text[pos : m.start()])
+        entity = m.group(0)
+        name = m.group(1)
+        if name[0] == "#":
+            out.append(_htmlmod.unescape(entity))
+        elif name.endswith(";") and name in _html5:
+            out.append(_html5[name])
+        else:
+            # longest legacy (semicolon-less) named reference prefix
+            bare = name[:-1] if name.endswith(";") else name
+            best = 0
+            for length in range(min(len(bare), 8), 1, -1):
+                if bare[:length] in _html5:  # html5 legacy keys carry no ';'
+                    best = length
+                    break
+            if not best:
+                out.append(entity)
+            else:
+                rest = entity[1 + best :]
+                following = rest[0] if rest else text[m.end() : m.end() + 1]
+                if following and (following.isalnum() or following == "="):
+                    out.append(entity)  # the attribute exception
+                else:
+                    out.append(_html5[bare[:best]] + rest)
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
 class _Tokenizer:
     def __init__(self, source: str) -> None:
         self.source = source
@@ -344,6 +388,10 @@ class _Tokenizer:
     def tokens(self):
         source = self.source
         n = len(source)
+        # svg/math nesting depth: raw-content mode (script/style/title...)
+        # only applies in the HTML namespace — inside foreign content these
+        # are ordinary elements whose markup children are parsed
+        foreign_depth = 0
         while self.pos < n:
             lt = source.find("<", self.pos)
             if lt == -1:
@@ -382,7 +430,10 @@ class _Tokenizer:
                         self.pos = gt + 1
                 else:
                     gt = source.find(">", m.end())
-                    yield ("endtag", m.group(0).lower())
+                    name = m.group(0).lower()
+                    if name in ("svg", "math") and foreign_depth:
+                        foreign_depth -= 1
+                    yield ("endtag", name)
                     self.pos = n if gt == -1 else gt + 1
             else:
                 m = _TAG_NAME_RE.match(source, lt + 1)
@@ -393,7 +444,11 @@ class _Tokenizer:
                 tag = m.group(0).lower()
                 attrs, self_closing, end = self._read_attributes(m.end())
                 self.pos = end
+                if tag in ("svg", "math") and not self_closing:
+                    foreign_depth += 1
                 yield ("starttag", tag, attrs, self_closing)
+                if foreign_depth:
+                    continue  # no raw-content modes inside foreign content
                 if tag == "plaintext":
                     yield ("rawtext", source[self.pos :])
                     self.pos = n
@@ -454,7 +509,7 @@ class _Tokenizer:
                         pos += 1
                     value = source[start:pos]
             if not any(attr[0] == name for attr in attrs):
-                attrs.append([name, _unescape(value)])
+                attrs.append([name, _unescape_attr(value)])
         return attrs, self_closing, n
 
     def _read_raw_content(self, tag: str, pos: int):
@@ -1163,9 +1218,12 @@ def parse_html(source: str) -> Document:
             closes_itself = self_closing and (tag not in _KNOWN_HTML_TAGS or foreign)
             if not is_void and not closes_itself and tag not in _TOKENIZER_RAW and tag != "plaintext" and tag not in _TOKENIZER_RCDATA:
                 stack.append(element)
-            elif tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA:
+            elif not closes_itself and (
+                tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA or tag == "plaintext"
+            ):
                 # raw content is delivered as a single following rawtext token;
                 # push so it lands inside, popped by the implicit end tag below
+                # (plaintext never gets one — it stays open to EOF per spec)
                 stack.append(element)
         elif kind == "endtag":
             tag = token[1]

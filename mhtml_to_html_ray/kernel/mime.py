@@ -262,6 +262,12 @@ class _Parser:
                     state = MHTML_CONTENT
             elif state == MHTML_CONTENT:
                 if self.boundary:
+                    # NOTE deliberate reference-parity bug: after an embedded
+                    # multipart/alternative conversion the start offset is
+                    # only cleared by a NON-alternative part, so a second
+                    # consecutive alternative part re-parses a span covering
+                    # both (parse.js indexStartEmbeddedMhtml behaves the
+                    # same; byte-parity outranks the fix)
                     if self.index_start_embedded is None:
                         self.index_start_embedded = self.i
                     next_line = self.get_line()

@@ -107,9 +107,17 @@ def _canonical_host(host: str) -> str:
     return host
 
 
+_C0_SPACE = "".join(chr(c) for c in range(0x21)) + " "
+
+
 def parse_absolute(value: str) -> str | None:
     """Normalized href for an absolute URL, or None when the value does not
-    parse as one (→ ``normalizeLocation`` leaves it alone)."""
+    parse as one (→ ``normalizeLocation`` leaves it alone). WHATWG input
+    preprocessing applies first, as ``new URL`` does in the reference:
+    leading/trailing C0-control/space trimmed, ASCII tab/LF/CR removed."""
+    value = value.strip(_C0_SPACE)
+    if "\t" in value or "\n" in value or "\r" in value:
+        value = value.replace("\t", "").replace("\n", "").replace("\r", "")
     m = _SCHEME_RE.match(value)
     if not m:
         return None
@@ -141,8 +149,11 @@ def _split_fragment_query(rest: str) -> tuple[str, str | None, str | None]:
 
 
 def _parse_special(scheme: str, rest: str) -> str:
-    # special schemes treat \ like / and tolerate any number of leading slashes
-    rest, query, fragment = _split_fragment_query(rest.replace("\\", "/"))
+    # special schemes treat \ like / in PATH states only (query/fragment
+    # keep backslashes verbatim, per new URL) and tolerate any number of
+    # leading slashes
+    rest, query, fragment = _split_fragment_query(rest)
+    rest = rest.replace("\\", "/")
     rest = rest.lstrip("/")
     slash = rest.find("/")
     if slash == -1:
@@ -196,7 +207,8 @@ def _parse_port(port_text: str) -> int | None:
 
 
 def _parse_file(rest: str) -> str:
-    rest, query, fragment = _split_fragment_query(rest.replace("\\", "/"))
+    rest, query, fragment = _split_fragment_query(rest)
+    rest = rest.replace("\\", "/")
     if rest.startswith("//"):
         rest = rest[2:]
         slash = rest.find("/")
@@ -256,6 +268,10 @@ def resolve_path(path: str, base: str | None) -> str:
     (util.js:527-547): ``data:`` passes through, an unresolvable reference is
     returned as written, and a protocol-relative ``//`` path borrows the
     base's scheme."""
+    # WHATWG input preprocessing applies to the relative input too
+    path = path.strip(_C0_SPACE)
+    if "\t" in path or "\n" in path or "\r" in path:
+        path = path.replace("\t", "").replace("\n", "").replace("\r", "")
     if not base or path.startswith("data:"):
         return path
     href = parse_absolute(path)

@@ -510,3 +510,39 @@ def test_marker_truncation_and_pre_newline_with_reconstruction(source, expected)
 )
 def test_frameset_mode_ignores(source, expected):
     assert doc_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# round-3 kernel-review regressions
+
+
+def test_attribute_entity_legacy_exception():
+    """html.unescape's legacy no-semicolon decoding must NOT apply inside
+    attribute values when followed by '=' or an alphanumeric (HTML spec
+    attribute exception; parse5/browsers keep the URL intact)."""
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    doc = parse_dom('<a href="http://e.com/?id=1&region=US&para=2">x</a>').document
+    link = doc.get_elements_by_tag_name("a")[0]
+    assert link.get_attribute("href") == "http://e.com/?id=1&region=US&para=2"
+    # with a semicolon (or a non-alnum follower) decoding still happens
+    doc2 = parse_dom('<a href="a&amp;b" title="c&reg d">x</a>').document
+    link2 = doc2.get_elements_by_tag_name("a")[0]
+    assert link2.get_attribute("href") == "a&b"
+    assert link2.get_attribute("title") == "c® d"
+
+
+def test_plaintext_content_lands_inside_element():
+    out = doc_html("<body><p>a<plaintext><div>raw")
+    assert "<plaintext><div>raw</plaintext>" in out
+    assert "&lt;div&gt;" not in out
+
+
+def test_foreign_content_script_is_not_raw():
+    # self-closed script inside svg closes immediately (parse5 dispatcher);
+    # the rest of the document must survive
+    out = doc_html("<svg><script href=x /></svg><p>hi</p>")
+    assert out.endswith("<p>hi</p></body></html>")
+    # a non-self-closed svg script is an ordinary foreign element
+    out2 = doc_html("<svg><script>a</script></svg><p>ok</p>")
+    assert "<p>ok</p>" in out2

@@ -278,3 +278,28 @@ def test_css_hex_escapes_decode_to_codepoints():
     assert string_value('"\\110000"') == "�"
     assert string_value('"\\d800"') == "�"
     assert string_value('"\\0"') == "�"
+
+
+def test_minify_keeps_descendant_combinator_before_pseudo_in_nested_blocks():
+    """'a :hover' inside @media must keep its combinator — stripping the
+    space changes which elements match (css-tree generate parity)."""
+    from mhtml_to_html_ray.kernel.css import rewrite_stylesheet
+
+    none = lambda value: None
+    assert rewrite_stylesheet("@media screen { a :hover { color : red } }",
+                              none, none) == "@media screen{a :hover{color:red}}"
+    assert rewrite_stylesheet(".x ::before{content:'y'}", none, none) == (
+        ".x ::before{content:'y'}"
+    )
+    # declarations still minify, at any nesting depth
+    assert rewrite_stylesheet("@supports (a:b){@media x{y{d : e}}}", none, none) == (
+        "@supports (a:b){@media x{y{d:e}}}"
+    )
+
+
+def test_remove_leading_charset_skips_comments():
+    from mhtml_to_html_ray.kernel.css import remove_leading_charset
+
+    assert remove_leading_charset('/* hi */@charset "windows-1251"; body{}') == " body{}"
+    assert remove_leading_charset('@charset "x";a{}') == "a{}"
+    assert remove_leading_charset("a{}") == "a{}"

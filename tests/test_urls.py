@@ -165,3 +165,24 @@ def test_first_of_two_parts_sharing_address_wins():
     import base64
 
     assert base64.b64encode(b"FIRST").decode() in convert(raw).data, "the second part was inlined"
+
+
+def test_whatwg_input_preprocessing():
+    """new URL trims C0/space and strips tab/LF/CR before parsing — stray
+    whitespace in a Content-Location must normalize to the clean form."""
+    from mhtml_to_html_ray.kernel.urlutil import parse_absolute, resolve_path
+
+    assert parse_absolute("http://a.example/p\nath") == "http://a.example/path"
+    assert parse_absolute(" http://a.example/x\t") == "http://a.example/x"
+    assert parse_absolute("\nhttp://a.example/x") == "http://a.example/x"
+    assert resolve_path(" i.png\n", "https://e/dir/page.html") == "https://e/dir/i.png"
+
+
+def test_backslash_only_in_path_states():
+    """WHATWG: '\\' becomes '/' in path states only; query and fragment keep
+    backslashes verbatim (new URL parity)."""
+    from mhtml_to_html_ray.kernel.urlutil import parse_absolute
+
+    assert parse_absolute("https://a.example/p#c\\d") == "https://a.example/p#c\\d"
+    assert parse_absolute("https://a.example/p?x=a\\b") == "https://a.example/p?x=a\\b"
+    assert parse_absolute("https://a.example\\p\\q") == "https://a.example/p/q"
