@@ -270,7 +270,9 @@ def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_
             }
         )
 
-    side_docs = docs.map_batches(doc_side, batch_format="pyarrow")
+    # materialize: side_docs feeds BOTH join rounds, and the full corpus
+    # scan + per-doc shingling behind it must not execute twice
+    side_docs = docs.map_batches(doc_side, batch_format="pyarrow").materialize()
 
     def attach_a(group: pd.DataFrame) -> pa.Table:
         doc_rows = group[group["sh_doc"].notna()]
@@ -606,14 +608,18 @@ class SimHashBatch:
         return pa.Table.from_arrays(arrays, names=names)
 
 
-def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple | None = None):
+def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple | None = None,
+                  bucket_cap: int = 512):
     """Near-dup pairs by simhash: block on each 16-bit quarter (a pair within
     hamming ≤ 3 shares at least one block exactly), verify hamming.
 
     ONE shuffle: the 4 blocks explode to long-format (block_id, block_value)
     rows and a single groupby covers all of them (round 1 ran 4 separate
     groupby passes); pair dedup across blocks is a second, pair-sized
-    groupby — nothing lands on the driver."""
+    groupby — nothing lands on the driver. ``bucket_cap`` bounds the O(n²)
+    in-bucket pair loop: a degenerate block value (e.g. simhash 0 from empty
+    documents) takes its bucket_cap smallest doc_ids deterministically
+    instead of blowing up one map_groups task."""
     import pandas as pd
     import ray.data
     from ray.data.aggregate import Count
@@ -640,7 +646,13 @@ def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple |
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group[["doc_id", "simhash"]].drop_duplicates("doc_id").values.tolist()
+        rows = (
+            group[["doc_id", "simhash"]]
+            .drop_duplicates("doc_id")
+            .sort_values("doc_id")  # deterministic under shuffle order
+            .head(bucket_cap)
+            .values.tolist()
+        )
         out_a, out_b = [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -651,9 +663,11 @@ def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple |
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
+    # materialize: the count() empty-check below would otherwise execute
+    # the full simhash + shuffle lineage, then the groupby would re-run it
     pairs_ds = exploded.groupby(["block_id", "block_value"]).map_groups(
         block_pairs, batch_format="pandas"
-    )
+    ).materialize()
     if pairs_ds.count() == 0:
         return ray.data.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})

@@ -163,6 +163,13 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
         return pa.array(hashed.astype(np.int64), pa.int64())
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop null keys up front: an inner join never matches them, and a
+        # null in the batch would convert the key column to float64 whose
+        # hashes disagree with the other side's int64 hashes (silently
+        # mis-bucketing every key in the batch)
+        batch = batch.filter(pc.is_valid(batch.column(key)))
         columns = {key: batch.column(key),
                    "_bucket": bucket_of(batch.column(key)),
                    "_side": pa.array([0] * batch.num_rows, pa.int8())}
@@ -173,6 +180,9 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
         return pa.table(columns)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch.column(key)))
         columns = {key: batch.column(key),
                    "_bucket": bucket_of(batch.column(key)),
                    "_side": pa.array([1] * batch.num_rows, pa.int8())}

@@ -48,7 +48,9 @@ def _topk_rows(ids: np.ndarray, sims: np.ndarray, k: int) -> tuple[np.ndarray, n
     uses, so within-batch truncation can never drop a row the global sort
     would have kept (ties at the k boundary were previously arbitrary via
     argpartition over unrounded floats)."""
-    rounded = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+    from .rounding import round_half_away
+
+    rounded = round_half_away(sims, 6)
     order = np.lexsort((ids, -rounded))[: min(k, len(ids))]
     return ids[order], rounded[order]
 
@@ -390,7 +392,9 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.head(bucket_cap)
+        # sort before capping: head() on shuffle arrival order would make
+        # WHICH vectors survive a hot bucket nondeterministic across runs
+        rows = group.sort_values("vec_id").head(bucket_cap)
         ids = rows["vec_id"].to_numpy()
         m = _normalize(np.array([np.asarray(e, dtype=np.float64) for e in rows["embedding"]]))
         sims = m @ m.T
@@ -406,7 +410,11 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
                              "b": pd.Series(out_b, dtype="int64"),
                              "cosine": pd.Series(out_c, dtype="float64")})
 
-    pairs_ds = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # materialize: count() + the later groupby must not run the actor-pool
+    # bucketing and O(bucket²) verification twice
+    pairs_ds = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).materialize()
     if pairs_ds.count() == 0:
         return ray.data.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

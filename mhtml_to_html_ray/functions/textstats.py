@@ -47,12 +47,10 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
 
     def _round6(column):
-        # DuckDB-ROUND-compatible: nearbyint(x * 1e6) / 1e6
-        import numpy as np
+        from .rounding import round_half_away
 
-        values = np.asarray(column.to_numpy(zero_copy_only=False), dtype=np.float64)
-        # half away from zero, matching DuckDB's std::round
-        return pa.array(np.copysign(np.floor(np.abs(values) * 1e6 + 0.5), values) / 1e6,
+        values = column.to_numpy(zero_copy_only=False)
+        return pa.array(round_half_away(values, 6),
                         pa.float64())
 
     alpha_ratio = _round6(pc.divide(n_alpha, safe_chars))
@@ -119,8 +117,10 @@ def stopword_stats_batch(batch: pa.Table) -> pa.Table:
         hits = pc.add(hits, pc.count_substring(isolated, f" {word} ").cast(pa.int64()))
     tokens_np = np.asarray(n_tokens.to_numpy(zero_copy_only=False), dtype=np.float64)
     hits_np = np.asarray(hits.to_numpy(zero_copy_only=False), dtype=np.float64)
+    from .rounding import round_half_away
+
     value = hits_np / np.maximum(tokens_np, 1.0)
-    ratio = np.floor(np.abs(value) * 1e6 + 0.5) / 1e6
+    ratio = round_half_away(value, 6)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
@@ -148,8 +148,10 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     total = np.asarray(n_bigrams, dtype=np.float64)
     distinct = np.asarray(n_distinct, dtype=np.float64)
     # (t-d)/max(t,1), not 1-d/max(t,1): an EMPTY document has no repetition
+    from .rounding import round_half_away
+
     frac = (total - distinct) / np.maximum(total, 1.0)
-    frac = np.floor(np.abs(frac) * 1e6 + 0.5) / 1e6
+    frac = round_half_away(frac, 6)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),

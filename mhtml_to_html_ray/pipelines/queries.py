@@ -50,14 +50,13 @@ def _lit(value: str, n: int) -> pa.Array:
 
 
 def _round(column, digits: int) -> pa.Array:
-    """Round like DuckDB's ROUND(DOUBLE, d): nearbyint(x * 10^d) / 10^d —
-    pyarrow's pc.round differs by an ulp at large magnitudes."""
+    """Round like DuckDB's ROUND(DOUBLE, d) — see functions/rounding.py."""
+    from ..functions.rounding import round_half_away
+
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
-    values = np.asarray(column.to_numpy(zero_copy_only=False), dtype=np.float64)
-    scale = 10.0 ** digits
-    rounded = np.copysign(np.floor(np.abs(values) * scale + 0.5), values) / scale
-    return pa.array(rounded, pa.float64())
+    values = column.to_numpy(zero_copy_only=False)
+    return pa.array(round_half_away(values, digits), pa.float64())
 
 
 # ---------------------------------------------------------------------------
@@ -663,12 +662,15 @@ def q_events_tumbling(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def window(batch: pa.Table) -> pa.Table:
-        epoch_us = pc.cast(batch.column("ts"), pa.int64())
-        hour = pc.divide(epoch_us, pa.scalar(3_600_000_000))
+        epoch_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        # FLOOR division (np.floor_divide), not pc.divide's truncation toward
+        # zero: the oracle's FLOOR(EPOCH(ts)/3600) floors pre-1970 timestamps
+        # to the EARLIER window
+        hour = np.floor_divide(epoch_us, 3_600_000_000)
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "hour": pc.cast(hour, pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
                 "value": batch.column("value"),
             }
         )

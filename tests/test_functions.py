@@ -751,3 +751,36 @@ def test_hash_join_big_int64_payload_and_null_keys(ray_session):
     assert rows[0]["key"] == 1
     assert rows[0]["big_id"] == big  # exact — 2**53+1, not 2**53
     assert rows[0]["tag"] == "x"
+
+
+def test_hash_join_null_key_in_batch_does_not_misbucket(ray_session):
+    """A batch containing a null key must not float-widen the key column and
+    hash every key in that batch into the wrong bucket (silent match loss)."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"key": pa.array([1, None, 2, 3], pa.int64()),
+         "lv": pa.array([10, 0, 20, 30], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"key": pa.array([1, 2, 3], pa.int64()),
+         "rv": pa.array(["a", "b", "c"], pa.string())}))
+    rows = sorted((r["key"], r["lv"], r["rv"])
+                  for r in hash_join(left, right, key="key").take_all())
+    assert rows == [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]
+
+
+def test_simhash_bucket_cap_bounds_degenerate_blocks(ray_session):
+    """Many empty documents share simhash 0 in every block — the in-bucket
+    pair loop must be capped (deterministically by doc_id), not O(n^2)."""
+    import ray.data
+
+    texts = [""] * 40 + ["real content here"]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, concurrency=1,
+                                bucket_cap=10).take_all()
+    involved = {p["a"] for p in pairs} | {p["b"] for p in pairs}
+    # only the 10 smallest doc_ids of the degenerate bucket participate
+    assert involved <= set(range(10))
+    assert len(pairs) == 45  # C(10,2) — capped, not C(40,2)
