@@ -183,8 +183,11 @@ def bench_queries() -> dict[str, float]:
         for _trial in range(2):  # best of two (CPU-steal noise + first-run costs)
             started = time.monotonic()
             result = QUERIES[name](SF_DIR)
-            # force lazy results
-            if hasattr(result, "count") and not hasattr(result, "columns"):
+            # force lazy results (Dataset.columns EXISTS in Ray 2.49, so the
+            # old hasattr guard never fired — check the type explicitly)
+            import ray.data as _rd
+
+            if isinstance(result, _rd.Dataset):
                 result.count()
             elapsed = time.monotonic() - started
             best = elapsed if best is None else min(best, elapsed)

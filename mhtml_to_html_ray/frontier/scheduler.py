@@ -130,6 +130,12 @@ class CrawlResult:
         return ray.data.from_arrow(self.results)
 
     @property
+    def seen_count(self) -> int:
+        """Seen-URL count (content-registry keys excluded), computed in the
+        shard actors — safe at any crawl size."""
+        return self._seen_set.total_urls() if self._seen_set else 0
+
+    @property
     def seen_urls(self) -> set[str]:
         """The exact final URL-seen set (pulled from the shard actors on
         first access — a full snapshot per call would tax every crawl)."""
@@ -382,6 +388,15 @@ class CrawlScheduler:
         # in "parquet" mode — the 10^10-URL path)
         store = self._make_frontier_store()
 
+        if (
+            not resume
+            and self.checkpoint is not None
+            and self.checkpoint.latest_wave() is not None
+        ):
+            # a FRESH crawl into a reused checkpoint dir: stale waves from a
+            # previous run would survive past this run's last wave and a
+            # later --resume would restore the WRONG crawl's state
+            self.checkpoint.reset()
         if resume and self.checkpoint is not None and self.checkpoint.latest_wave() is not None:
             latest = self.checkpoint.latest_wave()
             self.seen.restore_tables(self.checkpoint.load_seen_tables(latest))

@@ -116,6 +116,11 @@ class SeenShard:
     def contains(self, urls: list[str]) -> list[bool]:
         return [self._probe(u) for u in urls]
 
+    def count_urls(self) -> int:
+        """Seen-URL count excluding the "content:" mirror-registry keys —
+        O(shard) in the shard process, never materialized on the driver."""
+        return sum(1 for url in self.exact if not url.startswith("content:"))
+
     def add_failed(self, urls: list[str]) -> None:
         self.failed.update(urls)
 
@@ -247,6 +252,13 @@ class ShardedSeenSet:
 
     def total_seen(self) -> int:
         return sum(s["seen"] for s in self.stats())
+
+    def total_urls(self) -> int:
+        """Count of seen URLs (content-hash registry keys excluded),
+        computed shard-side — the scale-safe summary counter."""
+        import ray
+
+        return sum(ray.get([shard.count_urls.remote() for shard in self.shards]))
 
     def all_seen_urls(self) -> set[str]:
         """Test/checkpoint helper — the full exact set (small scales only)."""

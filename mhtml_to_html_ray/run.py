@@ -58,7 +58,14 @@ def cmd_extract(args) -> int:
     os.makedirs(args.output, exist_ok=True)
     done = skipped = failed_rows = total_rows = 0
     for index, path in enumerate(inputs):
-        part_dir = os.path.join(args.output, f"part_{index:05d}")
+        # partition name is a pure function of the INPUT PATH, not its list
+        # position: adding/removing inputs between runs must never remap a
+        # _SUCCESS marker onto a different file (silent skip/duplicate)
+        import hashlib as _hashlib
+
+        path_tag = _hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        stem = os.path.splitext(os.path.basename(path))[0]
+        part_dir = os.path.join(args.output, f"part_{stem}_{path_tag}")
         if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
             skipped += 1
             continue
@@ -123,7 +130,13 @@ def cmd_convert_files(args) -> int:
     inputs: list[str] = []
     for pattern in args.inputs:
         matched = sorted(glob.glob(pattern))
-        inputs.extend(matched if matched else [pattern])
+        if matched:
+            inputs.extend(matched)
+        elif any(ch in pattern for ch in "*?["):
+            print(f"no files match {pattern!r}", file=sys.stderr)
+            return 1
+        else:
+            inputs.append(pattern)
     if not inputs:
         print("no input files", file=sys.stderr)
         print("usage: convert-files <input.mht>... [--output out]", file=sys.stderr)
@@ -167,6 +180,15 @@ def cmd_convert_files(args) -> int:
                          "html": pa.array(htmls, pa.string()),
                          "error": pa.array(errors, pa.string())})
 
+    # inputs sharing a basename stem would silently overwrite each other in
+    # --output dir mode: collide → disambiguate with a short path hash
+    import hashlib as _hashlib
+
+    stem_counts: dict[str, int] = {}
+    for source_path in inputs:
+        source_stem = os.path.splitext(os.path.basename(source_path))[0]
+        stem_counts[source_stem] = stem_counts.get(source_stem, 0) + 1
+
     converted = failed = 0
     # iter_batches streams converted pages to disk one block at a time — a
     # take_all() would hold every output html in driver memory at once
@@ -188,6 +210,9 @@ def cmd_convert_files(args) -> int:
         else:
             stem = os.path.splitext(os.path.basename(source))[0]
             directory = out_dir if out_dir else os.path.dirname(source)
+            if out_dir and stem_counts.get(stem, 0) > 1:
+                tag = _hashlib.sha1(os.path.abspath(source).encode()).hexdigest()[:8]
+                stem = f"{stem}-{tag}"
             target = os.path.join(directory, stem + ".html")  # forced .html suffix
         with open(target, "w", encoding="utf-8") as handle:
             handle.write(row["html"])
@@ -245,7 +270,10 @@ def cmd_crawl(args) -> int:
             {
                 "urls_fetched": urls_fetched,
                 "waves": result.waves,
-                "seen": len(result.seen_urls),
+                # shard-side count (content-hash registry keys excluded) —
+                # all_seen_urls() would materialize the whole set on the
+                # driver, defeating the parquet-frontier scale path
+                "seen": result.seen_count,
                 "metrics": result.metrics,
             }
         )

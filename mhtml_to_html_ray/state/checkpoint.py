@@ -82,8 +82,12 @@ class CrawlCheckpoint:
         with open(os.path.join(self._wave_dir(wave), "metrics.json")) as handle:
             return json.load(handle)
 
-    def all_metrics(self) -> list[dict]:
-        latest = self.latest_wave()
-        if latest is None:
-            return []
-        return [self.load_metrics(w) for w in range(latest + 1)]
+    def reset(self) -> None:
+        """Remove every existing wave dir: a FRESH (non-resume) crawl into a
+        reused checkpoint dir must not leave stale higher-numbered waves
+        that a later --resume would mistake for this crawl's progress."""
+        import shutil
+
+        for name in os.listdir(self.root):
+            if name.startswith("wave_"):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

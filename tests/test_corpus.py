@@ -101,8 +101,14 @@ def test_cli_extract_resumable(ray_session, tmp_path):
     out_dir = str(tmp_path / "out")
 
     assert main(["extract", "--input", *inputs, "--output", out_dir, "--no-html"]) == 0
-    assert os.path.exists(os.path.join(out_dir, "part_00000", "_SUCCESS"))
-    assert os.path.exists(os.path.join(out_dir, "part_00001", "_SUCCESS"))
+    # partition names derive from the input path (stem + path hash), not the
+    # list position — resume must survive input-set changes
+    parts = sorted(
+        name for name in os.listdir(out_dir)
+        if os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
+    )
+    assert len(parts) == 2
+    assert parts[0].startswith("part_pages_0_") and parts[1].startswith("part_pages_1_")
 
     # second run skips everything
     import io
@@ -114,6 +120,18 @@ def test_cli_extract_resumable(ray_session, tmp_path):
     summary = json.loads(buffer.getvalue().strip().splitlines()[-1])
     assert summary["partitions_skipped"] == 2
     assert summary["partitions_done"] == 0
+
+    # adding a NEW input leaves the finished partitions skipped and converts
+    # only the new file (index-keyed naming would have remapped markers)
+    extra = str(tmp_path / "pages_0b.parquet")
+    pq.write_table(table.slice(0, 3), extra)
+    buffer = io.StringIO()
+    with redirect_stdout(buffer):
+        assert main(["extract", "--input", inputs[0], extra, inputs[1],
+                     "--output", out_dir, "--no-html"]) == 0
+    summary = json.loads(buffer.getvalue().strip().splitlines()[-1])
+    assert summary["partitions_skipped"] == 2
+    assert summary["partitions_done"] == 1
 
 
 def test_cli_crawl_checkpoint(ray_session, tmp_path):
