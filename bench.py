@@ -195,6 +195,14 @@ def bench_queries() -> dict[str, float]:
     return timings
 
 
+def _cpu_ticks() -> list[int] | None:
+    try:
+        with open("/proc/stat") as handle:
+            return [int(x) for x in handle.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -205,12 +213,24 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    ticks_before = _cpu_ticks()
     warmup()
     extract_sec, extract_rows = bench_extract()
     flagship_sec, flagship_rows = bench_flagship()
     crawl_sec, crawl_urls = bench_crawl()
     queries = bench_queries()
+    ticks_after = _cpu_ticks()
     ray.shutdown()
+
+    # hypervisor steal share over the whole run: this box's co-tenants take
+    # 0-30% of cycles under load, the dominant noise source for every number
+    # below — recorded so each BENCH snapshot carries its own noise context
+    steal_pct = None
+    if ticks_before and ticks_after:
+        delta = [a - b for a, b in zip(ticks_after, ticks_before)]
+        total_ticks = sum(delta)
+        if total_ticks > 0:
+            steal_pct = round(100.0 * delta[7] / total_ticks, 1)
 
     total = round(extract_sec + flagship_sec + crawl_sec + sum(queries.values()), 3)
     return {
@@ -225,6 +245,7 @@ def run_bench() -> dict:
         },
         "sf": _sf_value(SF_DIR),
         "num_cpus": NUM_CPUS,
+        "steal_pct": steal_pct,
         "pages_extracted_per_sec": round(extract_rows / extract_sec, 1),
         "flagship_pages_per_sec": round(flagship_rows / flagship_sec, 1),
         "frontier_urls_per_sec": round(crawl_urls / crawl_sec, 1),
