@@ -210,3 +210,108 @@ def langid_batch(batch: pa.Table) -> pa.Table:
         ],
         names=["doc_id", "pred_lang", "confidence"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model quality scoring (the perplexity-style filter a
+# training-data pipeline ranks documents with)
+
+
+_LM_TOKEN_RE = None  # compiled lazily; ASCII \s+ to match the SQL oracle
+
+
+def _lm_tokens(text: str) -> list[str]:
+    global _LM_TOKEN_RE
+    if _LM_TOKEN_RE is None:
+        import re
+
+        # ASCII whitespace class — DuckDB's RE2 \s is ASCII-only, and the
+        # oracle tokenizes with regexp_split_to_array(text, '\s+')
+        _LM_TOKEN_RE = re.compile(r"\s+", re.ASCII)
+    return [tok for tok in _LM_TOKEN_RE.split(text) if tok]
+
+
+def unigram_lm_scores(documents_ds):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — low scores flag unnatural/rare-token documents
+    (the classic LM quality filter).
+
+    Two passes: (1) distributed token counts (per-batch Counter combiner →
+    one groupby over (token, n) partials — never raw tokens); (2) the vocab
+    log-probs broadcast once via ray.put, per-batch scoring vectorized with
+    pandas factorize + one numpy gather. Log-probs are computed with
+    math.log (libm) per DISTINCT token so they match DuckDB's LN bit-exact.
+
+    100-TB note: the collected vocab is the corpus's DISTINCT-token table.
+    Web-scale corpora need a top-V cap + UNK bucket here (Zipf makes top-1M
+    cover >99.9% of mass); this exact-vocab form is the oracle-checkable
+    reference semantics.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counter.update(_lm_tokens(text))
+        return pa.table(
+            {
+                "tok": pa.array(list(counter.keys()), pa.string()),
+                "n": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        documents_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    total = float(sum(row["n"] for row in counts))
+    logp = {row["tok"]: math.log(row["n"] / total) for row in counts}
+    logp_ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(logp_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_ids: list[int] = []
+        out_n: list[int] = []
+        out_score: list[float] = []
+        all_tokens: list[str] = []
+        bounds: list[tuple[int, int]] = []
+        for text in batch.column("text").to_pylist():
+            tokens = _lm_tokens(text)
+            bounds.append((len(all_tokens), len(tokens)))
+            all_tokens.extend(tokens)
+        if all_tokens:
+            codes, uniques = pd.factorize(pd.Series(all_tokens))
+            unique_logp = np.fromiter(
+                (table[u] for u in uniques), dtype=np.float64, count=len(uniques)
+            )
+            token_logp = unique_logp[codes]
+        else:
+            token_logp = np.array([], dtype=np.float64)
+        from .rounding import round_half_away
+
+        for doc_id, (start, length) in zip(doc_ids, bounds):
+            if length == 0:
+                continue  # tokenless docs are absent, like the oracle's join
+            segment = token_logp[start : start + length]
+            out_ids.append(doc_id)
+            out_n.append(length)
+            out_score.append(float(round_half_away(segment.sum() / length, 6)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "lm_score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    return documents_ds.map_batches(score, batch_format="pyarrow")

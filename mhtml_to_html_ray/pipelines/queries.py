@@ -1144,6 +1144,14 @@ def q_dedup_embedding(sf_dir: str):
     return similarity.cosine_near_dup_pairs(ds, threshold=0.95)
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram LM quality scores (functions/textstats.unigram_lm_scores):
+    the oracle recomputes the same corpus-unigram mean log-probability in
+    SQL — both sides tokenize on ASCII \s+ and take LN of exact n/total."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(textstats.unigram_lm_scores(ds), ["doc_id"])
+
+
 def q_media_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _sorted_table(multimodal.decode_media(ds), ["doc_id"])
@@ -1215,6 +1223,7 @@ QUERIES = {
     "embedding_ivf_indexed": q_embedding_ivf_indexed,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding": q_dedup_embedding,
+    "lm_score": q_lm_score,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
 }
@@ -1454,6 +1463,21 @@ ORACLE_SQL = {
         SELECT label, COUNT(*) AS n,
                ROUND(AVG(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS mean_norm
         FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "lm_score": """
+        WITH tokens AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        counts AS (SELECT tok, COUNT(*) AS n FROM tokens GROUP BY tok),
+        total AS (SELECT SUM(n) AS t FROM counts)
+        SELECT tokens.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(SUM(LN(counts.n / total.t)) / COUNT(*), 6) AS lm_score
+        FROM tokens JOIN counts USING (tok) CROSS JOIN total
+        GROUP BY tokens.doc_id ORDER BY tokens.doc_id
     """,
     "media_decode": """
         SELECT doc_id,

@@ -784,3 +784,21 @@ def test_simhash_bucket_cap_bounds_degenerate_blocks(ray_session):
     # only the 10 smallest doc_ids of the degenerate bucket participate
     assert involved <= set(range(10))
     assert len(pairs) == 45  # C(10,2) — capped, not C(40,2)
+
+
+def test_unigram_lm_scores(ray_session):
+    """Mean unigram log-prob under the corpus's own distribution: repeated
+    tokens score higher than rare ones; tokenless docs are absent."""
+    import math
+
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table(["a a a b", "c", "  "]))
+    rows = {row["doc_id"]: row for row in textstats.unigram_lm_scores(docs).take_all()}
+    assert set(rows) == {0, 1}  # the whitespace-only doc is absent
+    # corpus: a×3, b×1, c×1 → total 5
+    expected0 = (3 * math.log(3 / 5) + math.log(1 / 5)) / 4
+    assert rows[0]["n_tokens"] == 4
+    assert abs(rows[0]["lm_score"] - expected0) < 1e-6
+    assert rows[1]["lm_score"] == round(math.log(1 / 5), 6)
+    assert rows[0]["lm_score"] > rows[1]["lm_score"], "common tokens must score higher"
