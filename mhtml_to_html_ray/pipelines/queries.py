@@ -1144,6 +1144,45 @@ def q_dedup_embedding(sf_dir: str):
     return similarity.cosine_near_dup_pairs(ds, threshold=0.95)
 
 
+def q_c4_filter(sf_dir: str):
+    """Composed C4-style keep/drop pipeline: length window + stopword-ratio
+    floor + duplicate-bigram ceiling, with the FIRST failing rule as the
+    drop reason. Reuses the vectorized stopword/repetition kernels (whose
+    component queries already hash-match their oracles), so the composition
+    itself is the only new logic under test."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        sw = textstats.stopword_stats_batch(batch)
+        rep = textstats.repetition_stats_batch(batch)
+        n_chars = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+        ratio = sw.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        dup = rep.column("dup_bigram_frac").to_numpy(zero_copy_only=False)
+        ok_length = (n_chars >= 150) & (n_chars <= 450)
+        ok_stop = ratio >= 0.03
+        ok_rep = dup <= 0.06
+        keep = ok_length & ok_stop & ok_rep
+        reasons = np.where(
+            ~ok_length, "length", np.where(~ok_stop, "stopwords",
+                                           np.where(~ok_rep, "repetition", "")),
+        )
+        reason_col = pa.array(
+            [r if r else None for r in reasons.tolist()], pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "stopword_ratio": sw.column("stopword_ratio"),
+                "dup_bigram_frac": rep.column("dup_bigram_frac"),
+                "keep": pa.array(keep, pa.bool_()),
+                "drop_reason": reason_col,
+            }
+        )
+
+    return _sorted_table(ds.map_batches(batch_fn, batch_format="pyarrow"), ["doc_id"])
+
+
 def q_lm_score(sf_dir: str):
     """Unigram LM quality scores (functions/textstats.unigram_lm_scores):
     the oracle recomputes the same corpus-unigram mean log-probability in
@@ -1223,6 +1262,7 @@ QUERIES = {
     "embedding_ivf_indexed": q_embedding_ivf_indexed,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding": q_dedup_embedding,
+    "c4_filter": q_c4_filter,
     "lm_score": q_lm_score,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
@@ -1463,6 +1503,29 @@ ORACLE_SQL = {
         SELECT label, COUNT(*) AS n,
                ROUND(AVG(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS mean_norm
         FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "c4_filter": """
+        WITH m AS (
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   ROUND(LENGTH(list_filter(string_split(text, ' '), t -> t IN
+                       ('the','and','of','a','to','in','is','it','that','for')))
+                       / GREATEST(LENGTH(list_filter(string_split(text, ' '),
+                                                     t -> t <> '')), 1), 6) AS stopword_ratio,
+                   ROUND((LENGTH(g) - LENGTH(list_distinct(g)))
+                       / GREATEST(LENGTH(g), 1), 6) AS dup_bigram_frac
+            FROM (
+                SELECT doc_id, text,
+                       list_transform(range(1, LENGTH(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+                FROM (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS t
+                      FROM documents))
+        )
+        SELECT doc_id, n_chars, stopword_ratio, dup_bigram_frac,
+               (n_chars BETWEEN 150 AND 450)
+                   AND stopword_ratio >= 0.03 AND dup_bigram_frac <= 0.06 AS keep,
+               CASE WHEN n_chars NOT BETWEEN 150 AND 450 THEN 'length'
+                    WHEN stopword_ratio < 0.03 THEN 'stopwords'
+                    WHEN dup_bigram_frac > 0.06 THEN 'repetition' END AS drop_reason
+        FROM m ORDER BY doc_id
     """,
     "lm_score": """
         WITH tokens AS (

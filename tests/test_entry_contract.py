@@ -41,3 +41,19 @@ def test_queries_never_init_ray():
         if isinstance(node, ast.Attribute) and node.attr in ("init", "shutdown"):
             if isinstance(node.value, ast.Name) and node.value.id == "ray":
                 raise AssertionError("queries module calls ray.init/shutdown")
+
+
+def test_c4_filter_reasons(ray_session):
+    """The composed quality filter drops by FIRST failing rule; keeps carry a
+    null reason."""
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["c4_filter"]("/root/testdata/sf0.001")
+    keep = list(out["keep"])
+    reasons = [None if (r is None or (isinstance(r, float))) else r
+               for r in out["drop_reason"]]
+    assert any(keep) and not all(keep), "thresholds must produce a mix"
+    for kept, reason in zip(keep, reasons):
+        assert (reason is None) == kept
+        if reason is not None:
+            assert reason in ("length", "stopwords", "repetition")
