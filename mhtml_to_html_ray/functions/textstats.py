@@ -231,7 +231,7 @@ def _lm_tokens(text: str) -> list[str]:
     return [tok for tok in _LM_TOKEN_RE.split(text) if tok]
 
 
-def unigram_lm_scores(documents_ds):
+def unigram_lm_scores(documents_ds, vocab_cap: int | None = None):
     """Per-document mean unigram log-probability under the corpus's own
     unigram distribution — low scores flag unnatural/rare-token documents
     (the classic LM quality filter).
@@ -242,10 +242,12 @@ def unigram_lm_scores(documents_ds):
     pandas factorize + one numpy gather. Log-probs are computed with
     math.log (libm) per DISTINCT token so they match DuckDB's LN bit-exact.
 
-    100-TB note: the collected vocab is the corpus's DISTINCT-token table.
-    Web-scale corpora need a top-V cap + UNK bucket here (Zipf makes top-1M
-    cover >99.9% of mass); this exact-vocab form is the oracle-checkable
-    reference semantics.
+    ``vocab_cap`` is the 100-TB path: keep only the top-V tokens by count
+    (ties by token, deterministic) and pool everything else into one UNK
+    bucket whose probability is the pooled tail mass — Zipf makes top-1M
+    cover >99.9% of web-scale mass, so the broadcast stays MBs while the
+    default (None = exact vocab) remains the oracle-checkable reference
+    semantics. cap ≥ vocab is equivalence-tested against exact.
     """
     import math
 
@@ -274,11 +276,18 @@ def unigram_lm_scores(documents_ds):
         .take_all()
     )
     total = float(sum(row["n"] for row in counts))
+    unk_logp = None
+    if vocab_cap is not None and len(counts) > vocab_cap:
+        counts.sort(key=lambda row: (-row["n"], row["tok"]))
+        kept, tail = counts[:vocab_cap], counts[vocab_cap:]
+        tail_mass = sum(row["n"] for row in tail)
+        unk_logp = math.log(tail_mass / total)
+        counts = kept
     logp = {row["tok"]: math.log(row["n"] / total) for row in counts}
-    logp_ref = ray.put(logp)
+    logp_ref = ray.put((logp, unk_logp))
 
     def score(batch: pa.Table) -> pa.Table:
-        table = ray.get(logp_ref)
+        table, unk = ray.get(logp_ref)
         doc_ids = batch.column("doc_id").to_pylist()
         out_ids: list[int] = []
         out_n: list[int] = []
@@ -292,7 +301,9 @@ def unigram_lm_scores(documents_ds):
         if all_tokens:
             codes, uniques = pd.factorize(pd.Series(all_tokens))
             unique_logp = np.fromiter(
-                (table[u] for u in uniques), dtype=np.float64, count=len(uniques)
+                (table.get(u, unk) if unk is not None else table[u]
+                 for u in uniques),
+                dtype=np.float64, count=len(uniques),
             )
             token_logp = unique_logp[codes]
         else:

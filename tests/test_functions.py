@@ -802,3 +802,22 @@ def test_unigram_lm_scores(ray_session):
     assert abs(rows[0]["lm_score"] - expected0) < 1e-6
     assert rows[1]["lm_score"] == round(math.log(1 / 5), 6)
     assert rows[0]["lm_score"] > rows[1]["lm_score"], "common tokens must score higher"
+
+
+def test_unigram_lm_vocab_cap(ray_session):
+    """vocab_cap >= vocab size is exactly the uncapped scorer; a tight cap
+    pools rare tokens into UNK and still scores every doc."""
+    import ray.data
+
+    texts = [f"common common tok{i}" for i in range(20)]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    exact = sorted((r["doc_id"], r["lm_score"])
+                   for r in textstats.unigram_lm_scores(docs).take_all())
+    capped_loose = sorted((r["doc_id"], r["lm_score"])
+                          for r in textstats.unigram_lm_scores(docs, vocab_cap=10_000).take_all())
+    assert exact == capped_loose
+    capped = {r["doc_id"]: r["lm_score"]
+              for r in textstats.unigram_lm_scores(docs, vocab_cap=1).take_all()}
+    assert len(capped) == 20
+    # with only "common" in-vocab, every doc scores identically via UNK
+    assert len(set(capped.values())) == 1
