@@ -1061,6 +1061,8 @@ def parse_html(source: str) -> Document:
                 breakout_foreign()
                 context_ns = "html"
                 foreign = False
+            if not foreign and tag == "image":
+                tag = "img"  # spec: change the token's tag name to img
             if tag == "svg":
                 element_ns = "svg"
             elif tag == "math":
@@ -1227,6 +1229,31 @@ def parse_html(source: str) -> Document:
                 stack.append(element)
         elif kind == "endtag":
             tag = token[1]
+            if tag == "br" and token_namespace("br") == "html":
+                # spec: </br> acts as a <br> START tag (no end-tag form)
+                if active_formatting:
+                    reconstruct_active()
+                parent = current() if stack else insertion_parent()
+                element = Element("br")
+                if not (
+                    isinstance(parent, Element)
+                    and parent.tag_name in _TABLE_SECTION_TAGS
+                    and insert_fostered(element)
+                ):
+                    parent.append_child(element)
+                continue
+            if tag == "p" and token_namespace("p") == "html":
+                # spec: </p> with no p in button scope inserts an EMPTY p;
+                # otherwise it closes the scoped p (never one beyond the
+                # button-scope boundary)
+                if not pop_scoped(_P_TARGET, _BUTTON_SCOPE_BOUNDARY):
+                    parent = current() if stack else insertion_parent()
+                    if not (
+                        isinstance(parent, Element)
+                        and parent.tag_name in _TABLE_SECTION_TAGS
+                    ):
+                        parent.append_child(Element("p"))
+                continue
             if tag == "head":
                 if stack and stack[-1] is head_el:
                     stack.pop()

@@ -546,3 +546,24 @@ def test_foreign_content_script_is_not_raw():
     # a non-self-closed svg script is an ordinary foreign element
     out2 = doc_html("<svg><script>a</script></svg><p>ok</p>")
     assert "<p>ok</p>" in out2
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec: the <image> start tag is renamed to img (HTML content only)
+        ('<body><image src="x.png"></body>', '<body><img src="x.png"></body>'),
+        ('<body><svg><image href="i"/></svg></body>',
+         '<body><svg><image href="i"></image></svg></body>'),
+        # spec: </br> acts as a <br> start tag — including foster-parenting
+        ("<body>a</br>b</body>", "<body>a<br>b</body>"),
+        ("<body><table></br></table></body>", "<body><br><table></table></body>"),
+        ("<body><b>x</br>y</b></body>", "<body><b>x<br>y</b></body>"),
+        # spec: </p> with no p in button scope inserts an empty p
+        ("<body></p>x</body>", "<body><p></p>x</body>"),
+        ("<body><p><button></p>x</button></body>",
+         "<body><p><button><p></p>x</button></p></body>"),
+    ],
+)
+def test_image_br_p_end_tag_rules(source, expected):
+    assert body_html(source) == expected
