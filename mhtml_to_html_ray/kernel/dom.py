@@ -403,7 +403,12 @@ class _Tokenizer:
             self.pos = lt
             if source.startswith("<!--", lt):
                 end = source.find("-->", lt + 4)
-                if end == -1:
+                # spec: "--!>" also closes a comment (incorrectly-closed form)
+                end_bang = source.find("--!>", lt + 4)
+                if end_bang != -1 and (end == -1 or end_bang < end):
+                    yield ("comment", source[lt + 4 : end_bang])
+                    self.pos = end_bang + 4
+                elif end == -1:
                     yield ("comment", source[lt + 4 :])
                     self.pos = n
                 else:
@@ -1119,6 +1124,17 @@ def parse_html(source: str) -> Document:
                             break
                     continue
                 if tag in ("input", "keygen", "textarea"):
+                    for index in range(len(stack) - 1, -1, -1):
+                        if stack[index] is select_el:
+                            del stack[index:]
+                            break
+                elif tag in ("caption", "table", "tbody", "tfoot", "thead",
+                             "tr", "td", "th") and any(
+                    isinstance(node, Element) and node.tag_name == "table"
+                    for node in stack
+                ):
+                    # spec "in select in table": these pop the select, then
+                    # the token is processed by the table rules
                     for index in range(len(stack) - 1, -1, -1):
                         if stack[index] is select_el:
                             del stack[index:]

@@ -567,3 +567,18 @@ def test_foreign_content_script_is_not_raw():
 )
 def test_image_br_p_end_tag_rules(source, expected):
     assert body_html(source) == expected
+
+
+def test_comment_bang_close():
+    """Spec: '--!>' closes a comment (the incorrectly-closed-comment rule)."""
+    assert body_html("<body><!-- x --!>after</body>") == "<body><!-- x -->after</body>"
+
+
+def test_select_in_table_popped_by_row_tags():
+    """Spec 'in select in table': a <tr> pops the open select and the table
+    rules process it — the second row must not be swallowed by the select."""
+    out = body_html("<body><table><tr><td><select><option>a<tr><td>b</table></body>")
+    assert out == (
+        "<body><table><tbody><tr><td><select><option>a</option></select></td></tr>"
+        "<tr><td>b</td></tr></tbody></table></body>"
+    )
