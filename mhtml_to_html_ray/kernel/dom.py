@@ -402,6 +402,15 @@ class _Tokenizer:
                 yield ("text", source[self.pos : lt])
             self.pos = lt
             if source.startswith("<!--", lt):
+                # spec abrupt closes: "<!-->" and "<!--->" are EMPTY comments
+                if source.startswith(">", lt + 4):
+                    yield ("comment", "")
+                    self.pos = lt + 5
+                    continue
+                if source.startswith("->", lt + 4):
+                    yield ("comment", "")
+                    self.pos = lt + 6
+                    continue
                 end = source.find("-->", lt + 4)
                 # spec: "--!>" also closes a comment (incorrectly-closed form)
                 end_bang = source.find("--!>", lt + 4)
@@ -413,6 +422,17 @@ class _Tokenizer:
                     self.pos = n
                 else:
                     yield ("comment", source[lt + 4 : end])
+                    self.pos = end + 3
+            elif source.startswith("<![CDATA[", lt) and foreign_depth:
+                # CDATA sections are character data in foreign content only
+                # (in HTML content the generic <! branch makes them a bogus
+                # comment, like parse5)
+                end = source.find("]]>", lt + 9)
+                if end == -1:
+                    yield ("text", source[lt + 9 :])
+                    self.pos = n
+                else:
+                    yield ("text", source[lt + 9 : end])
                     self.pos = end + 3
             elif source.startswith("<!", lt) or source.startswith("<?", lt):
                 gt = source.find(">", lt + 2)

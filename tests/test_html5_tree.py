@@ -582,3 +582,14 @@ def test_select_in_table_popped_by_row_tags():
         "<body><table><tbody><tr><td><select><option>a</option></select></td></tr>"
         "<tr><td>b</td></tr></tbody></table></body>"
     )
+
+
+def test_abrupt_comment_and_cdata():
+    """Spec: '<!-->' / '<!--->' are empty comments; CDATA sections are
+    character data in FOREIGN content and bogus comments in HTML content."""
+    assert body_html("<body><!-->rest</body>") == "<body><!---->rest</body>"
+    assert body_html("<body><!--->rest</body>") == "<body><!---->rest</body>"
+    assert body_html("<body><svg><text><![CDATA[a<b]]></text></svg></body>") == (
+        "<body><svg><text>a&lt;b</text></svg></body>"
+    )
+    assert body_html("<body><![CDATA[x]]></body>") == "<body><!--[CDATA[x]]--></body>"
