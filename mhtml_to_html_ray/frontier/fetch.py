@@ -35,6 +35,7 @@ class FetchOutcome:
     body: bytes
     fetch_ms: float
     error: str | None = None
+    final_url: str | None = None  # post-redirect URL from the transport
 
 
 def fetch_with_retry(
@@ -53,6 +54,9 @@ def fetch_with_retry(
     while True:
         attempts += 1
         delay: float | None = None
+        # per-attempt: a final status-based failure must not carry a stale
+        # exception message from an earlier attempt
+        last_error = None
         try:
             response = transport(url)
             last_status = getattr(response, "status", 0)
@@ -63,6 +67,7 @@ def fetch_with_retry(
                     url=url, ok=True, status=last_status, attempts=attempts,
                     content_type=content_type or "application/octet-stream",
                     body=body, fetch_ms=now_ms() - started,
+                    final_url=getattr(response, "final_url", None),
                 )
             if not is_transient_status(response.status):
                 return FetchOutcome(url=url, ok=False, status=last_status, attempts=attempts,

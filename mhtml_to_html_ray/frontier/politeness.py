@@ -16,13 +16,21 @@ import time
 
 
 class HostGate:
-    """Plain object (wrapped in a Ray actor below): per-host lock + min-gap."""
+    """Plain object (wrapped in a Ray actor below): per-host lock + min-gap.
 
-    def __init__(self, min_gap_ms: float = 0.0, clock=None):
+    Grants are LEASES (``lease_s``, default 120 s): a fetch worker that dies
+    between acquire and release — OOM-killed actor, lost node — would
+    otherwise hold its host busy forever and every later acquire() would
+    poll for eternity. A lease past its expiry is stolen by the next
+    acquirer; 120 s comfortably exceeds any single fetch (transport timeout
+    is 30 s × retries)."""
+
+    def __init__(self, min_gap_ms: float = 0.0, clock=None, lease_s: float = 120.0):
         self.min_gap_s = min_gap_ms / 1000.0
+        self.lease_s = lease_s
         self.clock = clock or time.monotonic
         self.lock = threading.Lock()
-        self.busy: set[str] = set()
+        self.busy: dict[str, float] = {}  # host -> grant time (lease start)
         self.last_release: dict[str, float] = {}
         self.grants: collections.defaultdict[str, int] = collections.defaultdict(int)
 
@@ -30,18 +38,20 @@ class HostGate:
         """0 → granted; >0 → retry after that many seconds."""
         with self.lock:
             now = self.clock()
-            if host in self.busy:
+            granted_at = self.busy.get(host)
+            if granted_at is not None and now - granted_at < self.lease_s:
                 return max(self.min_gap_s, 0.001)
+            # free, or the holder's lease expired (dead worker) — steal
             wait = self.last_release.get(host, -1e18) + self.min_gap_s - now
             if wait > 0:
                 return wait
-            self.busy.add(host)
+            self.busy[host] = now
             self.grants[host] += 1
             return 0.0
 
     def release(self, host: str) -> None:
         with self.lock:
-            self.busy.discard(host)
+            self.busy.pop(host, None)
             self.last_release[host] = self.clock()
 
     def stats(self) -> dict:

@@ -1,37 +1,72 @@
 """robots.txt gating (engine-new per the north star; the reference has no
 robots handling — F5's protocol gate is extended with it).
 
-A minimal robots.txt interpreter: ``User-agent`` groups, ``Disallow`` /
-``Allow`` prefix rules, longest-match-wins (Google's documented semantics),
-``*`` wildcard group applies when no specific group matches. Fetched through
-the same transport as pages and cached per host; a missing/erroring
-robots.txt allows everything (the common crawler default).
+A robots.txt interpreter with Google's documented semantics: ``User-agent``
+groups, ``Disallow`` / ``Allow`` path rules with ``*`` wildcards and ``$``
+end anchors, longest-pattern-wins (Allow wins ties), the ``*`` group
+applying when no specific group matches. Fetched through the same transport
+as pages and cached per AUTHORITY (host:port — a site on :8080 is not the
+site on :80). Status handling follows RFC 9309: 4xx (unavailable) allows
+everything, 5xx and transport errors are treated as disallow-all, with
+errors NOT negatively cached so a transient failure doesn't pin a policy
+for the worker's lifetime.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+
+def _compile_rule(rule: str):
+    """Google semantics: '*' matches any char run, a trailing '$' anchors
+    the end; everything else is literal. Returns a compiled prefix-match
+    regex, or None for unusable rules."""
+    if not rule:
+        return None
+    anchored = rule.endswith("$")
+    if anchored:
+        rule = rule[:-1]
+    pattern = ".*".join(re.escape(part) for part in rule.split("*"))
+    return re.compile(pattern + ("$" if anchored else ""))
 
 
 @dataclass
 class RobotsRules:
     allow: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
+    disallow_all: bool = False  # RFC 9309 "unreachable" posture
+
+    def __post_init__(self):
+        self._compiled: list[tuple[int, bool, object]] | None = None
+
+    def _rules(self):
+        # (pattern_length, is_allow, regex) — precedence is by PATTERN length
+        # (Google: the '$'-stripped literal length incl. '*'s), Allow on ties
+        if self._compiled is None:
+            compiled = []
+            for is_allow, rules in ((False, self.disallow), (True, self.allow)):
+                for rule in rules:
+                    regex = _compile_rule(rule)
+                    if regex is not None:
+                        compiled.append((len(rule.rstrip("$")), is_allow, regex))
+            self._compiled = compiled
+        return self._compiled
 
     def allowed(self, path: str) -> bool:
+        if self.disallow_all:
+            return False
         best_len = -1
         best_allow = True
-        for rule in self.disallow:
-            if rule and path.startswith(rule) and len(rule) > best_len:
-                best_len, best_allow = len(rule), False
-        for rule in self.allow:
-            if rule and path.startswith(rule) and len(rule) >= best_len:
-                best_len, best_allow = len(rule), True
+        for length, is_allow, regex in self._rules():
+            if regex.match(path) and (
+                length > best_len or (length == best_len and is_allow)
+            ):
+                best_len, best_allow = length, is_allow
         return best_allow
 
 
 def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
-    rules = RobotsRules()
     current_agents: list[str] = []
     group_matches = False
     saw_specific = False
@@ -49,6 +84,8 @@ def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
             if in_group_body:
                 current_agents = []
                 in_group_body = False
+            if not value:
+                continue  # an empty agent matches nothing (RFC: invalid)
             current_agents.append(value.lower())
             group_matches = any(
                 agent == "*" or agent in user_agent.lower() for agent in current_agents
@@ -65,13 +102,16 @@ def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
                 target = generic
             if target is not None and group_matches:
                 (target.disallow if key == "disallow" else target.allow).append(value)
-    rules = specific if saw_specific else generic
-    return rules
+    return specific if saw_specific else generic
+
+
+_DISALLOW_ALL = RobotsRules(disallow_all=True)
 
 
 class RobotsCache:
-    """Per-host rules cache living inside each fetch worker (broadcast-small-
-    side lookup — one robots fetch per host per worker, never a shuffle)."""
+    """Per-authority rules cache living inside each fetch worker (broadcast-
+    small-side lookup — one robots fetch per authority per worker, never a
+    shuffle)."""
 
     def __init__(self, transport, user_agent: str = "engine-crawler"):
         self.transport = transport
@@ -79,27 +119,41 @@ class RobotsCache:
         self.cache: dict[str, RobotsRules] = {}
 
     def allowed(self, canon_url: str) -> bool:
-        from .canon import host_of
-
-        host = host_of(canon_url)
-        if not host:
-            return True
-        rules = self.cache.get(host)
-        if rules is None:
-            rules = self._fetch_rules(canon_url, host)
-            self.cache[host] = rules
         scheme_end = canon_url.find("://")
+        if scheme_end == -1:
+            return True
         path_start = canon_url.find("/", scheme_end + 3)
+        authority = (
+            canon_url[scheme_end + 3 : path_start]
+            if path_start != -1
+            else canon_url[scheme_end + 3 :]
+        )
+        if not authority:
+            return True
+        scheme = canon_url[:scheme_end]
+        cache_key = f"{scheme}://{authority}"
+        rules = self.cache.get(cache_key)
+        if rules is None:
+            rules = self._fetch_rules(cache_key)
+            if rules is not None:
+                self.cache[cache_key] = rules
+            else:
+                # transport error: RFC 9309 unreachable → treat as
+                # disallow-all but DON'T cache, so a transient failure
+                # doesn't pin the policy for the worker's lifetime
+                rules = _DISALLOW_ALL
         path = canon_url[path_start:] if path_start != -1 else "/"
         return rules.allowed(path)
 
-    def _fetch_rules(self, canon_url: str, host: str) -> RobotsRules:
-        scheme = canon_url.split(":", 1)[0]
-        robots_url = f"{scheme}://{host}/robots.txt"
+    def _fetch_rules(self, origin: str) -> RobotsRules | None:
+        robots_url = f"{origin}/robots.txt"
         try:
             response = self.transport(robots_url)
-            if getattr(response, "ok", False):
-                return parse_robots(response.text(), self.user_agent)
         except Exception:
-            pass
-        return RobotsRules()  # missing/erroring robots.txt allows everything
+            return None  # unreachable: disallow-all, not cached
+        status = getattr(response, "status", 0)
+        if getattr(response, "ok", False):
+            return parse_robots(response.text(), self.user_agent)
+        if 500 <= status < 600:
+            return RobotsRules(disallow_all=True)  # RFC 9309 server error
+        return RobotsRules()  # 4xx/unparseable: allows everything

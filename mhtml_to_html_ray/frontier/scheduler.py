@@ -205,15 +205,19 @@ class FetchWorker:
             max_retries=self.config["max_retries"],
             sleep_ms=self.sleep_ms,
         )
+        # relative links on a redirected page resolve against the FINAL
+        # URL, not the requested one (the seen-set/result key stays the
+        # requested canon_url for determinism)
+        discovery_base = outcome.final_url or canon_url
         discovered = (
-            discover(outcome.body, canon_url, self.config["discovery_mode"],
+            discover(outcome.body, discovery_base, self.config["discovery_mode"],
                      outcome.content_type)
             if outcome.ok
             else []
         )
         discovered_canon = []
         for child in discovered:
-            canon = canonicalize(child, canon_url)
+            canon = canonicalize(child, discovery_base)
             if is_fetchable(canon.canon_url):
                 discovered_canon.append({"canon_url": canon.canon_url, "host": canon.host})
             else:

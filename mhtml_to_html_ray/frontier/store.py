@@ -93,9 +93,27 @@ class ParquetFrontier:
         os.makedirs(root, exist_ok=True)
         self.current = os.path.join(root, "frontier")
         self._fragment_counter = 0
+        # crash recovery: a kill between _swap_in's two renames leaves the
+        # live backlog under .old with no current — restore it first
+        old = self.current + ".old"
+        if not os.path.exists(self.current) and os.path.exists(old):
+            os.rename(old, self.current)
         self._write(_frontier_table([]))
 
     # -- storage primitives --
+    def _swap_in(self, tmp: str) -> None:
+        """Replace the current dir with ``tmp`` WITHOUT a destroy-first
+        window: rename current aside, rename tmp in, then delete the old —
+        a crash at any point leaves the backlog recoverable (see __init__)."""
+        old = self.current + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(self.current):
+            os.rename(self.current, old)
+        os.rename(tmp, self.current)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
     def _write(self, table: pa.Table) -> None:
         import pyarrow.parquet as pq
 
@@ -104,9 +122,7 @@ class ParquetFrontier:
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
-        if os.path.exists(self.current):
-            shutil.rmtree(self.current)
-        os.rename(tmp, self.current)
+        self._swap_in(tmp)
 
     def _read_table(self) -> pa.Table:
         import pyarrow.parquet as pq
@@ -205,9 +221,7 @@ class ParquetFrontier:
                 import pyarrow.parquet as pq
 
                 pq.write_table(_frontier_table([]), os.path.join(tmp, "part-0.parquet"))
-            if os.path.exists(self.current):
-                shutil.rmtree(self.current)
-            os.rename(tmp, self.current)
+            self._swap_in(tmp)
         return selected
 
     def snapshot_table(self) -> pa.Table:

@@ -30,6 +30,8 @@ class TransportResponse:
     body: bytes = b""
     content_type: str | None = None
     retry_after: str | None = None
+    final_url: str | None = None  # post-redirect URL (None = no redirect /
+    # transport doesn't track it); discovery resolves relative links here
 
     @property
     def headers(self) -> TransportHeaders:
@@ -141,6 +143,13 @@ class HttpTransport:
         import urllib.error
         import urllib.request
 
+        # scheme allowlist: crawled content controls these URLs (urn:
+        # unwrapping included) and urllib's default opener would happily
+        # serve file:// and ftp:// — never let a page read the local disk
+        scheme = url.split(":", 1)[0].lower() if ":" in url else ""
+        if scheme not in ("http", "https"):
+            return TransportResponse(ok=False, status=-2)
+
         request = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
         try:
             with urllib.request.urlopen(request, timeout=self.timeout_s) as response:
@@ -150,12 +159,14 @@ class HttpTransport:
                     else response.read(self.max_bytes)
                 )
                 status = response.status
+                final = response.geturl()
                 return TransportResponse(
                     ok=200 <= status < 300,
                     status=status,
                     body=body,
                     content_type=response.headers.get("Content-Type"),
                     retry_after=response.headers.get("Retry-After"),
+                    final_url=final if final != url else None,
                 )
         except urllib.error.HTTPError as error:
             try:

@@ -979,3 +979,72 @@ def test_distributed_admit_across_two_runs_of_one_scheduler(ray_session):
     # the second crawl's wave-0 offers (epoch 2) must outrank epoch-1 tags
     urls = set(second.results.column("canon_url").to_pylist())
     assert urls == {"https://r2.example/", "https://r2.example/c"}, urls
+
+
+def test_host_gate_lease_steals_from_dead_worker():
+    """A worker that never releases must not wedge its host forever: the
+    lease expires and the next acquirer steals the grant."""
+    clock = {"now": 0.0}
+    gate = HostGate(min_gap_ms=0.0, clock=lambda: clock["now"], lease_s=10.0)
+    assert gate.try_acquire("h") == 0.0
+    # holder dies without release; within the lease the host stays busy
+    clock["now"] = 5.0
+    assert gate.try_acquire("h") > 0.0
+    # past the lease the grant is stolen
+    clock["now"] = 11.0
+    assert gate.try_acquire("h") == 0.0
+    gate.release("h")
+    assert gate.try_acquire("h") == 0.0
+
+
+def test_robots_wildcards_anchors_and_5xx():
+    """Google-semantics wildcard/anchor rules; RFC 9309 status handling."""
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /*.pdf$\nAllow: /public\n",
+        user_agent="engine-crawler",
+    )
+    assert not rules.allowed("/page?sessionid=7")
+    assert not rules.allowed("/docs/file.pdf")
+    assert rules.allowed("/docs/file.pdfx")  # $ anchors the end
+    assert rules.allowed("/public/file.x")
+    # empty User-agent group is invalid and must not hijack the * group
+    stray = parse_robots(
+        "User-agent: *\nAllow: /\n\nUser-agent:\nDisallow: /\n",
+        user_agent="engine-crawler",
+    )
+    assert stray.allowed("/anything")
+
+    from mhtml_to_html_ray.frontier.robots import RobotsCache
+
+    calls = []
+
+    class T:
+        def __init__(self, status):
+            self.status = status
+
+        def __call__(self, url):
+            calls.append(url)
+            class R:
+                ok = False
+                status = self.status
+                def text(self):
+                    return ""
+            return R()
+
+    # 5xx → disallow-all, cached
+    cache = RobotsCache(T(503))
+    assert not cache.allowed("https://e:8080/x")
+    assert not cache.allowed("https://e:8080/y")
+    assert calls == ["https://e:8080/robots.txt"], "authority (with port) fetched once"
+    # 404 → allow-all
+    cache2 = RobotsCache(T(404))
+    assert cache2.allowed("https://e/x")
+
+    # transport error → disallow-all but NOT cached (retried next time)
+    class Boom:
+        def __call__(self, url):
+            raise ConnectionError("down")
+
+    cache3 = RobotsCache(Boom())
+    assert not cache3.allowed("https://e/x")
+    assert "https://e" not in cache3.cache
