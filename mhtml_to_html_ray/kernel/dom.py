@@ -381,17 +381,22 @@ def _unescape_attr(text: str) -> str:
 
 
 class _Tokenizer:
+    """``foreign`` is TREE-BUILDER FEEDBACK (the spec's tokenizer/tree-
+    construction coupling): the parse loop updates it after every token to
+    "the adjusted current node is not in the HTML namespace". It gates CDATA
+    sections and suppresses raw-content modes (script/style/title...) inside
+    foreign content — a lexical svg/math depth counter cannot do this, since
+    breakout tags and integration points re-enter HTML content without a
+    closing </svg>."""
+
     def __init__(self, source: str) -> None:
         self.source = source
         self.pos = 0
+        self.foreign = False
 
     def tokens(self):
         source = self.source
         n = len(source)
-        # svg/math nesting depth: raw-content mode (script/style/title...)
-        # only applies in the HTML namespace — inside foreign content these
-        # are ordinary elements whose markup children are parsed
-        foreign_depth = 0
         while self.pos < n:
             lt = source.find("<", self.pos)
             if lt == -1:
@@ -412,9 +417,17 @@ class _Tokenizer:
                     self.pos = lt + 6
                     continue
                 end = source.find("-->", lt + 4)
-                # spec: "--!>" also closes a comment (incorrectly-closed form)
-                end_bang = source.find("--!>", lt + 4)
-                if end_bang != -1 and (end == -1 or end_bang < end):
+                # spec: "--!>" also closes a comment (incorrectly-closed
+                # form). Only a match BEFORE the "-->" matters, so bound the
+                # scan by it (no "--!>" can straddle a "-->": the characters
+                # conflict at every overlapping offset) — an unbounded find
+                # would rescan to EOF for every comment.
+                end_bang = (
+                    source.find("--!>", lt + 4, end)
+                    if end != -1
+                    else source.find("--!>", lt + 4)
+                )
+                if end_bang != -1:
                     yield ("comment", source[lt + 4 : end_bang])
                     self.pos = end_bang + 4
                 elif end == -1:
@@ -423,16 +436,18 @@ class _Tokenizer:
                 else:
                     yield ("comment", source[lt + 4 : end])
                     self.pos = end + 3
-            elif source.startswith("<![CDATA[", lt) and foreign_depth:
+            elif source.startswith("<![CDATA[", lt) and self.foreign:
                 # CDATA sections are character data in foreign content only
                 # (in HTML content the generic <! branch makes them a bogus
-                # comment, like parse5)
+                # comment, like parse5); a distinct token kind because the
+                # content is LITERAL — character references are not parsed
+                # inside CDATA
                 end = source.find("]]>", lt + 9)
                 if end == -1:
-                    yield ("text", source[lt + 9 :])
+                    yield ("cdata", source[lt + 9 :])
                     self.pos = n
                 else:
-                    yield ("text", source[lt + 9 : end])
+                    yield ("cdata", source[lt + 9 : end])
                     self.pos = end + 3
             elif source.startswith("<!", lt) or source.startswith("<?", lt):
                 gt = source.find(">", lt + 2)
@@ -455,10 +470,7 @@ class _Tokenizer:
                         self.pos = gt + 1
                 else:
                     gt = source.find(">", m.end())
-                    name = m.group(0).lower()
-                    if name in ("svg", "math") and foreign_depth:
-                        foreign_depth -= 1
-                    yield ("endtag", name)
+                    yield ("endtag", m.group(0).lower())
                     self.pos = n if gt == -1 else gt + 1
             else:
                 m = _TAG_NAME_RE.match(source, lt + 1)
@@ -469,10 +481,8 @@ class _Tokenizer:
                 tag = m.group(0).lower()
                 attrs, self_closing, end = self._read_attributes(m.end())
                 self.pos = end
-                if tag in ("svg", "math") and not self_closing:
-                    foreign_depth += 1
                 yield ("starttag", tag, attrs, self_closing)
-                if foreign_depth:
+                if self.foreign:
                     continue  # no raw-content modes inside foreign content
                 if tag == "plaintext":
                     yield ("rawtext", source[self.pos :])
@@ -769,6 +779,13 @@ def parse_html(source: str) -> Document:
                 return node
         return None
 
+    def pop_stack_to(element: Element) -> None:
+        """Pop the open-element stack through ``element`` (inclusive)."""
+        for index in range(len(stack) - 1, -1, -1):
+            if stack[index] is element:
+                del stack[index:]
+                break
+
     def top_element() -> Element | None:
         for node in reversed(stack):
             if isinstance(node, Element):
@@ -941,10 +958,22 @@ def parse_html(source: str) -> Document:
     frameset_el: Element | None = None
 
     tokenizer = _Tokenizer(source)
-    for token in tokenizer.tokens():
+
+    def feedback_tokens():
+        """Resume the tokenizer only after the tree builder has processed
+        the previous token, with ``tokenizer.foreign`` refreshed to the
+        adjusted-current-node namespace (spec tokenizer/tree coupling)."""
+        for token in tokenizer.tokens():
+            yield token
+            top = top_element()
+            tokenizer.foreign = top is not None and top.namespace != "html"
+
+    for token in feedback_tokens():
         kind = token[0]
-        if kind == "text":
-            text = _unescape(token[1])
+        if kind == "text" or kind == "cdata":
+            # CDATA content is literal — character references are not
+            # parsed inside CDATA sections
+            text = token[1] if kind == "cdata" else _unescape(token[1])
             if not text:
                 continue
             # ASCII whitespace only (spec): &nbsp; and unicode spaces are
@@ -1138,16 +1167,10 @@ def parse_html(source: str) -> Document:
             select_el = open_select()
             if select_el is not None and not foreign:
                 if tag == "select":
-                    for index in range(len(stack) - 1, -1, -1):
-                        if stack[index] is select_el:
-                            del stack[index:]
-                            break
+                    pop_stack_to(select_el)
                     continue
                 if tag in ("input", "keygen", "textarea"):
-                    for index in range(len(stack) - 1, -1, -1):
-                        if stack[index] is select_el:
-                            del stack[index:]
-                            break
+                    pop_stack_to(select_el)
                 elif tag in ("caption", "table", "tbody", "tfoot", "thead",
                              "tr", "td", "th") and any(
                     isinstance(node, Element) and node.tag_name == "table"
@@ -1155,10 +1178,7 @@ def parse_html(source: str) -> Document:
                 ):
                     # spec "in select in table": these pop the select, then
                     # the token is processed by the table rules
-                    for index in range(len(stack) - 1, -1, -1):
-                        if stack[index] is select_el:
-                            del stack[index:]
-                            break
+                    pop_stack_to(select_el)
                 elif tag not in ("option", "optgroup", "script", "style", "template", "hr"):
                     continue
 
@@ -1265,8 +1285,15 @@ def parse_html(source: str) -> Document:
                 stack.append(element)
         elif kind == "endtag":
             tag = token[1]
+            if tag in ("br", "p") and token_namespace(tag) == "html":
+                if frameset_el is not None and body_el is None:
+                    continue  # "in/after frameset": ignored
+                if open_select() is not None:
+                    continue  # "in select": any other end tag is ignored
             if tag == "br" and token_namespace("br") == "html":
-                # spec: </br> acts as a <br> START tag (no end-tag form)
+                # spec: </br> acts as a <br> START tag (no end-tag form) —
+                # including its frameset-ok effect
+                frameset_ok = False
                 if active_formatting:
                     reconstruct_active()
                 parent = current() if stack else insertion_parent()
@@ -1279,16 +1306,19 @@ def parse_html(source: str) -> Document:
                     parent.append_child(element)
                 continue
             if tag == "p" and token_namespace("p") == "html":
-                # spec: </p> with no p in button scope inserts an EMPTY p;
+                # spec: </p> with no p in button scope inserts an EMPTY p
+                # (foster-parented out of table structure like any insert);
                 # otherwise it closes the scoped p (never one beyond the
                 # button-scope boundary)
                 if not pop_scoped(_P_TARGET, _BUTTON_SCOPE_BOUNDARY):
                     parent = current() if stack else insertion_parent()
+                    element = Element("p")
                     if not (
                         isinstance(parent, Element)
                         and parent.tag_name in _TABLE_SECTION_TAGS
+                        and insert_fostered(element)
                     ):
-                        parent.append_child(Element("p"))
+                        parent.append_child(element)
                 continue
             if tag == "head":
                 if stack and stack[-1] is head_el:

@@ -8,7 +8,7 @@ dom-parser-node.js:315-336)."""
 
 import pytest
 
-from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+from mhtml_to_html_ray.kernel.dom import parse_dom, parse_html, serialize
 
 
 def body_html(source: str) -> str:
@@ -593,3 +593,67 @@ def test_abrupt_comment_and_cdata():
         "<body><svg><text>a&lt;b</text></svg></body>"
     )
     assert body_html("<body><![CDATA[x]]></body>") == "<body><!--[CDATA[x]]--></body>"
+
+
+def test_cdata_content_is_literal():
+    """Character references are NOT parsed inside CDATA sections: the
+    DOM text is the literal source, so '&amp;' re-escapes on serialize."""
+    assert body_html("<body><svg><text><![CDATA[a&amp;b]]></text></svg></body>") == (
+        "<body><svg><text>a&amp;amp;b</text></svg></body>"
+    )
+
+
+def test_cdata_follows_tree_builder_namespace():
+    """CDATA recognition is tree-builder feedback, not a lexical svg depth:
+    after a breakout tag re-enters HTML content the section is a bogus
+    comment; directly inside an SVG integration point (still an SVG-namespace
+    node) it stays a CDATA section."""
+    assert body_html("<body><svg><div><![CDATA[x]]></div></svg></body>") == (
+        "<body><svg></svg><div><!--[CDATA[x]]--></div></body>"
+    )
+    assert body_html(
+        "<body><svg><foreignObject><![CDATA[y]]></foreignObject></svg></body>"
+    ) == "<body><svg><foreignobject>y</foreignobject></svg></body>"
+
+
+def test_raw_mode_follows_tree_builder_namespace():
+    """script/style raw-content modes resume once an integration point
+    re-enters HTML content (a lexical svg counter would keep suppressing)."""
+    out = body_html(
+        "<body><svg><foreignObject><style>a<b</style></foreignObject></svg></body>"
+    )
+    assert "a<b</style>" in out  # raw content, '<b' not parsed as a tag
+
+
+def test_br_p_end_tags_ignored_in_select():
+    """Spec 'in select': any other end tag is ignored — the </br>/</p>
+    aliases must not insert elements into an open select."""
+    assert body_html("<body><select></br>x</select></body>") == (
+        "<body><select>x</select></body>"
+    )
+    assert body_html("<body><select></p>x</select></body>") == (
+        "<body><select>x</select></body>"
+    )
+
+
+def test_br_p_end_tags_ignored_in_frameset():
+    """Spec 'in frameset' ignores these tokens outright."""
+    doc = parse_dom("<frameset></br><frame></frameset>").serialize()
+    assert doc == "<html><head></head><frameset><frame></frameset></html>"
+    doc2 = parse_dom("<frameset></p><frame></frameset>").serialize()
+    assert doc2 == "<html><head></head><frameset><frame></frameset></html>"
+
+
+def test_end_br_sets_frameset_not_ok():
+    """</br> acts as the <br> start tag, which flips frameset-ok — a
+    following <frameset> must be ignored, keeping the br."""
+    doc = parse_dom("<head></head></br><frameset></frameset>").serialize()
+    assert doc == "<html><head></head><body><br></body></html>"
+
+
+def test_end_p_fosters_out_of_table():
+    """</p> with no p in scope inserts an empty p; in table structure it
+    foster-parents before the table like any other insertion."""
+    assert body_html("<body><table></p></table></body>") == (
+        "<body><p></p><table></table></body>"
+    )
