@@ -104,6 +104,11 @@ _LIST_ITEM_SCOPE_BOUNDARY = frozenset(
     ("ul", "ol", "html", "table", "td", "th", "caption", "applet", "marquee",
      "object", "template", "select", "button")
 )
+# the spec's default "has an element in scope" boundary set
+_DEFAULT_SCOPE_BOUNDARY = frozenset(
+    ("html", "table", "td", "th", "caption", "applet", "marquee", "object",
+     "template")
+)
 
 _JAVASCRIPT_MIME_TYPE = "text/javascript"
 _TEXT_ESCAPE_RE = re.compile(r"[& <>]")
@@ -772,6 +777,14 @@ def parse_html(source: str) -> Document:
             if (tag == "optgroup" and stack and isinstance(stack[-1], Element)
                     and stack[-1].tag_name == "optgroup"):
                 stack.pop()
+        elif tag == "button":
+            # spec: a <button> with a button in scope closes it first —
+            # buttons never nest
+            pop_scoped(frozenset(("button",)), _DEFAULT_SCOPE_BOUNDARY)
+        elif tag in ("rt", "rp") and top_tag in ("rt", "rp"):
+            # spec ruby rules: rt/rp generate implied end tags for an open
+            # rt/rp sibling
+            stack.pop()
 
     def open_select() -> Element | None:
         for node in reversed(stack):
@@ -956,6 +969,12 @@ def parse_html(source: str) -> Document:
     # modes); while set with no body, only frameset/frame/noframes tokens land
     frameset_ok = True
     frameset_el: Element | None = None
+    # spec form-element pointer: while set (and no template is open), further
+    # <form> start tags are ignored
+    form_el: Element | None = None
+    # "after body" / "after-after body" insertion modes: comments land on the
+    # html element / the Document; any other content switches back to in-body
+    post_body: str | None = None
 
     tokenizer = _Tokenizer(source)
 
@@ -992,6 +1011,7 @@ def parse_html(source: str) -> Document:
                 continue
             if not is_ws:
                 frameset_ok = False
+                post_body = None  # non-ws text resumes in-body
             if is_ws and html_el is None and not stack:
                 continue  # whitespace before <html> is dropped
             parent = insertion_parent(for_text=True, ws=is_ws)
@@ -1041,7 +1061,18 @@ def parse_html(source: str) -> Document:
                 if raw:
                     current_parent.append_child(Text(raw))
         elif kind == "comment":
-            parent = document if html_el is None and not stack else insertion_parent(ws=True)
+            # "after body": comments become children of the html element;
+            # "after after body": children of the Document (the reference's
+            # doctype + documentElement.outerHTML serialization drops the
+            # latter, like parse5's consumers see)
+            if post_body == "after_html":
+                parent: _ParentNode = document
+            elif post_body == "after_body" and html_el is not None:
+                parent = html_el
+            elif html_el is None and not stack:
+                parent = document
+            else:
+                parent = insertion_parent(ws=True)
             parent.append_child(Comment(token[1]))
         elif kind == "doctype":
             if html_el is None and document.doctype is None:
@@ -1053,6 +1084,7 @@ def parse_html(source: str) -> Document:
                     document.append_child(DocumentType(name, public_id, system_id))
         elif kind == "starttag":
             _, tag, attrs, self_closing = token
+            post_body = None  # any start tag resumes in-body
             if tag == "html":
                 if html_el is None:
                     html_el = Element("html", attrs)
@@ -1193,6 +1225,17 @@ def parse_html(source: str) -> Document:
             ):
                 continue  # spec "in body": stray td/th/tr/sections are ignored
 
+            if (
+                tag == "form"
+                and not foreign
+                and form_el is not None
+                and not any(
+                    isinstance(node, Element) and node.tag_name == "template"
+                    for node in stack
+                )
+            ):
+                continue  # spec form-element pointer: a nested <form> is ignored
+
             element = Element(tag_out, attrs, namespace=element_ns)
             in_head_insert = False
             if not stack:
@@ -1203,17 +1246,38 @@ def parse_html(source: str) -> Document:
                     parent = ensure_body()
             else:
                 auto_close(tag)
+                if tag == "table" and not foreign:
+                    # spec "in table" <table>: acts as </table> then
+                    # reprocesses — the new table becomes a SIBLING after
+                    # the closed one (never a fostered child before it).
+                    # Only from table-structure context: a table inside a
+                    # cell/caption nests normally.
+                    for index in range(len(stack) - 1, -1, -1):
+                        node = stack[index]
+                        if not isinstance(node, Element):
+                            break
+                        name = node.tag_name
+                        if name == "table":
+                            prune_stack(index)
+                            break
+                        if name not in ("tbody", "thead", "tfoot", "tr", "colgroup"):
+                            break
                 if tag in _TABLE_STRUCTURE_TAGS:
-                    # "clear the stack back to a table context": a row/cell/
-                    # section start tag closes anything opened (or fostered)
-                    # since the table — without this, a fostered element
-                    # swallows the rest of the table. A <col> while its
-                    # colgroup is open stays there (spec "in column group").
-                    table_context = (
-                        ("table", "tbody", "thead", "tfoot", "tr", "template", "colgroup")
-                        if tag == "col"
-                        else ("table", "tbody", "thead", "tfoot", "tr", "template")
-                    )
+                    # "clear the stack back to" the spec context for THIS
+                    # tag: sections/caption/colgroup clear to the table
+                    # itself (closing any open section/row/cell), <tr>
+                    # clears to a section, td/th to a row; a <col> while its
+                    # colgroup is open stays there ("in column group").
+                    if tag in ("td", "th"):
+                        table_context = ("table", "tbody", "thead", "tfoot",
+                                         "tr", "template")
+                    elif tag == "tr":
+                        table_context = ("table", "tbody", "thead", "tfoot",
+                                         "template")
+                    elif tag == "col":
+                        table_context = ("table", "template", "colgroup")
+                    else:  # caption colgroup tbody thead tfoot
+                        table_context = ("table", "template")
                     for index in range(len(stack) - 1, -1, -1):
                         node = stack[index]
                         if isinstance(node, Element) and node.tag_name in table_context:
@@ -1222,17 +1286,18 @@ def parse_html(source: str) -> Document:
                 # auto_close may have emptied the stack (an implied end tag
                 # at body level); document is never the insertion point
                 parent = current() if stack else insertion_parent()
-            if tag == "a" and not foreign:
-                # an open <a> is implicitly closed by a new one BEFORE the
-                # new element is placed (spec) — and its entry must leave the
-                # list first or reconstruction would immediately reopen it
+            if tag in ("a", "nobr") and not foreign:
+                # an open <a>/<nobr> is implicitly closed by a new one
+                # BEFORE the new element is placed (spec: adoption agency
+                # for the same tag) — and its entry must leave the list
+                # first or reconstruction would immediately reopen it
                 for index in range(len(stack) - 1, -1, -1):
                     node = stack[index]
-                    if isinstance(node, Element) and node.tag_name == "a":
+                    if isinstance(node, Element) and node.tag_name == tag:
                         prune_stack(index)
                         parent = current() if stack else insertion_parent()
                         break
-                remove_active("a")
+                remove_active(tag)
             if (
                 active_formatting
                 and not foreign
@@ -1250,10 +1315,17 @@ def parse_html(source: str) -> Document:
                 allowed = _TABLE_ALLOWED[parent.tag_name]
                 if tag in allowed:
                     parent = synthesize_table_structure(parent, tag)
+                elif tag == "input" and any(
+                    name == "type" and value.lower() == "hidden"
+                    for name, value in attrs
+                ):
+                    pass  # spec "in table": a hidden input stays in place
                 else:
                     fostered = insert_fostered(element)
             if not fostered:
                 parent.append_child(element)
+            if tag == "form" and not foreign:
+                form_el = element  # spec form-element pointer
 
             if not foreign:
                 if tag in _FORMATTING_TAGS:
@@ -1285,6 +1357,8 @@ def parse_html(source: str) -> Document:
                 stack.append(element)
         elif kind == "endtag":
             tag = token[1]
+            if tag not in ("body", "html"):
+                post_body = None  # any other end tag resumes in-body
             if tag in ("br", "p") and token_namespace(tag) == "html":
                 if frameset_el is not None and body_el is None:
                     continue  # "in/after frameset": ignored
@@ -1329,7 +1403,11 @@ def parse_html(source: str) -> Document:
                 while stack:
                     stack.pop()
                 head_closed = True
+                # </body> → "after body"; </html> → "after after body"
+                post_body = "after_html" if tag == "html" else "after_body"
                 continue
+            if tag == "form" and token_namespace("form") == "html":
+                form_el = None  # spec: </form> clears the pointer
             if tag in _FORMATTING_TAGS and reconstruct_formatting(tag):
                 continue
             for index in range(len(stack) - 1, -1, -1):

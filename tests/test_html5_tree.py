@@ -657,3 +657,75 @@ def test_end_p_fosters_out_of_table():
     assert body_html("<body><table></p></table></body>") == (
         "<body><p></p><table></table></body>"
     )
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # "clear the stack back to a table context" is PER TAG: a section
+        # start closes any open section/row/cell back to the table itself
+        ("<body><table><thead><tr><th>h<tbody><tr><td>b<tfoot><tr><td>f</table></body>",
+         "<body><table><thead><tr><th>h</th></tr></thead><tbody><tr><td>b</td>"
+         "</tr></tbody><tfoot><tr><td>f</td></tr></tfoot></table></body>"),
+        # <col> after rows clears to the table and opens a fresh colgroup
+        ("<body><table><tr><td>a</tr><col></table></body>",
+         "<body><table><tbody><tr><td>a</td></tr></tbody><colgroup><col>"
+         "</colgroup></table></body>"),
+        # <table> in table structure acts as </table>: SIBLING, not fostered
+        ("<body><table><table><tr><td>x</table></body>",
+         "<body><table></table><table><tbody><tr><td>x</td></tr></tbody>"
+         "</table></body>"),
+        # ... but a table inside a cell nests normally
+        ("<body><table><tr><td><table><tr><td>i</table>o</table></body>",
+         "<body><table><tbody><tr><td><table><tbody><tr><td>i</td></tr>"
+         "</tbody></table>o</td></tr></tbody></table></body>"),
+        # spec "in table": a hidden input stays in the table; others foster
+        ('<body><table><input type="hidden" name="h"><tr><td>a</table></body>',
+         '<body><table><input type="hidden" name="h"><tbody><tr><td>a</td>'
+         "</tr></tbody></table></body>"),
+        ('<body><table><input type="text"><tr><td>a</table></body>',
+         '<body><input type="text"><table><tbody><tr><td>a</td></tr></tbody>'
+         "</table></body>"),
+    ],
+)
+def test_table_context_clearing(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec: a new <nobr> runs the adoption agency on the open one
+        ("<body><nobr>a<nobr>b</body>", "<body><nobr>a</nobr><nobr>b</nobr></body>"),
+        # spec: a <button> with a button in scope closes it — never nests
+        ("<body><button>a<button>b</button></body>",
+         "<body><button>a</button><button>b</button></body>"),
+        # spec form-element pointer: a nested <form> is ignored outright
+        ("<body><form><div><form><input></form></div></form></body>",
+         "<body><form><div><input></div></form></body>"),
+        # ... but </form> clears the pointer, so siblings are fine
+        ("<body><form></form><form><input></form></body>",
+         "<body><form></form><form><input></form></body>"),
+        # ruby: rt/rp imply the end tag of an open rt/rp sibling
+        ("<body><ruby>a<rt>b<rp>(</rp></ruby></body>",
+         "<body><ruby>a<rt>b</rt><rp>(</rp></ruby></body>"),
+    ],
+)
+def test_nobr_button_form_ruby(source, expected):
+    assert body_html(source) == expected
+
+
+def test_after_body_comments():
+    """'after body' comments become children of the html element; 'after
+    after body' comments children of the Document (dropped by the
+    doctype+documentElement serialization, like the reference); any other
+    content switches back to in-body."""
+    assert parse_dom("<body>a</body><!--c-->").serialize() == (
+        "<html><head></head><body>a</body><!--c--></html>"
+    )
+    assert parse_dom("<html><body>a</body></html><!--d-->").serialize() == (
+        "<html><head></head><body>a</body></html>"
+    )
+    assert parse_dom("<body>a</body><!--c-->b<!--e-->").serialize() == (
+        "<html><head></head><body>ab<!--e--></body><!--c--></html>"
+    )
