@@ -1,0 +1,285 @@
+"""Corpus-level term statistics: TF-IDF keyword extraction and a persisted,
+hash-partitioned inverted index — the indexing/ranking side of a web-text
+pipeline (the reference has no analogue; these are engine-new training-data
+operators like functions/textstats.py's LM scorer).
+
+Scale shape, in the order the 100-TB run cares about:
+
+* Document frequencies are computed as per-batch partials (each batch emits
+  one ``(tok, df)`` row per distinct token in the batch, never raw tokens),
+  folded by ONE groupby — the same combiner-before-shuffle pattern as
+  ``unigram_lm_scores``.
+* The df map is broadcast once via ``ray.put`` and read by every scoring
+  task; the per-doc work is pandas ``factorize`` + numpy gathers, no Python
+  token loops beyond the tokenizer itself.
+* ``min_df`` is the web-scale knob: Zipf's tail is most of the vocabulary,
+  so pruning df < min_df keeps the broadcast MBs at 10^10 docs. The default
+  (1) is the exact, oracle-checkable semantics.
+* The inverted index is written as Parquet partitioned by
+  ``part = crc32(token) % n_partitions`` so a lookup reads ONLY the owning
+  partitions (partition pruning at the read, like similarity.ivf_query);
+  postings rows are (token, doc_id, tf) — index size is O(corpus tokens)
+  but each query touches 1/n_partitions of it per probe token.
+
+Tokenization is shared with the LM scorer (ASCII ``\\s+``), matching the
+DuckDB oracle's ``regexp_split_to_array(text, '\\s+')``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from .textstats import _lm_tokens
+
+
+def _flatten_batch(batch: pa.Table):
+    """Tokenize every doc in a batch once: (doc_ids, flat tokens, bounds)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    all_tokens: list[str] = []
+    bounds: list[tuple[int, int]] = []
+    for text in batch.column("text").to_pylist():
+        tokens = _lm_tokens(text)
+        bounds.append((len(all_tokens), len(tokens)))
+        all_tokens.extend(tokens)
+    return doc_ids, all_tokens, bounds
+
+
+def _doc_token_tf(batch: pa.Table):
+    """Per-(doc, token) term frequencies for one batch, vectorized with one
+    factorize + one groupby. Returns (doc_id array, token array, tf array)."""
+    import numpy as np
+    import pandas as pd
+
+    doc_ids, all_tokens, bounds = _flatten_batch(batch)
+    if not all_tokens:
+        empty = np.array([], dtype=np.int64)
+        return empty, np.array([], dtype=object), empty
+    lengths = np.fromiter((length for _, length in bounds), dtype=np.int64,
+                          count=len(bounds))
+    doc_idx = np.repeat(np.arange(len(bounds)), lengths)
+    codes, uniques = pd.factorize(pd.Series(all_tokens))
+    grouped = (
+        pd.DataFrame({"d": doc_idx, "c": codes})
+        .groupby(["d", "c"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    doc_id_arr = np.fromiter((doc_ids[d] for d in grouped["d"]), dtype=np.int64,
+                             count=len(grouped))
+    token_arr = uniques.to_numpy()[grouped["c"].to_numpy()]
+    return doc_id_arr, token_arr, grouped["tf"].to_numpy(dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+
+
+def document_frequencies(documents_ds):
+    """Distributed document frequencies: per-batch distinct-(doc, token)
+    partials → one Sum groupby. Returns ({token: df}, n_docs_with_tokens).
+
+    The batch-level doc count rides along as a sentinel row (tok = "";
+    tokens are never empty, so it cannot collide) — one pass, one shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, all_tokens, bounds = _flatten_batch(batch)
+        n_docs = sum(1 for _, length in bounds if length)
+        if not all_tokens:
+            return pa.table({"tok": pa.array([""], pa.string()),
+                             "df": pa.array([n_docs], pa.int64())})
+        lengths = np.fromiter((length for _, length in bounds), dtype=np.int64,
+                              count=len(bounds))
+        doc_idx = np.repeat(np.arange(len(bounds)), lengths)
+        distinct = (
+            pd.DataFrame({"d": doc_idx, "tok": all_tokens}).drop_duplicates()
+        )
+        counts = distinct["tok"].value_counts()
+        return pa.table(
+            {
+                "tok": pa.array([""] + list(counts.index), pa.string()),
+                "df": pa.array([n_docs] + [int(v) for v in counts.to_numpy()],
+                               pa.int64()),
+            }
+        )
+
+    rows = (
+        documents_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    df_map = {row["tok"]: row["df"] for row in rows}
+    n_docs = df_map.pop("", 0)
+    return df_map, n_docs
+
+
+def tfidf_topk(documents_ds, k: int = 5, min_df: int = 1):
+    """Top-k terms per document by TF-IDF (idf = ln(N / df), N = docs with
+    ≥1 token). Rank order is (rounded tfidf desc, token asc) — fully
+    deterministic and identical to the oracle's ROW_NUMBER window.
+
+    ``min_df`` prunes tokens with df < min_df from the broadcast AND the
+    ranking (the Zipf-tail scale knob); 1 = exact reference semantics.
+
+    Output: doc_id, token, tf, df, tfidf (round 6), rank (1-based).
+    """
+    import math
+
+    import numpy as np
+    import ray
+
+    df_map, n_docs = document_frequencies(documents_ds)
+    if min_df > 1:
+        df_map = {tok: df for tok, df in df_map.items() if df >= min_df}
+    # idf per distinct token with math.log (libm) so it matches DuckDB's LN
+    idf_map = {tok: math.log(n_docs / df) for tok, df in df_map.items()}
+    broadcast = ray.put((df_map, idf_map))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from .rounding import round_half_away
+
+        df_table, idf_table = ray.get(broadcast)
+        doc_id_arr, token_arr, tf_arr = _doc_token_tf(batch)
+        if len(doc_id_arr) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        frame = pd.DataFrame({"doc_id": doc_id_arr, "token": token_arr,
+                              "tf": tf_arr})
+        if min_df > 1:
+            frame = frame[frame["token"].map(df_table.__contains__)]
+        frame["df"] = frame["token"].map(df_table).astype(np.int64)
+        idf = frame["token"].map(idf_table).to_numpy(dtype=np.float64)
+        frame["tfidf"] = round_half_away(
+            frame["tf"].to_numpy(dtype=np.float64) * idf, 6
+        )
+        frame = frame.sort_values(
+            ["doc_id", "tfidf", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        frame["rank"] = frame.groupby("doc_id", sort=False).cumcount() + 1
+        frame = frame[frame["rank"] <= k]
+        return pa.Table.from_pandas(frame, preserve_index=False).cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("token", pa.string()),
+                 ("tf", pa.int64()), ("df", pa.int64()),
+                 ("tfidf", pa.float64()), ("rank", pa.int64())]
+            )
+        )
+
+    return documents_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+
+def _token_partition(tokens, n_partitions: int):
+    import numpy as np
+
+    return np.fromiter(
+        (zlib.crc32(tok.encode("utf-8")) % n_partitions for tok in tokens),
+        dtype=np.int64, count=len(tokens),
+    )
+
+
+def build_inverted_index(documents_ds, index_dir: str, n_partitions: int = 16):
+    """Build a persisted token → (doc_id, tf) postings index as Parquet
+    partitioned by crc32(token) % n_partitions. crc32 is stable across
+    processes (unlike Python's randomized str hash), so any later process
+    can route a lookup to its owning partition. Partition count is recorded
+    in index_meta.json next to the data."""
+    import json
+    import os
+
+    def postings(batch: pa.Table) -> pa.Table:
+        doc_id_arr, token_arr, tf_arr = _doc_token_tf(batch)
+        return pa.table(
+            {
+                "token": pa.array(token_arr, pa.string()),
+                "doc_id": pa.array(doc_id_arr, pa.int64()),
+                "tf": pa.array(tf_arr, pa.int64()),
+                "part": pa.array(_token_partition(token_arr, n_partitions),
+                                 pa.int64()),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    documents_ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["part"]
+    )
+    with open(os.path.join(index_dir, "index_meta.json"), "w") as handle:
+        json.dump({"n_partitions": n_partitions}, handle)
+
+
+def index_lookup(index_dir: str, tokens):
+    """Read postings for ``tokens`` touching ONLY their owning partitions
+    (partition pruning at the read — at web scale a probe reads
+    len({parts})/n_partitions of the index, not all of it)."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    with open(os.path.join(index_dir, "index_meta.json")) as handle:
+        n_partitions = json.load(handle)["n_partitions"]
+    tokens = list(tokens)
+    parts = sorted({int(p) for p in _token_partition(tokens, n_partitions)})
+    import glob
+
+    paths = [
+        f for p in parts
+        for f in sorted(glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
+    ]
+    if not paths:
+        # typed empty (from_pandas on an empty frame loses the schema)
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64())})
+        )
+    wanted = pa.array(tokens, pa.string())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("token"), value_set=wanted)
+        return batch.filter(mask).select(["token", "doc_id", "tf"])
+
+    return ray.data.read_parquet(paths).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+def index_stats(index_dir: str):
+    """Per-token df / total term frequency straight off the persisted index
+    (one groupby over postings rows — an index integrity audit that doubles
+    as the oracled query surface)."""
+    import glob
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    # read the part=N dirs' files, not index_meta.json
+    paths = sorted(glob.glob(os.path.join(index_dir, "part=*", "*.parquet")))
+    postings = ray.data.read_parquet(paths)
+    return (
+        postings.groupby("token")
+        .aggregate(Count(on="doc_id", alias_name="df"),
+                   Sum("tf", alias_name="total_tf"))
+    )

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..frontier.canon import canonicalize
-from ..functions import dedup, multimodal, similarity, textstats
+from ..functions import corpusstats, dedup, multimodal, similarity, textstats
 from .flagship import run_flagship
 
 
@@ -1191,6 +1191,41 @@ def q_lm_score(sf_dir: str):
     return _sorted_table(textstats.unigram_lm_scores(ds), ["doc_id"])
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-5 terms per document by TF-IDF (functions/corpusstats.tfidf_topk):
+    distributed df partials → one groupby, df/idf broadcast once, per-batch
+    factorize + numpy scoring. The oracle recomputes tf, df and
+    ROUND(tf * LN(N/df), 6) with the same ROW_NUMBER tie order
+    (tfidf desc, token asc)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(corpusstats.tfidf_topk(ds, k=5), ["doc_id", "rank"])
+
+
+def q_inverted_index_stats(sf_dir: str):
+    """Build the persisted hash-partitioned inverted index under /tmp, then
+    audit it: per-token document frequency and total term frequency read
+    back OFF THE INDEX (so a hash match proves build round-trips)."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="inv_index_")
+    corpusstats.build_inverted_index(ds, index_dir, n_partitions=8)
+    return _sorted_table(corpusstats.index_stats(index_dir), ["token"])
+
+
+def q_token_postings(sf_dir: str):
+    """Partition-pruned postings lookup on the persisted inverted index:
+    three probe tokens read only their crc32-owning part= dirs; the oracle
+    recomputes the same (token, doc_id, tf) rows from the raw text."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="inv_index_")
+    corpusstats.build_inverted_index(ds, index_dir, n_partitions=8)
+    out = corpusstats.index_lookup(index_dir, ["table", "spark", "window"])
+    return _sorted_table(out, ["token", "doc_id"])
+
+
 def q_media_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _sorted_table(multimodal.decode_media(ds), ["doc_id"])
@@ -1264,6 +1299,9 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "c4_filter": q_c4_filter,
     "lm_score": q_lm_score,
+    "tfidf_topk": q_tfidf_topk,
+    "inverted_index_stats": q_inverted_index_stats,
+    "token_postings": q_token_postings,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
 }
@@ -1541,6 +1579,45 @@ ORACLE_SQL = {
                ROUND(SUM(LN(counts.n / total.t)) / COUNT(*), 6) AS lm_score
         FROM tokens JOIN counts USING (tok) CROSS JOIN total
         GROUP BY tokens.doc_id ORDER BY tokens.doc_id
+    """,
+    "tfidf_topk": """
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        scored AS (
+            SELECT tf.doc_id, tf.tok AS token, tf.tf, df.df,
+                   ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, tfidf, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token
+            ) AS rank FROM scored
+        ) WHERE rank <= 5 ORDER BY doc_id, rank
+    """,
+    "inverted_index_stats": """
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok)
+        SELECT tok AS token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY tok ORDER BY token
+    """,
+    "token_postings": """
+        SELECT doc_id, tok AS token, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents
+        ) WHERE tok IN ('table', 'spark', 'window')
+        GROUP BY doc_id, tok ORDER BY token, doc_id
     """,
     "media_decode": """
         SELECT doc_id,

@@ -1,0 +1,140 @@
+"""Corpus-stats semantics: TF-IDF ranking/determinism, the min_df scale
+knob, and the persisted inverted index (partition routing, pruned lookup,
+round-trip)."""
+
+import math
+import os
+
+import pyarrow as pa
+import pytest
+
+from mhtml_to_html_ray.functions import corpusstats
+
+
+def _docs_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(_docs_table(texts))
+
+
+TEXTS = [
+    "apple banana apple cherry",
+    "banana cherry cherry date",
+    "apple date elder elder elder",
+    "banana",
+    "",  # tokenless doc must be absent from every output
+]
+
+
+def test_document_frequencies(ray_session):
+    df_map, n_docs = corpusstats.document_frequencies(_docs_ds(TEXTS))
+    assert n_docs == 4  # the empty doc does not count
+    assert df_map == {"apple": 2, "banana": 3, "cherry": 2, "date": 2,
+                      "elder": 1}
+
+
+def test_tfidf_topk_ranks_and_values(ray_session):
+    out = corpusstats.tfidf_topk(_docs_ds(TEXTS), k=2).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert "" not in set(out["token"])
+    # doc 2: elder tf=3 df=1 → 3*ln(4) dominates; apple tf=1 df=2 next
+    doc2 = out[out["doc_id"] == 2]
+    assert list(doc2["token"]) == ["elder", "apple"]
+    assert doc2.iloc[0]["tfidf"] == pytest.approx(
+        round(3 * math.log(4 / 1), 6))
+    # every doc emits at most k rows, ranks are 1..n
+    for _, group in out.groupby("doc_id"):
+        assert list(group["rank"]) == list(range(1, len(group) + 1))
+        assert len(group) <= 2
+    assert 4 not in set(out["doc_id"])  # tokenless doc absent
+
+
+def test_tfidf_deterministic_ties(ray_session):
+    # two tokens with identical tf and df in the same doc tie on tfidf —
+    # rank order must fall back to token asc, stably across runs
+    texts = ["zz aa zz aa bb", "cc"]
+    first = corpusstats.tfidf_topk(_docs_ds(texts), k=3).to_pandas()
+    second = corpusstats.tfidf_topk(_docs_ds(texts), k=3).to_pandas()
+    first = first.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    second = second.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert first.equals(second)
+    doc0 = first[first["doc_id"] == 0]
+    assert list(doc0["token"]) == ["aa", "zz", "bb"]  # tie → token asc
+
+
+def test_tfidf_min_df_prunes_tail(ray_session):
+    exact = corpusstats.tfidf_topk(_docs_ds(TEXTS), k=10).to_pandas()
+    pruned = corpusstats.tfidf_topk(_docs_ds(TEXTS), k=10, min_df=2).to_pandas()
+    assert set(pruned["token"]) == set(exact[exact["df"] >= 2]["token"])
+    # surviving rows keep identical tf/df/tfidf values
+    key = ["doc_id", "token"]
+    merged = pruned.merge(exact, on=key, suffixes=("_p", "_e"))
+    assert len(merged) == len(pruned)
+    assert (merged["tfidf_p"] == merged["tfidf_e"]).all()
+
+
+def test_token_partition_stable():
+    # crc32 routing must be process-stable: pin exact values
+    parts = corpusstats._token_partition(["apple", "banana", "cherry"], 8)
+    import zlib
+
+    expected = [zlib.crc32(t.encode()) % 8 for t in ("apple", "banana", "cherry")]
+    assert list(parts) == expected
+
+
+def test_inverted_index_roundtrip(ray_session, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    assert os.path.exists(os.path.join(index_dir, "index_meta.json"))
+    stats = corpusstats.index_stats(index_dir).to_pandas()
+    stats = stats.sort_values("token").reset_index(drop=True)
+    assert list(stats["token"]) == ["apple", "banana", "cherry", "date", "elder"]
+    assert list(stats["df"]) == [2, 3, 2, 2, 1]
+    assert list(stats["total_tf"]) == [3, 3, 3, 2, 3]
+
+
+def test_index_lookup_prunes_partitions(ray_session, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    postings = corpusstats.index_lookup(index_dir, ["elder"]).to_pandas()
+    assert sorted(zip(postings["token"], postings["doc_id"], postings["tf"])) \
+        == [("elder", 2, 3)]
+    # a probe for one token reads only its owning partition, and another
+    # token sharing that partition must NOT leak into the result
+    part = int(corpusstats._token_partition(["elder"], 4)[0])
+    sharing = [t for t in ("apple", "banana", "cherry", "date")
+               if int(corpusstats._token_partition([t], 4)[0]) == part]
+    for tok in sharing:
+        assert tok not in set(postings["token"])
+
+
+def test_index_lookup_missing_token_empty(ray_session, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    out = corpusstats.index_lookup(index_dir, ["zzz-not-there"])
+    # the Dataset keeps its typed schema even when every block is empty
+    # (pandas conversion of an all-empty Dataset drops columns Ray-wide,
+    # so the schema contract is asserted on the Dataset itself)
+    assert out.schema().names == ["token", "doc_id", "tf"]
+    assert out.count() == 0
+
+
+def test_index_lookup_unmapped_partition_empty(ray_session, tmp_path):
+    # a token whose crc32 partition dir does not exist takes the typed-empty
+    # fast path (no read at all)
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(
+        _docs_ds(["solo"]), index_dir, n_partitions=64)
+    present = int(corpusstats._token_partition(["solo"], 64)[0])
+    miss = next(
+        t for t in ("q%d" % i for i in range(1000))
+        if int(corpusstats._token_partition([t], 64)[0]) != present
+    )
+    out = corpusstats.index_lookup(index_dir, [miss])
+    assert out.schema().names == ["token", "doc_id", "tf"]
+    assert out.count() == 0
