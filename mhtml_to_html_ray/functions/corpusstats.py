@@ -203,9 +203,18 @@ def build_inverted_index(documents_ds, index_dir: str, n_partitions: int = 16):
     partitioned by crc32(token) % n_partitions. crc32 is stable across
     processes (unlike Python's randomized str hash), so any later process
     can route a lookup to its owning partition. Partition count is recorded
-    in index_meta.json next to the data."""
+    in index_meta.json next to the data.
+
+    Alongside the postings, a ``doc_lengths/`` table (doc_id, dl) and the
+    corpus stats BM25 needs (n_docs with ≥1 token, total_tokens) are
+    persisted — dl is derived FROM the written postings with one
+    distributed groupby, so the ranking side never re-tokenizes."""
+    import glob
     import json
     import os
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
 
     def postings(batch: pa.Table) -> pa.Table:
         doc_id_arr, token_arr, tf_arr = _doc_token_tf(batch)
@@ -223,8 +232,25 @@ def build_inverted_index(documents_ds, index_dir: str, n_partitions: int = 16):
     documents_ds.map_batches(postings, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["part"]
     )
+    # doc lengths off the persisted postings: dl = Σ tf per doc
+    part_paths = sorted(glob.glob(os.path.join(index_dir, "part=*", "*.parquet")))
+    lengths_dir = os.path.join(index_dir, "doc_lengths")
+    n_docs = 0
+    total_tokens = 0
+    if part_paths:
+        lengths = (
+            ray.data.read_parquet(part_paths, columns=["doc_id", "tf"])
+            .groupby("doc_id")
+            .aggregate(Sum("tf", alias_name="dl"))
+        ).materialize()
+        lengths.write_parquet(lengths_dir)
+        agg = lengths.aggregate(Count(on="doc_id", alias_name="n_docs"),
+                                Sum("dl", alias_name="total_tokens"))
+        n_docs = int(agg["n_docs"])
+        total_tokens = int(agg["total_tokens"])
     with open(os.path.join(index_dir, "index_meta.json"), "w") as handle:
-        json.dump({"n_partitions": n_partitions}, handle)
+        json.dump({"n_partitions": n_partitions, "n_docs": n_docs,
+                   "total_tokens": total_tokens}, handle)
 
 
 def index_lookup(index_dir: str, tokens):
@@ -263,6 +289,100 @@ def index_lookup(index_dir: str, tokens):
     return ray.data.read_parquet(paths).map_batches(
         probe, batch_format="pyarrow"
     )
+
+
+def bm25_topk(index_dir: str, tokens, k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k over the persisted index, never touching raw text:
+
+    * postings for the query tokens come from the partition-pruned
+      ``index_lookup`` (reads len({parts})/n_partitions of the index);
+    * per-token df is counted off those postings (query-token-sized);
+    * doc lengths join in via the engine ``hash_join`` (distributed,
+      schema-typed — doc_lengths is corpus-sized, never broadcast);
+    * term scores are summed as integer MICROS (int64) so the per-doc sum
+      is order-independent and bit-identical to the DuckDB oracle
+      regardless of shuffle order.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1), the standard non-negative
+    variant. Every float expression mirrors the oracle SQL's parse tree
+    (including writing k1+1 as ``1.2 + 1.0``, which is NOT the double
+    ``2.2``) so ROUND(·) agrees bit-exactly.
+
+    Returns a k-row pyarrow table: doc_id, score_micros, score, rank.
+    """
+    import json
+    import math
+    import os
+
+    import numpy as np
+    import ray
+
+    from .joins import hash_join
+    from .rounding import round_half_away
+
+    with open(os.path.join(index_dir, "index_meta.json")) as handle:
+        meta = json.load(handle)
+    n_docs = meta["n_docs"]
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("score_micros", pa.int64()),
+                            ("score", pa.float64()), ("rank", pa.int64())])
+    if not n_docs:
+        return out_schema.empty_table()
+    avgdl = meta["total_tokens"] / n_docs
+
+    postings = index_lookup(index_dir, tokens).materialize()
+    from ray.data.aggregate import Count
+
+    df_rows = (postings.groupby("token")
+               .aggregate(Count(on="doc_id", alias_name="df")).take_all())
+    if not df_rows:
+        return out_schema.empty_table()
+    idf_map = {row["token"]: math.log(
+        (n_docs - row["df"] + 0.5) / (row["df"] + 0.5) + 1.0)
+        for row in df_rows}
+    broadcast = ray.put(idf_map)
+
+    lengths = ray.data.read_parquet(os.path.join(index_dir, "doc_lengths"))
+    joined = hash_join(postings, lengths, key="doc_id")
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def term_micros(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term_micros": pa.array([], pa.int64())})
+        idf_table = ray.get(broadcast)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.fromiter(
+            (idf_table[tok] for tok in batch.column("token").to_pylist()),
+            dtype=np.float64, count=batch.num_rows)
+        term = idf * (tf * k1p1) / (tf + k1 * (one_minus_b + b * (dl / avgdl)))
+        micros = round_half_away(term * 1000000.0, 0).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "term_micros": pa.array(micros, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        joined.map_batches(term_micros, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("term_micros", alias_name="score_micros"))
+        .sort(["score_micros", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    rows = scored.take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "score_micros": pa.array([r["score_micros"] for r in rows], pa.int64()),
+        "score": pa.array([r["score_micros"] / 1000000.0 for r in rows],
+                          pa.float64()),
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+    })
 
 
 def index_stats(index_dir: str):

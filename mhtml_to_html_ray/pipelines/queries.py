@@ -1226,6 +1226,22 @@ def q_token_postings(sf_dir: str):
     return _sorted_table(out, ["token", "doc_id"])
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 docs for a 3-token query, ranked OFF the persisted
+    inverted index (functions/corpusstats.bm25_topk): partition-pruned
+    postings probe, distributed doc-length hash_join, integer-micros term
+    sums (order-independent), deterministic (score desc, doc_id asc) ties.
+    The oracle recomputes tf/df/dl/avgdl from raw text with the identical
+    float expression tree — a hash match proves index build + pruned probe
+    + join + ranking all round-trip."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="inv_index_")
+    corpusstats.build_inverted_index(ds, index_dir, n_partitions=8)
+    return corpusstats.bm25_topk(index_dir, ["table", "spark", "window"], k=10)
+
+
 def q_media_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _sorted_table(multimodal.decode_media(ds), ["doc_id"])
@@ -1302,6 +1318,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "inverted_index_stats": q_inverted_index_stats,
     "token_postings": q_token_postings,
+    "bm25_topk": q_bm25_topk,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
 }
@@ -1618,6 +1635,40 @@ ORACLE_SQL = {
             FROM documents
         ) WHERE tok IN ('table', 'spark', 'window')
         GROUP BY doc_id, tok ORDER BY token, doc_id
+    """,
+    "bm25_topk": """
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf
+               WHERE tok IN ('table', 'spark', 'window') GROUP BY tok),
+        terms AS (
+            SELECT tf.doc_id,
+                   CAST(ROUND(
+                       (LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * (tf.tf * (1.2 + 1.0))
+                        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))
+                       * 1000000.0, 0) AS BIGINT) AS term_micros
+            FROM tf JOIN df ON tf.tok = df.tok
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN stats
+        ),
+        scored AS (SELECT doc_id, CAST(SUM(term_micros) AS BIGINT)
+                   AS score_micros FROM terms GROUP BY doc_id)
+        SELECT doc_id, score_micros, score_micros / 1000000.0 AS score, rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY score_micros DESC, doc_id
+            ) AS rank FROM scored
+        ) WHERE rank <= 10 ORDER BY rank
     """,
     "media_decode": """
         SELECT doc_id,

@@ -124,6 +124,69 @@ def test_index_lookup_missing_token_empty(ray_session, tmp_path):
     assert out.count() == 0
 
 
+def test_index_meta_records_corpus_stats(ray_session, tmp_path):
+    import json
+
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    with open(os.path.join(index_dir, "index_meta.json")) as handle:
+        meta = json.load(handle)
+    assert meta["n_docs"] == 4          # the tokenless doc does not count
+    assert meta["total_tokens"] == 14   # 4 + 4 + 5 + 1
+    import ray.data
+
+    dls = ray.data.read_parquet(os.path.join(index_dir, "doc_lengths")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(dls["doc_id"]) == [0, 1, 2, 3]
+    assert list(dls["dl"]) == [4, 4, 5, 1]
+
+
+def test_bm25_topk_hand_computed(ray_session, tmp_path):
+    import math
+
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    out = corpusstats.bm25_topk(index_dir, ["elder", "banana"], k=10) \
+        .to_pandas()
+    # hand-check doc 2 (elder tf=3 dl=5): N=4, avgdl=3.5
+    k1, b = 1.2, 0.75
+    avgdl = 14 / 4
+    idf_elder = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    term = idf_elder * (3 * (k1 + 1.0)) / (3 + k1 * (1.0 - b + b * (5 / avgdl)))
+    expected_micros = math.floor(abs(term * 1e6) + 0.5)
+    doc2 = out[out["doc_id"] == 2].iloc[0]
+    assert doc2["score_micros"] == expected_micros
+    # docs scored: 0,1,3 (banana) and 2 (elder); ranks are 1..4 and scores
+    # are non-increasing
+    assert len(out) == 4
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    assert list(out["score_micros"]) == sorted(out["score_micros"],
+                                               reverse=True)
+    assert out["score"].tolist() == [m / 1e6 for m in out["score_micros"]]
+
+
+def test_bm25_deterministic_ties(ray_session, tmp_path):
+    # docs 0 and 1 are exact duplicates → identical scores; rank must fall
+    # back to doc_id asc, stably across runs
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(
+        _docs_ds(["same text here", "same text here", "other words"]),
+        index_dir, n_partitions=4)
+    first = corpusstats.bm25_topk(index_dir, ["same"], k=5).to_pandas()
+    second = corpusstats.bm25_topk(index_dir, ["same"], k=5).to_pandas()
+    assert first.equals(second)
+    assert list(first["doc_id"]) == [0, 1]
+    assert first["score_micros"][0] == first["score_micros"][1]
+
+
+def test_bm25_missing_tokens_empty(ray_session, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    out = corpusstats.bm25_topk(index_dir, ["zzz-not-there"], k=5)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "score_micros", "score", "rank"]
+
+
 def test_index_lookup_unmapped_partition_empty(ray_session, tmp_path):
     # a token whose crc32 partition dir does not exist takes the typed-empty
     # fast path (no read at all)
