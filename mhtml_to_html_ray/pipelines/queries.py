@@ -18,7 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..frontier.canon import canonicalize
-from ..functions import corpusstats, dedup, multimodal, similarity, textstats
+from ..functions import (corpusstats, dedup, multimodal, pii, sampling,
+                         similarity, textstats)
 from .flagship import run_flagship
 
 
@@ -1242,6 +1243,64 @@ def q_bm25_topk(sf_dir: str):
     return corpusstats.bm25_topk(index_dir, ["table", "spark", "window"], k=10)
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic 10% Bernoulli sample (functions/sampling.py): keep iff
+    md5(doc_id)[:8] < hex(0.1 * 16^8) — a pure per-row function, so the
+    sample is identical across runs, retries, and engines. No shuffle.
+    The oracle evaluates the same md5-prefix predicate in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return _sorted_table(
+        sampling.bernoulli_sample(ds, key="doc_id", rate=0.1), ["doc_id"])
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-language deterministic sampling (corpus rebalancing): en 5%,
+    zh 40%, others 20% — one broadcast threshold per stratum, each batch
+    filters locally, embarrassingly parallel."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = sampling.stratified_sample(
+        ds, key="doc_id", strata_col="lang",
+        rates={"en": 0.05, "zh": 0.4}, default_rate=0.2)
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over text augmented with deterministic synthetic contact
+    strings (the corpus itself is clean, so — like media_decode_real — the
+    fixture arithmetic is mirrored in the oracle): docs get an email /
+    phone / IPv4 by doc_id residue, the vectorized RE2 kernels
+    (functions/pii.py) redact and count them, and the oracle re-runs the
+    identical RE2 patterns via DuckDB regexp_* on the same augmented text."""
+    import pyarrow.compute as pc2
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        extras = []
+        for doc_id in doc_ids:
+            parts = []
+            if doc_id % 3 == 0:
+                parts.append(f" mail user{doc_id}@host{doc_id % 7}.example.com")
+            if doc_id % 4 == 0:
+                parts.append(
+                    f" call {doc_id % 1000:03d}-{doc_id % 100:03d}-"
+                    f"{doc_id % 10000:04d}")
+            if doc_id % 5 == 0:
+                parts.append(f" from 10.{doc_id % 256}.0.{doc_id % 256}")
+            extras.append("".join(parts))
+        text = pc2.binary_join_element_wise(
+            pc2.cast(batch.column("text"), pa.string()),
+            pa.array(extras, pa.string()), "")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text)
+
+    return _sorted_table(
+        pii.redact_pii(ds.map_batches(augment, batch_format="pyarrow")),
+        ["doc_id"],
+    )
+
+
 def q_media_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _sorted_table(multimodal.decode_media(ds), ["doc_id"])
@@ -1319,6 +1378,9 @@ QUERIES = {
     "inverted_index_stats": q_inverted_index_stats,
     "token_postings": q_token_postings,
     "bm25_topk": q_bm25_topk,
+    "sample_docs": q_sample_docs,
+    "sample_stratified": q_sample_stratified,
+    "pii_redact": q_pii_redact,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
 }
@@ -1669,6 +1731,55 @@ ORACLE_SQL = {
                 ORDER BY score_micros DESC, doc_id
             ) AS rank FROM scored
         ) WHERE rank <= 10 ORDER BY rank
+    """,
+    "sample_docs": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        ORDER BY doc_id
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE lang WHEN 'en' THEN '0ccccccc' WHEN 'zh' THEN '66666666'
+                 ELSE '33333333' END
+        ORDER BY doc_id
+    """,
+    "pii_redact": r"""
+        WITH augmented AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' mail user' || doc_id || '@host'
+                                || (doc_id % 7) || '.example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' call '
+                                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-'
+                                || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                                || '-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' from 10.' || (doc_id % 256) || '.0.'
+                                || (doc_id % 256)
+                           ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text,
+               CAST(length(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_email,
+               CAST(length(regexp_extract_all(text,
+                   '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+               CAST(length(regexp_extract_all(text,
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4
+        FROM augmented ORDER BY doc_id
     """,
     "media_decode": """
         SELECT doc_id,

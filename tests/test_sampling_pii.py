@@ -1,0 +1,152 @@
+"""Deterministic sampling semantics (hash-prefix predicate, stratified
+thresholds, salt independence) and the PII redaction kernels (RE2 parity
+with DuckDB, count-before-redact ordering)."""
+
+import hashlib
+
+import pyarrow as pa
+
+from mhtml_to_html_ray.functions import pii, sampling
+
+
+def _ds(table):
+    import ray.data
+
+    return ray.data.from_arrow(table)
+
+
+def _docs(n=200):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([("en", "de", "zh")[i % 3] for i in range(n)],
+                         pa.string()),
+    })
+
+
+def test_bernoulli_sample_matches_predicate(ray_session):
+    out = sampling.bernoulli_sample(_ds(_docs()), rate=0.3).to_pandas()
+    threshold = format(int(0.3 * 16 ** 8), "08x")
+    expected = [i for i in range(200)
+                if hashlib.md5(str(i).encode()).hexdigest()[:8] < threshold]
+    assert sorted(out["doc_id"]) == expected
+    assert 0 < len(expected) < 200  # the rate actually bites
+
+
+def test_bernoulli_sample_deterministic_across_runs(ray_session):
+    first = sorted(sampling.bernoulli_sample(
+        _ds(_docs()), rate=0.5).to_pandas()["doc_id"])
+    second = sorted(sampling.bernoulli_sample(
+        _ds(_docs()), rate=0.5).to_pandas()["doc_id"])
+    assert first == second
+
+
+def test_bernoulli_sample_nested_rates(ray_session):
+    # a 10% sample is a SUBSET of the 30% sample (same salt): the predicate
+    # is monotone in rate, which is what makes downsampling resumable
+    small = set(sampling.bernoulli_sample(
+        _ds(_docs()), rate=0.1).to_pandas()["doc_id"])
+    large = set(sampling.bernoulli_sample(
+        _ds(_docs()), rate=0.3).to_pandas()["doc_id"])
+    assert small <= large
+
+
+def test_bernoulli_salt_decorrelates(ray_session):
+    a = set(sampling.bernoulli_sample(
+        _ds(_docs()), rate=0.5, salt="a").to_pandas()["doc_id"])
+    b = set(sampling.bernoulli_sample(
+        _ds(_docs()), rate=0.5, salt="b").to_pandas()["doc_id"])
+    assert a != b  # different salts → different samples
+
+
+def test_bernoulli_rate_edges(ray_session):
+    assert sampling.bernoulli_sample(_ds(_docs()), rate=0.0).count() == 0
+    assert sampling.bernoulli_sample(_ds(_docs()), rate=1.0).count() == 200
+    empty = sampling.bernoulli_sample(_ds(_docs()), rate=-0.5)
+    assert empty.schema().names == ["doc_id", "lang"]
+
+
+def test_stratified_rates_and_default(ray_session):
+    out = sampling.stratified_sample(
+        _ds(_docs()), key="doc_id", strata_col="lang",
+        rates={"en": 0.0, "zh": 1.0}, default_rate=0.5).to_pandas()
+    assert not (out["lang"] == "en").any()          # rate 0 drops stratum
+    zh_total = sum(1 for i in range(200) if i % 3 == 2)
+    assert (out["lang"] == "zh").sum() == zh_total  # rate 1 keeps all
+    # default stratum (de) uses the hash predicate at 0.5
+    threshold = format(int(0.5 * 16 ** 8), "08x")
+    expected_de = [i for i in range(200) if i % 3 == 1 and
+                   hashlib.md5(str(i).encode()).hexdigest()[:8] < threshold]
+    assert sorted(out[out["lang"] == "de"]["doc_id"]) == expected_de
+
+
+def test_redact_batch_counts_and_text():
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "mail a@b.com and c.d@e.org call 123-456-7890 from 1.2.3.4",
+            "clean text",
+        ], pa.string()),
+    })
+    out = pii.redact_batch(batch)
+    assert out.column("text").to_pylist() == [
+        "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>", "clean text"]
+    assert out.column("n_email").to_pylist() == [2, 0]
+    assert out.column("n_phone").to_pylist() == [1, 0]
+    assert out.column("n_ipv4").to_pylist() == [1, 0]
+
+
+def test_redact_counts_on_original_text():
+    # the IP-looking digits inside an already-redacted phone must not be
+    # double counted: counts come from the ORIGINAL text per category
+    batch = pa.table({
+        "text": pa.array(["ip inside phone-ish 127.0.0.1 555-123-4567"],
+                         pa.string()),
+    })
+    out = pii.redact_batch(batch)
+    assert out.column("n_ipv4").to_pylist() == [1]
+    assert out.column("n_phone").to_pylist() == [1]
+    assert out.column("text").to_pylist() == \
+        ["ip inside phone-ish <IP> <PHONE>"]
+
+
+def test_redact_matches_duckdb_re2():
+    # pyarrow's RE2 and DuckDB's RE2 must agree byte-for-byte — this is the
+    # invariant the pii_redact oracle relies on
+    import duckdb
+
+    texts = [
+        "contact user5@example.com or call 555-123-4567 now",
+        "ips 10.0.0.1 and 192.168.10.254, mail a.b-c_d%e@sub.domain.org",
+        "edge email@edge.co 1.2.3.4 999-999-9999 trailing",
+        "nothing here",
+    ]
+    out = pii.redact_batch(pa.table({"text": pa.array(texts, pa.string())}))
+    con = duckdb.connect()
+    for i, text in enumerate(texts):
+        row = con.execute(
+            """
+            SELECT regexp_replace(regexp_replace(regexp_replace(?,
+                       ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g'),
+                       ?, '<IP>', 'g'),
+                   length(regexp_extract_all(?, ?)),
+                   length(regexp_extract_all(?, ?)),
+                   length(regexp_extract_all(?, ?))
+            """,
+            [text, pii.EMAIL_RE, pii.PHONE_RE, pii.IPV4_RE,
+             text, pii.EMAIL_RE, text, pii.PHONE_RE, text, pii.IPV4_RE],
+        ).fetchone()
+        assert out.column("text")[i].as_py() == row[0]
+        assert out.column("n_email")[i].as_py() == row[1]
+        assert out.column("n_phone")[i].as_py() == row[2]
+        assert out.column("n_ipv4")[i].as_py() == row[3]
+
+
+def test_redact_pii_dataset(ray_session):
+    ds = _ds(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["reach me x@y.io"], pa.string()),
+    }))
+    out = pii.redact_pii(ds).to_pandas()
+    assert list(out.columns) == ["doc_id", "text", "n_email", "n_phone",
+                                 "n_ipv4"]
+    assert out["text"][0] == "reach me <EMAIL>"
