@@ -490,12 +490,15 @@ class _Tokenizer:
                 if self.foreign:
                     continue  # no raw-content modes inside foreign content
                 if tag == "plaintext":
-                    yield ("rawtext", source[self.pos :])
+                    # spec: NULLs in RAWTEXT/RCDATA/script-data/PLAINTEXT
+                    # states become U+FFFD at the tokenizer
+                    yield ("rawtext", source[self.pos :].replace("\x00", "�"))
                     self.pos = n
                 elif tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA:
                     raw, self.pos = self._read_raw_content(tag, self.pos)
                     if tag in _TOKENIZER_RCDATA:
                         raw = _unescape(raw)
+                    raw = raw.replace("\x00", "�")
                     if raw:
                         yield ("rawtext", raw)
                     yield ("endtag", tag)
@@ -549,7 +552,8 @@ class _Tokenizer:
                         pos += 1
                     value = source[start:pos]
             if not any(attr[0] == name for attr in attrs):
-                attrs.append([name, _unescape_attr(value)])
+                # spec: NULL in an attribute value → U+FFFD at the tokenizer
+                attrs.append([name, _unescape_attr(value).replace("\x00", "�")])
         return attrs, self_closing, n
 
     def _read_raw_content(self, tag: str, pos: int):
@@ -993,6 +997,17 @@ def parse_html(source: str) -> Document:
             # CDATA content is literal — character references are not
             # parsed inside CDATA sections
             text = token[1] if kind == "cdata" else _unescape(token[1])
+            if "\x00" in text:
+                # spec: the tree builder drops NULL character tokens in HTML
+                # content ("in body" anything-else) but replaces them with
+                # U+FFFD in foreign content (and CDATA only exists there)
+                top = top_element()
+                if kind == "cdata" or (
+                    top is not None and top.namespace != "html"
+                ):
+                    text = text.replace("\x00", "�")
+                else:
+                    text = text.replace("\x00", "")
             if not text:
                 continue
             # ASCII whitespace only (spec): &nbsp; and unicode spaces are
@@ -1073,7 +1088,8 @@ def parse_html(source: str) -> Document:
                 parent = document
             else:
                 parent = insertion_parent(ws=True)
-            parent.append_child(Comment(token[1]))
+            # spec: NULL inside a comment → U+FFFD at the tokenizer
+            parent.append_child(Comment(token[1].replace("\x00", "�")))
         elif kind == "doctype":
             if html_el is None and document.doctype is None:
                 m = _DOCTYPE_RE.match(token[1])
@@ -1418,6 +1434,12 @@ def parse_html(source: str) -> Document:
                     break
 
     # rawtext elements pushed above may remain if their end tag never came
+
+    # EOF: every non-frameset document gets an implied <body> (spec "after
+    # head"/"in head" EOF reprocessing; parse5 emits html/head/body even for
+    # empty input)
+    if frameset_el is None and body_el is None:
+        ensure_body()
     return document
 
 

@@ -729,3 +729,100 @@ def test_after_body_comments():
     assert parse_dom("<body>a</body><!--c-->b<!--e-->").serialize() == (
         "<html><head></head><body>ab<!--e--></body><!--c--></html>"
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-character handling (tokenizer U+FFFD states + tree-builder drop rules)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # "in body": NULL character tokens are DROPPED
+        ("<body>a\x00b", "<body>ab</body>"),
+        # foreign content: NULL → U+FFFD
+        ("<svg>a\x00b</svg>", "<body><svg>a�b</svg></body>"),
+        # CDATA exists only in foreign content → U+FFFD
+        ("<svg><![CDATA[a\x00b]]></svg>",
+         "<body><svg>a�b</svg></body>"),
+        # attribute values: U+FFFD at the tokenizer
+        ('<div class="a\x00b"></div>',
+         '<body><div class="a�b"></div></body>'),
+        # numeric reference to NULL is already U+FFFD
+        ("<body>a&#0;b", "<body>a�b</body>"),
+    ],
+)
+def test_null_characters(source, expected):
+    assert body_html(source) == expected
+
+
+def test_null_in_rcdata_rawtext_comment():
+    doc = parse_dom("<title>a\x00b</title><body><!--c\x00d-->"
+                    "<style>e\x00f</style></body>")
+    out = doc.serialize()
+    assert "<title>a�b</title>" in out
+    assert "<!--c�d-->" in out
+    assert "e�f" in out
+    assert "\x00" not in out
+
+
+# ---------------------------------------------------------------------------
+# implied <body> at EOF (parse5 emits html/head/body for every document)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        ("", "<html><head></head><body></body></html>"),
+        ("<title>t</title>",
+         "<html><head><title>t</title></head><body></body></html>"),
+        ("<head><meta></head>",
+         "<html><head><meta></head><body></body></html>"),
+        ("<!-- c -->", "<html><head></head><body></body></html>"),
+    ],
+)
+def test_implied_body_at_eof(source, expected):
+    assert parse_dom(source).serialize() == expected
+
+
+def test_frameset_document_has_no_implied_body():
+    out = parse_dom("<frameset><frame></frameset>").serialize()
+    assert "<body" not in out
+
+
+# ---------------------------------------------------------------------------
+# in-body auto-close battery (spec rules pinned after a probe sweep)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # li closes THROUGH a div (the stop-list excepts address/div/p)
+        ("<ul><li><div>a<li>b</ul>",
+         "<body><ul><li><div>a</div></li><li>b</li></ul></body>"),
+        # heading auto-close
+        ("<h1>a<h2>b", "<body><h1>a</h1><h2>b</h2></body>"),
+        # optgroup/option auto-close outside select
+        ("<body><optgroup><option>a<optgroup><option>b",
+         "<body><optgroup><option>a</option></optgroup>"
+         "<optgroup><option>b</option></optgroup></body>"),
+        # duplicate attribute: first wins
+        ('<div id="a" id="b"></div>', '<body><div id="a"></div></body>'),
+        # <a> in <a> runs the adoption agency
+        ("<a>1<a>2", "<body><a>1</a><a>2</a></body>"),
+        # annotation-xml WITHOUT an html encoding is NOT an integration
+        # point: <div> is a breakout tag and pops the math subtree
+        ("<math><annotation-xml><div>x</div></annotation-xml></math>",
+         "<body><math><annotation-xml></annotation-xml></math>"
+         "<div>x</div></body>"),
+        # script in svg is NOT raw; <b> breaks out of foreign content
+        ("<svg><script>a<b>c</b></script></svg>",
+         "<body><svg><script>a</script></svg><b>c</b></body>"),
+        # formatting opened in a cell must not leak into the next cell
+        ("<table><tr><td><b>x<td>y</table>",
+         "<body><table><tbody><tr><td><b>x</b></td><td>y</td></tr>"
+         "</tbody></table></body>"),
+    ],
+)
+def test_in_body_auto_close_battery(source, expected):
+    assert body_html(source) == expected
