@@ -41,17 +41,6 @@ _TOKENIZER_RCDATA = frozenset(("title", "textarea"))
 _HEAD_TAGS = frozenset(
     "base basefont bgsound link meta title style script template noscript noframes".split()
 )
-# HTML elements for which a stray "/>" is ignored (the element stays open)
-_KNOWN_HTML_TAGS = VOID_TAGS | RAW_TEXT_TAGS | _HEAD_TAGS | frozenset(
-    """html head body div p span a ul ol li dl dt dd table thead tbody tfoot tr
-    td th caption colgroup col form fieldset legend label input button select
-    option optgroup textarea h1 h2 h3 h4 h5 h6 blockquote pre code em strong
-    b i u s small sub sup figure figcaption main section article aside header
-    footer nav address hgroup details summary dialog menu img picture source
-    video audio track canvas map area object param embed iframe template slot
-    ins del q cite abbr dfn kbd samp var time data output progress meter ruby
-    rt rp bdi bdo wbr br hr mark""".split()
-)
 _P_CLOSERS = frozenset(
     """address article aside blockquote center details dialog dir div dl
     fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr
@@ -1361,7 +1350,10 @@ def parse_html(source: str) -> Document:
                     active_formatting.append(_AF_MARKER)
 
             is_void = tag in VOID_TAGS
-            closes_itself = self_closing and (tag not in _KNOWN_HTML_TAGS or foreign)
+            # spec: the self-closing flag is ignored on EVERY html-namespace
+            # element (custom elements like <x-app/> stay open, as parse5
+            # does); it is honored only in foreign content
+            closes_itself = self_closing and foreign
             if not is_void and not closes_itself and tag not in _TOKENIZER_RAW and tag != "plaintext" and tag not in _TOKENIZER_RCDATA:
                 stack.append(element)
             elif not closes_itself and (
