@@ -826,3 +826,38 @@ def test_frameset_document_has_no_implied_body():
 )
 def test_in_body_auto_close_battery(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # self-closing flag is IGNORED on html-namespace elements — known,
+        # unknown and custom-element names alike stay open
+        ("<my-widget/>x", "<body><my-widget>x</my-widget></body>"),
+        ("<foo/>x</foo>y", "<body><foo>x</foo>y</body>"),
+        ("<div/>x</div>y", "<body><div>x</div>y</body>"),
+        # ... but honored in foreign content
+        ("<svg><circle/><rect/></svg>x",
+         "<body><svg><circle></circle><rect></rect></svg>x</body>"),
+    ],
+)
+def test_self_closing_flag_ignored_in_html(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # windows-1252 remap of C1 numeric references
+        ("&#128;", "<body>€</body>"),
+        ("&#x80;", "<body>€</body>"),
+        # surrogate / out-of-range numeric references → U+FFFD
+        ("&#xD800;", "<body>�</body>"),
+        ("&#x110000;", "<body>�</body>"),
+        # legacy named references without semicolon, longest-prefix
+        ("a&notit;b", "<body>a¬it;b</body>"),
+        ("x&lty", "<body>x&lt;y</body>"),
+    ],
+)
+def test_character_reference_edge_cases(source, expected):
+    assert body_html(source) == expected
