@@ -1,0 +1,180 @@
+"""Distributed k-means over the embeddings table (list<float> column).
+
+Lloyd's iterations in the classic scale shape: centroids are broadcast
+(``ray.put`` once per round, read per task), each ``map_batches`` task emits
+k partial rows (per-cluster float64 sums + counts), and the driver folds the
+tiny partials — the only data that ever leaves a block is k×dim numbers per
+batch, so the fit streams at 100 TB. The IVF quantizer in similarity.py
+trains on a driver-side SAMPLE; this module is the full-corpus path that
+feeds it (and semantic clustering / cluster-balanced sampling in general).
+
+Determinism: initial centroids are the vectors of the k smallest ids (no
+RNG); each Lloyd's round runs a fixed iteration count. Assignment is a pure
+per-row float64 computation, so it is batch-layout-independent; the fitted
+centroids can differ in the last ulp across block layouts (float sums are
+order-sensitive), which only matters for points near a Voronoi boundary —
+``kmeans_assign(digits=...)`` additionally rounds distances (DuckDB ROUND
+semantics, functions/rounding.py) and tie-breaks on centroid index so the
+label is reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .rounding import round_half_away
+from .similarity import _matrix
+
+
+def _init_centroids(embeddings_ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic seed: the embeddings of the k smallest ids."""
+    rows = embeddings_ds.sort(id_col).limit(k).take_all()
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds dataset size {len(rows)}")
+    return np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def _assign_block(matrix: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(labels, squared distances) — argmin over ||x-c||²; ties go to the
+    lower centroid index (np.argmin's contract)."""
+    # ||x-c||² = ||x||² - 2 x·c + ||c||²; the ||x||² term is argmin-invariant
+    # but kept so the reported distance is a true squared distance.
+    cross = matrix @ centroids.T
+    d2 = (
+        np.sum(matrix * matrix, axis=1, keepdims=True)
+        - 2.0 * cross
+        + np.sum(centroids * centroids, axis=1)[None, :]
+    )
+    np.maximum(d2, 0.0, out=d2)
+    labels = np.argmin(d2, axis=1)
+    return labels, d2[np.arange(len(matrix)), labels]
+
+
+def kmeans_fit(embeddings_ds, k: int = 8, n_iter: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Full-corpus Lloyd's: returns the (k, dim) float64 centroid matrix.
+
+    Per round: one streaming pass; each batch contributes a (k, dim+1)
+    partial (sums + counts) and the driver reduces partials that total
+    k × n_blocks rows. Empty clusters keep their previous centroid."""
+    import ray
+
+    centroids = _init_centroids(embeddings_ds, k, id_col, vec_col)
+    dim = centroids.shape[1]
+
+    for _ in range(n_iter):
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            cents = ray.get(_ref)
+            m = _matrix(batch, vec_col)
+            labels, _ = _assign_block(m, cents)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, labels, m)
+            counts = np.bincount(labels, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster_id": pa.array(np.arange(k, dtype=np.int64)),
+                    "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        folded_sums = np.zeros((k, dim), dtype=np.float64)
+        folded_counts = np.zeros(k, dtype=np.int64)
+        for block in ray.get(
+            embeddings_ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+        ):
+            if block.num_rows == 0:
+                continue
+            ids = block.column("cluster_id").to_numpy(zero_copy_only=False)
+            sums = _matrix(block, "vec_sum")
+            np.add.at(folded_sums, ids, sums)
+            np.add.at(folded_counts, ids, block.column("n").to_numpy(zero_copy_only=False))
+        nonempty = folded_counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = folded_sums[nonempty] / folded_counts[nonempty, None]
+
+    return centroids
+
+
+def kmeans_assign(embeddings_ds, centroids: np.ndarray,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  digits: int | None = None):
+    """Label every vector with its nearest centroid (squared L2, float64).
+
+    With ``digits`` set, distances are rounded (DuckDB ROUND parity) before
+    the argmin and ties break on the LOWER cluster id — the exact contract
+    the SQL oracle can reproduce with array_agg(cid ORDER BY dist, cid)[1].
+    Returns (id_col, cluster_id, dist2) — ``dist2`` rounded when requested."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _matrix(batch, vec_col)
+        if digits is not None:
+            # direct Σ(x_i-c_i)² — numerically closest to the oracle's
+            # list_sum(list_transform(...)) so the rounded values agree
+            diff = m[:, None, :] - cents[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            d2 = round_half_away(d2, digits)
+            labels = np.argmin(d2, axis=1)  # first minimum == lowest cid
+            best = d2[np.arange(len(m)), labels]
+        else:
+            labels, best = _assign_block(m, cents)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array(labels.astype(np.int64)),
+                "dist2": pa.array(best, pa.float64()),
+            }
+        )
+
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_summary(embeddings_ds, k: int = 8, n_iter: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Fit + one labeling pass, aggregated to k rows:
+    (cluster_id, n_vectors, inertia). Inertia partials fold on the driver
+    (k rows per block)."""
+    import ray
+
+    centroids = kmeans_fit(embeddings_ds, k=k, n_iter=n_iter,
+                           vec_col=vec_col, id_col=id_col)
+    labeled = kmeans_assign(embeddings_ds, centroids, vec_col=vec_col, id_col=id_col)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        d2 = batch.column("dist2").to_numpy(zero_copy_only=False)
+        counts = np.bincount(ids, minlength=k).astype(np.int64)
+        inertia = np.zeros(k, dtype=np.float64)
+        np.add.at(inertia, ids, d2)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(k, dtype=np.int64)),
+                "n_vectors": pa.array(counts, pa.int64()),
+                "inertia": pa.array(inertia, pa.float64()),
+            }
+        )
+
+    n_vectors = np.zeros(k, dtype=np.int64)
+    inertia = np.zeros(k, dtype=np.float64)
+    for block in ray.get(
+        labeled.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if block.num_rows == 0:
+            continue
+        ids = block.column("cluster_id").to_numpy(zero_copy_only=False)
+        np.add.at(n_vectors, ids, block.column("n_vectors").to_numpy(zero_copy_only=False))
+        np.add.at(inertia, ids, block.column("inertia").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "cluster_id": pa.array(np.arange(k, dtype=np.int64)),
+            "n_vectors": pa.array(n_vectors, pa.int64()),
+            "inertia": pa.array(round_half_away(inertia, 2), pa.float64()),
+        }
+    )

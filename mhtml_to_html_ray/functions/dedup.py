@@ -873,3 +873,122 @@ def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: 
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (CCNet / RefinedWeb-style boilerplate removal)
+
+
+def frequent_lines(documents_ds, text_col: str = "text", max_count: int = 1):
+    """Lines whose corpus-wide occurrence count exceeds ``max_count``.
+
+    Scale shape: per-batch ``value_counts`` pre-aggregates to DISTINCT lines
+    per block before the one groupby — the shuffle carries (line, n) partials,
+    never documents. The result is the boilerplate set (nav bars, cookie
+    banners, footers), which is low-cardinality by construction: a line only
+    qualifies by repeating across documents."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lines = pc.list_flatten(pc.split_pattern(batch.column(text_col), pattern="\n"))
+        counts = lines.value_counts()
+        return pa.table(
+            {
+                "line": counts.field("values"),
+                "n": pc.cast(counts.field("counts"), pa.int64()),
+            }
+        )
+
+    counted = documents_ds.map_batches(partials, batch_format="pyarrow").groupby(
+        "line"
+    ).aggregate(Sum("n", alias_name="total"))
+
+    out_schema = pa.schema([("line", pa.string())])
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        # Ray's groupby can emit zero-column empty partitions; return a
+        # typed empty table so downstream concat sees one schema.
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        mask = pc.greater(batch.column("total"), max_count)
+        return batch.filter(mask).select(["line"]).cast(out_schema)
+
+    return counted.map_batches(keep_frequent, batch_format="pyarrow")
+
+
+def line_dedup(documents_ds, text_col: str = "text", max_count: int = 1,
+               id_col: str = "doc_id"):
+    """Remove every line that occurs more than ``max_count`` times across the
+    corpus, preserving the in-document order of the survivors (CCNet's
+    duplicate-line filter; the standard boilerplate scrub of web-text
+    pipelines).
+
+    Two passes over ``documents_ds``:
+
+    1. :func:`frequent_lines` — the only shuffle, over (line, n) partials.
+    2. A broadcast (``ray.put`` once, read per task) of the frequent-line set
+       into a vectorized per-batch scrub: ``split_pattern`` → ``is_in`` mask
+       → rebuild the kept lists from new offsets → ``binary_join``. Documents
+       never leave their blocks, so the pass streams at 100 TB.
+
+    The broadcast assumes the boilerplate set fits a worker heap; that holds
+    because membership requires a repeat count > max_count, so its size is
+    bounded by corpus_lines / max_count and in practice by the (small) set of
+    truly shared lines. Returns (id_col, text_dedup, n_kept, n_removed);
+    ``text_dedup`` is null when every line of a document was scrubbed.
+    """
+    import ray
+
+    # Ray's groupby can emit zero-column empty partitions that bypass the
+    # keep_frequent transform — drop schema-less blocks before concat.
+    blocks = [
+        b
+        for b in ray.get(
+            frequent_lines(documents_ds, text_col, max_count).to_arrow_refs()
+        )
+        if b.num_columns > 0
+    ]
+    if blocks:
+        freq_lines = pa.concat_tables(blocks).column("line").combine_chunks()
+    else:
+        freq_lines = pa.array([], pa.string())
+    freq_ref = ray.put(freq_lines)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        frequent = ray.get(freq_ref)
+        parts = pc.split_pattern(batch.column(text_col), pattern="\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        if len(frequent):
+            keep = pc.invert(pc.is_in(flat, value_set=frequent))
+        else:
+            keep = pa.array(np.ones(len(flat), dtype=bool))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        n_docs = len(batch)
+        kept_counts = np.bincount(parents[keep_np], minlength=n_docs)
+        removed_counts = np.bincount(parents[~keep_np], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_values = pc.cast(flat.filter(keep), pa.large_string())
+        if isinstance(kept_values, pa.ChunkedArray):
+            kept_values = kept_values.combine_chunks()
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_values
+        )
+        joined = pc.binary_join(kept_lists, pa.scalar("\n", pa.large_string()))
+        joined = pc.if_else(
+            pa.array(kept_counts > 0), pc.cast(joined, pa.string()),
+            pa.scalar(None, pa.string()),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text_dedup": joined,
+                "n_kept": pa.array(kept_counts, pa.int64()),
+                "n_removed": pa.array(removed_counts, pa.int64()),
+            }
+        )
+
+    return documents_ds.map_batches(scrub, batch_format="pyarrow")

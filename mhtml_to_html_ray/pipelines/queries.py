@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..frontier.canon import canonicalize
-from ..functions import (corpusstats, dedup, multimodal, pii, sampling,
-                         similarity, textstats)
+from ..functions import (clustering, corpusstats, dedup, multimodal, pii,
+                         sampling, similarity, textstats)
 from .flagship import run_flagship
 
 
@@ -1321,6 +1321,65 @@ def q_media_decode_real(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet-style duplicated-line scrub over synthesized multi-line pages:
+    deterministic boilerplate (nav/footer lines shared across documents)
+    wrapped around the unique body line; every line occurring more than once
+    corpus-wide is removed, survivor order preserved (functions/dedup.py
+    line_dedup — the boilerplate filter of a web-text pipeline)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        n = len(batch)
+        nav = pc.binary_join_element_wise(
+            _lit("nav menu ", n), pc.cast(_mod(did, 5), pa.string()), "")
+        contact = pc.binary_join_element_wise(
+            _lit("contact us ", n), pc.cast(_mod(did, 3), pa.string()), "")
+        ref = pc.binary_join_element_wise(
+            _lit("ref ", n), pc.cast(did, pa.string()), "")
+        raw = pc.binary_join_element_wise(
+            nav, batch.column("text"), contact, ref, "\n")
+        return pa.table({"doc_id": did, "text": raw})
+
+    pages = ds.map_batches(synth, batch_format="pyarrow")
+    return _sorted_table(dedup.line_dedup(pages, max_count=1), ["doc_id"])
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's over the full embeddings table (k partial rows per
+    block per round; functions/clustering.py). Iterative float refit is not
+    ANSI-SQL-expressible — deliberately oracle-free; invariants (blob
+    recovery, layout-independence of labels, partial-fold exactness) are
+    pinned in tests/test_clustering.py."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return clustering.kmeans_summary(ds, k=8, n_iter=5)
+
+
+def q_embedding_kmeans_assign(sf_dir: str):
+    """Voronoi labeling against FIXED centroids (the vectors of vec_id < 8):
+    per-row float64 squared distances rounded like DuckDB ROUND(·, 4), ties
+    to the lower centroid id — deterministic, batch-layout-independent, and
+    fully oracled (the SQL recomputes the same rounded-distance argmin)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                lambda b: b.filter(pc.less(b.column("vec_id"), 8)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    )
+    order = np.argsort(cent_tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    centroids = similarity._matrix(cent_tbl)[order]
+    out = clustering.kmeans_assign(ds, centroids, digits=4).select_columns(
+        ["vec_id", "cluster_id"]
+    )
+    return _sorted_table(out, ["vec_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1383,6 +1442,9 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
+    "line_dedup": q_line_dedup,
+    "embedding_kmeans": q_embedding_kmeans,
+    "embedding_kmeans_assign": q_embedding_kmeans_assign,
 }
 
 
@@ -1804,8 +1866,44 @@ ORACLE_SQL = {
                CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 100 + 1) * 10 END AS BIGINT) AS duration_ms
         FROM documents ORDER BY doc_id
     """,
-    # langid, dedup_minhash, dedup_simhash, ngram_jaccard, embedding_ann and
-    # dedup_embedding are deliberately oracle-free: heuristic / approximate /
-    # iterative operators DuckDB SQL cannot express — the driver records
-    # rows-only checks and tests/test_functions.py pins their semantics.
+    "line_dedup": """
+        WITH base AS (
+            SELECT doc_id,
+                   'nav menu ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+                   text || chr(10) ||
+                   'contact us ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+                   'ref ' || CAST(doc_id AS VARCHAR) AS raw
+            FROM documents),
+        exploded AS (
+            SELECT doc_id,
+                   unnest(string_split(raw, chr(10))) AS line,
+                   unnest(range(1, len(string_split(raw, chr(10))) + 1)) AS ord
+            FROM base),
+        freq AS (SELECT line FROM exploded GROUP BY line HAVING COUNT(*) > 1)
+        SELECT e.doc_id,
+               string_agg(CASE WHEN f.line IS NULL THEN e.line END,
+                          chr(10) ORDER BY e.ord) AS text_dedup,
+               COUNT(CASE WHEN f.line IS NULL THEN 1 END) AS n_kept,
+               COUNT(f.line) AS n_removed
+        FROM exploded e LEFT JOIN freq f ON e.line = f.line
+        GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+    "embedding_kmeans_assign": """
+        WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+        d AS (
+            SELECT e.vec_id, c.cid,
+                   ROUND(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ** 2)),
+                         4) AS dist
+            FROM embeddings e CROSS JOIN c)
+        SELECT vec_id,
+               (array_agg(cid ORDER BY dist, cid))[1] AS cluster_id
+        FROM d GROUP BY vec_id ORDER BY vec_id
+    """,
+    # langid, dedup_minhash, dedup_simhash, ngram_jaccard, embedding_ann,
+    # dedup_embedding and embedding_kmeans are deliberately oracle-free:
+    # heuristic / approximate / iterative operators DuckDB SQL cannot
+    # express — the driver records rows-only checks and
+    # tests/test_functions.py + tests/test_clustering.py pin their semantics.
 }

@@ -821,3 +821,70 @@ def test_unigram_lm_vocab_cap(ray_session):
     assert len(capped) == 20
     # with only "common" in-vocab, every doc scores identically via UNK
     assert len(set(capped.values())) == 1
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (CCNet-style boilerplate scrub)
+
+
+def test_frequent_lines_threshold(ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table([
+        "nav\nbody one\nfooter",
+        "nav\nbody two\nfooter",
+        "nav\nbody three",
+    ]))
+    freq = sorted(r["line"] for r in dedup.frequent_lines(docs).take_all())
+    assert freq == ["footer", "nav"]
+    # max_count=2 keeps lines needing >2 occurrences
+    freq2 = sorted(r["line"] for r in dedup.frequent_lines(docs, max_count=2).take_all())
+    assert freq2 == ["nav"]
+
+
+def test_line_dedup_scrubs_and_preserves_order(ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table([
+        "nav\nalpha\nfooter\nbeta",
+        "nav\ngamma\nfooter",
+        "delta",
+    ]))
+    rows = {r["doc_id"]: r for r in dedup.line_dedup(docs).take_all()}
+    assert rows[0]["text_dedup"] == "alpha\nbeta"
+    assert (rows[0]["n_kept"], rows[0]["n_removed"]) == (2, 2)
+    assert rows[1]["text_dedup"] == "gamma"
+    assert rows[2]["text_dedup"] == "delta"
+    assert rows[2]["n_removed"] == 0
+
+
+def test_line_dedup_fully_scrubbed_doc_is_null(ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table(["same\nsame2", "same\nsame2", "keep"]))
+    rows = {r["doc_id"]: r for r in dedup.line_dedup(docs).take_all()}
+    assert rows[0]["text_dedup"] is None
+    assert rows[0]["n_kept"] == 0 and rows[0]["n_removed"] == 2
+    assert rows[2]["text_dedup"] == "keep"
+
+
+def test_line_dedup_no_duplicates_is_identity(ray_session):
+    import ray.data
+
+    texts = [f"unique line {i}\nsecond {i}" for i in range(10)]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    rows = sorted(dedup.line_dedup(docs).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text_dedup"] for r in rows] == texts
+    assert all(r["n_removed"] == 0 for r in rows)
+
+
+def test_line_dedup_layout_independent(ray_session):
+    import ray.data
+
+    texts = [f"nav\nbody {i}\nfooter" for i in range(30)]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    a = sorted(dedup.line_dedup(docs).take_all(), key=lambda r: r["doc_id"])
+    b = sorted(dedup.line_dedup(docs.repartition(7)).take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b
+    assert a[0]["text_dedup"] == "body 0"
