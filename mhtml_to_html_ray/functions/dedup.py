@@ -992,3 +992,103 @@ def line_dedup(documents_ds, text_col: str = "text", max_count: int = 1,
         )
 
     return documents_ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a persisted corpus hash index
+
+
+def build_hash_index(documents_ds, index_dir: str, n_partitions: int = 16):
+    """Persist the corpus's content-hash set as Parquet partitioned by
+    crc32(hash) % n_partitions — the "what have we already got" side of
+    incremental ingestion. Each partition holds (content_hash,
+    keeper_doc_id) with one row per DISTINCT hash, so re-ingesting a new
+    crawl shard never rescans the existing corpus: lookups read only the
+    partitions the new shard's hashes route to. Partition count is recorded
+    in index_meta.json (same layout contract as the inverted index)."""
+    import json
+    import os
+    import zlib
+
+    from ray.data.aggregate import Min
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        out = content_hash_batch(batch)
+        parts = [
+            zlib.crc32(h.encode("ascii")) % n_partitions
+            for h in out.column("content_hash").to_pylist()
+        ]
+        return out.append_column("part", pa.array(parts, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        documents_ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                   Min("part", alias_name="part"))
+        .write_parquet(index_dir, partition_cols=["part"])
+    )
+    with open(os.path.join(index_dir, "index_meta.json"), "w") as handle:
+        json.dump({"n_partitions": n_partitions}, handle)
+
+
+def dedup_against_index(new_ds, index_dir: str, mode: str = "mark"):
+    """Mark (or drop) rows of a NEW shard whose content hash already exists
+    in a persisted :func:`build_hash_index` directory.
+
+    Scale shape: the new shard is hashed per batch, reduced to (hash,
+    doc_id, part) rows, and grouped by index partition; each group task
+    reads ONLY its one index partition (partition-pruned — the existing
+    corpus is never scanned) and membership-tests with a vectorized
+    ``is_in``. ``mode="mark"`` returns (doc_id, content_hash, is_duplicate)
+    for every new row; ``mode="filter"`` additionally drops duplicates.
+    Within-shard duplicates are NOT collapsed here — run :func:`exact_dedup`
+    on the survivors for that."""
+    import glob
+    import json
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    if mode not in ("mark", "filter"):
+        raise ValueError(f"mode must be 'mark' or 'filter', got {mode!r}")
+    with open(os.path.join(index_dir, "index_meta.json")) as handle:
+        n_partitions = json.load(handle)["n_partitions"]
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        out = content_hash_batch(batch)
+        parts = [
+            zlib.crc32(h.encode("ascii")) % n_partitions
+            for h in out.column("content_hash").to_pylist()
+        ]
+        return out.append_column("part", pa.array(parts, pa.int64()))
+
+    def probe(group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        paths = glob.glob(os.path.join(index_dir, f"part={part}", "*.parquet"))
+        if paths:
+            existing = pa.concat_tables(
+                pq.read_table(p, columns=["content_hash"]) for p in paths
+            ).column("content_hash")
+            if isinstance(existing, pa.ChunkedArray):
+                existing = existing.combine_chunks()
+            dup = pc.is_in(group.column("content_hash"), value_set=existing)
+        else:
+            dup = pa.array(np.zeros(len(group), dtype=bool))
+        out = pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "content_hash": group.column("content_hash"),
+                "is_duplicate": dup,
+            }
+        )
+        if mode == "filter":
+            out = out.filter(pc.invert(out.column("is_duplicate")))
+        return out
+
+    return (
+        new_ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(probe, batch_format="pyarrow")
+    )

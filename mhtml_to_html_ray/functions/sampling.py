@@ -96,3 +96,50 @@ def stratified_sample(ds, key: str, strata_col: str, rates: dict,
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-key cap (docs-per-domain limit)
+
+
+def per_key_cap(ds, key: str, max_per_key: int, order_col: str,
+                columns: list[str] | None = None):
+    """Keep at most ``max_per_key`` rows per ``key`` value, chosen as the
+    smallest ``order_col`` values (deterministic — no RNG, no run-order
+    dependence). The docs-per-domain cap of Common-Crawl-style pipelines.
+
+    Scale shape: rows are projected to (key, order_col) before any shuffle,
+    then a per-block COMBINER keeps at most max_per_key rows per key within
+    each block, so the one groupby shuffles at most max_per_key × n_blocks
+    rows per key — a hot domain cannot flood its reducer. The final
+    ``map_groups`` re-applies the cap on the combined partials. Returns the
+    capped (key, order_col[, columns...]) rows; join back on order_col for
+    full payloads.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = [key, order_col] + [c for c in (columns or []) if c not in (key, order_col)]
+
+    def cap_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[(key, "ascending"), (order_col, "ascending")]
+        )
+        sorted_batch = batch.take(order)
+        keys = sorted_batch.column(key).to_numpy(zero_copy_only=False)
+        # rank within key run: position − start-of-run position
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        run_id = np.cumsum(np.concatenate(([0], (keys[1:] != keys[:-1]).astype(np.int64))))
+        rank = np.arange(len(keys)) - starts[run_id]
+        return sorted_batch.filter(pa.array(rank < max_per_key))
+
+    projected = ds.select_columns(cols).map_batches(cap_block, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return cap_block(group)
+
+    return projected.groupby(key).map_groups(finalize, batch_format="pyarrow")

@@ -1380,6 +1380,111 @@ def q_embedding_kmeans_assign(sf_dir: str):
     return _sorted_table(out, ["vec_id"])
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup of a NEW shard against a PERSISTED corpus
+    hash index (functions/dedup.py build_hash_index / dedup_against_index):
+    texts truncated to 12 chars so duplicates exist across the even-id
+    "existing corpus" and odd-id "new shard"; the probe reads only the
+    index partitions the new hashes route to (partition-pruned)."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.utf8_slice_codeunits(batch.column("text"), 0, 12),
+            }
+        )
+
+    pages = ds.map_batches(synth, batch_format="pyarrow")
+    existing = pages.map_batches(
+        lambda b: b.filter(pc.equal(_mod(b.column("doc_id"), 2), 0)),
+        batch_format="pyarrow",
+    )
+    new = pages.map_batches(
+        lambda b: b.filter(pc.equal(_mod(b.column("doc_id"), 2), 1)),
+        batch_format="pyarrow",
+    )
+    index_dir = tempfile.mkdtemp(prefix="hash_index_")
+    dedup.build_hash_index(existing, index_dir, n_partitions=8)
+    return _sorted_table(dedup.dedup_against_index(new, index_dir), ["doc_id"])
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles of n_chars (functions/quantiles.py):
+    per-block value_counts partials -> one groupby over (value, n) rows ->
+    driver CDF walk. quantile_disc parity with the oracle."""
+    from ..functions import quantiles
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return quantiles.exact_quantiles(
+        ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def q_domain_cap(sf_dir: str):
+    """Docs-per-domain cap (functions/sampling.py per_key_cap): keep the 7
+    lowest doc_ids per source. Per-block combiner bounds the shuffle to
+    cap × n_blocks rows per key."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    capped = sampling.per_key_cap(ds, key="source", max_per_key=7,
+                                  order_col="doc_id")
+    return _sorted_table(capped.select_columns(["doc_id", "source"]), ["doc_id"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (functions/decontam.py): the eval set is
+    documents with doc_id < 10; training docs with doc_id % 7 == 3 get the
+    first 8-gram of eval doc (doc_id % 10) appended, so contamination is
+    deterministic and nonzero. Marks every training doc with the count of
+    DISTINCT eval 8-grams it contains (vectorized rolling-hash n-grams vs a
+    broadcast eval hash set — no shuffle, no Python token loop)."""
+    import ray
+
+    from ..functions import decontam
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_blocks = [
+        b
+        for b in ray.get(
+            ds.map_batches(
+                lambda b: b.filter(pc.less(b.column("doc_id"), 10)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if b.num_columns > 0
+    ]
+    eval_tbl = pa.concat_tables(eval_blocks)
+    first_gram = {}
+    for did, text in zip(
+        eval_tbl.column("doc_id").to_pylist(), eval_tbl.column("text").to_pylist()
+    ):
+        toks = text.split()
+        if len(toks) >= 8:
+            first_gram[did] = " ".join(toks[:8])
+    grams_by_eid = np.array([first_gram.get(i, "") for i in range(10)], dtype=object)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        chosen = grams_by_eid[did % 10]
+        mask = did % 7 == 3
+        suffix = np.where(
+            mask & (chosen != ""), np.array([" "], object) + chosen, ""
+        )
+        text = pc.binary_join_element_wise(
+            batch.column("text"), pa.array(suffix.astype(str), pa.string()), ""
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    train = ds.map_batches(synth, batch_format="pyarrow")
+    marked = decontam.decontaminate(
+        train, ray.data.from_arrow(eval_tbl), n=8, mode="mark"
+    )
+    return _sorted_table(marked, ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1443,6 +1548,10 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
     "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
+    "domain_cap": q_domain_cap,
+    "length_quantiles": q_length_quantiles,
+    "dedup_incremental": q_dedup_incremental,
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
 }
@@ -1887,6 +1996,62 @@ ORACLE_SQL = {
                COUNT(f.line) AS n_removed
         FROM exploded e LEFT JOIN freq f ON e.line = f.line
         GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+    "dedup_incremental": """
+        WITH pages AS (
+            SELECT doc_id, substring(text, 1, 12) AS text FROM documents),
+        existing AS (
+            SELECT DISTINCT md5(text) AS h FROM pages WHERE doc_id % 2 = 0)
+        SELECT n.doc_id,
+               md5(n.text) AS content_hash,
+               md5(n.text) IN (SELECT h FROM existing) AS is_duplicate
+        FROM pages n WHERE n.doc_id % 2 = 1
+        ORDER BY n.doc_id
+    """,
+    "length_quantiles": """
+        WITH s AS (
+            SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+            FROM documents)
+        SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+               unnest(v) AS value
+        FROM s
+    """,
+    "domain_cap": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 7 ORDER BY doc_id
+    """,
+    "decontaminate": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+            FROM documents),
+        evald AS (
+            SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS gram
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+            WHERE doc_id < 10),
+        firstg AS (
+            SELECT doc_id AS eid, array_to_string(t[1:8], ' ') AS gram
+            FROM toks WHERE doc_id < 10 AND len(t) >= 8),
+        train AS (
+            SELECT d.doc_id,
+                   d.text || CASE WHEN d.doc_id % 7 = 3
+                                  THEN ' ' || COALESCE(g.gram, '')
+                                  ELSE '' END AS text
+            FROM documents d LEFT JOIN firstg g ON g.eid = d.doc_id % 10),
+        joined AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       ' ') || ' ' AS j
+            FROM train)
+        SELECT t.doc_id,
+               COUNT(e.gram) AS n_hits,
+               COUNT(e.gram) > 0 AS contaminated
+        FROM joined t LEFT JOIN evald e ON contains(t.j, ' ' || e.gram || ' ')
+        GROUP BY t.doc_id ORDER BY t.doc_id
     """,
     "embedding_kmeans_assign": """
         WITH c AS (SELECT vec_id AS cid, embedding AS cvec

@@ -1,0 +1,130 @@
+"""Scale-path operators added round 3: per-key cap, exact distributed
+quantiles, and incremental dedup against a persisted hash index."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mhtml_to_html_ray.functions import dedup, quantiles, sampling
+
+
+# ---------------------------------------------------------------------------
+# per_key_cap
+
+
+def _keyed_table(pairs):
+    return pa.table({
+        "source": pa.array([p[0] for p in pairs], pa.string()),
+        "doc_id": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+
+
+def test_per_key_cap_keeps_smallest(ray_session):
+    import ray
+
+    rows = [("a", 5), ("a", 1), ("a", 3), ("b", 9), ("b", 2), ("c", 7)]
+    ds = ray.data.from_arrow(_keyed_table(rows))
+    out = sorted(
+        (r["source"], r["doc_id"])
+        for r in sampling.per_key_cap(ds, "source", 2, "doc_id").take_all()
+    )
+    assert out == [("a", 1), ("a", 3), ("b", 2), ("b", 9), ("c", 7)]
+
+
+def test_per_key_cap_combiner_matches_across_layouts(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(200)
+    rows = [(f"s{i % 5}", int(ids[i])) for i in range(200)]
+    ds = ray.data.from_arrow(_keyed_table(rows))
+    a = sorted((r["source"], r["doc_id"])
+               for r in sampling.per_key_cap(ds, "source", 4, "doc_id").take_all())
+    b = sorted((r["source"], r["doc_id"])
+               for r in sampling.per_key_cap(
+                   ds.repartition(13), "source", 4, "doc_id").take_all())
+    assert a == b
+    assert len(a) == 20
+    # per-key results really are the 4 smallest
+    want = {}
+    for s, d in rows:
+        want.setdefault(s, []).append(d)
+    expect = sorted((s, d) for s, ds_ in want.items() for d in sorted(ds_)[:4])
+    assert a == expect
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles
+
+
+def test_exact_quantiles_duckdb_parity(ray_session):
+    import duckdb
+    import ray
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, size=1000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = quantiles.exact_quantiles(ds, "v", qs)
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": pa.array(vals, pa.int64())}))
+    want = con.execute(
+        "SELECT unnest(quantile_disc(v, ?)) FROM t", [qs]
+    ).fetchall()
+    assert got.column("value").to_pylist() == [w[0] for w in want]
+
+
+def test_exact_quantiles_rejects_out_of_range(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="outside"):
+        quantiles.exact_quantiles(ds, "v", [1.5])
+
+
+# ---------------------------------------------------------------------------
+# persisted hash index
+
+
+def _docs(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_dedup_against_index_marks_known_hashes(ray_session, tmp_path):
+    import ray
+
+    existing = ray.data.from_arrow(_docs(["alpha", "beta", "gamma"]))
+    index_dir = str(tmp_path / "idx")
+    dedup.build_hash_index(existing, index_dir, n_partitions=4)
+
+    new = ray.data.from_arrow(_docs(["beta", "delta", "alpha", "epsilon"]))
+    rows = {r["doc_id"]: r["is_duplicate"]
+            for r in dedup.dedup_against_index(new, index_dir).take_all()}
+    assert rows == {0: True, 1: False, 2: True, 3: False}
+
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_against_index(new, index_dir, mode="filter").take_all())
+    assert kept == [1, 3]
+
+
+def test_dedup_against_index_empty_index(ray_session, tmp_path):
+    import ray
+
+    index_dir = str(tmp_path / "idx")
+    dedup.build_hash_index(
+        ray.data.from_arrow(_docs([])), index_dir, n_partitions=4)
+    new = ray.data.from_arrow(_docs(["anything"]))
+    rows = dedup.dedup_against_index(new, index_dir).take_all()
+    assert [r["is_duplicate"] for r in rows] == [False]
+
+
+def test_dedup_against_index_mode_validated(ray_session, tmp_path):
+    import ray
+
+    index_dir = str(tmp_path / "idx")
+    dedup.build_hash_index(
+        ray.data.from_arrow(_docs(["x"])), index_dir, n_partitions=2)
+    with pytest.raises(ValueError, match="mode"):
+        dedup.dedup_against_index(
+            ray.data.from_arrow(_docs(["y"])), index_dir, mode="bad")
