@@ -28,11 +28,34 @@ from .similarity import _matrix
 
 
 def _init_centroids(embeddings_ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
-    """Deterministic seed: the embeddings of the k smallest ids."""
-    rows = embeddings_ds.sort(id_col).limit(k).take_all()
-    if len(rows) < k:
-        raise ValueError(f"k={k} exceeds dataset size {len(rows)}")
-    return np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    """Deterministic seed: the embeddings of the k smallest ids.
+
+    Combiner shape, not a sort: each block keeps only its k smallest rows
+    (a per-batch ``sort_indices`` slice), so at most k × n_blocks rows reach
+    the driver fold — the full-table ``Dataset.sort`` this replaces shuffled
+    the entire corpus before the first Lloyd's round."""
+    import pyarrow.compute as pc
+
+    def k_smallest(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch.column(id_col))[:k]
+        return batch.select([id_col, vec_col]).take(order)
+
+    partials = [
+        b
+        for b in embeddings_ds.map_batches(
+            k_smallest, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    n_rows = sum(b.num_rows for b in partials)
+    if n_rows < k:
+        raise ValueError(f"k={k} exceeds dataset size {n_rows}")
+    folded = pa.concat_tables(partials)
+    order = pc.sort_indices(folded.column(id_col))[:k]
+    seeds = folded.take(order).column(vec_col)
+    return np.array(
+        [np.asarray(v.as_py(), dtype=np.float64) for v in seeds]
+    )
 
 
 def _assign_block(matrix: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -13,9 +13,11 @@ the only driver-side materialization is the eval hash set.
 
 Semantics (mirrored by the SQL oracle in pipelines/queries.py):
 
-* tokenization = whitespace-split with empty tokens dropped
-  (``str.split()`` / DuckDB ``list_filter(string_split_regex(text,'\\s+'),
-  x -> x <> '')``);
+* tokenization = regex ``\s``-whitespace split with empty tokens dropped
+  (DuckDB ``list_filter(string_split_regex(text,'\s+'), x -> x <> '')``)
+  — the SAME RE2 ``\s`` class on both sides, so Unicode-only whitespace
+  (e.g. NBSP) stays inside tokens in the engine exactly as it does in the
+  oracle;
 * an n-gram is a contiguous window of n tokens; a document is contaminated
   when any of its n-grams equals any eval-set n-gram;
 * ``n_hits`` counts DISTINCT eval n-grams found in the document.
@@ -40,8 +42,12 @@ def _token_hashes(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     array, with the whitespace-split-drop-empties tokenization contract."""
     import polars as pl
 
-    collapsed = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(texts), r"\s+", " "
+    # collapse and trim with the SAME RE2 \s class the SQL oracle's
+    # string_split_regex uses — utf8_trim_whitespace would also strip
+    # Unicode-only whitespace (NBSP) that \s does not match, silently
+    # changing the n-gram stream vs the oracle
+    collapsed = pc.utf8_trim(
+        pc.replace_substring_regex(texts, r"\s+", " "), " "
     )
     parts = pc.split_pattern(collapsed, " ")
     if isinstance(parts, pa.ChunkedArray):

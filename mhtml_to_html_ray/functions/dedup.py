@@ -998,38 +998,69 @@ def line_dedup(documents_ds, text_col: str = "text", max_count: int = 1,
 # Incremental exact dedup against a persisted corpus hash index
 
 
+_HASH_INDEX_ROUTING = "int(md5_hex[:8], 16) % n_partitions"
+
+
+def _hash_with_partition(batch: pa.Table, n_partitions: int) -> pa.Table:
+    """(doc_id, content_hash, part) in ONE pass — the md5 hex is uniform, so
+    its leading 32 bits ARE the partition hash (no second per-row hash loop).
+    This helper is the single home of the index routing contract
+    (:data:`_HASH_INDEX_ROUTING`): build and probe both call it, so the two
+    sides can never disagree on where a hash lives."""
+    texts = batch.column("text").to_pylist()
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    parts = [int(h[:8], 16) % n_partitions for h in hashes]
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(hashes, pa.string()),
+            pa.array(parts, pa.int64()),
+        ],
+        names=["doc_id", "content_hash", "part"],
+    )
+
+
 def build_hash_index(documents_ds, index_dir: str, n_partitions: int = 16):
     """Persist the corpus's content-hash set as Parquet partitioned by
-    crc32(hash) % n_partitions — the "what have we already got" side of
-    incremental ingestion. Each partition holds (content_hash,
-    keeper_doc_id) with one row per DISTINCT hash, so re-ingesting a new
-    crawl shard never rescans the existing corpus: lookups read only the
-    partitions the new shard's hashes route to. Partition count is recorded
-    in index_meta.json (same layout contract as the inverted index)."""
+    the hash's own leading 32 bits mod n_partitions — the "what have we
+    already got" side of incremental ingestion. Each partition holds
+    (content_hash, keeper_doc_id) with one row per DISTINCT hash, so
+    re-ingesting a new crawl shard never rescans the existing corpus:
+    lookups read only the partitions the new shard's hashes route to.
+    Partition count + routing are recorded in index_meta.json (same layout
+    contract as the inverted index). Refuses to write into a directory that
+    already holds index partitions: Parquet files are uuid-named, so an
+    in-place rebuild would silently MERGE stale hashes from the previous
+    build into the new index."""
+    import glob
     import json
     import os
-    import zlib
 
     from ray.data.aggregate import Min
 
-    def hashed(batch: pa.Table) -> pa.Table:
-        out = content_hash_batch(batch)
-        parts = [
-            zlib.crc32(h.encode("ascii")) % n_partitions
-            for h in out.column("content_hash").to_pylist()
-        ]
-        return out.append_column("part", pa.array(parts, pa.int64()))
-
+    if glob.glob(os.path.join(index_dir, "part=*")):
+        raise ValueError(
+            f"index_dir {index_dir!r} already contains index partitions; "
+            "write to a fresh directory (or delete the old index) — an "
+            "in-place rebuild would merge stale hashes from the prior build"
+        )
     os.makedirs(index_dir, exist_ok=True)
     (
-        documents_ds.map_batches(hashed, batch_format="pyarrow")
+        documents_ds.map_batches(
+            _hash_with_partition,
+            batch_format="pyarrow",
+            fn_kwargs={"n_partitions": n_partitions},
+        )
         .groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
                    Min("part", alias_name="part"))
         .write_parquet(index_dir, partition_cols=["part"])
     )
     with open(os.path.join(index_dir, "index_meta.json"), "w") as handle:
-        json.dump({"n_partitions": n_partitions}, handle)
+        json.dump(
+            {"n_partitions": n_partitions, "routing": _HASH_INDEX_ROUTING},
+            handle,
+        )
 
 
 def dedup_against_index(new_ds, index_dir: str, mode: str = "mark"):
@@ -1047,22 +1078,21 @@ def dedup_against_index(new_ds, index_dir: str, mode: str = "mark"):
     import glob
     import json
     import os
-    import zlib
 
     import pyarrow.parquet as pq
 
     if mode not in ("mark", "filter"):
         raise ValueError(f"mode must be 'mark' or 'filter', got {mode!r}")
     with open(os.path.join(index_dir, "index_meta.json")) as handle:
-        n_partitions = json.load(handle)["n_partitions"]
-
-    def hashed(batch: pa.Table) -> pa.Table:
-        out = content_hash_batch(batch)
-        parts = [
-            zlib.crc32(h.encode("ascii")) % n_partitions
-            for h in out.column("content_hash").to_pylist()
-        ]
-        return out.append_column("part", pa.array(parts, pa.int64()))
+        meta = json.load(handle)
+    n_partitions = meta["n_partitions"]
+    routing = meta.get("routing", _HASH_INDEX_ROUTING)
+    if routing != _HASH_INDEX_ROUTING:
+        raise ValueError(
+            f"index at {index_dir!r} was built with routing {routing!r}; "
+            f"this engine probes with {_HASH_INDEX_ROUTING!r} — rebuild the "
+            "index (probing a mismatched layout reports duplicates as unique)"
+        )
 
     def probe(group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
@@ -1088,7 +1118,11 @@ def dedup_against_index(new_ds, index_dir: str, mode: str = "mark"):
         return out
 
     return (
-        new_ds.map_batches(hashed, batch_format="pyarrow")
+        new_ds.map_batches(
+            _hash_with_partition,
+            batch_format="pyarrow",
+            fn_kwargs={"n_partitions": n_partitions},
+        )
         .groupby("part")
         .map_groups(probe, batch_format="pyarrow")
     )

@@ -32,7 +32,9 @@ def value_counts_ds(ds, col: str):
         column = batch.column(col)
         if isinstance(column, pa.ChunkedArray):
             column = column.combine_chunks()
-        counts = column.value_counts()
+        # NULLs are excluded from the distribution (DuckDB aggregate
+        # semantics) — value_counts would otherwise emit a null entry
+        counts = column.drop_null().value_counts()
         return pa.table(
             {
                 "value": counts.field("values"),

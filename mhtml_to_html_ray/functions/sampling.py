@@ -108,6 +108,15 @@ def per_key_cap(ds, key: str, max_per_key: int, order_col: str,
     smallest ``order_col`` values (deterministic — no RNG, no run-order
     dependence). The docs-per-domain cap of Common-Crawl-style pipelines.
 
+    Determinism contract: the surviving (key, order_col) multiset is always
+    layout-independent. When ``columns`` carries payload AND (key,
+    order_col) pairs are not unique, ties at the cap boundary are broken by
+    the carried columns in their given order (the full sort key is (key,
+    order_col, *columns)), so the surviving ROWS are also
+    layout-independent as long as full rows are distinct; exact duplicate
+    rows are interchangeable by definition. Prefer a unique order_col (e.g.
+    doc_id) when joining payloads back.
+
     Scale shape: rows are projected to (key, order_col) before any shuffle,
     then a per-block COMBINER keeps at most max_per_key rows per key within
     each block, so the one groupby shuffles at most max_per_key × n_blocks
@@ -120,13 +129,12 @@ def per_key_cap(ds, key: str, max_per_key: int, order_col: str,
     import pyarrow.compute as pc
 
     cols = [key, order_col] + [c for c in (columns or []) if c not in (key, order_col)]
+    sort_keys = [(c, "ascending") for c in cols]
 
     def cap_block(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return batch
-        order = pc.sort_indices(
-            batch, sort_keys=[(key, "ascending"), (order_col, "ascending")]
-        )
+        order = pc.sort_indices(batch, sort_keys=sort_keys)
         sorted_batch = batch.take(order)
         keys = sorted_batch.column(key).to_numpy(zero_copy_only=False)
         # rank within key run: position − start-of-run position

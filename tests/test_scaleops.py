@@ -128,3 +128,52 @@ def test_dedup_against_index_mode_validated(ray_session, tmp_path):
     with pytest.raises(ValueError, match="mode"):
         dedup.dedup_against_index(
             ray.data.from_arrow(_docs(["y"])), index_dir, mode="bad")
+
+
+def test_build_hash_index_refuses_in_place_rebuild(ray_session, tmp_path):
+    import ray
+
+    index_dir = str(tmp_path / "idx")
+    dedup.build_hash_index(
+        ray.data.from_arrow(_docs(["x", "y"])), index_dir, n_partitions=2)
+    with pytest.raises(ValueError, match="already contains"):
+        dedup.build_hash_index(
+            ray.data.from_arrow(_docs(["z"])), index_dir, n_partitions=2)
+
+
+def test_dedup_against_index_rejects_routing_mismatch(ray_session, tmp_path):
+    import json
+    import ray
+
+    index_dir = str(tmp_path / "idx")
+    dedup.build_hash_index(
+        ray.data.from_arrow(_docs(["x"])), index_dir, n_partitions=2)
+    meta_path = tmp_path / "idx" / "index_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["routing"] = "crc32(hash) % n_partitions"
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="routing"):
+        dedup.dedup_against_index(
+            ray.data.from_arrow(_docs(["y"])), index_dir)
+
+
+def test_per_key_cap_payload_ties_layout_independent(ray_session):
+    import ray
+
+    # duplicate (key, order_col) pairs straddling the cap boundary, with a
+    # payload column: the tie must break on the payload, not block layout
+    table = pa.table({
+        "source": pa.array(["a"] * 4, pa.string()),
+        "doc_id": pa.array([1, 1, 1, 0], pa.int64()),
+        "payload": pa.array(["p3", "p1", "p2", "p0"], pa.string()),
+    })
+    ds = ray.data.from_arrow(table)
+    want = [("a", 0, "p0"), ("a", 1, "p1")]
+    for layout in (ds, ds.repartition(4)):
+        got = sorted(
+            (r["source"], r["doc_id"], r["payload"])
+            for r in sampling.per_key_cap(
+                layout, "source", 2, "doc_id", columns=["payload"]
+            ).take_all()
+        )
+        assert got == want
