@@ -21,8 +21,9 @@ Scale shape, in the order the 100-TB run cares about:
   postings rows are (token, doc_id, tf) — index size is O(corpus tokens)
   but each query touches 1/n_partitions of it per probe token.
 
-Tokenization is shared with the LM scorer (ASCII ``\\s+``), matching the
-DuckDB oracle's ``regexp_split_to_array(text, '\\s+')``.
+Tokenization is shared with the LM scorer (textstats._lm_tokens — the exact
+RE2 ``\\s`` class ``[\\t\\n\\f\\r ]``), matching the DuckDB oracle's
+``regexp_split_to_array(text, '\\s+')`` byte-for-byte.
 """
 
 from __future__ import annotations
@@ -31,19 +32,7 @@ import zlib
 
 import pyarrow as pa
 
-from .textstats import _lm_tokens
-
-
-def _flatten_batch(batch: pa.Table):
-    """Tokenize every doc in a batch once: (doc_ids, flat tokens, bounds)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    all_tokens: list[str] = []
-    bounds: list[tuple[int, int]] = []
-    for text in batch.column("text").to_pylist():
-        tokens = _lm_tokens(text)
-        bounds.append((len(all_tokens), len(tokens)))
-        all_tokens.extend(tokens)
-    return doc_ids, all_tokens, bounds
+from .textstats import _flatten_batch
 
 
 def _doc_token_tf(batch: pa.Table):
@@ -88,18 +77,15 @@ def document_frequencies(documents_ds):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        _, all_tokens, bounds = _flatten_batch(batch)
-        n_docs = sum(1 for _, length in bounds if length)
-        if not all_tokens:
+        # _doc_token_tf rows are already distinct (doc, token) pairs, so the
+        # per-batch df partial is just a value_counts over its token column
+        # (one tokenize/flatten/group implementation for tf, df AND postings)
+        doc_id_arr, token_arr, _ = _doc_token_tf(batch)
+        n_docs = len(np.unique(doc_id_arr))
+        if len(token_arr) == 0:
             return pa.table({"tok": pa.array([""], pa.string()),
                              "df": pa.array([n_docs], pa.int64())})
-        lengths = np.fromiter((length for _, length in bounds), dtype=np.int64,
-                              count=len(bounds))
-        doc_idx = np.repeat(np.arange(len(bounds)), lengths)
-        distinct = (
-            pd.DataFrame({"d": doc_idx, "tok": all_tokens}).drop_duplicates()
-        )
-        counts = distinct["tok"].value_counts()
+        counts = pd.Series(token_arr).value_counts()
         return pa.table(
             {
                 "tok": pa.array([""] + list(counts.index), pa.string()),
@@ -137,16 +123,16 @@ def tfidf_topk(documents_ds, k: int = 5, min_df: int = 1):
     df_map, n_docs = document_frequencies(documents_ds)
     if min_df > 1:
         df_map = {tok: df for tok, df in df_map.items() if df >= min_df}
-    # idf per distinct token with math.log (libm) so it matches DuckDB's LN
-    idf_map = {tok: math.log(n_docs / df) for tok, df in df_map.items()}
-    broadcast = ray.put((df_map, idf_map))
+    # broadcast ONLY the df map — idf is derived per batch from df and
+    # n_docs, so the vocabulary-sized object ships once, not twice
+    broadcast = ray.put(df_map)
 
     def score(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         from .rounding import round_half_away
 
-        df_table, idf_table = ray.get(broadcast)
+        df_table = ray.get(broadcast)
         doc_id_arr, token_arr, tf_arr = _doc_token_tf(batch)
         if len(doc_id_arr) == 0:
             return pa.table(
@@ -164,6 +150,12 @@ def tfidf_topk(documents_ds, k: int = 5, min_df: int = 1):
         if min_df > 1:
             frame = frame[frame["token"].map(df_table.__contains__)]
         frame["df"] = frame["token"].map(df_table).astype(np.int64)
+        # idf per DISTINCT batch token with math.log (libm) — the identical
+        # calls the old precomputed map made, so it matches DuckDB's LN
+        # bit-exact while broadcasting half the bytes
+        uniq = frame[["token", "df"]].drop_duplicates("token")
+        idf_table = {tok: math.log(n_docs / df)
+                     for tok, df in zip(uniq["token"], uniq["df"])}
         idf = frame["token"].map(idf_table).to_numpy(dtype=np.float64)
         frame["tfidf"] = round_half_away(
             frame["tf"].to_numpy(dtype=np.float64) * idf, 6
@@ -228,6 +220,15 @@ def build_inverted_index(documents_ds, index_dir: str, n_partitions: int = 16):
             }
         )
 
+    if glob.glob(os.path.join(index_dir, "part=*")) or os.path.isdir(
+        os.path.join(index_dir, "doc_lengths")
+    ):
+        raise ValueError(
+            f"index_dir {index_dir!r} already contains an index; write to a "
+            "fresh directory — parquet files are uuid-named, so an in-place "
+            "rebuild would silently merge stale postings (and derive doc "
+            "lengths from the doubled rows)"
+        )
     os.makedirs(index_dir, exist_ok=True)
     documents_ds.map_batches(postings, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["part"]
@@ -397,6 +398,14 @@ def index_stats(index_dir: str):
 
     # read the part=N dirs' files, not index_meta.json
     paths = sorted(glob.glob(os.path.join(index_dir, "part=*", "*.parquet")))
+    if not paths:
+        # a tokenless corpus writes meta but no part files; typed empty
+        # (read_parquet([]) raises)
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "total_tf": pa.array([], pa.int64())})
+        )
     postings = ray.data.read_parquet(paths)
     return (
         postings.groupby("token")

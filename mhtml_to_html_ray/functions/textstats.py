@@ -141,7 +141,10 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     n_bigrams, n_distinct = [], []
     for text in texts:
-        tokens = text.split()
+        # _lm_tokens, NOT str.split(): the oracle extracts RE2 \S+ runs, and
+        # str.split() additionally splits on \v/NBSP/U+2000… — a web document
+        # containing an NBSP would bigram differently than the SQL side
+        tokens = _lm_tokens(text)
         grams = list(zip(tokens, tokens[1:]))
         n_bigrams.append(len(grams))
         n_distinct.append(len(set(grams)))
@@ -201,7 +204,10 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     best_index = np.argmax(scores, axis=1)
     best_score = scores[np.arange(len(scores)), best_index]
     pred = np.where(best_score > 0, np.array(langs, dtype=object)[best_index], "und")
-    confidence = np.round(best_score, 6)
+    from .rounding import round_half_away
+
+    # the shared DuckDB-ROUND kernel, not np.round (half-to-even)
+    confidence = round_half_away(best_score, 6)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
@@ -217,7 +223,7 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 # training-data pipeline ranks documents with)
 
 
-_LM_TOKEN_RE = None  # compiled lazily; ASCII \s+ to match the SQL oracle
+_LM_TOKEN_RE = None  # compiled lazily; the exact RE2 \s class, see below
 
 
 def _lm_tokens(text: str) -> list[str]:
@@ -225,10 +231,29 @@ def _lm_tokens(text: str) -> list[str]:
     if _LM_TOKEN_RE is None:
         import re
 
-        # ASCII whitespace class — DuckDB's RE2 \s is ASCII-only, and the
-        # oracle tokenizes with regexp_split_to_array(text, '\s+')
-        _LM_TOKEN_RE = re.compile(r"\s+", re.ASCII)
+        # THE tokenizer whitespace contract, shared by the LM scorer,
+        # repetition stats, and corpusstats (tf-idf / inverted index / BM25):
+        # the oracles tokenize with DuckDB regexp_split_to_array(text,'\s+')
+        # and RE2's \s is exactly [\t\n\f\r ] (probed empirically — NO \v,
+        # unlike Python's re.ASCII \s, and none of the Unicode whitespace
+        # str.split() uses), so spell the class out rather than trusting
+        # any engine's \s.
+        _LM_TOKEN_RE = re.compile(r"[\t\n\f\r ]+")
     return [tok for tok in _LM_TOKEN_RE.split(text) if tok]
+
+
+def _flatten_batch(batch: pa.Table):
+    """Tokenize every doc in a batch once: (doc_ids, flat tokens, bounds)
+    with bounds as (start, length) per doc. Shared by the LM scorer here and
+    the tf/df/postings kernels in corpusstats."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    all_tokens: list[str] = []
+    bounds: list[tuple[int, int]] = []
+    for text in batch.column("text").to_pylist():
+        tokens = _lm_tokens(text)
+        bounds.append((len(all_tokens), len(tokens)))
+        all_tokens.extend(tokens)
+    return doc_ids, all_tokens, bounds
 
 
 def unigram_lm_scores(documents_ds, vocab_cap: int | None = None):
@@ -288,16 +313,10 @@ def unigram_lm_scores(documents_ds, vocab_cap: int | None = None):
 
     def score(batch: pa.Table) -> pa.Table:
         table, unk = ray.get(logp_ref)
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids, all_tokens, bounds = _flatten_batch(batch)
         out_ids: list[int] = []
         out_n: list[int] = []
         out_score: list[float] = []
-        all_tokens: list[str] = []
-        bounds: list[tuple[int, int]] = []
-        for text in batch.column("text").to_pylist():
-            tokens = _lm_tokens(text)
-            bounds.append((len(all_tokens), len(tokens)))
-            all_tokens.extend(tokens)
         if all_tokens:
             codes, uniques = pd.factorize(pd.Series(all_tokens))
             unique_logp = np.fromiter(

@@ -201,3 +201,49 @@ def test_index_lookup_unmapped_partition_empty(ray_session, tmp_path):
     out = corpusstats.index_lookup(index_dir, [miss])
     assert out.schema().names == ["token", "doc_id", "tf"]
     assert out.count() == 0
+
+
+def test_build_index_refuses_in_place_rebuild(ray_session, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir, n_partitions=4)
+    with pytest.raises(ValueError, match="already contains"):
+        corpusstats.build_inverted_index(_docs_ds(TEXTS), index_dir,
+                                         n_partitions=4)
+
+
+def test_index_stats_tokenless_corpus(ray_session, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    corpusstats.build_inverted_index(_docs_ds(["", "  "]), index_dir,
+                                     n_partitions=4)
+    out = corpusstats.index_stats(index_dir)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"token", "df", "total_tf"}
+
+
+def test_tokenizer_matches_duckdb_re2_whitespace(ray_session):
+    """The \\s contract: RE2 (DuckDB) treats \\v, \\x1c and NBSP as
+    NON-whitespace; the engine tokenizer must agree or every token-level
+    oracle diverges on real web text."""
+    import duckdb
+
+    from mhtml_to_html_ray.functions.textstats import _lm_tokens
+
+    texts = ["a\x0bb c", "x\xa0y z", "p\x1cq r", "t\tu\nv\fw\rx y", "", " \t "]
+    con = duckdb.connect()
+    for text in texts:
+        want = [t for t in con.execute(
+            "SELECT regexp_split_to_array(?, '\\s+')", [text]
+        ).fetchone()[0] if t]
+        assert _lm_tokens(text) == want, repr(text)
+
+
+def test_repetition_stats_re2_tokens(ray_session):
+    """A VT-joined bigram pair must count as DuckDB's \\S+ extraction sees
+    it (one token each side), not as str.split() would (two tokens)."""
+    from mhtml_to_html_ray.functions import textstats
+
+    batch = _docs_table(["w1\x0bw2 w1\x0bw2 tail"])
+    out = textstats.repetition_stats_batch(batch)
+    # tokens: ['w1\x0bw2', 'w1\x0bw2', 'tail'] -> bigrams 2, distinct 2
+    assert out.column("n_bigrams").to_pylist() == [2]
+    assert out.column("n_distinct_bigrams").to_pylist() == [2]
