@@ -1126,3 +1126,386 @@ def dedup_against_index(new_ds, index_dir: str, mode: str = "mark"):
         .groupby("part")
         .map_groups(probe, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (k-token span) duplication audit
+
+
+def substring_dup_stats(documents_ds, k: int = 5, hashed: bool = False):
+    """Per-document exact substring duplication, Lee-et-al-2022 style: a
+    k-token window is *duplicated* when the identical window occurs anywhere
+    else in the corpus (another document OR another position of the same
+    document). Reports, per doc: token/window counts, how many of its
+    windows are duplicated, and how many of its TOKENS are covered by at
+    least one duplicated window (union of [pos, pos+k) intervals — the mass
+    substring-dedup would remove).
+
+    Scale shape: one tokenize pass emits (gram_key, doc_id, pos) rows plus a
+    per-doc sentinel row carrying n_tokens — nothing else ever leaves a
+    block. Shuffle 1 groups by gram and keeps only groups of ≥2 (the
+    duplicated occurrences, a small fraction of gram rows); shuffle 2 groups
+    those by doc and unions the fixed-length intervals vectorized
+    (sum(min(diff(pos), k)) + k). Stats and coverage meet in a zero-filled
+    union + one Sum groupby — no join, no broadcast.
+
+    ``hashed=True`` is the 100-TB knob: gram keys become 64-bit md5 hashes
+    (8 bytes/row instead of the gram text), trading a vanishing collision
+    probability for a ~k× smaller shuffle; equivalence-tested against the
+    exact string keys. Tokenization is textstats._lm_tokens — the same RE2
+    ``\\s`` contract every token-level oracle uses.
+
+    Output: (doc_id, n_tokens, n_grams, n_dup_grams, n_dup_tokens,
+    dup_token_frac) with dup_token_frac = round6(n_dup_tokens /
+    max(n_tokens, 1)), one row per input doc.
+    """
+    from ray.data.aggregate import Sum
+
+    from .rounding import round_half_away
+    from .textstats import _lm_tokens
+
+    key_field = pa.int64() if hashed else pa.string()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        keys, docs, poss, ntoks = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            tokens = _lm_tokens(text)
+            # sentinel row (pos = -1) carries the doc's token count so the
+            # final stats need no second tokenize pass over the corpus
+            keys.append(0 if hashed else "")
+            docs.append(doc_id)
+            poss.append(-1)
+            ntoks.append(len(tokens))
+            for i in range(max(len(tokens) - k + 1, 0)):
+                gram = " ".join(tokens[i : i + k])
+                # 63-bit mask: _md5_u64 is unsigned and would overflow the
+                # int64 key column (same convention as the LSH band hash)
+                keys.append(
+                    (_md5_u64(gram) & 0x7FFFFFFFFFFFFFFF) if hashed else gram
+                )
+                docs.append(doc_id)
+                poss.append(i)
+                ntoks.append(0)
+        return pa.table(
+            {
+                "key": pa.array(keys, key_field),
+                "doc_id": pa.array(docs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+            }
+        )
+
+    rows = documents_ds.map_batches(gram_rows, batch_format="pyarrow")
+    grams = rows.filter(expr="pos >= 0")
+    stats = rows.filter(expr="pos < 0")
+
+    def dup_members(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return group.select(["doc_id", "pos"])
+
+    dup_occ = grams.groupby("key").map_groups(dup_members,
+                                              batch_format="pyarrow")
+
+    def coverage(group: pa.Table) -> pa.Table:
+        pos = np.sort(group.column("pos").to_numpy(zero_copy_only=False))
+        covered = int(np.minimum(np.diff(pos), k).sum()) + k if len(pos) else 0
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id")[:1],
+                "n_tokens": pa.array([0], pa.int64()),
+                "n_grams": pa.array([0], pa.int64()),
+                "n_dup_grams": pa.array([len(pos)], pa.int64()),
+                "n_dup_tokens": pa.array([covered], pa.int64()),
+            }
+        )
+
+    cov = dup_occ.groupby("doc_id").map_groups(coverage, batch_format="pyarrow")
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        n_tokens = batch.column("n_tokens")
+        n_grams = pc.max_element_wise(
+            pc.subtract(n_tokens, pa.scalar(k - 1, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n_tokens,
+                "n_grams": n_grams,
+                "n_dup_grams": pa.nulls(len(batch), pa.int64()).fill_null(0),
+                "n_dup_tokens": pa.nulls(len(batch), pa.int64()).fill_null(0),
+            }
+        )
+
+    folded = (
+        stats.map_batches(stat_rows, batch_format="pyarrow")
+        .union(cov)
+        .groupby("doc_id")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_dup_grams", alias_name="n_dup_grams"),
+                   Sum("n_dup_tokens", alias_name="n_dup_tokens"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64()),
+                 "n_dup_grams": pa.array([], pa.int64()),
+                 "n_dup_tokens": pa.array([], pa.int64()),
+                 "dup_token_frac": pa.array([], pa.float64())}
+            )
+        n_tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        n_dup = batch.column("n_dup_tokens").to_numpy(zero_copy_only=False)
+        frac = round_half_away(
+            n_dup.astype(np.float64) / np.maximum(n_tok, 1).astype(np.float64), 6
+        )
+        return batch.append_column("dup_token_frac", pa.array(frac, pa.float64()))
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup against a persisted MinHash-LSH band index
+
+
+_MINHASH_INDEX_ROUTING = "band_hash % n_partitions; signatures doc_id % n_partitions"
+
+
+def _signature_rows(batch: pa.Table, hasher: "MinHasher", shingle_k: int,
+                    n_partitions: int) -> pa.Table:
+    """(doc_id, sig, sig_part) — one packed-uint64 minhash signature per doc."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sigs = [
+        hasher.signature(shingle_set(t, shingle_k)).tobytes()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "sig": pa.array(sigs, pa.large_binary()),
+            "sig_part": pa.array([d % n_partitions for d in doc_ids], pa.int64()),
+        }
+    )
+
+
+def build_minhash_index(documents_ds, index_dir: str, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3, seed: int = 42,
+                        n_partitions: int = 16):
+    """Persist the corpus's MinHash-LSH state so a NEW crawl shard can be
+    near-dup-checked against the existing 100-TB corpus without rescanning
+    it (the fuzzy sibling of :func:`build_hash_index`):
+
+    * ``bands/``      — exploded (doc_id, band_id, band_hash) rows, Parquet-
+      partitioned by ``band_hash % n_partitions`` so a probe reads ONLY the
+      partitions its own band hashes route to;
+    * ``signatures/`` — one packed num_perm×uint64 signature per doc,
+      partitioned by ``doc_id % n_partitions`` (the verify side reads only
+      the partitions its candidate old-docs live in);
+    * ``index_meta.json`` — every parameter a probe must reuse (permutation
+      seed included: signatures from a different seed are incomparable) plus
+      the routing contract, fail-fast-checked like the exact hash index.
+
+    Refuses a non-empty index_dir for the same reason build_hash_index does
+    (uuid-named parquet would silently merge stale state)."""
+    import glob
+    import json
+    import os
+
+    if glob.glob(os.path.join(index_dir, "bands")) or glob.glob(
+        os.path.join(index_dir, "signatures")
+    ):
+        raise ValueError(
+            f"index_dir {index_dir!r} already contains a minhash index; "
+            "write to a fresh directory — an in-place rebuild would merge "
+            "stale band/signature rows from the prior build"
+        )
+    os.makedirs(index_dir, exist_ok=True)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = MinHashLSHBatch(num_perm, bands, shingle_k, seed)(batch)
+        part = [h % n_partitions for h in out.column("band_hash").to_pylist()]
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    documents_ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["part"]
+    )
+    hasher = MinHasher(num_perm, seed)
+    documents_ds.map_batches(
+        _signature_rows, batch_format="pyarrow",
+        fn_kwargs={"hasher": hasher, "shingle_k": shingle_k,
+                   "n_partitions": n_partitions},
+    ).write_parquet(
+        os.path.join(index_dir, "signatures"), partition_cols=["sig_part"]
+    )
+    with open(os.path.join(index_dir, "index_meta.json"), "w") as handle:
+        json.dump(
+            {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+             "seed": seed, "n_partitions": n_partitions,
+             "routing": _MINHASH_INDEX_ROUTING},
+            handle,
+        )
+
+
+def neardup_against_index(new_ds, index_dir: str, threshold: float = 0.5):
+    """(new_doc_id, match_doc_id, est_jaccard) for every NEW-shard doc whose
+    LSH bands collide with an indexed doc and whose signature agreement
+    (the standard MinHash Jaccard estimate: fraction of equal components)
+    is ≥ threshold.
+
+    Scale shape — three grouped stages, no broadcast, corpus never rescanned:
+
+    1. new band rows group by owning band partition; each probe task reads
+       ONLY its ``bands/part=N`` files and equi-joins on (band_id,
+       band_hash) → candidate pairs (deduped across bands by a groupby);
+    2. candidates group by the OLD doc's signature partition; each task
+       reads only its ``signatures/sig_part=N`` files → pairs carry the old
+       signature out;
+    3. pairs union with the new shard's own signature rows and group by
+       new_doc_id — the verify runs inside the group with one numpy
+       compare per candidate.
+    """
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "index_meta.json")) as handle:
+        meta = json.load(handle)
+    routing = meta.get("routing", _MINHASH_INDEX_ROUTING)
+    if routing != _MINHASH_INDEX_ROUTING:
+        raise ValueError(
+            f"minhash index at {index_dir!r} uses routing {routing!r}; this "
+            f"engine probes with {_MINHASH_INDEX_ROUTING!r} — rebuild it"
+        )
+    num_perm = meta["num_perm"]
+    n_partitions = meta["n_partitions"]
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = MinHashLSHBatch(meta["num_perm"], meta["bands"],
+                              meta["shingle_k"], meta["seed"])(batch)
+        part = [h % n_partitions for h in out.column("band_hash").to_pylist()]
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def probe(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        part = group.column("part")[0].as_py()
+        paths = glob.glob(os.path.join(index_dir, "bands", f"part={part}",
+                                       "*.parquet"))
+        empty = pa.table({"new_doc_id": pa.array([], pa.int64()),
+                          "old_doc_id": pa.array([], pa.int64())})
+        if not paths:
+            return empty
+        index_rows = pa.concat_tables(
+            pq.read_table(p, columns=["doc_id", "band_id", "band_hash"])
+            for p in paths
+        ).to_pandas()
+        mine = group.select(["doc_id", "band_id", "band_hash"]).to_pandas()
+        hit = mine.merge(index_rows, on=["band_id", "band_hash"],
+                         suffixes=("_new", "_old"))
+        if hit.empty:
+            return empty
+        pairs = hit[["doc_id_new", "doc_id_old"]].drop_duplicates()
+        return pa.table(
+            {"new_doc_id": pa.array(pairs["doc_id_new"].to_numpy(), pa.int64()),
+             "old_doc_id": pa.array(pairs["doc_id_old"].to_numpy(), pa.int64())}
+        )
+
+    candidates = (
+        new_ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(probe, batch_format="pyarrow")
+        # a pair can collide in several bands whose hashes land in
+        # DIFFERENT partitions — dedup across partitions too
+        .groupby(["new_doc_id", "old_doc_id"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def attach_old_sig(group: pa.Table) -> pa.Table:
+        part = group.column("old_doc_id")[0].as_py() % n_partitions
+        paths = glob.glob(os.path.join(index_dir, "signatures",
+                                       f"sig_part={part}", "*.parquet"))
+        sig_map = {}
+        for p in paths:
+            t = pq.read_table(p, columns=["doc_id", "sig"])
+            sig_map.update(zip(t.column("doc_id").to_pylist(),
+                               t.column("sig").to_pylist()))
+        return pa.table(
+            {
+                "new_doc_id": group.column("new_doc_id"),
+                "old_doc_id": group.column("old_doc_id"),
+                "payload": pa.array(
+                    [sig_map[d] for d in group.column("old_doc_id").to_pylist()],
+                    pa.large_binary(),
+                ),
+                "role": pa.array([1] * len(group), pa.int8()),
+            }
+        )
+
+    def old_part_col(batch: pa.Table) -> pa.Table:
+        part = [d % n_partitions for d in batch.column("old_doc_id").to_pylist()]
+        return batch.append_column("old_part", pa.array(part, pa.int64()))
+
+    with_old_sig = (
+        candidates.map_batches(old_part_col, batch_format="pyarrow")
+        .groupby("old_part")
+        .map_groups(attach_old_sig, batch_format="pyarrow")
+    )
+
+    hasher = MinHasher(num_perm, meta["seed"])
+
+    def new_sig_rows(batch: pa.Table) -> pa.Table:
+        sigs = _signature_rows(batch, hasher, meta["shingle_k"], n_partitions)
+        return pa.table(
+            {
+                "new_doc_id": sigs.column("doc_id"),
+                "old_doc_id": pa.array([-1] * len(sigs), pa.int64()),
+                "payload": sigs.column("sig"),
+                "role": pa.array([0] * len(sigs), pa.int8()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        from .rounding import round_half_away
+
+        roles = group.column("role").to_pylist()
+        payloads = group.column("payload").to_pylist()
+        new_sig = None
+        for role, payload in zip(roles, payloads):
+            if role == 0:
+                new_sig = np.frombuffer(payload, dtype=np.uint64)
+                break
+        out_new, out_old, out_est = [], [], []
+        if new_sig is not None:
+            olds = group.column("old_doc_id").to_pylist()
+            news = group.column("new_doc_id").to_pylist()
+            for role, payload, old, new in zip(roles, payloads, olds, news):
+                if role != 1:
+                    continue
+                old_sig = np.frombuffer(payload, dtype=np.uint64)
+                est = float((new_sig == old_sig).mean())
+                if est >= threshold:
+                    out_new.append(new)
+                    out_old.append(old)
+                    out_est.append(float(round_half_away(est, 6)))
+        return pa.table(
+            {
+                "new_doc_id": pa.array(out_new, pa.int64()),
+                "match_doc_id": pa.array(out_old, pa.int64()),
+                "est_jaccard": pa.array(out_est, pa.float64()),
+            }
+        )
+
+    return (
+        new_ds.map_batches(new_sig_rows, batch_format="pyarrow")
+        .union(with_old_sig)
+        .groupby("new_doc_id")
+        .map_groups(verify, batch_format="pyarrow")
+    )

@@ -1412,6 +1412,52 @@ def q_dedup_incremental(sf_dir: str):
     return _sorted_table(dedup.dedup_against_index(new, index_dir), ["doc_id"])
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact substring (5-token window) duplication audit, Lee-et-al style
+    (functions/dedup.py substring_dup_stats): a window duplicated ANYWHERE
+    in the corpus marks its covering tokens; per doc, the token mass a
+    substring-dedup pass would remove. Two signature-sized shuffles (gram
+    rows, then dup occurrences), no broadcast."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(dedup.substring_dup_stats(ds, k=5), ["doc_id"])
+
+
+def q_neardup_incremental(sf_dir: str):
+    """Incremental NEAR-dup of a synthesized new shard against a persisted
+    MinHash-LSH index of the corpus (functions/dedup.py build_minhash_index /
+    neardup_against_index). Planted per doc_id%3: exact copy (est 1.0),
+    one-token append (near), fully novel (no match). Deliberately
+    oracle-free — seeded minhash permutations are not ANSI-SQL-expressible;
+    estimates are pinned against driver-computed signature agreement in
+    tests/test_scaleops.py."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth_new(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        text = batch.column("text")
+        n = len(batch)
+        mod = _mod(did, 3)
+        ids = pc.cast(did, pa.string())
+        near = pc.binary_join_element_wise(text, _lit("qqq", n), " ")
+        novel = pc.binary_join_element_wise(
+            _lit("u", n), ids, _lit(" v", n), ids, _lit(" w", n), ids,
+            _lit(" x", n), ids, "")
+        out = pc.if_else(pc.equal(mod, 0), text,
+                         pc.if_else(pc.equal(mod, 1), near, novel))
+        return pa.table({"doc_id": pc.add(did, pa.scalar(100000, pa.int64())),
+                         "text": out})
+
+    new = ds.map_batches(synth_new, batch_format="pyarrow")
+    index_dir = tempfile.mkdtemp(prefix="mh_index_")
+    dedup.build_minhash_index(ds, index_dir, n_partitions=8)
+    return _sorted_table(
+        dedup.neardup_against_index(new, index_dir, threshold=0.8),
+        ["new_doc_id", "match_doc_id"],
+    )
+
+
 def q_length_quantiles(sf_dir: str):
     """Exact distributed quantiles of n_chars (functions/quantiles.py):
     per-block value_counts partials -> one groupby over (value, n) rows ->
@@ -1548,10 +1594,12 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
     "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
     "decontaminate": q_decontaminate,
     "domain_cap": q_domain_cap,
     "length_quantiles": q_length_quantiles,
     "dedup_incremental": q_dedup_incremental,
+    "neardup_incremental": q_neardup_incremental,
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
 }
@@ -1996,6 +2044,38 @@ ORACLE_SQL = {
                COUNT(f.line) AS n_removed
         FROM exploded e LEFT JOIN freq f ON e.line = f.line
         GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+    "substring_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               t -> t <> '') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - 5 + 2)) AS pos,
+                   unnest(list_transform(range(1, len(t) - 5 + 2),
+                          i -> array_to_string(t[i:i+4], ' '))) AS gram
+            FROM toks WHERE len(t) >= 5),
+        freq AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN freq f USING (gram)),
+        cover AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tp
+                  FROM dup),
+        dstats AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dup
+                   GROUP BY doc_id),
+        cstats AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM cover
+                   GROUP BY doc_id)
+        SELECT t.doc_id,
+               len(t.t) AS n_tokens,
+               GREATEST(len(t.t) - 5 + 1, 0) AS n_grams,
+               COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+               COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+               ROUND(COALESCE(c.n_dup_tokens, 0) / GREATEST(len(t.t), 1), 6)
+                   AS dup_token_frac
+        FROM toks t
+        LEFT JOIN dstats d USING (doc_id)
+        LEFT JOIN cstats c USING (doc_id)
+        ORDER BY t.doc_id
     """,
     "dedup_incremental": """
         WITH pages AS (

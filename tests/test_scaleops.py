@@ -177,3 +177,133 @@ def test_per_key_cap_payload_ties_layout_independent(ray_session):
             ).take_all()
         )
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# substring (k-token window) duplication audit
+
+
+_SUBSTR_TEXTS = [
+    "a b c d e f g h",        # grams shared with docs 1 and 3
+    "a b c d e x y z",        # one shared gram ('a b c d e')
+    "q r s",                  # too short for k=5: zero grams
+    "a b c d e f g h",        # exact duplicate of doc 0
+    "",                       # empty
+    "m m m m m m m m m m",    # self-repeating gram (within-doc duplication)
+]
+
+
+def _substr_ds():
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(_SUBSTR_TEXTS)), pa.int64()),
+                  "text": pa.array(_SUBSTR_TEXTS, pa.string())}))
+
+
+def test_substring_dup_stats_hand_computed(ray_session):
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dup_stats(_substr_ds(), k=5).take_all()}
+    # doc 0 ≡ doc 3: every one of their 4 windows is duplicated, full cover
+    for d in (0, 3):
+        assert (out[d]["n_grams"], out[d]["n_dup_grams"],
+                out[d]["n_dup_tokens"]) == (4, 4, 8)
+        assert out[d]["dup_token_frac"] == 1.0
+    # doc 1 shares only 'a b c d e' (pos 0) -> 5 covered tokens of 8
+    assert (out[1]["n_dup_grams"], out[1]["n_dup_tokens"]) == (1, 5)
+    assert out[1]["dup_token_frac"] == 0.625
+    # short / empty docs still appear with zeros
+    assert (out[2]["n_tokens"], out[2]["n_grams"], out[2]["n_dup_tokens"]) == (3, 0, 0)
+    assert (out[4]["n_tokens"], out[4]["dup_token_frac"]) == (0, 0.0)
+    # within-doc repetition counts: all 6 'm'*5 windows equal -> full cover
+    assert (out[5]["n_dup_grams"], out[5]["n_dup_tokens"]) == (6, 10)
+
+
+def test_substring_dup_stats_hashed_and_layout_equivalence(ray_session):
+    ds = _substr_ds()
+    base = sorted((tuple(r.values()) for r in
+                   dedup.substring_dup_stats(ds, k=5).take_all()))
+    hashed = sorted((tuple(r.values()) for r in
+                     dedup.substring_dup_stats(ds, k=5, hashed=True).take_all()))
+    relay = sorted((tuple(r.values()) for r in
+                    dedup.substring_dup_stats(ds.repartition(5), k=5).take_all()))
+    assert base == hashed == relay
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash-LSH index (incremental near-dup)
+
+
+_MH_CORPUS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "completely different text about ray data pipelines and arrow batches here",
+    "another unrelated document mentioning politeness budgets and robots files",
+]
+_MH_NEW = [
+    "the quick brown fox jumps over the lazy dog near the river bank tonight",
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "totally novel content that matches nothing in the existing corpus at all",
+]
+
+
+def _mh_ds(texts, base_id):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([base_id + i for i in range(len(texts))],
+                                     pa.int64()),
+                  "text": pa.array(texts, pa.string())}))
+
+
+def test_neardup_against_index(ray_session, tmp_path):
+    idx = str(tmp_path / "mh")
+    dedup.build_minhash_index(_mh_ds(_MH_CORPUS, 100), idx, n_partitions=4)
+    rows = sorted(
+        (r["new_doc_id"], r["match_doc_id"], r["est_jaccard"])
+        for r in dedup.neardup_against_index(
+            _mh_ds(_MH_NEW, 1), idx, threshold=0.5).take_all()
+    )
+    # exact duplicate estimates 1.0; one-word edit lands in (0.5, 1.0);
+    # the novel doc matches nothing
+    assert (2, 100, 1.0) in rows
+    assert any(n == 1 and m == 100 and 0.5 <= e < 1.0 for n, m, e in rows)
+    assert not any(n == 3 for n, _, _ in rows)
+
+
+def test_neardup_index_matches_direct_estimate(ray_session, tmp_path):
+    """The index path must reproduce the driver-computed signature-agreement
+    estimate for every pair it reports (same permutations, same shingles)."""
+    import numpy as np
+
+    idx = str(tmp_path / "mh")
+    dedup.build_minhash_index(_mh_ds(_MH_CORPUS, 100), idx, n_partitions=4)
+    hasher = dedup.MinHasher(64, 42)
+    sigs_old = {100 + i: hasher.signature(dedup.shingle_set(t, 3))
+                for i, t in enumerate(_MH_CORPUS)}
+    sigs_new = {1 + i: hasher.signature(dedup.shingle_set(t, 3))
+                for i, t in enumerate(_MH_NEW)}
+    for r in dedup.neardup_against_index(_mh_ds(_MH_NEW, 1), idx,
+                                         threshold=0.0).take_all():
+        want = float((sigs_new[r["new_doc_id"]]
+                      == sigs_old[r["match_doc_id"]]).mean())
+        assert abs(r["est_jaccard"] - want) < 1e-9
+
+
+def test_build_minhash_index_refuses_in_place_rebuild(ray_session, tmp_path):
+    idx = str(tmp_path / "mh")
+    dedup.build_minhash_index(_mh_ds(_MH_CORPUS, 100), idx)
+    with pytest.raises(ValueError, match="already contains"):
+        dedup.build_minhash_index(_mh_ds(_MH_CORPUS, 100), idx)
+
+
+def test_neardup_index_rejects_routing_mismatch(ray_session, tmp_path):
+    import json
+
+    idx = str(tmp_path / "mh")
+    dedup.build_minhash_index(_mh_ds(_MH_CORPUS, 100), idx)
+    meta_path = tmp_path / "mh" / "index_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["routing"] = "something else"
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="routing"):
+        dedup.neardup_against_index(_mh_ds(_MH_NEW, 1), idx)
