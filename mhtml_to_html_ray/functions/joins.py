@@ -19,6 +19,44 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+_NULLABLE_INT = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64",
+}
+
+
+def _restore_dtypes(frame: pd.DataFrame, restore: dict[str, str]) -> pd.DataFrame:
+    """Cast widened float columns back to their recorded int dtypes. A
+    column carrying a genuine null (an unmatched/null right payload) casts
+    to the pandas NULLABLE integer dtype instead — plain astype would raise
+    'cannot convert non-finite values', and Arrow converts Int64-with-NA
+    back to int64-with-null cleanly."""
+    for name, dtype in restore.items():
+        if name not in frame:
+            continue
+        if frame[name].isna().any():
+            frame[name] = frame[name].astype(_NULLABLE_INT.get(dtype, dtype))
+        else:
+            frame[name] = frame[name].astype(dtype)
+    return frame
+
+
+def _suffixed_names(right_payload, left_schema, key_names, right_suffix):
+    """Output names for right payload columns; fails fast when a suffixed
+    name collides with an existing left column (the silent alternative is
+    overwriting real left data with nulls)."""
+    out_right = []
+    for name in right_payload:
+        out = name + right_suffix if name in left_schema else name
+        if (out != name and out in left_schema) or out in key_names or out in out_right:
+            raise ValueError(
+                f"join output column {out!r} collides with an existing "
+                "column; rename the input or pass a different right_suffix"
+            )
+        out_right.append(out)
+    return out_right
+
 
 def _sides_union(left_ds, right_ds, by: str, on: str, right_suffix: str):
     """Union the two inputs under one schema: shared (by, on, _side) plus
@@ -34,6 +72,14 @@ def _sides_union(left_ds, right_ds, by: str, on: str, right_suffix: str):
     right_payload = [n for n in right_names if n not in (by, on)]
     left_payload = [n for n in left_names if n not in (by, on)]
     out_right = [n + right_suffix for n in right_payload]
+    for out in out_right:
+        # silent alternative: the suffixed right column would overwrite a
+        # real left column with nulls
+        if out in left_names or out in (by, on, "_side") or out_right.count(out) > 1:
+            raise ValueError(
+                f"join output column {out!r} collides with an existing "
+                "column; rename the input or pass a different right_suffix"
+            )
 
     left_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
     right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
@@ -80,11 +126,17 @@ def asof_join(left_ds, right_ds, by: str, on: str, right_suffix: str = "_r"):
     out_columns = [by, on, *left_payload, *out_right]
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        left_rows = group[group["_side"] == 0]
+        # SQL ASOF semantics: a null probe matches nothing and a null right
+        # `on` is never a match target (NaN/NaT would also break
+        # searchsorted's sortedness contract — NaN sorts last and shadows
+        # real rows near the end)
+        left_rows = group[(group["_side"] == 0) & group[on].notna()]
         # payload columns as tiebreakers: among right rows sharing the same
         # `on` value, searchsorted(side="right")-1 picks the LAST one, so the
         # sort must fix which row that is regardless of shuffle arrival order
-        right_rows = group[group["_side"] == 1].sort_values([on, *out_right])
+        right_rows = group[
+            (group["_side"] == 1) & group[on].notna()
+        ].sort_values([on, *out_right])
         if left_rows.empty or right_rows.empty:
             frame = pd.DataFrame({c: group[c][0:0] for c in out_columns})
         else:
@@ -99,7 +151,7 @@ def asof_join(left_ds, right_ds, by: str, on: str, right_suffix: str = "_r"):
             for name in out_right:
                 out[name] = source[name].values
             frame = pd.DataFrame(out)
-        return frame.astype(restore, copy=False)
+        return _restore_dtypes(frame, restore)
 
     return union.groupby(by).map_groups(merge, batch_format="pandas")
 
@@ -114,8 +166,12 @@ def range_join_count(left_ds, right_ds, by: str, on: str,
     restore = {k: v for k, v in restore.items() if k in out_columns}
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        left_rows = group[group["_side"] == 0]
-        right_rows = group[group["_side"] == 1].sort_values(on)
+        # null `on` values: a null probe emits no row, a null right `on`
+        # counts in no window (same rationale as asof_join's merge)
+        left_rows = group[(group["_side"] == 0) & group[on].notna()]
+        right_rows = group[
+            (group["_side"] == 1) & group[on].notna()
+        ].sort_values(on)
         if left_rows.empty:
             frame = pd.DataFrame(
                 {**{c: group[c][0:0] for c in out_columns[:-1]},
@@ -128,7 +184,7 @@ def range_join_count(left_ds, right_ds, by: str, on: str,
             out = {c: left_rows[c].values for c in (by, on, *left_payload)}
             out[count_name] = (high - low).astype("int64")
             frame = pd.DataFrame(out)
-        return frame.astype(restore, copy=False)
+        return _restore_dtypes(frame, restore)
 
     return union.groupby(by).map_groups(merge, batch_format="pandas")
 
@@ -152,8 +208,8 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
     left_payload = [n for n in left_schema if n != key]
     right_payload = [n for n in right_schema if n != key]
-    out_right = [n + right_suffix if n in left_schema else n
-                 for n in right_payload]
+    out_right = _suffixed_names(right_payload, left_schema,
+                                {key, "_bucket", "_side"}, right_suffix)
 
     def bucket_of(column: pa.ChunkedArray) -> pa.Array:
         values = column.combine_chunks().to_numpy(zero_copy_only=False) \

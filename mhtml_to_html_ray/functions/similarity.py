@@ -18,22 +18,32 @@ import pyarrow as pa
 def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
     """list<float> column → (n, dim) float64 matrix without a Python list of
     lists: flatten() is a zero-copy view of the child values, so the only
-    copy is the float32→float64 widening."""
+    copy is the float32→float64 widening.
+
+    Nulls and ragged lists raise immediately with the column name — the old
+    ``np.array(to_pylist())`` "fallback" crashed anyway (inhomogeneous
+    sequences), just with an unreadable error deep inside a Ray task. Empty
+    batches return a (0, 0) matrix; callers guard num_rows == 0 before any
+    axis-1 math."""
     values = batch.column(column)
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    if values.null_count == 0:
-        if pa.types.is_fixed_size_list(values.type):
-            return np.asarray(values.flatten(), dtype=np.float64).reshape(
-                -1, values.type.list_size
-            )
-        if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
-            widths = np.diff(np.asarray(values.offsets))
-            if len(widths) and (widths == widths[0]).all():
-                return np.asarray(values.flatten(), dtype=np.float64).reshape(
-                    -1, int(widths[0])
-                )
-    return np.array(values.to_pylist(), dtype=np.float64)  # ragged/null fallback
+    if values.null_count:
+        raise ValueError(f"column {column!r} contains null embeddings")
+    if pa.types.is_fixed_size_list(values.type):
+        return np.asarray(values.flatten(), dtype=np.float64).reshape(
+            -1, values.type.list_size
+        )
+    if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
+        widths = np.diff(np.asarray(values.offsets))
+        if len(widths) == 0:
+            return np.zeros((0, 0), dtype=np.float64)
+        if not (widths == widths[0]).all():
+            raise ValueError(f"column {column!r} has ragged embedding lists")
+        return np.asarray(values.flatten(), dtype=np.float64).reshape(
+            -1, int(widths[0])
+        )
+    raise TypeError(f"column {column!r} is not a list<float> column")
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -66,6 +76,9 @@ def brute_force_topk(embeddings_ds, query_vec, k: int = 10):
     query_ref = ray.put(query)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         q = ray.get(query_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _normalize(_matrix(batch))
@@ -111,19 +124,6 @@ class HyperplaneLSH:
         return out
 
 
-class LSHBucketBatch:
-    """Actor kernel: embeddings → (vec_id, bucket) rows; planes built once."""
-
-    def __init__(self, dim: int, bits: int = 12, seed: int = 42):
-        self.lsh = HyperplaneLSH(dim, bits, seed)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id")
-        m = _normalize(_matrix(batch))
-        buckets = self.lsh.bucket(m)
-        return pa.table({"vec_id": ids, "bucket": pa.array(buckets, pa.int64())})
-
-
 class _LSHProbeBatch:
     """Actor-pool probe kernel: planes are built ONCE in __init__ (per
     actor), not per batch — per-batch state setup was the round-1
@@ -137,6 +137,9 @@ class _LSHProbeBatch:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _normalize(_matrix(batch))
         buckets = self.lsh.bucket(m)
@@ -218,6 +221,45 @@ class IVFIndex:
         return np.argsort(-sims)[:nprobe]
 
 
+def _train_matrix(embeddings_ds, train_sample: int, seed: int) -> np.ndarray:
+    """Deterministic hash-spread training sample for the IVF quantizer: the
+    train_sample rows with the smallest seeded multiplicative hash of
+    vec_id. Each batch keeps only its own top-n (a combiner — at most
+    train_sample × n_blocks rows reach the driver fold), so the sample is
+    spread across the WHOLE corpus regardless of row order; the previous
+    ``limit(train_sample)`` took the first rows, a biased prefix that
+    collapses the centroids when the input is ordered by source/cluster."""
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "embedding": batch.column("embedding")})
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+        h = (ids + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        h &= mask63
+        order = np.argsort(h, kind="stable")[:train_sample]
+        return pa.table(
+            {"h": pa.array(h[order].astype(np.int64), pa.int64()),
+             "embedding": batch.column("embedding").take(pa.array(order))}
+        )
+
+    parts = [
+        b for b in embeddings_ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        raise ValueError("cannot train an IVF quantizer on an empty dataset")
+    folded = pa.concat_tables(parts)
+    order = np.argsort(
+        folded.column("h").to_numpy(zero_copy_only=False), kind="stable"
+    )[:train_sample]
+    return _matrix(folded.take(pa.array(order)))
+
+
 def ivf_topk(embeddings_ds, query_vec, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, train_sample: int = 1024, seed: int = 42):
     """IVF ANN top-k (the scale path next to lsh_topk): train the coarse
@@ -227,8 +269,7 @@ def ivf_topk(embeddings_ds, query_vec, k: int = 10, n_centroids: int = 16,
     asserted in tests."""
     import ray
 
-    sample_rows = embeddings_ds.limit(train_sample).take_all()
-    sample = np.array([row["embedding"] for row in sample_rows], dtype=np.float64)
+    sample = _train_matrix(embeddings_ds, train_sample, seed)
     index = IVFIndex(n_centroids=n_centroids, seed=seed).train(sample)
     query = np.asarray(query_vec, dtype=np.float64)
     query = query / (np.linalg.norm(query) or 1.0)
@@ -238,6 +279,9 @@ def ivf_topk(embeddings_ds, query_vec, k: int = 10, n_centroids: int = 16,
     probes_ref = ray.put(probes)
 
     def probe_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         centroids = ray.get(index_ref)
         q = ray.get(query_ref)
         wanted = ray.get(probes_ref)
@@ -280,6 +324,12 @@ class _HyperplaneBucketBatch:
         self.lsh: HyperplaneLSH | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float64()))}
+            )
         m = _normalize(_matrix(batch))
         if self.lsh is None:
             self.lsh = HyperplaneLSH(m.shape[1], self.bits, self.seed)
@@ -307,12 +357,13 @@ def ivf_build(embeddings_ds, index_dir: str, n_centroids: int = 16, n_iter: int 
     import ray
     import ray.data
 
-    sample_rows = embeddings_ds.limit(train_sample).take_all()
-    sample = np.array([row["embedding"] for row in sample_rows], dtype=np.float64)
+    sample = _train_matrix(embeddings_ds, train_sample, seed)
     index = IVFIndex(n_centroids=n_centroids, n_iter=n_iter, seed=seed).train(sample)
     centroids_ref = ray.put(index.centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("list_id", pa.array([], pa.int32()))
         centroids = ray.get(centroids_ref)
         m = _normalize(_matrix(batch))
         list_ids = np.argmax(m @ centroids.T, axis=1)
@@ -355,6 +406,9 @@ def ivf_query(index_dir: str, query_vec, k: int = 10, nprobe: int = 4):
     query_ref = ray.put(query)
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         q = ray.get(query_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         sims = _normalize(_matrix(batch)) @ q
@@ -392,6 +446,8 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from .rounding import round_half_away
+
         # sort before capping: head() on shuffle arrival order would make
         # WHICH vectors survive a hot bucket nondeterministic across runs
         rows = group.sort_values("vec_id").head(bucket_cap)
@@ -405,12 +461,14 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
                     a, b = int(ids[i]), int(ids[j])
                     out_a.append(min(a, b))
                     out_b.append(max(a, b))
-                    out_c.append(round(float(sims[i, j]), 6))
+                    # the shared DuckDB-ROUND kernel, like every other
+                    # rounded output in this module
+                    out_c.append(float(round_half_away(sims[i, j], 6)))
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64"),
                              "cosine": pd.Series(out_c, dtype="float64")})
 
-    # materialize: count() + the later groupby must not run the actor-pool
+    # materialize: count() + the later sort must not run the actor-pool
     # bucketing and O(bucket²) verification twice
     pairs_ds = bucketed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
@@ -420,28 +478,35 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float = 0.95, bits: int = 10
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "cosine": pa.array([], pa.float64())})
         )
-    # distributed dedup across buckets (a pair can surface in several probe
-    # buckets) — pairs never aggregate on the driver
-    from ray.data.aggregate import Min
-
-    return (
-        pairs_ds.groupby(["a", "b"])
-        .aggregate(Min("cosine", alias_name="cosine"))
-        .sort(["a", "b"])
-    )
+    # every vector lands in exactly ONE bucket (no multi-probe on this
+    # path), so a pair can never surface twice — the sort alone suffices
+    return pairs_ds.sort(["a", "b"])
 
 
 def label_norm_stats(embeddings_ds):
     """Per-label mean L2 norm (rounded): a per-batch partial aggregate then a
-    tiny groupby over (label, sum, count) partials — the combiner pattern."""
-    from ray.data.aggregate import Sum, Count
+    tiny groupby over (label, sum, count) partials — the combiner pattern.
+    Each batch emits ONE row per distinct label (bincount over the
+    factorized labels), so the shuffle carries n_labels × n_blocks rows,
+    never the dataset."""
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        labels = batch.column("label")
+        label_type = batch.schema.field("label").type
+        if batch.num_rows == 0:
+            return pa.table({"label": pa.array([], label_type),
+                             "norm_sum": pa.array([], pa.float64()),
+                             "n_partial": pa.array([], pa.int64())})
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=object)
         norms = np.linalg.norm(_matrix(batch), axis=1)
-        return pa.table({"label": labels, "norm_sum": pa.array(norms, pa.float64())})
+        uniq, inverse = np.unique(labels, return_inverse=True)
+        sums = np.bincount(inverse, weights=norms, minlength=len(uniq))
+        counts = np.bincount(inverse, minlength=len(uniq))
+        return pa.table({"label": pa.array(uniq.tolist(), label_type),
+                         "norm_sum": pa.array(sums, pa.float64()),
+                         "n_partial": pa.array(counts, pa.int64())})
 
     partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("label").aggregate(
-        Sum("norm_sum", alias_name="sum_norm"), Count(alias_name="n")
+        Sum("norm_sum", alias_name="sum_norm"), Sum("n_partial", alias_name="n")
     )

@@ -150,7 +150,7 @@ class CountMinSketch:
         return sketch
 
 
-def cms_heavy_hitters(ds, value_fn, candidates_fn=None, k: int = 20,
+def cms_heavy_hitters(ds, value_fn, k: int = 20,
                       depth: int = 4, width: int = 1 << 12, fanin: int = 64):
     """Approximate top-k: one CMS partial per batch (tree-merged distributed,
     candidates capped per level) plus a SMALL per-batch candidate set (each

@@ -888,3 +888,108 @@ def test_line_dedup_layout_independent(ray_session):
                key=lambda r: r["doc_id"])
     assert a == b
     assert a[0]["text_dedup"] == "body 0"
+
+
+def test_asof_join_drops_null_on_values(ray_session):
+    """SQL ASOF semantics: a NULL probe matches nothing; a NULL right `on`
+    is never a match target (and must not shadow real rows near the end of
+    the sorted array)."""
+    import ray
+
+    from mhtml_to_html_ray.functions.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a"], pa.string()),
+        "t": pa.array([10, None, 30], pa.int64()),
+        "ev": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a"], pa.string()),
+        "t": pa.array([5, None], pa.int64()),
+        "v": pa.array([100, 999], pa.int64()),
+    }))
+    rows = sorted(
+        (r["ev"], r["v_r"]) for r in
+        asof_join(left, right, by="k", on="t").take_all()
+    )
+    # null-probe row (ev=2) emits nothing; null right row (v=999) matches no one
+    assert rows == [(1, 100), (3, 100)]
+
+
+def test_asof_join_nullable_int_payload(ray_session):
+    """A null in an int payload column must survive the join as a null, not
+    crash the dtype restore."""
+    import ray
+
+    from mhtml_to_html_ray.functions.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a"], pa.string()),
+        "t": pa.array([10, 20], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a"], pa.string()),
+        "t": pa.array([5, 15], pa.int64()),
+        "v": pa.array([None, 7], pa.int64()),
+    }))
+    rows = {r["t"]: r["v_r"] for r in
+            asof_join(left, right, by="k", on="t").take_all()}
+    assert rows == {10: None, 20: 7}
+
+
+def test_join_suffix_collision_fails_fast(ray_session):
+    import ray
+
+    from mhtml_to_html_ray.functions.joins import asof_join, hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "t": pa.array([1], pa.int64()),
+        "x_r": pa.array([1], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "t": pa.array([1], pa.int64()),
+        "x": pa.array([2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, by="k", on="t")
+    left2 = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "x": pa.array([1], pa.int64()),
+        "x_r": pa.array([9], pa.int64()),
+    }))
+    right2 = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "x": pa.array([2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="collides"):
+        hash_join(left2, right2, key="k")
+
+
+def test_matrix_rejects_nulls_and_ragged(ray_session):
+    from mhtml_to_html_ray.functions.similarity import _matrix
+
+    with pytest.raises(ValueError, match="null"):
+        _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], None],
+                                                pa.list_(pa.float64()))}))
+    with pytest.raises(ValueError, match="ragged"):
+        _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], [1.0]],
+                                                pa.list_(pa.float64()))}))
+    empty = _matrix(pa.table({"embedding": pa.array([], pa.list_(pa.float64()))}))
+    assert empty.shape == (0, 0)
+
+
+def test_label_norm_stats_is_a_combiner(ray_session):
+    """Each batch emits one row per distinct label, not per input row."""
+    import ray
+
+    from mhtml_to_html_ray.functions.similarity import label_norm_stats
+
+    tbl = pa.table({
+        "label": pa.array(["x", "y", "x", "x"], pa.string()),
+        "embedding": pa.array([[3.0, 4.0]] * 4, pa.list_(pa.float64())),
+    })
+    rows = {r["label"]: (r["sum_norm"], r["n"]) for r in
+            label_norm_stats(ray.data.from_arrow(tbl)).take_all()}
+    assert rows == {"x": (15.0, 3), "y": (5.0, 1)}
