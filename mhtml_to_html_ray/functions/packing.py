@@ -1,0 +1,210 @@
+"""Distributed prefix-sum (scan) and fixed-length sequence packing.
+
+The last stage of a training-data pipeline: documents, already tokenized,
+filtered, and deduplicated, are concatenated in a deterministic key order
+(doc_id) with a separator token between docs, and the resulting token
+stream is cut into fixed ``seq_len`` training sequences. Knowing where each
+document lands requires an EXCLUSIVE PREFIX SUM of token counts in key
+order — a global scan, which a 100-TB corpus cannot compute by
+sort-then-iterate on one machine, and which Ray Data has no primitive for
+(blocks carry no global order). The classic two-level scan applies:
+
+1. one pass computes the key range (per-block min/max partials, folded on
+   the driver);
+2. keys are RANGE-bucketed — ``bucket = (key - lo) // width`` — so bucket
+   order == key order; a per-block combiner emits at most one
+   (bucket, partial_sum) row per bucket per block, one small groupby folds
+   them, and the driver exclusive-prefix-sums the ``n_buckets`` bucket
+   totals (O(n_buckets) driver rows, never corpus rows);
+3. the bucket base offsets broadcast back (a few KB) inside one
+   ``groupby(bucket).map_groups`` pass: each group sorts by key and
+   cumsums locally.
+
+The only all-to-all traffic is the narrow (key, count) projection — which
+is materialized once so the (possibly expensive) upstream lineage, e.g. a
+tokenizer, runs exactly once across the three passes.
+
+Layout-independence: every output number is a pure function of the
+(key, count) multiset, pinned in tests across repartitions. Contract: the
+key column is integer and UNIQUE (duplicates make "prefix" ambiguous —
+fail-fast), counts are non-null and non-negative. A skewed key distribution
+still gives correct results, just uneven groups; doc ids are near-dense in
+practice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _empty(schema: pa.Schema):
+    import ray.data
+
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def _key_range(proj, key: str):
+    """(lo, hi) of ``key`` via per-block partials — one row per block to
+    the driver. Returns None on an empty dataset."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        column = batch.column(key)
+        if column.null_count:
+            raise ValueError(f"prefix_offsets: null {key!r} value")
+        if len(column) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({
+            "lo": pa.array([pc.min(column).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(column).as_py()], pa.int64()),
+        })
+
+    blocks = [
+        b
+        for b in ray.get(
+            proj.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_columns > 0 and b.num_rows > 0
+    ]
+    if not blocks:
+        return None
+    folded = pa.concat_tables(blocks)
+    return (pc.min(folded.column("lo")).as_py(),
+            pc.max(folded.column("hi")).as_py())
+
+
+def prefix_offsets(ds, key: str, count_col: str, n_buckets: int = 256,
+                   extra_per_row: int = 0):
+    """Exclusive prefix sum of ``count_col + extra_per_row`` in ``key``
+    order: adds ``start_offset`` (int64). Output rows are
+    (key, count_col, start_offset); join back on ``key`` for payloads.
+
+    ``extra_per_row`` models a fixed per-row overhead in the stream (e.g.
+    one end-of-document separator token) that widens the stride without
+    appearing in the stored count.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+
+    proj = ds.select_columns([key, count_col]).materialize()
+    out_schema = pa.schema([
+        (key, pa.int64()), (count_col, pa.int64()),
+        ("start_offset", pa.int64()),
+    ])
+    rng = _key_range(proj, key)
+    if rng is None:
+        return _empty(out_schema)
+    lo, hi = rng
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def _counts(batch: pa.Table) -> np.ndarray:
+        column = batch.column(count_col)
+        if column.null_count:
+            raise ValueError(f"prefix_offsets: null {count_col!r} value")
+        c = column.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) and c.min() < 0:
+            raise ValueError(f"prefix_offsets: negative {count_col!r} value")
+        return c + extra_per_row
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        c = _counts(batch)
+        buckets = (k - lo) // width
+        uniq, inverse = np.unique(buckets, return_inverse=True)
+        # int64 accumulator — np.bincount(weights=...) would round through
+        # float64, which stops being exact past 2^53 total tokens
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inverse, c)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "psum": pa.array(sums, pa.int64())})
+
+    folded = (
+        proj.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("psum", alias_name="total"))
+    )
+    blocks = [
+        b for b in ray.get(folded.to_arrow_refs())
+        if b.num_columns > 0 and b.num_rows > 0
+    ]
+    totals = pa.concat_tables(blocks).sort_by("bucket")
+    bucket_ids = totals.column("bucket").to_numpy(zero_copy_only=False)
+    bucket_totals = totals.column("total").to_numpy(zero_copy_only=False)
+    # exclusive prefix over bucket totals, in bucket (== key-range) order
+    bases = np.concatenate(([0], np.cumsum(bucket_totals[:-1]))).astype(np.int64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((k - lo) // width, pa.int64()))
+
+    def scan_group(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return out_schema.empty_table()
+        g = group.take(pc.sort_indices(group, sort_keys=[(key, "ascending")]))
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        if len(k) > 1 and (k[1:] == k[:-1]).any():
+            dup = int(k[1:][k[1:] == k[:-1]][0])
+            raise ValueError(
+                f"prefix_offsets: duplicate {key!r} value {dup} — the scan "
+                "order is ambiguous; deduplicate or use a unique key")
+        c = _counts(g)
+        bucket = int(g.column("bucket")[0].as_py())
+        base = bases[np.searchsorted(bucket_ids, bucket)]
+        starts = base + np.concatenate(([0], np.cumsum(c[:-1])))
+        return pa.table({
+            key: g.column(key),
+            count_col: pc.cast(g.column(count_col), pa.int64()),
+            "start_offset": pa.array(starts, pa.int64()),
+        })
+
+    return (
+        proj.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan_group, batch_format="pyarrow")
+    )
+
+
+def pack_sequences(ds, key: str, count_col: str, seq_len: int,
+                   doc_sep: int = 1, n_buckets: int = 256):
+    """Assign each document its slice of the packed fixed-length training
+    sequences: concatenate docs in ``key`` order, ``doc_sep`` separator
+    tokens after each doc, cut the stream every ``seq_len`` tokens.
+
+    Output per row: (key, count_col, start_offset, first_seq, last_seq,
+    n_seqs) — ``first_seq``/``last_seq`` index the sequences holding the
+    doc's own tokens (separators excluded); an empty doc occupies no tokens
+    and reports its insertion point (first_seq == last_seq, n_seqs = 1).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    offsets = prefix_offsets(ds, key, count_col, n_buckets=n_buckets,
+                             extra_per_row=doc_sep)
+
+    def seqs(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema([
+                (key, pa.int64()), (count_col, pa.int64()),
+                ("start_offset", pa.int64()), ("first_seq", pa.int64()),
+                ("last_seq", pa.int64()), ("n_seqs", pa.int64()),
+            ]).empty_table()
+        start = batch.column("start_offset").to_numpy(zero_copy_only=False)
+        c = batch.column(count_col).to_numpy(zero_copy_only=False)
+        first = start // seq_len
+        last = np.where(c > 0, (start + c - 1) // seq_len, first)
+        return pa.table({
+            key: batch.column(key),
+            count_col: batch.column(count_col),
+            "start_offset": batch.column("start_offset"),
+            "first_seq": pa.array(first, pa.int64()),
+            "last_seq": pa.array(last, pa.int64()),
+            "n_seqs": pa.array(last - first + 1, pa.int64()),
+        })
+
+    return offsets.map_batches(seqs, batch_format="pyarrow")

@@ -1006,6 +1006,22 @@ def q_token_count_bpe(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_pack_sequences(sf_dir: str):
+    """Fixed-length training-sequence packing (functions/packing.py): token
+    counts via the shared tokenizer, then a distributed prefix-sum in
+    doc_id order (range-bucketed two-level scan — driver holds n_buckets
+    rows, never corpus rows) assigns each doc its slice of the packed
+    seq_len=512 stream (1 separator token per doc)."""
+    from ..functions import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counted = ds.map_batches(textstats.token_count_batch,
+                             batch_format="pyarrow").drop_columns(["n_chars"])
+    packed = packing.pack_sequences(counted, "doc_id", "n_tokens",
+                                    seq_len=512, doc_sep=1, n_buckets=64)
+    return _sorted_table(packed, ["doc_id"])
+
+
 def q_stopword_stats(sf_dir: str):
     """Stopword-ratio quality signal (fixed 10-word list, oracled)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1567,6 +1583,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
+    "pack_sequences": q_pack_sequences,
     "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
@@ -1774,6 +1791,29 @@ ORACLE_SQL = {
         SELECT doc_id, LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
                LENGTH(text) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens
+            FROM documents),
+        o AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+            FROM t)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 512 AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_offset + n_tokens - 1) // 512
+                    ELSE start_offset // 512 END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_offset + n_tokens - 1) // 512
+                    ELSE start_offset // 512 END
+                 - start_offset // 512 + 1 AS n_seqs
+        FROM o ORDER BY doc_id
     """,
     "token_count_bpe": """
         SELECT doc_id,

@@ -1,0 +1,146 @@
+"""Distributed prefix-sum / sequence packing (functions/packing.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mhtml_to_html_ray.functions import packing
+
+
+def _ds(ray, keys, counts, parts=1):
+    t = pa.table({"doc_id": pa.array(keys, pa.int64()),
+                  "n_tokens": pa.array(counts, pa.int64())})
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def _reference_offsets(keys, counts, extra=0):
+    order = np.argsort(keys, kind="stable")
+    k = np.asarray(keys)[order]
+    c = np.asarray(counts)[order] + extra
+    starts = np.concatenate(([0], np.cumsum(c[:-1])))
+    return dict(zip(k.tolist(), starts.tolist()))
+
+
+def _collect(ds):
+    return {r["doc_id"]: r["start_offset"] for r in ds.take_all()}
+
+
+def test_prefix_matches_numpy_reference(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    keys = rng.permutation(500).tolist()
+    counts = rng.integers(0, 40, 500).tolist()
+    out = _collect(packing.prefix_offsets(
+        _ds(ray, keys, counts, parts=9), "doc_id", "n_tokens", n_buckets=16))
+    assert out == _reference_offsets(keys, counts)
+
+
+def test_prefix_layout_independent(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    keys = rng.permutation(300).tolist()
+    counts = rng.integers(0, 25, 300).tolist()
+    a = _collect(packing.prefix_offsets(
+        _ds(ray, keys, counts, parts=1), "doc_id", "n_tokens", n_buckets=8))
+    b = _collect(packing.prefix_offsets(
+        _ds(ray, keys, counts, parts=13), "doc_id", "n_tokens", n_buckets=8))
+    assert a == b
+
+
+def test_prefix_single_bucket_and_sparse_keys(ray_session):
+    import ray
+
+    keys = [10, 1_000_000, 5, -3]          # sparse + negative keys
+    counts = [4, 7, 1, 2]
+    out = _collect(packing.prefix_offsets(
+        _ds(ray, keys, counts, parts=2), "doc_id", "n_tokens", n_buckets=1))
+    assert out == _reference_offsets(keys, counts)
+    out4 = _collect(packing.prefix_offsets(
+        _ds(ray, keys, counts, parts=2), "doc_id", "n_tokens", n_buckets=500))
+    assert out4 == out
+
+
+def test_prefix_extra_per_row_widens_stride(ray_session):
+    import ray
+
+    keys = [0, 1, 2]
+    counts = [3, 0, 5]
+    out = _collect(packing.prefix_offsets(
+        _ds(ray, keys, counts), "doc_id", "n_tokens", extra_per_row=1))
+    assert out == {0: 0, 1: 4, 2: 5}
+
+
+def test_prefix_empty_dataset(ray_session):
+    import ray
+
+    out = packing.prefix_offsets(
+        _ds(ray, [], []), "doc_id", "n_tokens")
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"doc_id", "n_tokens", "start_offset"}
+
+
+def test_prefix_duplicate_key_raises(ray_session):
+    import ray
+
+    with pytest.raises(Exception, match="duplicate"):
+        packing.prefix_offsets(
+            _ds(ray, [1, 2, 2], [5, 5, 5]), "doc_id", "n_tokens").take_all()
+
+
+def test_prefix_null_and_negative_counts_raise(ray_session):
+    import ray
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "n_tokens": pa.array([3, None], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        packing.prefix_offsets(
+            ray.data.from_arrow(t), "doc_id", "n_tokens").take_all()
+    with pytest.raises(Exception, match="negative"):
+        packing.prefix_offsets(
+            _ds(ray, [1, 2], [3, -1]), "doc_id", "n_tokens").take_all()
+
+
+def test_pack_sequences_formula(ray_session):
+    import ray
+
+    # stream with sep=1: doc0 [0,10) sep@10, doc1 [11,11) empty, doc2 [12,30)
+    keys = [0, 1, 2]
+    counts = [10, 0, 18]
+    rows = {r["doc_id"]: r for r in packing.pack_sequences(
+        _ds(ray, keys, counts, parts=2), "doc_id", "n_tokens",
+        seq_len=8, doc_sep=1).take_all()}
+    assert rows[0] == {"doc_id": 0, "n_tokens": 10, "start_offset": 0,
+                       "first_seq": 0, "last_seq": 1, "n_seqs": 2}
+    # empty doc: insertion point only
+    assert rows[1]["start_offset"] == 11
+    assert rows[1]["first_seq"] == rows[1]["last_seq"] == 1
+    assert rows[1]["n_seqs"] == 1
+    assert rows[2] == {"doc_id": 2, "n_tokens": 18, "start_offset": 12,
+                       "first_seq": 1, "last_seq": 3, "n_seqs": 3}
+
+
+def test_pack_sequences_layout_independent_and_covering(ray_session):
+    import ray
+
+    rng = np.random.default_rng(23)
+    keys = rng.permutation(200).tolist()
+    counts = rng.integers(1, 64, 200).tolist()
+    a = sorted(map(tuple, (
+        (r["doc_id"], r["first_seq"], r["last_seq"]) for r in
+        packing.pack_sequences(_ds(ray, keys, counts, parts=1),
+                               "doc_id", "n_tokens", 32).take_all())))
+    b = sorted(map(tuple, (
+        (r["doc_id"], r["first_seq"], r["last_seq"]) for r in
+        packing.pack_sequences(_ds(ray, keys, counts, parts=11),
+                               "doc_id", "n_tokens", 32).take_all())))
+    assert a == b
+    # consecutive docs tile the stream: doc k+1 starts in doc k's last
+    # sequence or the next one (separator = 1 token)
+    ref = _reference_offsets(keys, counts, extra=1)
+    by_key = {r[0]: r for r in a}
+    for k in range(199):
+        assert by_key[k + 1][1] - by_key[k][2] in (0, 1, 2)
+        assert ref[k + 1] // 32 >= by_key[k][1]
