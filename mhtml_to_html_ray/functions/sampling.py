@@ -99,6 +99,75 @@ def stratified_sample(ds, key: str, strata_col: str, rates: dict,
 
 
 # ---------------------------------------------------------------------------
+# mixture sampling (rebalance a corpus to target source/language weights)
+
+
+def mixture_rates(ds, strata_col: str, weights: dict) -> dict:
+    """Per-stratum acceptance rates that rebalance the corpus to the target
+    mixture ``weights`` (stratum → target share) with MAXIMAL retention:
+    the binding stratum (smallest count/weight) keeps everything (rate 1)
+    and every other stratum downsamples to match its proportion —
+    ``rate_s = weight_s * scale / count_s`` with
+    ``scale = min_s(count_s / weight_s)``. Strata absent from ``weights``
+    rate 0 (dropped).
+
+    The counts come from per-block value_counts partials + one small
+    groupby (distinct-strata rows only — a handful at any corpus size); the
+    rate arithmetic is plain IEEE-double expressions a SQL engine
+    reproduces bit-for-bit, so the whole operator stays auditable from SQL.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    for stratum, w in weights.items():
+        if not (w > 0.0):
+            raise ValueError(
+                f"mixture_rates: weight for {stratum!r} must be > 0")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        column = batch.column(strata_col)
+        if isinstance(column, pa.ChunkedArray):
+            column = column.combine_chunks()
+        counts = column.drop_null().value_counts()
+        return pa.table({
+            "stratum": counts.field("values"),
+            "n": pc.cast(counts.field("counts"), pa.int64()),
+        })
+
+    folded = (
+        ds.select_columns([strata_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("stratum")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts: dict = {}
+    for block in ray.get(folded.to_arrow_refs()):
+        if block.num_columns == 0:
+            continue
+        for stratum, n in zip(block.column("stratum").to_pylist(),
+                              block.column("n").to_pylist()):
+            counts[stratum] = counts.get(stratum, 0) + n
+
+    present = {s: n for s, n in counts.items() if s in weights and n > 0}
+    if not present:
+        return {}
+    scale = min(n / weights[s] for s, n in present.items())
+    return {s: min(weights[s] * scale / n, 1.0) for s, n in present.items()}
+
+
+def mixture_sample(ds, key: str, strata_col: str, weights: dict,
+                   salt: str = ""):
+    """Deterministically rebalance ``ds`` to the target mixture ``weights``:
+    derive per-stratum rates with :func:`mixture_rates` (one tiny count
+    aggregate), then hash-filter each batch locally — no shuffle of the
+    data itself, same row set on every run/retry/layout."""
+    rates = mixture_rates(ds, strata_col, weights)
+    return stratified_sample(ds, key, strata_col, rates,
+                             default_rate=0.0, salt=salt)
+
+
+# ---------------------------------------------------------------------------
 # per-key cap (docs-per-domain limit)
 
 

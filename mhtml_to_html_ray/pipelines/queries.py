@@ -1280,6 +1280,19 @@ def q_sample_stratified(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_mixture_sample(sf_dir: str):
+    """Target-mixture rebalancing (functions/sampling.py mixture_sample):
+    derive per-language acceptance rates from the observed counts so the
+    survivors hit weights en .4 / de .2 / es .2 / zh .2 (fr dropped) with
+    the binding stratum kept whole, then hash-filter locally. The oracle
+    recomputes the identical IEEE-double rate expressions in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = sampling.mixture_sample(
+        ds, key="doc_id", strata_col="lang",
+        weights={"en": 0.4, "de": 0.2, "es": 0.2, "zh": 0.2}, salt="mix")
+    return _sorted_table(out, ["doc_id"])
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over text augmented with deterministic synthetic contact
     strings (the corpus itself is clean, so — like media_decode_real — the
@@ -1619,6 +1632,7 @@ QUERIES = {
     "neardup_incremental": q_neardup_incremental,
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
+    "mixture_sample": q_mixture_sample,
 }
 
 
@@ -1995,6 +2009,24 @@ ORACLE_SQL = {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         ORDER BY doc_id
+    """,
+    "mixture_sample": """
+        WITH w(lang, wgt) AS (
+            VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+                   ('es', CAST(0.2 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE))),
+        counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        s AS (
+            SELECT MIN(n / wgt) AS scale FROM counts JOIN w USING (lang)),
+        r AS (
+            SELECT lang, LEAST(wgt * (SELECT scale FROM s) / n, 1.0) AS rate
+            FROM counts JOIN w USING (lang))
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r USING (lang)
+        WHERE r.rate >= 1.0
+           OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+              printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))
+        ORDER BY d.doc_id
     """,
     "sample_stratified": """
         SELECT doc_id, lang, n_chars FROM documents

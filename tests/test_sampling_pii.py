@@ -79,6 +79,58 @@ def test_stratified_rates_and_default(ray_session):
     assert sorted(out[out["lang"] == "de"]["doc_id"]) == expected_de
 
 
+def test_mixture_rates_binding_stratum_kept_whole(ray_session):
+    # counts: en 120, de 50, zh 30; weights .5/.25/.25 →
+    # scale = min(240, 200, 120) = 120 (zh binding)
+    n = 200
+    langs = ["en"] * 120 + ["de"] * 50 + ["zh"] * 30
+    ds = _ds(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+    }))
+    rates = sampling.mixture_rates(ds, "lang",
+                                   {"en": 0.5, "de": 0.25, "zh": 0.25})
+    assert rates["zh"] == 1.0
+    assert rates["en"] == min(0.5 * (30 / 0.25) / 120, 1.0)
+    assert rates["de"] == min(0.25 * (30 / 0.25) / 50, 1.0)
+
+
+def test_mixture_sample_hits_target_proportions(ray_session):
+    # survivors per stratum ≈ weight * scale; exact expectation from the
+    # same hash predicate the engine uses
+    n = 200
+    langs = ["en"] * 120 + ["de"] * 50 + ["zh"] * 30
+    ds = _ds(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+    }))
+    weights = {"en": 0.5, "de": 0.25, "zh": 0.25}
+    out = sampling.mixture_sample(ds, "doc_id", "lang", weights).to_pandas()
+    rates = sampling.mixture_rates(ds, "lang", weights)
+    expected = []
+    for i, lang in enumerate(langs):
+        r = rates[lang]
+        if r >= 1.0 or hashlib.md5(str(i).encode()).hexdigest()[:8] < \
+                format(int(r * 16 ** 8), "08x"):
+            expected.append(i)
+    assert sorted(out["doc_id"]) == expected
+    assert (out["lang"] == "zh").sum() == 30  # binding stratum kept whole
+
+
+def test_mixture_sample_unweighted_stratum_dropped(ray_session):
+    out = sampling.mixture_sample(
+        _ds(_docs()), "doc_id", "lang", {"en": 0.5, "zh": 0.5}).to_pandas()
+    assert not (out["lang"] == "de").any()
+
+
+def test_mixture_rates_layout_independent(ray_session):
+    ds = _ds(_docs(300))
+    a = sampling.mixture_rates(ds, "lang", {"en": 0.6, "de": 0.4})
+    b = sampling.mixture_rates(ds.repartition(7), "lang",
+                               {"en": 0.6, "de": 0.4})
+    assert a == b
+
+
 def test_redact_batch_counts_and_text():
     batch = pa.table({
         "doc_id": pa.array([0, 1], pa.int64()),
