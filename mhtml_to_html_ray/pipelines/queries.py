@@ -695,6 +695,49 @@ def q_events_tumbling(sf_dir: str):
     return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["event_type", "hour"])
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1-hour windows every 15 minutes — each
+    event lands in exactly 4 windows. The streaming-engine op Ray Data
+    lacks, expressed as a vectorized ×4 explode (np.repeat/tile — no
+    per-row loop, output stays 4× the narrow projection) + one groupby;
+    window id = floor(epoch/900s) − k, floored like the oracle pre-1970."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        slot = np.floor_divide(epoch_us, 900_000_000)
+        n = len(slot)
+        k = np.tile(np.arange(4, dtype=np.int64), n)
+        return pa.table({
+            "event_type": batch.column("event_type").take(
+                pa.array(np.repeat(np.arange(n), 4))),
+            "win": pa.array(np.repeat(slot, 4) - k, pa.int64()),
+            "value": batch.column("value").take(
+                pa.array(np.repeat(np.arange(n), 4))),
+        })
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "win": batch.column("win"),
+            "n": batch.column("n"),
+            "sum_value": _round(batch.column("sum_value"), 4),
+        })
+
+    return _sorted_table(
+        agg.map_batches(finalize, batch_format="pyarrow"),
+        ["event_type", "win"])
+
+
 def q_events_props_extract(sf_dir: str):
     """Semi-structured extraction: pull ``k`` out of the JSON ``props``
     column (vectorized json parse per batch) and aggregate it per event
@@ -1581,6 +1624,7 @@ QUERIES = {
     "supplier_count_by_region": q_supplier_count_by_region,
     "part_type_stats": q_part_type_stats,
     "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
     "events_props_extract": q_events_props_extract,
     "events_lag_gap": q_events_lag_gap,
     "events_sessionize": q_events_sessionize,
@@ -1747,6 +1791,13 @@ ORACLE_SQL = {
                COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
         FROM events ORDER BY event_id
+    """,
+    "events_hopping": """
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) - k.k AS win,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+        GROUP BY event_type, win ORDER BY event_type, win
     """,
     "events_props_extract": """
         SELECT event_type, COUNT(*) AS n,

@@ -43,6 +43,25 @@ def test_queries_never_init_ray():
                 raise AssertionError("queries module calls ray.init/shutdown")
 
 
+def test_events_hopping_multiplicity(ray_session):
+    """Hopping windows (1h every 15min): every event lands in exactly 4
+    windows, so the per-window counts sum to 4x the event count."""
+    import pyarrow.parquet as pq
+
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["events_hopping"]("/root/testdata/sf0.001")
+    n_events = pq.read_metadata(
+        "/root/testdata/sf0.001/events.parquet").num_rows
+    assert sum(out["n"]) == 4 * n_events
+    # window ids within one event_type are dense-ish and sorted ascending
+    wins = list(out["win"])
+    types = list(out["event_type"])
+    for i in range(1, len(wins)):
+        if types[i] == types[i - 1]:
+            assert wins[i] > wins[i - 1]
+
+
 def test_c4_filter_reasons(ray_session):
     """The composed quality filter drops by FIRST failing rule; keeps carry a
     null reason."""
