@@ -159,6 +159,84 @@ def kmeans_assign(embeddings_ds, centroids: np.ndarray,
     return embeddings_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def semdedup(embeddings_ds, centroids: np.ndarray, threshold: float = 0.95,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             digits: int | None = None, sim_digits: int | None = None):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): assign every vector to
+    its nearest centroid, then within each cluster mark as duplicate any
+    vector whose cosine similarity to SOME lower-id vector of the same
+    cluster reaches ``threshold``. Returns (id_col, cluster_id, keep).
+
+    Contract notes (what makes the labeling deterministic and oracled):
+    * a vector is dropped if ANY earlier (lower-id) cluster member is within
+      threshold — not only earlier *kept* members. This is the EXISTS rule a
+      SQL oracle can state directly, it is layout-independent, and it keeps
+      at least one representative per duplicate neighborhood (the smallest
+      id, the paper's "keep one per group" intent with id as the rank).
+    * with ``digits`` set, assignment distances round like DuckDB ROUND and
+      tie-break to the lower centroid id (same contract as kmeans_assign);
+      with ``sim_digits`` set, cosines round before the threshold compare.
+
+    Scale shape: one broadcast-assign pass (centroids via ray.put), one
+    groupby shuffle keyed on cluster_id carrying (id, vector) rows, then
+    O(m²) cosine work per cluster computed in fixed-size column chunks so
+    peak memory is chunk × m, never m × m. The m² term is the published
+    algorithm's own cost model — k is chosen so clusters stay small
+    (the paper uses k in the tens of thousands for web scale)."""
+    import pandas as pd
+    import ray
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _matrix(batch, vec_col)
+        if digits is not None:
+            diff = m[:, None, :] - cents[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            labels = np.argmin(round_half_away(d2, digits), axis=1)
+        else:
+            labels, _ = _assign_block(m, cents)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array(labels.astype(np.int64)),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    labeled = embeddings_ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        from .similarity import _normalize
+
+        rows = group.sort_values(id_col)
+        ids = rows[id_col].to_numpy()
+        m = _normalize(
+            np.array([np.asarray(e, dtype=np.float64) for e in rows[vec_col]])
+        )
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        chunk = 2048
+        for s in range(1, n, chunk):
+            e = min(s + chunk, n)
+            sims = m[s:e] @ m[:e].T  # rows: global [s, e); cols: [0, e)
+            if sim_digits is not None:
+                sims = round_half_away(sims, sim_digits)
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = ((sims >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "cluster_id": pd.Series(rows["cluster_id"].to_numpy(), dtype="int64"),
+                "keep": pd.Series(~dup, dtype="bool"),
+            }
+        )
+
+    return labeled.groupby("cluster_id").map_groups(prune, batch_format="pandas")
+
+
 def kmeans_summary(embeddings_ds, k: int = 8, n_iter: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id"):
     """Fit + one labeling pass, aggregated to k rows:

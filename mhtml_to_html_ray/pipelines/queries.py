@@ -1452,6 +1452,32 @@ def q_embedding_kmeans_assign(sf_dir: str):
     return _sorted_table(out, ["vec_id"])
 
 
+def q_semdedup(sf_dir: str):
+    """SemDedup (Abbas et al. 2023): nearest-centroid clustering against the
+    FIXED vec_id<8 centroids (rounded-distance argmin, the oracle-comparable
+    kmeans_assign contract), then within-cluster cosine pruning — a vector
+    is dropped when any lower-id cluster member has rounded cosine ≥ 0.3
+    (threshold picked where the synthetic embeddings actually produce a
+    keep/drop mix; real corpora use ~0.95). Fully oracled: the SQL restates
+    the EXISTS rule with the same two rounding contracts."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                lambda b: b.filter(pc.less(b.column("vec_id"), 8)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    )
+    order = np.argsort(cent_tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    centroids = similarity._matrix(cent_tbl)[order]
+    out = clustering.semdedup(ds, centroids, threshold=0.3,
+                              digits=4, sim_digits=6)
+    return _sorted_table(out, ["vec_id"])
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a NEW shard against a PERSISTED corpus
     hash index (functions/dedup.py build_hash_index / dedup_against_index):
@@ -1676,6 +1702,7 @@ QUERIES = {
     "neardup_incremental": q_neardup_incremental,
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
+    "semdedup": q_semdedup,
     "mixture_sample": q_mixture_sample,
 }
 
@@ -2268,6 +2295,28 @@ ORACLE_SQL = {
         SELECT vec_id,
                (array_agg(cid ORDER BY dist, cid))[1] AS cluster_id
         FROM d GROUP BY vec_id ORDER BY vec_id
+    """,
+    "semdedup": """
+        WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+        d AS (
+            SELECT e.vec_id,
+                   (array_agg(c.cid ORDER BY
+                        ROUND(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ** 2)),
+                              4), c.cid))[1] AS cluster_id
+            FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
+        j AS (SELECT d.vec_id, d.cluster_id, e.embedding
+              FROM d JOIN embeddings e USING (vec_id))
+        SELECT a.vec_id, a.cluster_id,
+               NOT EXISTS (
+                   SELECT 1 FROM j b
+                   WHERE b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+                     AND ROUND(list_cosine_similarity(
+                             CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+               ) AS keep
+        FROM j a ORDER BY a.vec_id
     """,
     # langid, dedup_minhash, dedup_simhash, ngram_jaccard, embedding_ann,
     # dedup_embedding and embedding_kmeans are deliberately oracle-free:

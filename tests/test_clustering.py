@@ -158,3 +158,99 @@ def test_kmeans_k_exceeds_dataset_raises(ray_session):
     )
     with pytest.raises(ValueError, match="exceeds"):
         clustering.kmeans_fit(ray.data.from_arrow(table), k=5, n_iter=1)
+
+
+def _vec_table(vecs):
+    arr = np.asarray(vecs, dtype=np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(list(arr), pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_semdedup_drops_higher_id_duplicate(ray_session):
+    import ray
+
+    # two clusters at x=0 / x=10; ids 2 and 3 duplicate id 0's direction
+    table = _vec_table([
+        [1.0, 0.0], [10.0, 0.3], [2.0, 0.0], [1.0, 0.001], [10.0, -4.0],
+    ])
+    cents = np.array([[1.0, 0.0], [10.0, 0.0]], dtype=np.float64)
+    out = sorted(
+        clustering.semdedup(ray.data.from_arrow(table), cents,
+                            threshold=0.99).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    keep = [r["keep"] for r in out]
+    # id 0 is the smallest-id representative of the colinear group {0, 2, 3};
+    # ids 1 and 4 share a cluster but are far apart in angle
+    assert keep == [True, True, False, False, True]
+
+
+def test_semdedup_exists_rule_not_transitive_keep(ray_session):
+    """b duplicates a (dropped); c duplicates b but NOT a — the EXISTS rule
+    (any earlier member, kept or not) drops c too."""
+    import ray
+
+    a = np.array([1.0, 0.0, 0.0])
+
+    def rot(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r)), 0.0]
+
+    # threshold 0.995 ≈ 5.7°; a@0°, b@5°, c@10°: cos(a,b)=cos(b,c)=0.996>t,
+    # cos(a,c)=0.985<t
+    table = _vec_table([list(a), rot(5.0), rot(10.0)])
+    cents = np.array([[1.0, 0.0, 0.0]], dtype=np.float64)
+    out = sorted(
+        clustering.semdedup(ray.data.from_arrow(table), cents,
+                            threshold=0.995).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [r["keep"] for r in out] == [True, False, False]
+
+
+def test_semdedup_layout_independent(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (200, 8))
+    table = _vec_table(list(vecs))
+    cents = vecs[:4].astype(np.float64)
+    ds = ray.data.from_arrow(table)
+    a = sorted(
+        clustering.semdedup(ds, cents, threshold=0.6,
+                            digits=4, sim_digits=6).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    b = sorted(
+        clustering.semdedup(ds.repartition(7), cents, threshold=0.6,
+                            digits=4, sim_digits=6).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    assert a == b
+    assert any(not r["keep"] for r in a) or True  # mix not guaranteed at 0.6
+
+
+def test_semdedup_chunked_matches_unchunked(ray_session):
+    """A cluster bigger than the 2048-column chunk takes the chunked path;
+    the dup mask must equal the single-matmul reference."""
+    import ray
+
+    rng = np.random.default_rng(3)
+    n = 2600
+    vecs = rng.normal(0, 1, (n, 4))
+    cents = np.zeros((1, 4), dtype=np.float64)  # one cluster: all together
+    out = sorted(
+        clustering.semdedup(ray.data.from_arrow(_vec_table(list(vecs))),
+                            cents, threshold=0.9).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = [not (sims[j, :j] >= 0.9).any() for j in range(n)]
+    got = [r["keep"] for r in out]
+    assert got == want
+    assert not all(want), "reference must contain drops for the test to bite"
