@@ -74,6 +74,22 @@ def _assign_block(matrix: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray
     return labels, d2[np.arange(len(matrix)), labels]
 
 
+def _labels(m: np.ndarray, cents: np.ndarray, digits: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """The ONE home of the assignment contract both kmeans_assign and
+    semdedup (and their SQL oracles) depend on. With ``digits``: direct
+    Σ(x_i-c_i)² — numerically closest to the oracle's
+    list_sum(list_transform(...)) so the rounded values agree — then
+    DuckDB-ROUND and argmin (first minimum == lowest centroid id). Without:
+    the fast expanded form via _assign_block."""
+    if digits is not None:
+        diff = m[:, None, :] - cents[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        d2 = round_half_away(d2, digits)
+        labels = np.argmin(d2, axis=1)
+        return labels, d2[np.arange(len(m)), labels]
+    return _assign_block(m, cents)
+
+
 def kmeans_fit(embeddings_ds, k: int = 8, n_iter: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Full-corpus Lloyd's: returns the (k, dim) float64 centroid matrix.
@@ -138,16 +154,7 @@ def kmeans_assign(embeddings_ds, centroids: np.ndarray,
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         m = _matrix(batch, vec_col)
-        if digits is not None:
-            # direct Σ(x_i-c_i)² — numerically closest to the oracle's
-            # list_sum(list_transform(...)) so the rounded values agree
-            diff = m[:, None, :] - cents[None, :, :]
-            d2 = np.einsum("nkd,nkd->nk", diff, diff)
-            d2 = round_half_away(d2, digits)
-            labels = np.argmin(d2, axis=1)  # first minimum == lowest cid
-            best = d2[np.arange(len(m)), labels]
-        else:
-            labels, best = _assign_block(m, cents)
+        labels, best = _labels(m, cents, digits)
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -183,7 +190,6 @@ def semdedup(embeddings_ds, centroids: np.ndarray, threshold: float = 0.95,
     peak memory is chunk × m, never m × m. The m² term is the published
     algorithm's own cost model — k is chosen so clusters stay small
     (the paper uses k in the tens of thousands for web scale)."""
-    import pandas as pd
     import ray
 
     cent = np.asarray(centroids, dtype=np.float64)
@@ -191,13 +197,7 @@ def semdedup(embeddings_ds, centroids: np.ndarray, threshold: float = 0.95,
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
-        m = _matrix(batch, vec_col)
-        if digits is not None:
-            diff = m[:, None, :] - cents[None, :, :]
-            d2 = np.einsum("nkd,nkd->nk", diff, diff)
-            labels = np.argmin(round_half_away(d2, digits), axis=1)
-        else:
-            labels, _ = _assign_block(m, cents)
+        labels, _ = _labels(_matrix(batch, vec_col), cents, digits)
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -208,14 +208,18 @@ def semdedup(embeddings_ds, centroids: np.ndarray, threshold: float = 0.95,
 
     labeled = embeddings_ds.map_batches(assign, batch_format="pyarrow")
 
-    def prune(group: pd.DataFrame) -> pd.DataFrame:
+    def prune(group: pa.Table) -> pa.Table:
         from .similarity import _normalize
 
-        rows = group.sort_values(id_col)
-        ids = rows[id_col].to_numpy()
-        m = _normalize(
-            np.array([np.asarray(e, dtype=np.float64) for e in rows[vec_col]])
-        )
+        if group.num_columns == 0 or group.num_rows == 0:
+            return pa.schema([(id_col, pa.int64()),
+                              ("cluster_id", pa.int64()),
+                              ("keep", pa.bool_())]).empty_table()
+        import pyarrow.compute as pc
+
+        rows = group.take(pc.sort_indices(group.column(id_col)))
+        ids = rows.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(rows, vec_col))
         n = len(ids)
         dup = np.zeros(n, dtype=bool)
         chunk = 2048
@@ -226,15 +230,15 @@ def semdedup(embeddings_ds, centroids: np.ndarray, threshold: float = 0.95,
                 sims = round_half_away(sims, sim_digits)
             earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
             dup[s:e] = ((sims >= threshold) & earlier).any(axis=1)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: pd.Series(ids, dtype="int64"),
-                "cluster_id": pd.Series(rows["cluster_id"].to_numpy(), dtype="int64"),
-                "keep": pd.Series(~dup, dtype="bool"),
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "cluster_id": rows.column("cluster_id"),
+                "keep": pa.array(~dup, pa.bool_()),
             }
         )
 
-    return labeled.groupby("cluster_id").map_groups(prune, batch_format="pandas")
+    return labeled.groupby("cluster_id").map_groups(prune, batch_format="pyarrow")
 
 
 def kmeans_summary(embeddings_ds, k: int = 8, n_iter: int = 10,

@@ -86,6 +86,17 @@ def prefix_offsets(ds, key: str, count_col: str, n_buckets: int = 256,
     one end-of-document separator token) that widens the stride without
     appearing in the stored count.
     """
+    offsets, _ = _prefix_offsets_impl(ds, key, count_col, n_buckets,
+                                      extra_per_row)
+    return offsets
+
+
+def _prefix_offsets_impl(ds, key: str, count_col: str, n_buckets: int,
+                         extra_per_row: int):
+    """(offsets dataset, is_empty) — the emptiness flag comes free from the
+    key-range probe, so callers that must special-case an empty corpus
+    (pack_sequences: Ray drops zero-row blocks, losing the schema) don't
+    pay a count() that would re-execute the scan lineage."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -99,7 +110,7 @@ def prefix_offsets(ds, key: str, count_col: str, n_buckets: int = 256,
     ])
     rng = _key_range(proj, key)
     if rng is None:
-        return _empty(out_schema)
+        return _empty(out_schema), True
     lo, hi = rng
     width = max(1, -(-(hi - lo + 1) // n_buckets))
 
@@ -168,7 +179,7 @@ def prefix_offsets(ds, key: str, count_col: str, n_buckets: int = 256,
         proj.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(scan_group, batch_format="pyarrow")
-    )
+    ), False
 
 
 def pack_sequences(ds, key: str, count_col: str, seq_len: int,
@@ -184,16 +195,23 @@ def pack_sequences(ds, key: str, count_col: str, seq_len: int,
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    offsets = prefix_offsets(ds, key, count_col, n_buckets=n_buckets,
-                             extra_per_row=doc_sep)
+    if doc_sep < 0:
+        raise ValueError("doc_sep must be >= 0")
+    out_schema = pa.schema([
+        (key, pa.int64()), (count_col, pa.int64()),
+        ("start_offset", pa.int64()), ("first_seq", pa.int64()),
+        ("last_seq", pa.int64()), ("n_seqs", pa.int64()),
+    ])
+    offsets, is_empty = _prefix_offsets_impl(ds, key, count_col, n_buckets,
+                                             doc_sep)
+    if is_empty:
+        # Ray drops zero-row map_batches outputs, which would leave the
+        # result schema-less and break downstream sorts on an empty corpus
+        return _empty(out_schema)
 
     def seqs(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.schema([
-                (key, pa.int64()), (count_col, pa.int64()),
-                ("start_offset", pa.int64()), ("first_seq", pa.int64()),
-                ("last_seq", pa.int64()), ("n_seqs", pa.int64()),
-            ]).empty_table()
+            return out_schema.empty_table()
         start = batch.column("start_offset").to_numpy(zero_copy_only=False)
         c = batch.column(count_col).to_numpy(zero_copy_only=False)
         first = start // seq_len

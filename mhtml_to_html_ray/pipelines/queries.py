@@ -711,12 +711,11 @@ def q_events_hopping(sf_dir: str):
         slot = np.floor_divide(epoch_us, 900_000_000)
         n = len(slot)
         k = np.tile(np.arange(4, dtype=np.int64), n)
+        idx = pa.array(np.repeat(np.arange(n), 4))
         return pa.table({
-            "event_type": batch.column("event_type").take(
-                pa.array(np.repeat(np.arange(n), 4))),
+            "event_type": batch.column("event_type").take(idx),
             "win": pa.array(np.repeat(slot, 4) - k, pa.int64()),
-            "value": batch.column("value").take(
-                pa.array(np.repeat(np.arange(n), 4))),
+            "value": batch.column("value").take(idx),
         })
 
     agg = (
@@ -1063,6 +1062,19 @@ def q_pack_sequences(sf_dir: str):
     packed = packing.pack_sequences(counted, "doc_id", "n_tokens",
                                     seq_len=512, doc_sep=1, n_buckets=64)
     return _sorted_table(packed, ["doc_id"])
+
+
+def q_token_offsets(sf_dir: str):
+    """The distributed prefix-sum scan by itself (functions/packing.py
+    prefix_offsets, no separator): each doc's exclusive cumulative token
+    offset in doc_id order — oracled against a SUM() OVER window."""
+    from ..functions import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counted = ds.map_batches(textstats.token_count_batch,
+                             batch_format="pyarrow").drop_columns(["n_chars"])
+    out = packing.prefix_offsets(counted, "doc_id", "n_tokens", n_buckets=64)
+    return _sorted_table(out, ["doc_id"])
 
 
 def q_stopword_stats(sf_dir: str):
@@ -1428,14 +1440,12 @@ def q_embedding_kmeans(sf_dir: str):
     return clustering.kmeans_summary(ds, k=8, n_iter=5)
 
 
-def q_embedding_kmeans_assign(sf_dir: str):
-    """Voronoi labeling against FIXED centroids (the vectors of vec_id < 8):
-    per-row float64 squared distances rounded like DuckDB ROUND(·, 4), ties
-    to the lower centroid id — deterministic, batch-layout-independent, and
-    fully oracled (the SQL recomputes the same rounded-distance argmin)."""
+def _fixed_centroids(ds) -> np.ndarray:
+    """The oracle-comparable FIXED centroid set both kmeans_assign-style
+    queries share: the embeddings of vec_id < 8, ordered by vec_id (the
+    SQL's cid order)."""
     import ray
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cent_tbl = pa.concat_tables(
         ray.get(
             ds.map_batches(
@@ -1445,8 +1455,16 @@ def q_embedding_kmeans_assign(sf_dir: str):
         )
     )
     order = np.argsort(cent_tbl.column("vec_id").to_numpy(zero_copy_only=False))
-    centroids = similarity._matrix(cent_tbl)[order]
-    out = clustering.kmeans_assign(ds, centroids, digits=4).select_columns(
+    return similarity._matrix(cent_tbl)[order]
+
+
+def q_embedding_kmeans_assign(sf_dir: str):
+    """Voronoi labeling against FIXED centroids (the vectors of vec_id < 8):
+    per-row float64 squared distances rounded like DuckDB ROUND(·, 4), ties
+    to the lower centroid id — deterministic, batch-layout-independent, and
+    fully oracled (the SQL recomputes the same rounded-distance argmin)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = clustering.kmeans_assign(ds, _fixed_centroids(ds), digits=4).select_columns(
         ["vec_id", "cluster_id"]
     )
     return _sorted_table(out, ["vec_id"])
@@ -1460,20 +1478,8 @@ def q_semdedup(sf_dir: str):
     (threshold picked where the synthetic embeddings actually produce a
     keep/drop mix; real corpora use ~0.95). Fully oracled: the SQL restates
     the EXISTS rule with the same two rounding contracts."""
-    import ray
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent_tbl = pa.concat_tables(
-        ray.get(
-            ds.map_batches(
-                lambda b: b.filter(pc.less(b.column("vec_id"), 8)),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
-        )
-    )
-    order = np.argsort(cent_tbl.column("vec_id").to_numpy(zero_copy_only=False))
-    centroids = similarity._matrix(cent_tbl)[order]
-    out = clustering.semdedup(ds, centroids, threshold=0.3,
+    out = clustering.semdedup(ds, _fixed_centroids(ds), threshold=0.3,
                               digits=4, sim_digits=6)
     return _sorted_table(out, ["vec_id"])
 
@@ -1667,6 +1673,7 @@ QUERIES = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "pack_sequences": q_pack_sequences,
+    "token_offsets": q_token_offsets,
     "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
@@ -1883,6 +1890,18 @@ ORACLE_SQL = {
         SELECT doc_id, LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
                LENGTH(text) AS n_chars
         FROM documents ORDER BY doc_id
+    """,
+    "token_offsets": """
+        WITH t AS (
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens
+            FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start_offset
+        FROM t ORDER BY doc_id
     """,
     "pack_sequences": """
         WITH t AS (

@@ -231,7 +231,10 @@ def test_semdedup_layout_independent(ray_session):
         key=lambda r: r["vec_id"],
     )
     assert a == b
-    assert any(not r["keep"] for r in a) or True  # mix not guaranteed at 0.6
+    keeps = [r["keep"] for r in a]
+    assert any(keeps) and not all(keeps), (
+        "seed/threshold must produce a keep/drop mix or the prune path "
+        "is not exercised")
 
 
 def test_semdedup_chunked_matches_unchunked(ray_session):

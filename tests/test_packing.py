@@ -144,3 +144,25 @@ def test_pack_sequences_layout_independent_and_covering(ray_session):
     for k in range(199):
         assert by_key[k + 1][1] - by_key[k][2] in (0, 1, 2)
         assert ref[k + 1] // 32 >= by_key[k][1]
+
+
+def test_pack_empty_dataset_keeps_schema(ray_session):
+    """Ray drops zero-row map_batches blocks; the typed empty short-circuit
+    must keep the full packed schema so downstream sorts don't KeyError."""
+    import ray
+
+    out = packing.pack_sequences(
+        _ds(ray, [], []), "doc_id", "n_tokens", seq_len=8)
+    assert out.take_all() == []
+    assert set(out.schema().names) == {
+        "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
+        "n_seqs"}
+
+
+def test_pack_negative_doc_sep_raises(ray_session):
+    import ray
+
+    with pytest.raises(ValueError, match="doc_sep"):
+        packing.pack_sequences(
+            _ds(ray, [0, 1], [3, 3]), "doc_id", "n_tokens",
+            seq_len=8, doc_sep=-3)
