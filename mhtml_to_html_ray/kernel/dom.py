@@ -568,6 +568,20 @@ _FORMATTING_TAGS = frozenset(
     "a b big code em font i nobr s small strike strong tt u".split()
 )
 
+# the HTML spec's "special" element category (tree construction §13.2.4.2) —
+# the adoption agency's furthest-block candidates; foreign (svg/math)
+# elements are handled by namespace in _is_special_element
+_SPECIAL_TAGS = frozenset(
+    """address applet area article aside base basefont bgsound blockquote
+    body br button caption center col colgroup dd details dir div dl dt
+    embed fieldset figcaption figure footer form frame frameset h1 h2 h3 h4
+    h5 h6 head header hgroup hr html iframe img input keygen li link listing
+    main marquee menu meta nav noembed noframes noscript object ol p param
+    plaintext pre script search section select source style summary table
+    tbody td template textarea tfoot th thead title tr track ul wbr
+    xmp""".split()
+)
+
 _TABLE_SECTION_TAGS = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
 # start tags legal at each table-context insertion point; everything else is
 # FOSTER-PARENTED before the table (HTML spec "in table" mode, as parse5 does)
@@ -636,6 +650,46 @@ _SVG_ATTR_ADJUST = {
     "xchannelselector": "xChannelSelector", "ychannelselector": "yChannelSelector",
     "zoomandpan": "zoomAndPan",
 }
+
+
+# legacy public-id prefixes that force quirks mode (HTML spec "the initial
+# insertion mode" doctype table; same families parse5's doctype module keys
+# on — the exhaustive list's remaining entries are museum pieces)
+_QUIRKY_PUBLIC_PREFIXES = (
+    "+//silmaril//", "-//advasoft ltd//", "-//as//dtd html 3.0",
+    "-//ietf//dtd html", "-//microsoft//", "-//netscape comm. corp.//",
+    "-//o'reilly and associates//", "-//softquad software//",
+    "-//softquad//", "-//spyglass//", "-//sq//", "-//sun microsystems corp.//",
+    "-//w3c//dtd html 3", "-//w3c//dtd html 4.0 frameset//",
+    "-//w3c//dtd html 4.0 transitional//", "-//w3c//dtd html experimental",
+    "-//w3c//dtd w3 html//", "-//w3o//dtd w3 html//",
+    "-//webtechs//dtd mozilla html",
+)
+_QUIRKY_PUBLIC_EXACT = (
+    "-//w3o//dtd w3 html strict 3.0//en//", "-/w3c/dtd html 4.0 transitional/en",
+    "html",
+)
+# quirks only when the system identifier is ABSENT
+_QUIRKY_PUBLIC_IF_NO_SYSTEM = (
+    "-//w3c//dtd html 4.01 frameset//", "-//w3c//dtd html 4.01 transitional//",
+)
+
+
+def _doctype_is_quirky(name: str, public_id: str, system_id: str) -> bool:
+    if name != "html":
+        return True
+    pub = public_id.lower()
+    if pub in _QUIRKY_PUBLIC_EXACT:
+        return True
+    if system_id.lower() == (
+            "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"):
+        return True
+    if any(pub.startswith(p) for p in _QUIRKY_PUBLIC_PREFIXES):
+        return True
+    if not system_id and any(
+            pub.startswith(p) for p in _QUIRKY_PUBLIC_IF_NO_SYSTEM):
+        return True
+    return False
 
 
 def parse_html(source: str) -> Document:
@@ -746,6 +800,11 @@ def parse_html(source: str) -> Document:
             return
         top_tag = top.tag_name
         if tag in _P_CLOSERS:
+            if tag == "table" and quirks_mode:
+                # spec "in body" <table>: the p-in-button-scope close is
+                # gated on the Document NOT being in quirks mode — a
+                # doctype-less page keeps its table inside the open <p>
+                return
             # close an open <p> anywhere in button scope (spec: "if the stack
             # of open elements has a p element in button scope")
             pop_scoped(_P_TARGET, _BUTTON_SCOPE_BOUNDARY)
@@ -774,10 +833,25 @@ def parse_html(source: str) -> Document:
             # spec: a <button> with a button in scope closes it first —
             # buttons never nest
             pop_scoped(frozenset(("button",)), _DEFAULT_SCOPE_BOUNDARY)
-        elif tag in ("rt", "rp") and top_tag in ("rt", "rp"):
-            # spec ruby rules: rt/rp generate implied end tags for an open
-            # rt/rp sibling
-            stack.pop()
+        elif tag in ("rt", "rp", "rb", "rtc"):
+            # spec ruby rules: with a <ruby> in scope, rb/rtc generate
+            # implied end tags; rt/rp generate implied end tags except rtc
+            for node in reversed(stack):
+                if not isinstance(node, Element):
+                    break
+                name = node.tag_name.lower()
+                if name == "ruby":
+                    implied = frozenset(
+                        ("dd", "dt", "li", "optgroup", "option", "p",
+                         "rb", "rp", "rt", "rtc"))
+                    keep = ("rtc",) if tag in ("rt", "rp") else ()
+                    while stack and isinstance(stack[-1], Element) and (
+                            stack[-1].tag_name.lower() in implied
+                            and stack[-1].tag_name.lower() not in keep):
+                        stack.pop()
+                    break
+                if name in _DEFAULT_SCOPE_BOUNDARY:
+                    break
 
     def open_select() -> Element | None:
         for node in reversed(stack):
@@ -927,36 +1001,140 @@ def parse_html(source: str) -> Document:
             stack.append(clone)
             active_formatting[index] = clone
 
-    def reconstruct_formatting(tag: str) -> bool:
-        """Simplified adoption agency, closing half: closing a formatting
-        element that has OTHER formatting elements open above it pops them
-        all and reopens clones — <b><i></b>x</i> becomes
-        <b><i></i></b><i>x</i>. The entry for the closed element leaves the
-        active list; reopened clones replace their entries."""
-        remove_active(tag)
-        for index in range(len(stack) - 1, -1, -1):
-            node = stack[index]
-            if isinstance(node, Element) and node.tag_name.lower() == tag:
-                above = stack[index + 1 :]
-                if above and all(
-                    isinstance(n, Element) and n.tag_name.lower() in _FORMATTING_TAGS
-                    for n in above
-                ):
-                    del stack[index:]
-                    for orphan in above:
-                        clone = Element(orphan.tag_name,
-                                        [list(a) for a in orphan.attrs])
-                        target = current() if stack else insertion_parent()
-                        target.append_child(clone)
-                        stack.append(clone)
-                        for entry_index, entry in enumerate(active_formatting):
-                            if entry is orphan:
-                                active_formatting[entry_index] = clone
-                                break
-                else:
-                    del stack[index:]
+    def _is_special_element(node: Node) -> bool:
+        """The spec 'special' category — furthest-block candidates."""
+        if not isinstance(node, Element):
+            return True
+        tag = node.tag_name.lower()
+        if node.namespace == "svg":
+            return tag in ("foreignobject", "desc", "title")
+        if node.namespace == "math":
+            return tag in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
+        return tag in _SPECIAL_TAGS
+
+    def _scope_hides(node: Node) -> bool:
+        """Default-scope boundary test (spec 'has an element in scope')."""
+        if not isinstance(node, Element):
+            return False
+        tag = node.tag_name.lower()
+        if node.namespace == "svg":
+            return tag in ("foreignobject", "desc", "title")
+        if node.namespace == "math":
+            return tag in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
+        return tag in _DEFAULT_SCOPE_BOUNDARY
+
+    def _af_clone(element: Element) -> Element:
+        return Element(element.tag_name, [list(a) for a in element.attrs])
+
+    def _af_index(element: Element) -> int | None:
+        for index, entry in enumerate(active_formatting):
+            if entry is element:
+                return index
+        return None
+
+    def _append_adopted(parent: _ParentNode, node: Node) -> None:
+        """Insert at the 'appropriate place' for the adoption agency: honor
+        template content and table foster-parenting."""
+        if isinstance(parent, Element) and parent.content is not None:
+            parent.content.append_child(node)
+        elif (isinstance(parent, Element)
+                and parent.tag_name in _TABLE_SECTION_TAGS
+                and insert_fostered(node)):
+            pass
+        else:
+            parent.append_child(node)
+
+    def adoption_agency(tag: str) -> bool:
+        """The HTML spec adoption agency algorithm (tree construction
+        'in body' formatting end tags), including the furthest-block half
+        the round-2 simplification lacked — <b>1<p>2</b>3</p> now parses as
+        <b>1</b><p><b>2</b>3</p> like parse5/browsers. Returns False only
+        when no active entry matches (caller falls back to the generic
+        'any other end tag' pop)."""
+        # spec fast path: current node matches and has no active entry
+        top = stack[-1] if stack else None
+        if (isinstance(top, Element) and top.namespace == "html"
+                and top.tag_name.lower() == tag
+                and _af_index(top) is None):
+            stack.pop()
+            return True
+        for _ in range(8):  # outer loop
+            fmt = None
+            for index in range(len(active_formatting) - 1, -1, -1):
+                entry = active_formatting[index]
+                if entry is _AF_MARKER:
+                    break
+                if entry.tag_name.lower() == tag:
+                    fmt = entry
+                    break
+            if fmt is None:
+                return False
+            fmt_idx = next((i for i in range(len(stack) - 1, -1, -1)
+                            if stack[i] is fmt), None)
+            if fmt_idx is None:
+                del active_formatting[_af_index(fmt)]
+                return True  # parse error; token ignored
+            if any(_scope_hides(n) for n in stack[fmt_idx + 1:]):
+                return True  # not in scope; token ignored
+            # furthest block: the first special element above fmt
+            fb_idx = next((i for i in range(fmt_idx + 1, len(stack))
+                           if _is_special_element(stack[i])), None)
+            if fb_idx is None:
+                # no furthest block: pop through fmt; entries for popped
+                # formatting elements above it STAY active (they reopen
+                # lazily at the next insertion — no eager empty clones)
+                del stack[fmt_idx:]
+                del active_formatting[_af_index(fmt)]
                 return True
-        return False
+            fb = stack[fb_idx]
+            common = stack[fmt_idx - 1] if fmt_idx > 0 else ensure_body()
+            bookmark = _af_index(fmt)
+            node_idx = fb_idx
+            last_node: Node = fb
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node = stack[node_idx]
+                if node is fmt:
+                    break
+                af_idx = _af_index(node)
+                if inner > 3 and af_idx is not None:
+                    del active_formatting[af_idx]
+                    if af_idx < bookmark:
+                        bookmark -= 1
+                    af_idx = None
+                if af_idx is None:
+                    # not actively formatting: drop from the stack; the
+                    # element above it now sits at node_idx - 1 as before
+                    del stack[node_idx]
+                    fb_idx -= 1
+                    continue
+                clone = _af_clone(node)
+                active_formatting[af_idx] = clone
+                stack[node_idx] = clone
+                if last_node is fb:
+                    bookmark = af_idx + 1
+                last_node.remove()
+                clone.append_child(last_node)
+                last_node = clone
+            last_node.remove()
+            _append_adopted(common, last_node)
+            fclone = _af_clone(fmt)
+            children = fb.child_nodes[:]
+            fb.child_nodes.clear()
+            for child in children:
+                fclone.append_child(child)
+            fb.append_child(fclone)
+            fmt_af = _af_index(fmt)
+            del active_formatting[fmt_af]
+            if fmt_af < bookmark:
+                bookmark -= 1
+            active_formatting.insert(bookmark, fclone)
+            del stack[fmt_idx]
+            fb_idx -= 1
+            stack.insert(fb_idx + 1, fclone)
+        return True
 
     # spec "frameset-ok" flag + the open <frameset> (None = not in frameset
     # modes); while set with no body, only frameset/frame/noframes tokens land
@@ -968,6 +1146,9 @@ def parse_html(source: str) -> Document:
     # "after body" / "after-after body" insertion modes: comments land on the
     # html element / the Document; any other content switches back to in-body
     post_body: str | None = None
+    # spec quirks mode: no doctype (or a legacy one) → quirks; the one tree
+    # construction rule this gates is <table> NOT closing an open <p>
+    quirks_mode = True
 
     tokenizer = _Tokenizer(source)
 
@@ -1087,6 +1268,7 @@ def parse_html(source: str) -> Document:
                     public_id = m.group(4) or ""
                     system_id = m.group(6) or m.group(9) or ""
                     document.append_child(DocumentType(name, public_id, system_id))
+                    quirks_mode = _doctype_is_quirky(name, public_id, system_id)
         elif kind == "starttag":
             _, tag, attrs, self_closing = token
             post_body = None  # any start tag resumes in-body
@@ -1408,15 +1590,16 @@ def parse_html(source: str) -> Document:
                 head_closed = True
                 continue
             if tag in ("body", "html"):
-                while stack:
-                    stack.pop()
+                # spec: these only switch insertion mode — the stack is NOT
+                # popped, so content after a stray </body>/</html> resumes
+                # inside the still-open element (<p>a</body>b → <p>ab)
                 head_closed = True
                 # </body> → "after body"; </html> → "after after body"
                 post_body = "after_html" if tag == "html" else "after_body"
                 continue
             if tag == "form" and token_namespace("form") == "html":
                 form_el = None  # spec: </form> clears the pointer
-            if tag in _FORMATTING_TAGS and reconstruct_formatting(tag):
+            if tag in _FORMATTING_TAGS and adoption_agency(tag):
                 continue
             for index in range(len(stack) - 1, -1, -1):
                 node = stack[index]

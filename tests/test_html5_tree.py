@@ -861,3 +861,129 @@ def test_self_closing_flag_ignored_in_html(source, expected):
 )
 def test_character_reference_edge_cases(source, expected):
     assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# adoption agency, furthest-block half (the full spec algorithm, round 3)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # the classic: a block intervenes — <b> splits around the <p>
+        (
+            "<body><b>1<p>2</b>3</p></body>",
+            "<body><b>1</b><p><b>2</b>3</p></body>",
+        ),
+        # the famous misnested-div chain: one <a> clone per block level
+        (
+            "<body><a>1<div>2<div>3</a>4</body>",
+            "<body><a>1</a><div><a>2</a><div><a>3</a>4</div></div></body>",
+        ),
+        # html5lib adoption01 shape: the <i> between <b> and the block
+        # reopens OUTSIDE and the block moves into it
+        (
+            "<body><b>1<i>2<p>3</b>4</body>",
+            "<body><b>1<i>2</i></b><i><p><b>3</b>4</p></i></body>",
+        ),
+        # button is special: it is the furthest block
+        (
+            "<body><b><button>1</b>2</button></body>",
+            "<body><b></b><button><b>1</b>2</button></body>",
+        ),
+        # no furthest block: pop through, NO eager empty clone; the stray
+        # </i> then REMOVES the stale entry (not on the stack), so "x" has
+        # nothing to reconstruct
+        (
+            "<body><b><i></b></i>x</body>",
+            "<body><b><i></i></b>x</body>",
+        ),
+        (
+            "<body><b><i></b></i></body>",
+            "<body><b><i></i></b></body>",
+        ),
+        # second <a> start implies adoption of the first
+        (
+            '<body><a href="1">a<a href="2">b</body>',
+            '<body><a href="1">a</a><a href="2">b</a></body>',
+        ),
+    ],
+)
+def test_adoption_agency_furthest_block(source, expected):
+    assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# ruby implied end tags, quirks-mode gating, after-body resume (round 3)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # rt implies </rb>; rb/rt siblings chain
+        (
+            "<body><ruby><rb>a<rt>b</ruby></body>",
+            "<body><ruby><rb>a</rb><rt>b</rt></ruby></body>",
+        ),
+        (
+            "<body><ruby><rb>a<rb>b<rt>c<rp>(<rt>d<rp>)</ruby></body>",
+            "<body><ruby><rb>a</rb><rb>b</rb><rt>c</rt><rp>(</rp>"
+            "<rt>d</rt><rp>)</rp></ruby></body>",
+        ),
+        # rt nests INSIDE an open rtc (the except-rtc clause); rb closes it
+        (
+            "<body><ruby><rtc><rt>a<rt>b</rtc><rb>c</ruby></body>",
+            "<body><ruby><rtc><rt>a</rt><rt>b</rt></rtc><rb>c</rb>"
+            "</ruby></body>",
+        ),
+        # content after a stray </body> / </html> resumes inside the still
+        # open element — the stack is not popped by the mode switch
+        (
+            "<body><p>a</body>b</body>",
+            "<body><p>ab</p></body>",
+        ),
+        (
+            "<body><p>a</html>b</body>",
+            "<body><p>ab</p></body>",
+        ),
+    ],
+)
+def test_ruby_and_after_body(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected_body",
+    [
+        # no doctype → quirks: <table> does NOT close the open <p>
+        (
+            "<p>1<table></table>2",
+            "<body><p>1<table></table>2</p></body>",
+        ),
+        # standards doctype → the p closes first
+        (
+            "<!DOCTYPE html><p>1<table></table>2",
+            "<body><p>1</p><table></table>2</body>",
+        ),
+        # HTML 3.2 public id → quirks
+        (
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 3.2 Final//EN">'
+            "<p>1<table></table>",
+            "<body><p>1<table></table></p></body>",
+        ),
+        # 4.01 Transitional WITH a system id → limited-quirks (not quirks)
+        (
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN"'
+            ' "http://www.w3.org/TR/html4/loose.dtd"><p>1<table></table>',
+            "<body><p>1</p><table></table></body>",
+        ),
+        # 4.01 Transitional WITHOUT a system id → quirks
+        (
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">'
+            "<p>1<table></table>",
+            "<body><p>1<table></table></p></body>",
+        ),
+    ],
+)
+def test_quirks_mode_table_in_p(source, expected_body):
+    assert body_html(source) == expected_body
