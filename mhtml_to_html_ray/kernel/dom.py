@@ -1426,7 +1426,11 @@ def parse_html(source: str) -> Document:
             element = Element(tag_out, attrs, namespace=element_ns)
             in_head_insert = False
             if not stack:
-                if not head_closed and body_el is None and tag in _HEAD_TAGS:
+                # spec "after head": metadata start tags between </head> and
+                # <body> are pushed BACK into the head (everything in
+                # _HEAD_TAGS except noscript, which implies <body> there)
+                if (body_el is None and tag in _HEAD_TAGS
+                        and not (head_closed and tag == "noscript")):
                     parent = ensure_head()
                     in_head_insert = True
                 else:

@@ -987,3 +987,41 @@ def test_ruby_and_after_body(source, expected):
 )
 def test_quirks_mode_table_in_p(source, expected_body):
     assert body_html(source) == expected_body
+
+
+def full_html(source: str) -> str:
+    doc = parse_html(source)
+    return serialize(doc.child_nodes[-1])
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "after head": metadata between </head> and <body> is pushed
+        # back INTO the head
+        (
+            '<head></head><meta charset="x"><body>hi',
+            '<html><head><meta charset="x"></head><body>hi</body></html>',
+        ),
+        (
+            "<head></head><title>t</title><body>hi",
+            "<html><head><title>t</title></head><body>hi</body></html>",
+        ),
+        (
+            "<head></head><style>s</style><body>hi",
+            "<html><head><style>s</style></head><body>hi</body></html>",
+        ),
+        # noscript is NOT in the after-head push-back list — it implies body
+        (
+            "<head></head><noscript>n</noscript>hi",
+            "<html><head></head><body><noscript>n</noscript>hi</body></html>",
+        ),
+        # metadata after body content stays in place (in-body in-head rules)
+        (
+            '<body>x<meta name="a">',
+            '<html><head></head><body>x<meta name="a"></body></html>',
+        ),
+    ],
+)
+def test_after_head_metadata_pushback(source, expected):
+    assert full_html(source) == expected
