@@ -182,6 +182,60 @@ def _prefix_offsets_impl(ds, key: str, count_col: str, n_buckets: int,
     ), False
 
 
+def chunk_spans(ds, key: str, count_col: str, chunk_len: int,
+                overlap: int = 0):
+    """Sliding-window chunking for retrieval / context windows: split each
+    document's token stream into chunks of ``chunk_len`` tokens advancing by
+    ``chunk_len - overlap`` (so consecutive chunks share ``overlap`` tokens).
+    Emits one row per chunk: (key, chunk_id, start_tok, end_tok, n_chunks)
+    with end exclusive and the final chunk clamped to the doc length.
+
+    Contract: a doc with 0 tokens emits no chunks; a doc with
+    n <= overlap tokens emits exactly one chunk [0, n); otherwise
+    n_chunks = ceil((n - overlap) / stride). Pure per-batch math — no
+    shuffle, no driver state; the 100-TB shape is a single streaming pass
+    (actual chunk TEXT is a later gather against these offsets)."""
+    if chunk_len < 1:
+        raise ValueError("chunk_len must be >= 1")
+    if overlap < 0 or overlap >= chunk_len:
+        raise ValueError("overlap must be in [0, chunk_len)")
+    stride = chunk_len - overlap
+    out_schema = pa.schema([
+        (key, pa.int64()), ("chunk_id", pa.int64()),
+        ("start_tok", pa.int64()), ("end_tok", pa.int64()),
+        ("n_chunks", pa.int64()),
+    ])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        column = batch.column(count_col)
+        if column.null_count:
+            raise ValueError(f"chunk_spans: null {count_col!r} value")
+        n = column.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n) and n.min() < 0:
+            raise ValueError(f"chunk_spans: negative {count_col!r} value")
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        mask = n > 0
+        n, keys = n[mask], keys[mask]
+        if len(n) == 0:
+            return out_schema.empty_table()
+        n_chunks = np.maximum(1, (n - overlap + stride - 1) // stride)
+        reps = np.repeat(np.arange(len(n)), n_chunks)
+        total = int(n_chunks.sum())
+        chunk_id = (np.arange(total)
+                    - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        start = chunk_id * stride
+        end = np.minimum(start + chunk_len, n[reps])
+        return pa.table({
+            key: pa.array(keys[reps].astype(np.int64), pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "end_tok": pa.array(end, pa.int64()),
+            "n_chunks": pa.array(n_chunks[reps], pa.int64()),
+        })
+
+    return ds.map_batches(spans, batch_format="pyarrow")
+
+
 def pack_sequences(ds, key: str, count_col: str, seq_len: int,
                    doc_sep: int = 1, n_buckets: int = 256):
     """Assign each document its slice of the packed fixed-length training

@@ -220,3 +220,79 @@ def per_key_cap(ds, key: str, max_per_key: int, order_col: str,
         return cap_block(group)
 
     return projected.groupby(key).map_groups(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# group-level quality curation (drop low-quality sources/domains wholesale)
+
+
+def group_mean_filter(ds, group_col: str, micros_col: str,
+                      threshold: float, digits: int = 6):
+    """RefinedWeb-style source-level curation: compute each group's MEAN
+    quality signal and keep/drop entire groups against ``threshold``.
+
+    The per-row signal must arrive as integer MICROS (int64, signal×10⁶
+    rounded) so the group sum is order-independent and bit-identical to a
+    SQL oracle regardless of shuffle order; the mean is then ONE float
+    division ``sum_micros / (n × 1e6)`` rounded with the shared DuckDB
+    kernel. Per-block combiner partials (one row per distinct group per
+    block) feed one tiny groupby, the group→mean map broadcasts once
+    (groups ≪ rows; at 10⁷-host web scale swap the broadcast for the
+    engine hash_join on ``group_col``), and each batch tags locally.
+
+    Output: input columns + ``group_mean`` (rounded) + ``keep``
+    (mean >= threshold). No shuffle of the data itself.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .rounding import round_half_away
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        micros = batch.column(micros_col).to_numpy(zero_copy_only=False)
+        if micros.dtype.kind != "i":
+            raise ValueError(
+                f"group_mean_filter: {micros_col!r} must be integer micros")
+        uniq, inverse = np.unique(np.asarray(groups, dtype=object),
+                                  return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inverse, micros.astype(np.int64))
+        counts = np.bincount(inverse, minlength=len(uniq))
+        group_type = batch.schema.field(group_col).type
+        return pa.table({
+            "group": pa.array(uniq.tolist(), group_type),
+            "sum_micros": pa.array(sums, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    folded = (
+        ds.select_columns([group_col, micros_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("group")
+        .aggregate(Sum("sum_micros", alias_name="sum_micros"),
+                   Sum("n", alias_name="n"))
+    )
+    means: dict = {}
+    for block in ray.get(folded.to_arrow_refs()):
+        if block.num_columns == 0:
+            continue
+        for group, total, n in zip(block.column("group").to_pylist(),
+                                   block.column("sum_micros").to_pylist(),
+                                   block.column("n").to_pylist()):
+            means[group] = float(
+                round_half_away(total / (n * 1000000.0), digits))
+    broadcast = ray.put(means)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mean_map = ray.get(broadcast)
+        groups = batch.column(group_col).to_pylist()
+        mean = np.fromiter((mean_map[g] for g in groups),
+                           dtype=np.float64, count=len(groups))
+        return batch.append_column(
+            "group_mean", pa.array(mean, pa.float64())
+        ).append_column("keep", pa.array(mean >= threshold, pa.bool_()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -1077,6 +1077,63 @@ def q_token_offsets(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_chunk_spans(sf_dir: str):
+    """Sliding-window chunking (functions/packing.py chunk_spans): 32-token
+    chunks advancing 24 tokens (8-token overlap — sized so the synthetic
+    docs produce real multi-chunk overlap chains) — the RAG /
+    context-window op. One streaming pass, no shuffle; oracled against a
+    per-doc generate-series expansion."""
+    from ..functions import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counted = ds.map_batches(textstats.token_count_batch,
+                             batch_format="pyarrow").drop_columns(["n_chars"])
+    out = packing.chunk_spans(counted, "doc_id", "n_tokens",
+                              chunk_len=32, overlap=8)
+    return _sorted_table(out, ["doc_id", "chunk_id"])
+
+
+def q_source_quality_filter(sf_dir: str):
+    """Source-level curation (functions/sampling.py group_mean_filter):
+    per-source MEAN alpha-ratio (summed as integer micros so the group sum
+    is shuffle-order-free), sources below 0.822 dropped wholesale — the
+    RefinedWeb-style domain-quality gate. Fully oracled."""
+    from ..functions import sampling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def micros(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.float64())
+        n_alpha = pc.count_substring_regex(text, "[A-Za-z]").cast(pa.float64())
+        safe = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        alpha6 = _round(pc.divide(n_alpha, safe), 6).to_numpy(
+            zero_copy_only=False)
+        from ..functions.rounding import round_half_away
+
+        am = round_half_away(alpha6 * 1000000.0, 0).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "alpha_micros": pa.array(am, pa.int64()),
+        })
+
+    tagged = sampling.group_mean_filter(
+        ds.map_batches(micros, batch_format="pyarrow"),
+        "source", "alpha_micros", threshold=0.822)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "source_mean_alpha": batch.column("group_mean"),
+            "keep": batch.column("keep"),
+        })
+
+    return _sorted_table(tagged.map_batches(finalize, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
 def q_stopword_stats(sf_dir: str):
     """Stopword-ratio quality signal (fixed 10-word list, oracled)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1674,6 +1731,8 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "pack_sequences": q_pack_sequences,
     "token_offsets": q_token_offsets,
+    "chunk_spans": q_chunk_spans,
+    "source_quality_filter": q_source_quality_filter,
     "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
@@ -1902,6 +1961,40 @@ ORACLE_SQL = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0) AS BIGINT) AS start_offset
         FROM t ORDER BY doc_id
+    """,
+    "chunk_spans": """
+        WITH t AS (
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '\\S+')) AS n
+            FROM documents),
+        c AS (
+            SELECT doc_id, n,
+                   GREATEST(1, (n - 8 + 23) // 24) AS n_chunks
+            FROM t WHERE n > 0)
+        SELECT c.doc_id,
+               CAST(u.i AS BIGINT) AS chunk_id,
+               CAST(u.i * 24 AS BIGINT) AS start_tok,
+               CAST(LEAST(u.i * 24 + 32, c.n) AS BIGINT) AS end_tok,
+               c.n_chunks
+        FROM c, LATERAL (SELECT UNNEST(range(0, c.n_chunks)) AS i) u
+        ORDER BY doc_id, chunk_id
+    """,
+    "source_quality_filter": """
+        WITH s AS (
+            SELECT doc_id, source,
+                   CAST(ROUND(ROUND(
+                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / GREATEST(LENGTH(text), 1), 6) * 1000000, 0)
+                       AS BIGINT) AS am
+            FROM documents),
+        m AS (
+            SELECT source,
+                   ROUND(SUM(am) / (COUNT(*) * 1000000.0), 6)
+                       AS source_mean_alpha
+            FROM s GROUP BY source)
+        SELECT s.doc_id, s.source, m.source_mean_alpha,
+               m.source_mean_alpha >= 0.822 AS keep
+        FROM s JOIN m USING (source) ORDER BY s.doc_id
     """,
     "pack_sequences": """
         WITH t AS (

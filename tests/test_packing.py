@@ -166,3 +166,46 @@ def test_pack_negative_doc_sep_raises(ray_session):
         packing.pack_sequences(
             _ds(ray, [0, 1], [3, 3]), "doc_id", "n_tokens",
             seq_len=8, doc_sep=-3)
+
+
+def test_chunk_spans_hand_computed(ray_session):
+    import ray
+
+    # C=4, O=1, stride 3: n=10 -> [0,4)[3,7)[6,10); n=11 adds [9,11);
+    # n=3 (< C) -> one clamped chunk; n=1 (<= O) -> one chunk; n=0 -> none
+    out = packing.chunk_spans(
+        _ds(ray, [0, 1, 2, 3, 4], [10, 11, 3, 1, 0]), "doc_id", "n_tokens",
+        chunk_len=4, overlap=1).take_all()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["end_tok"], r["n_chunks"]))
+    for v in spans.values():
+        v.sort()
+    assert spans == {
+        0: [(0, 0, 4, 3), (1, 3, 7, 3), (2, 6, 10, 3)],
+        1: [(0, 0, 4, 4), (1, 3, 7, 4), (2, 6, 10, 4), (3, 9, 11, 4)],
+        2: [(0, 0, 3, 1)],
+        3: [(0, 0, 1, 1)],
+    }
+
+
+def test_chunk_spans_zero_overlap_covers_exactly(ray_session):
+    import ray
+
+    out = packing.chunk_spans(
+        _ds(ray, [0], [10]), "doc_id", "n_tokens",
+        chunk_len=5, overlap=0).take_all()
+    assert sorted((r["start_tok"], r["end_tok"]) for r in out) == [
+        (0, 5), (5, 10)]
+
+
+def test_chunk_spans_validates_params(ray_session):
+    import ray
+
+    with pytest.raises(ValueError, match="overlap"):
+        packing.chunk_spans(_ds(ray, [0], [5]), "doc_id", "n_tokens",
+                            chunk_len=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_len"):
+        packing.chunk_spans(_ds(ray, [0], [5]), "doc_id", "n_tokens",
+                            chunk_len=0)

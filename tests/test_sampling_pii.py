@@ -202,3 +202,58 @@ def test_redact_pii_dataset(ray_session):
     assert list(out.columns) == ["doc_id", "text", "n_email", "n_phone",
                                  "n_ipv4"]
     assert out["text"][0] == "reach me <EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# group-level quality curation
+
+
+def _quality_ds(ray, groups, micros):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(groups)), pa.int64()),
+        "source": pa.array(groups, pa.string()),
+        "alpha_micros": pa.array(micros, pa.int64()),
+    }))
+
+
+def test_group_mean_filter_keeps_whole_groups(ray_session):
+    import ray
+
+    # src a: mean 0.8 (800000); src b: mean 0.5 — threshold 0.6 drops all b
+    out = sampling.group_mean_filter(
+        _quality_ds(ray, ["a", "a", "b", "b"],
+                    [700000, 900000, 400000, 600000]),
+        "source", "alpha_micros", threshold=0.6).take_all()
+    by_doc = {r["doc_id"]: (r["group_mean"], r["keep"]) for r in out}
+    assert by_doc == {0: (0.8, True), 1: (0.8, True),
+                      2: (0.5, False), 3: (0.5, False)}
+
+
+def test_group_mean_filter_layout_independent(ray_session):
+    import ray
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    groups = [f"s{i % 7}" for i in range(200)]
+    micros = rng.integers(0, 1000000, 200).tolist()
+    a = sorted(sampling.group_mean_filter(
+        _quality_ds(ray, groups, micros), "source", "alpha_micros",
+        threshold=0.5).take_all(), key=lambda r: r["doc_id"])
+    b = sorted(sampling.group_mean_filter(
+        _quality_ds(ray, groups, micros).repartition(9), "source",
+        "alpha_micros", threshold=0.5).take_all(),
+        key=lambda r: r["doc_id"])
+    assert a == b
+
+
+def test_group_mean_filter_rejects_float_signal(ray_session):
+    import ray
+    import pytest
+
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array(["a"], pa.string()),
+        "alpha_micros": pa.array([0.5], pa.float64()),
+    }))
+    with pytest.raises(Exception, match="integer micros"):
+        sampling.group_mean_filter(ds, "source", "alpha_micros",
+                                   threshold=0.5).take_all()
