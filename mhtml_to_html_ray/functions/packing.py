@@ -207,6 +207,8 @@ def chunk_spans(ds, key: str, count_col: str, chunk_len: int,
     ])
 
     def spans(batch: pa.Table) -> pa.Table:
+        if batch.column(key).null_count:
+            raise ValueError(f"chunk_spans: null {key!r} value")
         column = batch.column(count_col)
         if column.null_count:
             raise ValueError(f"chunk_spans: null {count_col!r} value")

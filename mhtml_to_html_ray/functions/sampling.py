@@ -250,7 +250,16 @@ def group_mean_filter(ds, group_col: str, micros_col: str,
 
     from .rounding import round_half_away
 
+    # two consumers (mean pass + tag pass): materialize so a possibly
+    # expensive upstream lineage (e.g. a full-corpus regex scan computing
+    # the micros) runs exactly once — same rationale as _prefix_offsets_impl
+    ds = ds.materialize()
+
     def partials(batch: pa.Table) -> pa.Table:
+        if batch.column(group_col).null_count:
+            raise ValueError(
+                f"group_mean_filter: null {group_col!r} value — a null "
+                "group has no mean; filter or fill upstream")
         groups = batch.column(group_col).to_pylist()
         micros = batch.column(micros_col).to_numpy(zero_copy_only=False)
         if micros.dtype.kind != "i":

@@ -582,6 +582,13 @@ _SPECIAL_TAGS = frozenset(
     xmp""".split()
 )
 
+# foreign-content boundary/special sets shared by _is_special_element and
+# _scope_hides (SVG HTML-integration points; MathML text IPs +
+# annotation-xml)
+_SVG_INTEGRATION_TAGS = frozenset(("foreignobject", "desc", "title"))
+_MATH_BOUNDARY_TAGS = frozenset(
+    ("mi", "mo", "mn", "ms", "mtext", "annotation-xml"))
+
 _TABLE_SECTION_TAGS = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
 # start tags legal at each table-context insertion point; everything else is
 # FOSTER-PARENTED before the table (HTML spec "in table" mode, as parse5 does)
@@ -1001,27 +1008,27 @@ def parse_html(source: str) -> Document:
             stack.append(clone)
             active_formatting[index] = clone
 
-    def _is_special_element(node: Node) -> bool:
-        """The spec 'special' category — furthest-block candidates."""
+    def _special_or_boundary(node: Node, html_set: frozenset,
+                             non_element: bool) -> bool:
+        """Shared body of the spec 'special' category and the default-scope
+        boundary test — identical foreign-content sets, differing only in
+        the HTML-namespace tag list."""
         if not isinstance(node, Element):
-            return True
+            return non_element
         tag = node.tag_name.lower()
         if node.namespace == "svg":
-            return tag in ("foreignobject", "desc", "title")
+            return tag in _SVG_INTEGRATION_TAGS
         if node.namespace == "math":
-            return tag in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
-        return tag in _SPECIAL_TAGS
+            return tag in _MATH_BOUNDARY_TAGS
+        return tag in html_set
+
+    def _is_special_element(node: Node) -> bool:
+        """The spec 'special' category — furthest-block candidates."""
+        return _special_or_boundary(node, _SPECIAL_TAGS, True)
 
     def _scope_hides(node: Node) -> bool:
         """Default-scope boundary test (spec 'has an element in scope')."""
-        if not isinstance(node, Element):
-            return False
-        tag = node.tag_name.lower()
-        if node.namespace == "svg":
-            return tag in ("foreignobject", "desc", "title")
-        if node.namespace == "math":
-            return tag in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
-        return tag in _DEFAULT_SCOPE_BOUNDARY
+        return _special_or_boundary(node, _DEFAULT_SCOPE_BOUNDARY, False)
 
     def _af_clone(element: Element) -> Element:
         return Element(element.tag_name, [list(a) for a in element.attrs])
@@ -1478,17 +1485,27 @@ def parse_html(source: str) -> Document:
                 # at body level); document is never the insertion point
                 parent = current() if stack else insertion_parent()
             if tag in ("a", "nobr") and not foreign:
-                # an open <a>/<nobr> is implicitly closed by a new one
-                # BEFORE the new element is placed (spec: adoption agency
-                # for the same tag) — and its entry must leave the list
-                # first or reconstruction would immediately reopen it
-                for index in range(len(stack) - 1, -1, -1):
-                    node = stack[index]
-                    if isinstance(node, Element) and node.tag_name == tag:
-                        prune_stack(index)
-                        parent = current() if stack else insertion_parent()
+                # spec: a new <a>/<nobr> with an ACTIVE entry runs the full
+                # adoption agency for its own tag first (so <a>1<div>2<a>3
+                # splits around the div instead of tearing it out), then any
+                # remaining entry/stack element is removed before the new
+                # one is placed
+                has_entry = False
+                for entry in reversed(active_formatting):
+                    if entry is _AF_MARKER:
                         break
-                remove_active(tag)
+                    if entry.tag_name.lower() == tag:
+                        has_entry = True
+                        break
+                if has_entry:
+                    adoption_agency(tag)
+                    remove_active(tag)
+                    for index in range(len(stack) - 1, -1, -1):
+                        node = stack[index]
+                        if isinstance(node, Element) and node.tag_name == tag:
+                            del stack[index]
+                            break
+                    parent = current() if stack else insertion_parent()
             if (
                 active_formatting
                 and not foreign
@@ -1594,9 +1611,17 @@ def parse_html(source: str) -> Document:
                 head_closed = True
                 continue
             if tag in ("body", "html"):
-                # spec: these only switch insertion mode — the stack is NOT
-                # popped, so content after a stray </body>/</html> resumes
-                # inside the still-open element (<p>a</body>b → <p>ab)
+                # spec: in body these only switch insertion mode — the stack
+                # is NOT popped, so content after a stray </body>/</html>
+                # resumes inside the still-open element (<p>a</body>b →
+                # <p>ab). But while the HEAD is still open they reprocess
+                # through "in head" anything-else: pop the head, imply the
+                # body, and later content lands in <body>, not <head>.
+                if body_el is None and frameset_el is None:
+                    if head_el is not None and any(
+                            n is head_el for n in stack):
+                        pop_stack_to(head_el)
+                    ensure_body()
                 head_closed = True
                 # </body> → "after body"; </html> → "after after body"
                 post_body = "after_html" if tag == "html" else "after_body"
@@ -1605,12 +1630,23 @@ def parse_html(source: str) -> Document:
                 form_el = None  # spec: </form> clears the pointer
             if tag in _FORMATTING_TAGS and adoption_agency(tag):
                 continue
+            # spec "any other end tag" / block end tags: a scope-boundary
+            # element (cell, caption, table, template, foreign integration
+            # point) between the top and the match HIDES the target — the
+            # token is ignored instead of destroying the open structure.
+            # Table-structure end tags keep prune-through (they emulate the
+            # "in table"/"in row"/"in cell" pop-to rules).
+            boundary_stop = tag not in (
+                "table", "tbody", "thead", "tfoot", "tr", "td", "th",
+                "caption", "colgroup", "col", "select", "optgroup", "option")
             for index in range(len(stack) - 1, -1, -1):
                 node = stack[index]
                 # .lower(): foreign-content tag names are stored camelCase
                 if isinstance(node, Element) and node.tag_name.lower() == tag:
                     prune_stack(index)
                     break
+                if boundary_stop and _scope_hides(node):
+                    break  # target hidden by the boundary — ignore token
 
     # rawtext elements pushed above may remain if their end tag never came
 

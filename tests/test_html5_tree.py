@@ -1025,3 +1025,50 @@ def full_html(source: str) -> str:
 )
 def test_after_head_metadata_pushback(source, expected):
     assert full_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # </body> while the head is still open: pop head, imply body (in
+        # head "anything else"), content lands in body
+        (
+            "<head></body><p>hi",
+            "<html><head></head><body><p>hi</p></body></html>",
+        ),
+        # metadata AFTER </body> reprocesses in body, not after-head
+        (
+            "<head></head></body><meta>x",
+            "<html><head></head><body><meta>x</body></html>",
+        ),
+    ],
+)
+def test_stray_body_end_with_open_head(source, expected):
+    assert full_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # a SECOND <a> start tag runs the full adoption agency, splitting
+        # around the open block instead of tearing it out
+        (
+            "<body><a>1<div>2<a>3</body>",
+            "<body><a>1</a><div><a>2</a><a>3</a></div></body>",
+        ),
+        # an end tag whose target lies OUTSIDE the open cell is ignored at
+        # the cell boundary — the table survives
+        (
+            "<body><b>x<table><tr><td></b>y</table></body>",
+            "<body><b>x<table><tbody><tr><td>y</td></tr></tbody></table>"
+            "</b></body>",
+        ),
+        (
+            "<body><div>x<table><tr><td></div>y</table></body>",
+            "<body><div>x<table><tbody><tr><td>y</td></tr></tbody></table>"
+            "</div></body>",
+        ),
+    ],
+)
+def test_boundary_hidden_end_tags(source, expected):
+    assert body_html(source) == expected
