@@ -15,7 +15,7 @@ from mhtml_to_html_ray.kernel.bytesops import (
     encode_base64,
 )
 from mhtml_to_html_ray.kernel.charsets import decode_string, encode_string
-from mhtml_to_html_ray.kernel.dom import parse_dom
+from mhtml_to_html_ray.kernel.dom import parse_dom, parse_html, serialize
 from mhtml_to_html_ray.kernel.urlutil import normalize_location
 
 
@@ -196,3 +196,44 @@ def test_tag_soup_fuzz_never_crashes():
         once = serialize(parse_html(source).body)
         assert once.startswith("<body>")
         serialize(parse_html(once).body)  # must re-parse cleanly too
+
+
+_AAA_TOKENS = st.sampled_from(
+    ["<b>", "</b>", "<i>", "</i>", "<a>", "</a>", "<nobr>", "</nobr>",
+     "<div>", "</div>", "<p>", "</p>", "<button>", "</button>",
+     "<table>", "</table>", "<tr>", "<td>", "</td>", "<span>", "</span>",
+     "x", "y"]
+)
+
+
+@given(st.lists(_AAA_TOKENS, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_adoption_agency_structural_integrity(tokens):
+    """Random formatting/block misnesting through the full adoption agency:
+    parsing terminates, the serialize fixpoint holds, and — because the
+    algorithm MOVES nodes between parents — the resulting tree is a real
+    tree: every reachable node appears exactly once and every child's
+    parent_node points at its actual parent."""
+    source = "".join(tokens)
+    doc = parse_html(source)
+
+    seen = set()
+
+    def walk(node, parent):
+        assert id(node) not in seen, "node appears twice in the tree"
+        seen.add(id(node))
+        if parent is not None:
+            assert node.parent_node is parent, "broken parent pointer"
+        for child in (getattr(node, "child_nodes", None) or []):
+            walk(child, node)
+        content = getattr(node, "content", None)
+        if content is not None:
+            walk(content, None)
+
+    walk(doc, None)
+    once = serialize(doc.body) if doc.body is not None else ""
+    twice_doc = parse_html(once)
+    twice = serialize(twice_doc.body) if twice_doc.body is not None else ""
+    thrice_doc = parse_html(twice)
+    thrice = serialize(thrice_doc.body) if thrice_doc.body is not None else ""
+    assert twice == thrice
