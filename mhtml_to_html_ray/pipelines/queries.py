@@ -986,6 +986,52 @@ def q_top_tokens(sf_dir: str):
     return top.to_pandas()
 
 
+def q_top_tokens_per_lang(sf_dir: str):
+    """GROUPED heavy hitters: top-5 tokens per language. Per-batch (lang,
+    token, n) partial counts (vectorized polars explode+group — the RE2
+    whitespace class [\\t\\n\\f\\r ] spelled explicitly so rust-regex and
+    RE2 agree on non-ASCII spaces), one groupby over partial rows (never
+    raw tokens), then a per-lang map_groups top-k with the deterministic
+    (n desc, token asc) order the oracle's ROW_NUMBER states."""
+    import pandas as pd
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        frame = pl.from_arrow(batch)
+        out = (
+            frame.with_columns(
+                pl.col("text").str.extract_all(r"[^\t\n\f\r ]+")
+                .alias("token"))
+            .explode("token")
+            .drop_nulls("token")
+            .group_by(["lang", "token"]).len(name="n")
+        )
+        return pa.table({
+            "lang": pa.array(out["lang"].to_list(), pa.string()),
+            "token": pa.array(out["token"].to_list(), pa.string()),
+            "n": pa.array(out["n"].to_list(), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(["n", "token"], ascending=[False, True],
+                                kind="mergesort").head(5)
+        out = out.reset_index(drop=True)
+        out["rank"] = out.index + 1
+        return out[["lang", "token", "n", "rank"]]
+
+    result = agg.groupby("lang").map_groups(topk, batch_format="pandas")
+    return _sorted_table(result, ["lang", "rank"])
+
+
 def q_approx_top_tokens(sf_dir: str):
     """Count-Min-sketch heavy hitters: approximate top-20 tokens — the
     sketch-shuffle variant of top_tokens (d×w counters per batch instead of
@@ -1725,6 +1771,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "approx_top_tokens": q_approx_top_tokens,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
@@ -1932,6 +1979,19 @@ ORACLE_SQL = {
     """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "top_tokens_per_lang": """
+        SELECT lang, token, n, rank FROM (
+            SELECT lang, token, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token) AS rank
+            FROM (
+                SELECT lang, token, COUNT(*) AS n FROM (
+                    SELECT lang,
+                           unnest(regexp_extract_all(text, '\\S+')) AS token
+                    FROM documents)
+                GROUP BY lang, token))
+        WHERE rank <= 5 ORDER BY lang, rank
     """,
     "top_tokens": """
         SELECT token, COUNT(*) AS n FROM (
