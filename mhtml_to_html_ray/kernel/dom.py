@@ -78,6 +78,10 @@ _MATHML_ATTR_ADJUST = {"definitionurl": "definitionURL"}
 # cell/caption/template boundaries (HTML spec "insert a marker"); clears
 # truncate to the last marker instead of wiping pre-table formatting
 _AF_MARKER = object()
+# elements at which the spec "inserts a marker" onto the active-formatting
+# list (formatting opened inside never reconstructs outside them)
+_MARKER_TAGS = frozenset(
+    ("td", "th", "caption", "template", "applet", "marquee", "object"))
 # start tags that flip the spec's frameset-ok flag to "not ok" ("in body")
 _FRAMESET_NOT_OK_TAGS = frozenset(
     """pre listing li dd dt button applet marquee object table area br embed
@@ -771,7 +775,7 @@ def parse_html(source: str) -> Document:
             1
             for node in removed
             if isinstance(node, Element)
-            and node.tag_name.lower() in ("td", "th", "caption", "template")
+            and node.tag_name.lower() in _MARKER_TAGS
         )
         for _ in range(n_markers):
             for af_index in range(len(active_formatting) - 1, -1, -1):
@@ -1546,10 +1550,11 @@ def parse_html(source: str) -> Document:
                     if len(identical) >= 3:
                         active_formatting.remove(identical[0])
                     active_formatting.append(element)
-                elif tag in ("td", "th", "caption", "template"):
+                elif tag in _MARKER_TAGS:
                     # spec "insert a marker": formatting never crosses INTO a
-                    # cell; pre-table formatting survives past it (the marker
-                    # is popped with the cell in prune_stack)
+                    # cell/caption/template/applet/marquee/object;
+                    # pre-boundary formatting survives past it (the marker
+                    # is popped with the element in prune_stack)
                     active_formatting.append(_AF_MARKER)
 
             is_void = tag in VOID_TAGS

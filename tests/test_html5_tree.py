@@ -1072,3 +1072,31 @@ def test_stray_body_end_with_open_head(source, expected):
 )
 def test_boundary_hidden_end_tags(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # applet/marquee/object push formatting MARKERS: formatting opened
+        # inside never reconstructs outside
+        (
+            "<body><applet><b>1</applet>2</body>",
+            "<body><applet><b>1</b></applet>2</body>",
+        ),
+        (
+            "<body><marquee><b>1</marquee>2</body>",
+            "<body><marquee><b>1</b></marquee>2</body>",
+        ),
+        (
+            "<body><object><b>1</object>2</body>",
+            "<body><object><b>1</b></object>2</body>",
+        ),
+        # ...while formatting opened BEFORE survives past the boundary
+        (
+            "<body><b>0<applet>1</applet>2</body>",
+            "<body><b>0<applet>1</applet>2</b></body>",
+        ),
+    ],
+)
+def test_marker_elements_bound_formatting(source, expected):
+    assert body_html(source) == expected
