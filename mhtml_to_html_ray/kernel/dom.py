@@ -330,11 +330,31 @@ _DOCTYPE_RE = re.compile(
 )
 
 
+# the HTML spec's numeric-character-reference overrides ("Numeric character
+# reference end state" table): C1 controls map through windows-1252
+_WIN1252_CHARREFS = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _decode_numeric_charref(cp: int) -> str:
+    """Spec numeric charref mapping: NUL / surrogates / out-of-range →
+    U+FFFD, C1 range through the windows-1252 table, everything else —
+    INCLUDING noncharacters and C0 controls — emitted as-is (parse errors
+    only; html.unescape silently DROPS those, parse5/browsers keep them)."""
+    if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+        return "�"
+    return _WIN1252_CHARREFS.get(cp, chr(cp))
+
+
 def _unescape(text: str) -> str:
-    return _htmlmod.unescape(text) if "&" in text else text
-
-
-_ATTR_ENTITY_RE = re.compile(r"&(#[0-9]{1,10};?|#[xX][0-9a-fA-F]{1,8};?|[a-zA-Z][a-zA-Z0-9]{0,31};?)")
+    return _unescape_entities(text, in_attr=False) if "&" in text else text
 
 
 def _unescape_attr(text: str) -> str:
@@ -344,6 +364,15 @@ def _unescape_attr(text: str) -> str:
     "?id=1®ion=US" (parse5/browsers do not)."""
     if "&" not in text:
         return text
+    return _unescape_entities(text, in_attr=True)
+
+
+_ATTR_ENTITY_RE = re.compile(r"&(#[0-9]{1,12};?|#[xX][0-9a-fA-F]{1,10};?|[a-zA-Z][a-zA-Z0-9]{0,31};?)")
+
+
+def _unescape_entities(text: str, in_attr: bool) -> str:
+    """ONE single-pass decoder for text and attribute values (a two-phase
+    numeric-then-named pass would double-decode &#38;amp; into '&')."""
     from html.entities import html5 as _html5
 
     out: list[str] = []
@@ -353,7 +382,12 @@ def _unescape_attr(text: str) -> str:
         entity = m.group(0)
         name = m.group(1)
         if name[0] == "#":
-            out.append(_htmlmod.unescape(entity))
+            digits = name[1:-1] if name.endswith(";") else name[1:]
+            if digits[:1] in ("x", "X"):
+                cp = int(digits[1:], 16)
+            else:
+                cp = int(digits)
+            out.append(_decode_numeric_charref(cp))
         elif name.endswith(";") and name in _html5:
             out.append(_html5[name])
         else:
@@ -369,7 +403,8 @@ def _unescape_attr(text: str) -> str:
             else:
                 rest = entity[1 + best :]
                 following = rest[0] if rest else text[m.end() : m.end() + 1]
-                if following and (following.isalnum() or following == "="):
+                if in_attr and following and (
+                        following.isalnum() or following == "="):
                     out.append(entity)  # the attribute exception
                 else:
                     out.append(_html5[bare[:best]] + rest)

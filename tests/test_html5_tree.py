@@ -1100,3 +1100,29 @@ def test_boundary_hidden_end_tags(source, expected):
 )
 def test_marker_elements_bound_formatting(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected_text",
+    [
+        # noncharacters and C0 controls are parse ERRORS but the character
+        # is still emitted (html.unescape silently drops them — spec/parse5
+        # keep them)
+        ("&#x10FFFF;x", "\U0010FFFFx"),
+        ("&#1;x", "\x01x"),
+        # C1 range maps through windows-1252
+        ("&#128;", "€"),
+        ("&#x94;", "”"),
+        # NUL / surrogates / out-of-range → U+FFFD
+        ("&#0;", "�"),
+        ("&#xD800;", "�"),
+        ("&#x110000;", "�"),
+        # single-pass decode: &#38;amp; is the TEXT '&amp;', not '&'
+        ("&#38;amp;", "&amp;"),
+    ],
+)
+def test_numeric_charref_spec_table(source, expected_text):
+    doc = parse_html(f"<body>{source}</body>")
+    texts = [n.value for n in doc.body.child_nodes
+             if getattr(n, "value", None) is not None]
+    assert "".join(texts) == expected_text
