@@ -413,6 +413,13 @@ def _unescape_entities(text: str, in_attr: bool) -> str:
     return "".join(out)
 
 
+_SCRIPT_SCAN_RE = re.compile(
+    r"<!--|-->|</script(?=[\t\n\f\r />])|</script$"
+    r"|<script(?=[\t\n\f\r />])",
+    re.IGNORECASE,
+)
+
+
 class _Tokenizer:
     """``foreign`` is TREE-BUILDER FEEDBACK (the spec's tokenizer/tree-
     construction coupling): the parse loop updates it after every token to
@@ -586,6 +593,8 @@ class _Tokenizer:
 
     def _read_raw_content(self, tag: str, pos: int):
         source = self.source
+        if tag == "script":
+            return self._read_script_data(pos)
         pattern = re.compile(rf"</{re.escape(tag)}(?=[\s/>])|</{re.escape(tag)}$", re.IGNORECASE)
         m = pattern.search(source, pos)
         if m is None:
@@ -593,6 +602,42 @@ class _Tokenizer:
         content = source[pos : m.start()]
         gt = source.find(">", m.start())
         return content, (len(source) if gt == -1 else gt + 1)
+
+    def _read_script_data(self, pos: int):
+        """Script data with the spec's ESCAPE states (condensed): after
+        ``<!--`` the sequence ``<script`` enters the DOUBLE-escaped state,
+        where ``</script>`` returns to escaped instead of closing the
+        element — so document.write('<script>…</script>') payloads stay
+        inside the outer script like parse5/browsers keep them; ``-->``
+        leaves both escaped states."""
+        source = self.source
+        escaped = False
+        double = False
+        i = pos
+        while True:
+            m = _SCRIPT_SCAN_RE.search(source, i)
+            if m is None:
+                return source[pos:], len(source)
+            token = m.group(0).lower()
+            if token == "<!--":
+                escaped = True
+                i = m.end()
+            elif token == "-->":
+                escaped = False
+                double = False
+                i = m.end()
+            elif token.startswith("</script"):
+                if double:
+                    double = False
+                    i = m.end()
+                else:
+                    content = source[pos : m.start()]
+                    gt = source.find(">", m.start())
+                    return content, (len(source) if gt == -1 else gt + 1)
+            else:  # <script…
+                if escaped:
+                    double = True
+                i = m.end()
 
 
 # ---------------------------------------------------------------------------

@@ -1126,3 +1126,38 @@ def test_numeric_charref_spec_table(source, expected_text):
     texts = [n.value for n in doc.body.child_nodes
              if getattr(n, "value", None) is not None]
     assert "".join(texts) == expected_text
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec script-data DOUBLE-escaped state: inside <!-- ... --> an
+        # inner <script>…</script> does NOT close the outer script (the
+        # document.write pattern). Serialized </ becomes <\/ per the
+        # reference serializer (dom-parser-node.js:71).
+        (
+            "<body><script><!--<script>a</script>b--></script>c</body>",
+            "<body><script><!--<script>a<\\/script>b--></script>c</body>",
+        ),
+        (
+            "<body><script><!--<script></script></script>z</body>",
+            "<body><script><!--<script><\\/script></script>z</body>",
+        ),
+        # single-escaped: --> exits, the next </script> closes
+        (
+            "<body><script><!-- x --></script>y</body>",
+            "<body><script><!-- x --></script>y</body>",
+        ),
+        # plain script content with < and --> is untouched
+        (
+            "<body><script>if (a<b) x()</script>y</body>",
+            "<body><script>if (a<b) x()</script>y</body>",
+        ),
+        (
+            "<body><script>a --> b</script>y</body>",
+            "<body><script>a --> b</script>y</body>",
+        ),
+    ],
+)
+def test_script_data_escape_states(source, expected):
+    assert body_html(source) == expected
