@@ -97,6 +97,10 @@ _LIST_ITEM_SCOPE_BOUNDARY = frozenset(
     ("ul", "ol", "html", "table", "td", "th", "caption", "applet", "marquee",
      "object", "template", "select", "button")
 )
+# the spec's li/dd/dt auto-close loop stops at ANY special element except
+# address/div/p ("in body" <li>/<dd>/<dt> start-tag rules) — a <dl> or
+# <blockquote> wrapper keeps the inner item nested (defined after
+# _SPECIAL_TAGS below)
 # the spec's default "has an element in scope" boundary set
 _DEFAULT_SCOPE_BOUNDARY = frozenset(
     ("html", "table", "td", "th", "caption", "applet", "marquee", "object",
@@ -666,6 +670,8 @@ _SPECIAL_TAGS = frozenset(
     xmp""".split()
 )
 
+_LI_DD_DT_STOP = _SPECIAL_TAGS - frozenset(("address", "div", "p"))
+
 # foreign-content boundary/special sets shared by _is_special_element and
 # _scope_hides (SVG HTML-integration points; MathML text IPs +
 # annotation-xml)
@@ -906,9 +912,9 @@ def parse_html(source: str) -> Document:
                 stack.pop()
             return
         if tag == "li":
-            pop_scoped(frozenset(("li",)), _LIST_ITEM_SCOPE_BOUNDARY)
+            pop_scoped(frozenset(("li",)), _LI_DD_DT_STOP)
         elif tag in ("dd", "dt"):
-            pop_scoped(frozenset(("dd", "dt")), _LIST_ITEM_SCOPE_BOUNDARY)
+            pop_scoped(frozenset(("dd", "dt")), _LI_DD_DT_STOP)
         elif tag in ("td", "th") and top_tag in ("td", "th"):
             prune_stack(len(stack) - 1)
         elif tag == "tr" and top_tag in ("td", "th"):

@@ -1161,3 +1161,29 @@ def test_numeric_charref_spec_table(source, expected_text):
 )
 def test_script_data_escape_states(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # the li/dd/dt auto-close loop stops at ANY special element except
+        # address/div/p: a <dl>/<blockquote> wrapper keeps the item nested
+        (
+            "<body><dl><dd><dl><dt>x</dl></dd></dl></body>",
+            "<body><dl><dd><dl><dt>x</dt></dl></dd></dl></body>",
+        ),
+        (
+            "<body><ul><li>one<blockquote><li>two</blockquote></li></ul></body>",
+            "<body><ul><li>one<blockquote><li>two</li></blockquote></li>"
+            "</ul></body>",
+        ),
+        # ...while address/div/p wrappers do NOT stop the close
+        (
+            "<body><ul><li>one<address><li>two</ul></body>",
+            "<body><ul><li>one<address></address></li><li>two</li></ul>"
+            "</body>",
+        ),
+    ],
+)
+def test_li_dd_dt_stop_at_specials(source, expected):
+    assert body_html(source) == expected
