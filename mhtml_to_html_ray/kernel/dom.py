@@ -23,7 +23,6 @@ The serializer is a faithful port of dom-parser-node.js:263-371:
 
 from __future__ import annotations
 
-import html as _htmlmod
 import re
 
 VOID_TAGS = frozenset(
@@ -93,14 +92,10 @@ _BUTTON_SCOPE_BOUNDARY = frozenset(
     ("button", "html", "table", "td", "th", "caption", "applet", "marquee",
      "object", "template", "select")
 )
-_LIST_ITEM_SCOPE_BOUNDARY = frozenset(
-    ("ul", "ol", "html", "table", "td", "th", "caption", "applet", "marquee",
-     "object", "template", "select", "button")
-)
 # the spec's li/dd/dt auto-close loop stops at ANY special element except
 # address/div/p ("in body" <li>/<dd>/<dt> start-tag rules) — a <dl> or
-# <blockquote> wrapper keeps the inner item nested (defined after
-# _SPECIAL_TAGS below)
+# <blockquote> wrapper keeps the inner item nested (_LI_DD_DT_STOP, defined
+# after _SPECIAL_TAGS below)
 # the spec's default "has an element in scope" boundary set
 _DEFAULT_SCOPE_BOUNDARY = frozenset(
     ("html", "table", "td", "th", "caption", "applet", "marquee", "object",
@@ -371,7 +366,9 @@ def _unescape_attr(text: str) -> str:
     return _unescape_entities(text, in_attr=True)
 
 
-_ATTR_ENTITY_RE = re.compile(r"&(#[0-9]{1,12};?|#[xX][0-9a-fA-F]{1,10};?|[a-zA-Z][a-zA-Z0-9]{0,31};?)")
+# numeric digits UNBOUNDED like the spec's "consume all digits" (a capped
+# quantifier split long references mid-number, leaking trailing digits)
+_ATTR_ENTITY_RE = re.compile(r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]{0,31};?)")
 
 
 def _unescape_entities(text: str, in_attr: bool) -> str:
@@ -388,9 +385,13 @@ def _unescape_entities(text: str, in_attr: bool) -> str:
         if name[0] == "#":
             digits = name[1:-1] if name.endswith(";") else name[1:]
             if digits[:1] in ("x", "X"):
-                cp = int(digits[1:], 16)
+                digits = digits[1:].lstrip("0")
+                cp = 0x110000 if len(digits) > 6 else int(digits or "0", 16)
             else:
-                cp = int(digits)
+                digits = digits.lstrip("0")
+                # > 7 digits is certainly out of range — skip int() so a
+                # megabyte of 9s can't hit the bigint conversion limit
+                cp = 0x110000 if len(digits) > 7 else int(digits or "0")
             out.append(_decode_numeric_charref(cp))
         elif name.endswith(";") and name in _html5:
             out.append(_html5[name])
@@ -418,7 +419,10 @@ def _unescape_entities(text: str, in_attr: bool) -> str:
 
 
 _SCRIPT_SCAN_RE = re.compile(
-    r"<!--|-->|</script(?=[\t\n\f\r />])|</script$"
+    # `<!---*>` is the spec's enter-then-immediately-exit path (the opener's
+    # own dashes reach the escaped-dash-dash state, `>` exits) — matched as
+    # ONE token so the overlapping dashes can't strand the scanner escaped
+    r"<!---*>|<!--|-->|</script(?=[\t\n\f\r />])|</script$"
     r"|<script(?=[\t\n\f\r />])",
     re.IGNORECASE,
 )
@@ -626,7 +630,10 @@ class _Tokenizer:
             if token == "<!--":
                 escaped = True
                 i = m.end()
-            elif token == "-->":
+            elif token == "-->" or (
+                    token.startswith("<!--") and token.endswith(">")):
+                # `-->` exits both escape levels; `<!---*>` enters and exits
+                # in one stroke (and exits if already escaped)
                 escaped = False
                 double = False
                 i = m.end()
@@ -861,6 +868,7 @@ def parse_html(source: str) -> Document:
             1
             for node in removed
             if isinstance(node, Element)
+            and node.namespace == "html"  # marker push is gated the same way
             and node.tag_name.lower() in _MARKER_TAGS
         )
         for _ in range(n_markers):
@@ -882,6 +890,14 @@ def parse_html(source: str) -> Document:
             if not isinstance(node, Element):
                 return False
             name = node.tag_name.lower()
+            if node.namespace != "html":
+                # every spec scope list includes the foreign integration
+                # points as boundaries; other foreign elements neither
+                # match targets nor stop the walk
+                if (node.namespace == "svg" and name in _SVG_INTEGRATION_TAGS) or (
+                        node.namespace == "math" and name in _MATH_BOUNDARY_TAGS):
+                    return False
+                continue
             if name in target_tags:
                 prune_stack(index)
                 return True

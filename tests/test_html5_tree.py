@@ -1187,3 +1187,56 @@ def test_script_data_escape_states(source, expected):
 )
 def test_li_dd_dt_stop_at_specials(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # pop_scoped is namespace-aware: a foreign integration point stops
+        # the li auto-close walk (foreignObject is special) — serialized
+        # lowercase per the reference serializer
+        (
+            "<body><ul><li>a<svg><foreignObject><li>b</foreignObject>"
+            "</svg></li></ul></body>",
+            "<body><ul><li>a<svg><foreignobject><li>b</li></foreignobject>"
+            "</svg></li></ul></body>",
+        ),
+        # a FOREIGN <object> pushes no formatting marker, so popping it
+        # must not consume one — <b> still reconstructs in the next li
+        (
+            "<body><ul><li><b>x<svg><object></object></svg></li><li>y</li>"
+            "</ul></body>",
+            "<body><ul><li><b>x<svg><object></object></svg></b></li>"
+            "<li><b>y</b></li></ul></body>",
+        ),
+        # <!--> / <!---> enter-and-exit the script escape state in one
+        # stroke (the opener's dashes ARE the closer's)
+        (
+            "<body><script><!--<script a> <!--> </script>x</body>",
+            "<body><script><!--<script a> <!--> </script>x</body>",
+        ),
+        (
+            "<body><script><!--><script>a</script>b</body>",
+            "<body><script><!--><script>a</script>b</body>",
+        ),
+    ],
+)
+def test_namespace_aware_scopes_and_script_overlap(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected_text",
+    [
+        # digits are consumed unboundedly like the spec — no mid-number
+        # split leaking trailing digits
+        ("&#1234567890123;x", "�x"),
+        ("&#x11000000000;x", "�x"),
+        ("&#0000038;", "&"),
+    ],
+)
+def test_numeric_charref_long_digits(source, expected_text):
+    doc = parse_html(f"<body>{source}</body>")
+    texts = [n.value for n in doc.body.child_nodes
+             if getattr(n, "value", None) is not None]
+    assert "".join(texts) == expected_text
