@@ -737,6 +737,34 @@ def q_events_hopping(sf_dir: str):
         ["event_type", "win"])
 
 
+def q_pagerank(sf_dir: str):
+    """Iterative graph computation (functions/graph.py pagerank_units):
+    2 supersteps of integer fixed-point PageRank over the user → props.k
+    bipartite event graph (k-nodes offset by 100000). Each superstep is one
+    distributed hash_join + one groupby; int64 arithmetic makes the
+    ITERATIVE algorithm bit-exactly oracled — integer sums commute, so the
+    result is identical across any shuffle order."""
+    import json as _json
+
+    from ..functions import graph
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ks = [
+            _json.loads(props).get("k", 0) if props else 0
+            for props in batch.column("props").to_pylist()
+        ]
+        return pa.table({
+            "src": batch.column("user_id").cast(pa.int64()),
+            "dst": pa.array([100000 + k for k in ks], pa.int64()),
+        })
+
+    ranks = graph.pagerank_units(
+        ds.map_batches(edges, batch_format="pyarrow"), n_iter=2)
+    return _sorted_table(ranks, ["node"])
+
+
 def q_events_props_extract(sf_dir: str):
     """Semi-structured extraction: pull ``k`` out of the JSON ``props``
     column (vectorized json parse per batch) and aggregate it per event
@@ -1761,6 +1789,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_props_extract": q_events_props_extract,
+    "pagerank": q_pagerank,
     "events_lag_gap": q_events_lag_gap,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -1938,6 +1967,41 @@ ORACLE_SQL = {
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
         GROUP BY event_type, win ORDER BY event_type, win
+    """,
+    "pagerank": """
+        WITH e AS (
+            SELECT user_id AS src,
+                   100000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS dst
+            FROM events),
+        nodes AS (
+            SELECT node, CAST(SUM(od) AS BIGINT) AS od FROM (
+                SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src
+                UNION ALL
+                SELECT DISTINCT dst AS node, 0 AS od FROM e)
+            GROUP BY node),
+        p AS (SELECT (1000000000000 // COUNT(*)) AS r0,
+                     ((15 * (1000000000000 // COUNT(*))) // 100) AS base
+              FROM nodes),
+        r1 AS (
+            SELECT n.node, n.od,
+                   CAST(p.base + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+                       AS rank_units
+            FROM nodes n CROSS JOIN p
+            LEFT JOIN (
+                SELECT e.dst, SUM(p.r0 // n2.od) AS s
+                FROM e JOIN nodes n2 ON e.src = n2.node CROSS JOIN p
+                GROUP BY e.dst) s ON s.dst = n.node),
+        r2 AS (
+            SELECT n.node,
+                   CAST(p.base + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+                       AS rank_units
+            FROM nodes n CROSS JOIN p
+            LEFT JOIN (
+                SELECT e.dst, SUM(r1.rank_units // r1.od) AS s
+                FROM e JOIN r1 ON r1.node = e.src
+                GROUP BY e.dst) s ON s.dst = n.node)
+        SELECT node, rank_units FROM r2 ORDER BY node
     """,
     "events_props_extract": """
         SELECT event_type, COUNT(*) AS n,
