@@ -765,6 +765,36 @@ def q_pagerank(sf_dir: str):
     return _sorted_table(ranks, ["node"])
 
 
+def q_connected_components(sf_dir: str):
+    """The engine's distributed min-label/pointer-doubling connected
+    components (functions/dedup.py connected_components_ds), DIRECTLY
+    oracled for the first time: the user ↔ props.k bipartite graph filtered
+    to matching residues mod 5 splits into exactly five components, and the
+    DuckDB side reproduces the min-reachable-label fixpoint with a
+    recursive CTE."""
+    import json as _json
+
+    from ..functions import dedup
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ks = np.array([
+            _json.loads(props).get("k", 0) if props else 0
+            for props in batch.column("props").to_pylist()
+        ], dtype=np.int64)
+        mask = (users % 5) == (ks % 5)
+        return pa.table({
+            "a": pa.array(users[mask].astype(np.int64), pa.int64()),
+            "b": pa.array(100000 + ks[mask], pa.int64()),
+        })
+
+    labels = dedup.connected_components_ds(
+        ds.map_batches(edges, batch_format="pyarrow"))
+    return _sorted_table(labels, ["node"])
+
+
 def q_events_props_extract(sf_dir: str):
     """Semi-structured extraction: pull ``k`` out of the JSON ``props``
     column (vectorized json parse per batch) and aggregate it per event
@@ -1790,6 +1820,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "events_props_extract": q_events_props_extract,
     "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
     "events_lag_gap": q_events_lag_gap,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -1967,6 +1998,26 @@ ORACLE_SQL = {
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
         GROUP BY event_type, win ORDER BY event_type, win
+    """,
+    "connected_components": """
+        WITH RECURSIVE
+        e AS (
+            SELECT user_id AS a,
+                   100000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS b
+            FROM events
+            WHERE user_id % 5 =
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 5),
+        und AS (SELECT a AS src, b AS dst FROM e
+                UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM und),
+        walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
+        )
+        SELECT node, MIN(label) AS label FROM walk GROUP BY node
+        ORDER BY node
     """,
     "pagerank": """
         WITH e AS (
