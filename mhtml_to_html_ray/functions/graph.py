@@ -86,13 +86,15 @@ def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
+    # materialize: the (possibly expensive) upstream edge derivation would
+    # otherwise re-execute once per superstep plus once for the degree pass
     edges_nodes = edges_ds.select_columns([src, dst]).map_batches(
         lambda b: pa.table({
             "node": b.column(src).cast(pa.int64()),
             "dst": b.column(dst).cast(pa.int64()),
         }),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
     def zero_contribs(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -737,6 +737,18 @@ def q_events_hopping(sf_dir: str):
         ["event_type", "win"])
 
 
+def _props_k(batch: pa.Table) -> list:
+    """The ONE home of the events.props '$.k' extraction contract: None for
+    a null props or a missing key — exactly what the oracles'
+    CAST(json_extract_string(props, '$.k') AS BIGINT) yields."""
+    import json as _json
+
+    return [
+        _json.loads(props).get("k") if props else None
+        for props in batch.column("props").to_pylist()
+    ]
+
+
 def q_pagerank(sf_dir: str):
     """Iterative graph computation (functions/graph.py pagerank_units):
     2 supersteps of integer fixed-point PageRank over the user → props.k
@@ -744,20 +756,18 @@ def q_pagerank(sf_dir: str):
     distributed hash_join + one groupby; int64 arithmetic makes the
     ITERATIVE algorithm bit-exactly oracled — integer sums commute, so the
     result is identical across any shuffle order."""
-    import json as _json
-
     from ..functions import graph
 
     ds = _read(sf_dir, "events", ["user_id", "props"])
 
     def edges(batch: pa.Table) -> pa.Table:
-        ks = [
-            _json.loads(props).get("k", 0) if props else 0
-            for props in batch.column("props").to_pylist()
-        ]
+        # null props / missing k drop the edge, matching the oracle's
+        # NULL-propagating CAST + join semantics
+        ks = _props_k(batch)
+        keep = [i for i, k in enumerate(ks) if k is not None]
         return pa.table({
-            "src": batch.column("user_id").cast(pa.int64()),
-            "dst": pa.array([100000 + k for k in ks], pa.int64()),
+            "src": batch.column("user_id").take(pa.array(keep)).cast(pa.int64()),
+            "dst": pa.array([100000 + ks[i] for i in keep], pa.int64()),
         })
 
     ranks = graph.pagerank_units(
@@ -772,19 +782,20 @@ def q_connected_components(sf_dir: str):
     to matching residues mod 5 splits into exactly five components, and the
     DuckDB side reproduces the min-reachable-label fixpoint with a
     recursive CTE."""
-    import json as _json
-
     from ..functions import dedup
 
     ds = _read(sf_dir, "events", ["user_id", "props"])
 
     def edges(batch: pa.Table) -> pa.Table:
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ks = np.array([
-            _json.loads(props).get("k", 0) if props else 0
-            for props in batch.column("props").to_pylist()
-        ], dtype=np.int64)
-        mask = (users % 5) == (ks % 5)
+        raw = _props_k(batch)
+        ks = np.array([-1 if k is None else k for k in raw], dtype=np.int64)
+        # numpy % is floor-mod; the oracle forces the same with
+        # ((x % 5) + 5) % 5 so negative ids agree. k=None rows never match
+        # (sentinel -1 % 5 == 4 vs the oracle's NULL comparison dropping
+        # the row) — except k≡4 users, so mask Nones explicitly.
+        valid = np.array([k is not None for k in raw], dtype=bool)
+        mask = valid & ((users % 5) == (ks % 5))
         return pa.table({
             "a": pa.array(users[mask].astype(np.int64), pa.int64()),
             "b": pa.array(100000 + ks[mask], pa.int64()),
@@ -806,10 +817,7 @@ def q_events_props_extract(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
 
     def extract_k(batch: pa.Table) -> pa.Table:
-        ks = [
-            _json.loads(props).get("k", 0) if props else 0
-            for props in batch.column("props").to_pylist()
-        ]
+        ks = [0 if k is None else k for k in _props_k(batch)]
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
@@ -2006,8 +2014,9 @@ ORACLE_SQL = {
                    100000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
                        AS b
             FROM events
-            WHERE user_id % 5 =
-                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 5),
+            WHERE ((user_id % 5) + 5) % 5 =
+                  ((CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    % 5) + 5) % 5),
         und AS (SELECT a AS src, b AS dst FROM e
                 UNION SELECT b, a FROM e),
         nodes AS (SELECT DISTINCT src AS node FROM und),
@@ -2024,7 +2033,8 @@ ORACLE_SQL = {
             SELECT user_id AS src,
                    100000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
                        AS dst
-            FROM events),
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL),
         nodes AS (
             SELECT node, CAST(SUM(od) AS BIGINT) AS od FROM (
                 SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src
