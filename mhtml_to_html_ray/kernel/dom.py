@@ -1496,8 +1496,11 @@ def parse_html(source: str) -> Document:
             # "in select" mode: a nested <select> acts as </select>; form
             # controls pop the select first; everything but option/optgroup/
             # script/style/template is ignored outright
+            # gate on the CONTEXT namespace (the new element's own namespace
+            # is "svg" for an <svg> start tag in HTML content, but the token
+            # is still processed by the "in select" rules — which ignore it)
             select_el = open_select()
-            if select_el is not None and not foreign:
+            if select_el is not None and context_ns == "html":
                 if tag == "select":
                     pop_stack_to(select_el)
                     continue

@@ -1240,3 +1240,28 @@ def test_numeric_charref_long_digits(source, expected_text):
     texts = [n.value for n in doc.body.child_nodes
              if getattr(n, "value", None) is not None]
     assert "".join(texts) == expected_text
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # "in select" gates on the CONTEXT namespace: an <svg>/<math> start
+        # tag is ignored like any other disallowed tag (text still lands)
+        (
+            "<body><select><svg><circle></circle></svg><option>a</select>"
+            "</body>",
+            "<body><select><option>a</option></select></body>",
+        ),
+        (
+            "<body><select><math><mi>x</mi></math><option>a</select></body>",
+            "<body><select>x<option>a</option></select></body>",
+        ),
+        # hr is allowed in select (2023 spec addition parse5 follows)
+        (
+            "<body><select><hr><option>a</select></body>",
+            "<body><select><hr><option>a</option></select></body>",
+        ),
+    ],
+)
+def test_select_ignores_foreign_roots(source, expected):
+    assert body_html(source) == expected
