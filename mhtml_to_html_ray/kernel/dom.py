@@ -1641,8 +1641,18 @@ def parse_html(source: str) -> Document:
                     fostered = insert_fostered(element)
             if not fostered:
                 parent.append_child(element)
+            form_in_table = False
             if tag == "form" and not foreign:
                 form_el = element  # spec form-element pointer
+                # spec "in table" <form>: insert, set the pointer, and pop
+                # IMMEDIATELY — the form stays empty and following content
+                # (e.g. a non-hidden <input>) fosters out of the table
+                # instead of nesting inside the form
+                form_in_table = (
+                    not fostered
+                    and isinstance(parent, Element)
+                    and parent.tag_name in _TABLE_SECTION_TAGS
+                )
 
             if not foreign:
                 if tag in _FORMATTING_TAGS:
@@ -1667,7 +1677,7 @@ def parse_html(source: str) -> Document:
             # element (custom elements like <x-app/> stay open, as parse5
             # does); it is honored only in foreign content
             closes_itself = self_closing and foreign
-            if not is_void and not closes_itself and tag not in _TOKENIZER_RAW and tag != "plaintext" and tag not in _TOKENIZER_RCDATA:
+            if not is_void and not closes_itself and not form_in_table and tag not in _TOKENIZER_RAW and tag != "plaintext" and tag not in _TOKENIZER_RCDATA:
                 stack.append(element)
             elif not closes_itself and (
                 tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA or tag == "plaintext"

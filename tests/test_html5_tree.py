@@ -1265,3 +1265,144 @@ def test_numeric_charref_long_digits(source, expected_text):
 )
 def test_select_ignores_foreign_roots(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "in table" <form>: insert, set the pointer, pop IMMEDIATELY —
+        # the form stays empty and the non-hidden <input> fosters out
+        (
+            "<body><table><form><input type=text></form></table></body>",
+            '<body><input type="text"><table><form></form></table></body>',
+        ),
+        (
+            "<body><table><form><tr><td><input></td></tr></form></table></body>",
+            "<body><table><form></form><tbody><tr><td><input></td></tr>"
+            "</tbody></table></body>",
+        ),
+        # ... but a form inside a CELL is the plain in-body rule: stays open
+        (
+            "<body><table><tr><td><form><input></form></td></tr></table></body>",
+            "<body><table><tbody><tr><td><form><input></form></td></tr>"
+            "</tbody></table></body>",
+        ),
+        # hidden input after the popped form stays inside the table
+        (
+            "<body><form a=1></form><table><form b=2>"
+            "<input type=hidden></form></table></body>",
+            '<body><form a="1"></form><table><form b="2"></form>'
+            '<input type="hidden"></table></body>',
+        ),
+        # pointer already set: the in-table <form> is ignored outright
+        (
+            "<body><form><table><form><tr><td>x</table></form></body>",
+            "<body><form><table><tbody><tr><td>x</td></tr></tbody>"
+            "</table></form></body>",
+        ),
+    ],
+)
+def test_form_in_table_pops_immediately(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # "in table text": ONE non-ws char makes the whole pending run
+        # foster (the leading space travels with it) ...
+        (
+            "<body><table> a<td>x</td></table></body>",
+            "<body> a<table><tbody><tr><td>x</td></tr></tbody></table></body>",
+        ),
+        # ... an all-whitespace run stays inside the table
+        (
+            "<body><table>\t\n<tr><td>x</td></tr></table></body>",
+            "<body><table>\t\n<tbody><tr><td>x</td></tr></tbody></table></body>",
+        ),
+        # "in select in table": td / tr / </table> tokens close the select
+        (
+            "<body><table><tr><td><select><option>a<td>b</table></body>",
+            "<body><table><tbody><tr><td><select><option>a</option></select>"
+            "</td><td>b</td></tr></tbody></table></body>",
+        ),
+        (
+            "<body><table><tr><td><select><option>a<tr><td>b</table></body>",
+            "<body><table><tbody><tr><td><select><option>a</option></select>"
+            "</td></tr><tr><td>b</td></tr></tbody></table></body>",
+        ),
+        (
+            "<body><table><tr><td><select><option>a</table>x</body>",
+            "<body><table><tbody><tr><td><select><option>a</option></select>"
+            "</td></tr></tbody></table>x</body>",
+        ),
+        # a select fostered out of the table still closes on table tokens
+        (
+            "<body><table><select><option>a<tr><td>b</table></body>",
+            "<body><select><option>a</option></select><table><tbody><tr>"
+            "<td>b</td></tr></tbody></table></body>",
+        ),
+        # "in caption": td closes the caption; </table> closes it too; a
+        # nested <table> start tag NESTS (it is not in the caption list)
+        (
+            "<body><table><caption>cap<td>c</td></table></body>",
+            "<body><table><caption>cap</caption><tbody><tr><td>c</td></tr>"
+            "</tbody></table></body>",
+        ),
+        (
+            "<body><table><caption>cap</table>after</body>",
+            "<body><table><caption>cap</caption></table>after</body>",
+        ),
+        (
+            "<body><table><caption>a<table><tr><td>b</td></tr></table></body>",
+            "<body><table><caption>a<table><tbody><tr><td>b</td></tr></tbody>"
+            "</table></caption></table></body>",
+        ),
+        # <table> in "in table" acts as </table> + reprocess (sibling)
+        (
+            "<body><table><table><tr><td>a</table></body>",
+            "<body><table></table><table><tbody><tr><td>a</td></tr></tbody>"
+            "</table></body>",
+        ),
+    ],
+)
+def test_table_text_select_caption_modes(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # <image> is retagged <img> (spec "in body")
+        ("<body><image src=x>y</body>", '<body><img src="x">y</body>'),
+        # xmp closes an open p and is RAW text; no leading-newline skip
+        (
+            "<body><p>a<xmp><b>raw</xmp>z</body>",
+            "<body><p>a</p><xmp><b>raw</xmp>z</body>",
+        ),
+        ("<body><xmp>\nkeep</xmp></body>", "<body><xmp>\nkeep</xmp></body>"),
+        # listing skips the leading newline like pre
+        ("<body><listing>\nkeep</listing></body>",
+         "<body><listing>keep</listing></body>"),
+        # textarea: RCDATA + leading-newline skip (serializer escaping is
+        # the REFERENCE contract, dom-parser-node.js:329)
+        (
+            "<body><textarea>\na<b>c</textarea>x</body>",
+            "<body><textarea>a&lt;b&gt;c</textarea>x</body>",
+        ),
+        # iframe / noembed are raw text containers
+        ("<body><iframe>a<b>c</iframe>x</body>",
+         "<body><iframe>a<b>c</iframe>x</body>"),
+        ("<body><noembed>a<b>c</noembed>x</body>",
+         "<body><noembed>a<b>c</noembed>x</body>"),
+        # Noah's-ark clause: at most 3 identical active-formatting entries
+        # survive to reconstruct in the next block
+        (
+            "<body><p><b><b><b><b>x</p><p>y</p></body>",
+            "<body><p><b><b><b><b>x</b></b></b></b></p>"
+            "<p><b><b><b>y</b></b></b></p></body>",
+        ),
+    ],
+)
+def test_image_rawtext_noahs_ark(source, expected):
+    assert body_html(source) == expected
