@@ -1406,3 +1406,65 @@ def test_table_text_select_caption_modes(source, expected):
 )
 def test_image_rawtext_noahs_ark(source, expected):
     assert body_html(source) == expected
+
+
+def doc_html(source: str) -> str:
+    doc = parse_html(source)
+    return serialize(doc.document_element)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # a second <body> token merges only the NEW attributes
+        ("<body a=1>x<body b=2>y",
+         '<html><head></head><body a="1" b="2">xy</body></html>'),
+        # a second <html> token merges attrs onto the root
+        ("<html lang=en><body>x</body><html class=c>",
+         '<html lang="en" class="c"><head></head><body>x</body></html>'),
+        # <head> in body is ignored; its metadata inserts in place
+        ("<body>x<head><meta charset=utf-8>y</body>",
+         '<html><head></head><body>x<meta charset="utf-8">y</body></html>'),
+        # metadata start tags in body insert at the CURRENT position
+        ("<body><p>a<link href=x>b</p></body>",
+         '<html><head></head><body><p>a<link href="x">b</p></body></html>'),
+        ("<body><p>a<title>t</title>b</p></body>",
+         "<html><head></head><body><p>a<title>t</title>b</p></body></html>"),
+        # a mid-document doctype is ignored
+        ("<body>a<!DOCTYPE html>b</body>",
+         "<html><head></head><body>ab</body></html>"),
+    ],
+)
+def test_attr_merge_and_metadata_in_body(source, expected):
+    assert doc_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # noscript is RAW text with scripting enabled (parse5 default —
+        # the reference's configuration): content stays verbatim
+        ("<body><noscript><b class=q>x</b></noscript>y</body>",
+         "<body><noscript><b class=q>x</b></noscript>y</body>"),
+        ("<body><noscript><p>a<p>b</noscript>y</body>",
+         "<body><noscript><p>a<p>b</noscript>y</body>"),
+        # <tr> after an explicit </tbody> opens a NEW tbody
+        ("<body><table><tbody><tr><td>a</tbody><tr><td>b</table></body>",
+         "<body><table><tbody><tr><td>a</td></tr></tbody>"
+         "<tbody><tr><td>b</td></tr></tbody></table></body>"),
+        # <caption> after a cell clears back to table context
+        ("<body><table><tr><td>a<caption>b</caption></table></body>",
+         "<body><table><tbody><tr><td>a</td></tr></tbody>"
+         "<caption>b</caption></table></body>"),
+        # <col> in table body: clear to table, implied colgroup
+        ("<body><table><tbody><col><tr><td>a</table></body>",
+         "<body><table><tbody></tbody><colgroup><col></colgroup>"
+         "<tbody><tr><td>a</td></tr></tbody></table></body>"),
+        # <tfoot> closes the open tbody
+        ("<body><table><tbody><tr><td>a<tfoot><tr><td>f</table></body>",
+         "<body><table><tbody><tr><td>a</td></tr></tbody>"
+         "<tfoot><tr><td>f</td></tr></tfoot></table></body>"),
+    ],
+)
+def test_noscript_raw_and_table_section_transitions(source, expected):
+    assert body_html(source) == expected
