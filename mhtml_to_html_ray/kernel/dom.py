@@ -1748,8 +1748,22 @@ def parse_html(source: str) -> Document:
                 continue
             if tag == "form" and token_namespace("form") == "html":
                 form_el = None  # spec: </form> clears the pointer
-            if tag in _FORMATTING_TAGS and adoption_agency(tag):
-                continue
+            if tag in _FORMATTING_TAGS:
+                # spec foreign-content "any other end tag": when a FOREIGN
+                # element matching the tag sits above the nearest HTML
+                # element (only <a> can — every other formatting name is a
+                # breakout tag), the token just pops it; the HTML adoption
+                # agency must not run (it would close the OUTER html <a>:
+                # <a>1<svg><a>2</a></svg>3 keeps 3 inside the outer a)
+                foreign_match = False
+                for node in reversed(stack):
+                    if not isinstance(node, Element) or node.namespace == "html":
+                        break
+                    if node.tag_name.lower() == tag:
+                        foreign_match = True
+                        break
+                if not foreign_match and adoption_agency(tag):
+                    continue
             # spec "any other end tag" / block end tags: a scope-boundary
             # element (cell, caption, table, template, foreign integration
             # point) between the top and the match HIDES the target — the

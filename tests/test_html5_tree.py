@@ -1468,3 +1468,33 @@ def test_attr_merge_and_metadata_in_body(source, expected):
 )
 def test_noscript_raw_and_table_section_transitions(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # foreign "any other end tag": a FOREIGN <a> above the nearest HTML
+        # element pops alone — the outer html <a> stays open (the adoption
+        # agency must not run)
+        ("<body><a>1<svg><a>2</a></svg>3</a></body>",
+         "<body><a>1<svg><a>2</a></svg>3</a></body>"),
+        # ... the walk pops through non-matching foreign nodes above it
+        ("<body><a>1<svg><a><circle></circle>2</a></svg>3</a></body>",
+         "<body><a>1<svg><a><circle></circle>2</a></svg>3</a></body>"),
+        # </svg> with the foreign a still open pops the whole subtree
+        ("<body><a>1<svg><a>2</svg>3</a></body>",
+         "<body><a>1<svg><a>2</a></svg>3</a></body>"),
+        # <a> is NOT a foreign breakout tag
+        ("<body><svg><a href=x>t</a></svg>y</body>",
+         '<body><svg><a href="x">t</a></svg>y</body>'),
+        # table nests inside an HTML integration point (svg desc)
+        ("<body><svg><desc><table><tr><td>a</table></desc></svg></body>",
+         "<body><svg><desc><table><tbody><tr><td>a</td></tr></tbody>"
+         "</table></desc></svg></body>"),
+        # self-closing <td/> keeps the cell open (flag ignored in html)
+        ("<body><table><tr><td/>x</table></body>",
+         "<body><table><tbody><tr><td>x</td></tr></tbody></table></body>"),
+    ],
+)
+def test_foreign_end_tag_formatting(source, expected):
+    assert body_html(source) == expected
