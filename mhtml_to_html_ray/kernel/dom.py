@@ -565,12 +565,20 @@ class _Tokenizer:
                     return attrs, True, pos + 2
                 pos += 1
                 continue
-            m = _ATTR_NAME_RE.match(source, pos)
-            if m is None:
-                pos += 1
-                continue
-            name = m.group(0).lower()
-            pos = m.end()
+            if c == "=":
+                # spec "before attribute name" U+003D: parse error, the
+                # equals sign STARTS the attribute name (<a =x> → name "=x",
+                # which the reference serializer then drops as unwritable)
+                m = _ATTR_NAME_RE.match(source, pos + 1)
+                name = "=" + (m.group(0).lower() if m else "")
+                pos = (m.end() if m else pos + 1)
+            else:
+                m = _ATTR_NAME_RE.match(source, pos)
+                if m is None:
+                    pos += 1
+                    continue
+                name = m.group(0).lower()
+                pos = m.end()
             m = _WS_RE.match(source, pos)
             if m:
                 pos = m.end()

@@ -1498,3 +1498,50 @@ def test_noscript_raw_and_table_section_transitions(source, expected):
 )
 def test_foreign_end_tag_formatting(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, attrs, expected",
+    [
+        # spec "before attribute name" =: the equals sign STARTS the name;
+        # the reference serializer drops unwritable names (quotes, =, /)
+        ("<body><a =x>y</a></body>", [["=x", ""]], "<body><a>y</a></body>"),
+        ("<body><a =x=1 b=2>y</a></body>", [["=x", "1"], ["b", "2"]],
+         '<body><a b="2">y</a></body>'),
+        ("<body><a 'q'=1 b=2>y</a></body>", [["'q'", "1"], ["b", "2"]],
+         '<body><a b="2">y</a></body>'),
+        # name "=" then before-attribute-value: the unquoted value keeps
+        # its embedded equals sign
+        ("<body><a == c=3>y</a></body>", [["=", "c=3"]],
+         "<body><a>y</a></body>"),
+        # duplicate attribute: first wins
+        ("<body><div a=1 a=2>x</div></body>", [["a", "1"]],
+         '<body><div a="1">x</div></body>'),
+    ],
+)
+def test_attr_name_edge_tokenization(source, attrs, expected):
+    doc = parse_html(source)
+    assert doc.body.child_nodes[0].attrs == attrs
+    assert serialize(doc.body) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # bogus comments: <? … > and </ + non-letter keep their content
+        ("<body><?php echo 1 ?>x</body>", "<body><!--?php echo 1 ?-->x</body>"),
+        ("<body></ div>x</body>", "<body><!-- div-->x</body>"),
+        ("<body></3>x</body>", "<body><!--3-->x</body>"),
+        # < before a non-letter is TEXT
+        ("<body>a<3 b</body>", "<body>a&lt;3 b</body>"),
+        # a slash joins an UNQUOTED value; with a space it self-closes
+        # (flag ignored on html elements either way)
+        ("<body><a href=x/>y</a></body>", '<body><a href="x/">y</a></body>'),
+        ("<body><a href=x />y</a></body>", '<body><a href="x">y</a></body>'),
+        # empty numeric charrefs stay literal
+        ("<body>&#;x &# y &#x; z</body>",
+         "<body>&amp;#;x &amp;# y &amp;#x; z</body>"),
+    ],
+)
+def test_bogus_comments_and_unquoted_values(source, expected):
+    assert body_html(source) == expected
