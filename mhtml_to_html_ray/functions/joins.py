@@ -189,8 +189,22 @@ def range_join_count(left_ds, right_ds, by: str, on: str,
     return union.groupby(by).map_groups(merge, batch_format="pandas")
 
 def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
-              right_suffix: str = "_r"):
-    """Distributed partitioned inner equijoin on ``key``.
+              right_suffix: str = "_r", how: str = "inner"):
+    """Distributed partitioned equijoin on ``key``.
+
+    ``how`` selects SQL join semantics:
+
+    * ``"inner"`` — left + right payload columns; unmatched rows dropped;
+      null keys never match (both sides' null-key rows pruned at the tag).
+    * ``"left"``  — left outer: every left row survives, unmatched right
+      payload is null; left rows with a NULL key are kept (they match
+      nothing) exactly like SQL ``LEFT JOIN``.
+    * ``"semi"``  — ``WHERE EXISTS``: left rows with at least one right
+      match, left columns only, each left row emitted at most once even
+      when the right side has duplicate keys.
+    * ``"anti"``  — ``WHERE NOT EXISTS``: left rows with no right match,
+      left columns only; null-key left rows are kept (the EXISTS predicate
+      can never be true for them).
 
     Deliberately NOT ray.data.Dataset.join: Ray 2.49's hash join emits empty
     partitions as zero-column blocks that poison schema-dependent downstream
@@ -199,17 +213,24 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     ``_bucket = hash(key) % num_buckets``, union under one schema, ONE
     shuffle (groupby _bucket), then one Arrow-native (Acero) join per
     bucket — typed end-to-end (no pandas float widening; int64 ids above
-    2**53 survive bit-exact) and null keys never match, per SQL inner-join
-    semantics.  100-TB shape: only the projected join columns move,
-    parallelism is num_buckets, nothing touches the driver.  Right payload
-    columns that collide with left names get ``right_suffix``.
+    2**53 survive bit-exact).  100-TB shape: only the projected join
+    columns move, parallelism is num_buckets, nothing touches the driver;
+    for semi/anti the right side is projected down to DISTINCT keys per
+    batch before the shuffle, so an arbitrarily wide right table ships
+    key-sized rows only.  Right payload columns that collide with left
+    names get ``right_suffix``.
     """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown join mode {how!r}")
     left_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
     right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
     left_payload = [n for n in left_schema if n != key]
-    right_payload = [n for n in right_schema if n != key]
+    # semi/anti emit left columns only — the right side contributes bare keys
+    right_payload = [] if how in ("semi", "anti") \
+        else [n for n in right_schema if n != key]
     out_right = _suffixed_names(right_payload, left_schema,
                                 {key, "_bucket", "_side"}, right_suffix)
+    keep_null_left = how in ("left", "anti")
 
     def bucket_of(column: pa.ChunkedArray) -> pa.Array:
         values = column.combine_chunks().to_numpy(zero_copy_only=False) \
@@ -221,26 +242,50 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     def tag_left(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # drop null keys up front: an inner join never matches them, and a
-        # null in the batch would convert the key column to float64 whose
-        # hashes disagree with the other side's int64 hashes (silently
-        # mis-bucketing every key in the batch)
-        batch = batch.filter(pc.is_valid(batch.column(key)))
-        columns = {key: batch.column(key),
-                   "_bucket": bucket_of(batch.column(key)),
-                   "_side": pa.array([0] * batch.num_rows, pa.int8())}
-        for name in left_payload:
-            columns[name] = batch.column(name)
-        for name, out in zip(right_payload, out_right):
-            columns[out] = pa.nulls(batch.num_rows, right_schema[name])
-        return pa.table(columns)
+        def build(part: pa.Table, buckets: pa.Array) -> pa.Table:
+            columns = {key: part.column(key), "_bucket": buckets,
+                       "_side": pa.array([0] * part.num_rows, pa.int8())}
+            for name in left_payload:
+                columns[name] = part.column(name)
+            for name, out in zip(right_payload, out_right):
+                columns[out] = pa.nulls(part.num_rows, right_schema[name])
+            return pa.table(columns)
+
+        # split null keys out up front: they never match, and a null in the
+        # batch would convert the key column to float64 whose hashes disagree
+        # with the other side's int64 hashes (silently mis-bucketing every
+        # key in the batch)
+        valid = pc.is_valid(batch.column(key))
+        nonnull = batch.filter(valid)
+        parts = [build(nonnull, bucket_of(nonnull.column(key)))]
+        if keep_null_left:
+            # left/anti keep null-key left rows; they match nothing, so any
+            # fixed bucket preserves them (the merge passes them through)
+            nulls = batch.filter(pc.invert(valid))
+            if nulls.num_rows:
+                parts.append(
+                    build(nulls, pa.array([0] * nulls.num_rows, pa.int64()))
+                )
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     def tag_right(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         batch = batch.filter(pc.is_valid(batch.column(key)))
-        columns = {key: batch.column(key),
-                   "_bucket": bucket_of(batch.column(key)),
+        key_col = batch.column(key)
+        if how in ("semi", "anti"):
+            # existence is all that matters — distinct keys per batch bound
+            # the shuffle at |distinct| regardless of right-side width/dups
+            if isinstance(key_col, pa.ChunkedArray):
+                key_col = key_col.combine_chunks()
+            key_col = pc.unique(key_col)
+            columns = {key: key_col, "_bucket": bucket_of(key_col),
+                       "_side": pa.array([1] * len(key_col), pa.int8())}
+            for name in left_payload:
+                columns[name] = pa.nulls(len(key_col), left_schema[name])
+            return pa.table(columns)
+        columns = {key: key_col,
+                   "_bucket": bucket_of(key_col),
                    "_side": pa.array([1] * batch.num_rows, pa.int8())}
         for name in left_payload:
             columns[name] = pa.nulls(batch.num_rows, left_schema[name])
@@ -258,16 +303,42 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
         # Arrow-native per-bucket join (Acero): payloads keep their exact
         # types end-to-end (no pandas float64 widening — an int64 id above
         # 2**53 survives bit-exact), and null join keys never match,
-        # matching SQL inner-equijoin semantics.
+        # matching SQL equijoin semantics for every mode.
         import pyarrow.compute as pc
 
         side = group.column("_side")
         left_rows = group.filter(pc.equal(side, 0)).select([key, *left_payload])
-        right_rows = group.filter(pc.equal(side, 1)).select([key, *out_right])
-        if left_rows.num_rows == 0 or right_rows.num_rows == 0:
+
+        def typed_empty() -> pa.Table:
             return pa.table(
                 {name: pa.array([], group.schema.field(name).type) for name in out_columns}
             )
-        return left_rows.join(right_rows, keys=key, join_type="inner").select(out_columns)
+
+        if left_rows.num_rows == 0:
+            return typed_empty()
+        if how in ("semi", "anti"):
+            right_keys = group.filter(pc.equal(side, 1)).select([key])
+            if right_keys.num_rows == 0:
+                return left_rows.select(out_columns) if how == "anti" \
+                    else typed_empty()
+            join_type = "left semi" if how == "semi" else "left anti"
+            return left_rows.join(
+                right_keys, keys=key, join_type=join_type
+            ).select(out_columns)
+        right_rows = group.filter(pc.equal(side, 1)).select([key, *out_right])
+        if right_rows.num_rows == 0:
+            if how == "inner":
+                return typed_empty()
+            # left outer against an empty bucket: left rows + null payload
+            columns = {name: left_rows.column(name) for name in (key, *left_payload)}
+            for name in out_right:
+                columns[name] = pa.nulls(
+                    left_rows.num_rows, group.schema.field(name).type
+                )
+            return pa.table(columns).select(out_columns)
+        join_type = "inner" if how == "inner" else "left outer"
+        return left_rows.join(
+            right_rows, keys=key, join_type=join_type
+        ).select(out_columns)
 
     return union.groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -612,6 +612,85 @@ def q_revenue_by_nation(sf_dir: str):
     return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"), ["n_name"])
 
 
+def _big_order_custkeys(sf_dir: str):
+    """Orders with o_totalprice > 400k, projected down to the customer key
+    (renamed so the join key matches the left side). The semi/anti join
+    dedups these per batch — only distinct keys ever shuffle."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("o_totalprice"), 400_000.0))
+        return pa.table({"c_custkey": kept.column("o_custkey")})
+
+    return orders.map_batches(keys, batch_format="pyarrow")
+
+
+def q_customer_big_order_semi(sf_dir: str):
+    """Distributed SEMI join (WHERE EXISTS): customers with at least one
+    order above 400k. hash_join(how="semi") ships only DISTINCT right keys
+    through the one bucket shuffle — the right table's width and duplicate
+    count never hit the exchange (the 100-TB EXISTS shape)."""
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    out = hash_join(cust, _big_order_custkeys(sf_dir), key="c_custkey",
+                    num_buckets=32, how="semi")
+    return _sorted_table(out, ["c_custkey"])
+
+
+def q_customer_no_big_order_anti(sf_dir: str):
+    """Distributed ANTI join (WHERE NOT EXISTS): customers with NO order
+    above 400k — same physical plan as the semi, Acero "left anti" per
+    bucket, null-key left rows kept per SQL NOT EXISTS semantics."""
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    out = hash_join(cust, _big_order_custkeys(sf_dir), key="c_custkey",
+                    num_buckets=32, how="anti")
+    return _sorted_table(out, ["c_custkey"])
+
+
+def q_customer_big_order_counts(sf_dir: str):
+    """LEFT OUTER join + COALESCE: every customer with their count of >400k
+    orders, zero included. Fact side pre-aggregates per batch (one row per
+    distinct custkey per block) before the one count groupby, then a
+    distributed hash_join(how="left") against the dimension and a
+    vectorized null→0 fill — no driver lookup table, no broadcast of a
+    table that grows with SF."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("o_totalprice"), 400_000.0))
+        counts = kept.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"c_custkey": counts.column("o_custkey"),
+                         "n_partial": counts.column("o_custkey_count")})
+
+    counts = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_partial", alias_name="n_big_orders"))
+    )
+    joined = hash_join(cust, counts, key="c_custkey", num_buckets=32, how="left")
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string()),
+                             "n_big_orders": pa.array([], pa.int64())})
+        n = pc.coalesce(batch.column("n_big_orders"), pa.scalar(0, pa.int64()))
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_name": batch.column("c_name"),
+                         "n_big_orders": pc.cast(n, pa.int64())})
+
+    return _sorted_table(joined.map_batches(fill_zero, batch_format="pyarrow"),
+                         ["c_custkey"])
+
+
 def q_supplier_count_by_region(sf_dir: str):
     """Dimension-chain broadcast join: supplier ⋈ nation ⋈ region →
     suppliers per region."""
@@ -1822,6 +1901,9 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "revenue_by_nation": q_revenue_by_nation,
+    "customer_big_order_semi": q_customer_big_order_semi,
+    "customer_no_big_order_anti": q_customer_no_big_order_anti,
+    "customer_big_order_counts": q_customer_big_order_counts,
     "supplier_count_by_region": q_supplier_count_by_region,
     "part_type_stats": q_part_type_stats,
     "events_tumbling": q_events_tumbling,
@@ -1978,6 +2060,26 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
+    """,
+    "customer_big_order_semi": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    "customer_no_big_order_anti": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    "customer_big_order_counts": """
+        SELECT c_custkey, c_name, COALESCE(t.n, 0) AS n_big_orders
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n FROM orders
+            WHERE o_totalprice > 400000 GROUP BY o_custkey
+        ) t ON t.o_custkey = c_custkey
+        ORDER BY c_custkey
     """,
     "supplier_count_by_region": """
         SELECT r_name, COUNT(*) AS n_suppliers

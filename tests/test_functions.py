@@ -771,6 +771,115 @@ def test_hash_join_null_key_in_batch_does_not_misbucket(ray_session):
     assert rows == [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]
 
 
+def test_hash_join_modes_match_pandas_semantics(ray_session):
+    """left / semi / anti agree with the pandas reference on a random frame
+    with partial key overlap and duplicate keys on both sides."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "key": rng.integers(0, 40, 150),
+        "lv": rng.integers(0, 1000, 150),
+    })
+    right = pd.DataFrame({
+        "key": rng.integers(20, 60, 90),          # half the range overlaps
+        "rv": rng.integers(0, 1000, 90),
+    })
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    got_left = (
+        hash_join(lds, rds, key="key", num_buckets=8, how="left")
+        .to_pandas().sort_values(["key", "lv", "rv"]).reset_index(drop=True)
+    )
+    want_left = (
+        left.merge(right, on="key", how="left")
+        .sort_values(["key", "lv", "rv"]).reset_index(drop=True)[got_left.columns]
+    )
+    # unmatched rv is null → pandas float64 on the reference side; compare values
+    assert got_left["key"].tolist() == want_left["key"].tolist()
+    assert got_left["lv"].tolist() == want_left["lv"].tolist()
+    assert got_left["rv"].fillna(-1).astype("int64").tolist() == \
+        want_left["rv"].fillna(-1).astype("int64").tolist()
+
+    matched = set(right["key"])
+    got_semi = (
+        hash_join(lds, rds, key="key", num_buckets=8, how="semi")
+        .to_pandas().sort_values(["key", "lv"]).reset_index(drop=True)
+    )
+    want_semi = (
+        left[left["key"].isin(matched)]
+        .sort_values(["key", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_semi, want_semi[got_semi.columns])
+    # semi emits each left row exactly once despite duplicate right keys
+    assert len(got_semi) == int(left["key"].isin(matched).sum())
+
+    got_anti = (
+        hash_join(lds, rds, key="key", num_buckets=8, how="anti")
+        .to_pandas().sort_values(["key", "lv"]).reset_index(drop=True)
+    )
+    want_anti = (
+        left[~left["key"].isin(matched)]
+        .sort_values(["key", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_anti, want_anti[got_anti.columns])
+
+
+def test_hash_join_modes_null_key_semantics(ray_session):
+    """SQL null-key contract per mode: inner/semi drop null-key left rows,
+    left/anti keep them (the equality predicate can never be true)."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3, None, 5], pa.int64()),
+         "lv": pa.array(list("abcde"), pa.string())}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([2, 2, 3, None, 9], pa.int64()),
+         "rv": pa.array([20, 21, 30, 99, 90], pa.int64())}))
+
+    def rows(how):
+        out = hash_join(left, right, key="k", num_buckets=4, how=how).take_all()
+        return sorted((r["lv"], r["k"], r.get("rv")) for r in out)
+
+    assert rows("inner") == [("b", 2, 20), ("b", 2, 21), ("c", 3, 30)]
+    assert rows("left") == [
+        ("a", 1, None), ("b", 2, 20), ("b", 2, 21), ("c", 3, 30),
+        ("d", None, None), ("e", 5, None),
+    ]
+    assert rows("semi") == [("b", 2, None), ("c", 3, None)]
+    assert rows("anti") == [("a", 1, None), ("d", None, None), ("e", 5, None)]
+
+
+def test_hash_join_modes_empty_right_and_bad_mode(ray_session):
+    import pytest
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "lv": pa.array(["a", "b"], pa.string())}))
+    empty_right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())}))
+
+    # anti against an empty right keeps everything; semi keeps nothing;
+    # left keeps everything with null payload
+    assert hash_join(left, empty_right, key="k", how="semi").count() == 0
+    anti = hash_join(left, empty_right, key="k", how="anti").take_all()
+    assert sorted(r["lv"] for r in anti) == ["a", "b"]
+    left_out = hash_join(left, empty_right, key="k", how="left").take_all()
+    assert sorted((r["lv"], r["rv"]) for r in left_out) == [("a", None), ("b", None)]
+
+    with pytest.raises(ValueError, match="join mode"):
+        hash_join(left, empty_right, key="k", how="full")
+
+
 def test_simhash_bucket_cap_bounds_degenerate_blocks(ray_session):
     """Many empty documents share simhash 0 in every block — the in-bucket
     pair loop must be capped (deterministically by doc_id), not O(n^2)."""
