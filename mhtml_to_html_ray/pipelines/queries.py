@@ -921,6 +921,116 @@ def q_events_props_extract(sf_dir: str):
     return _sorted_table(agg.map_batches(widen, batch_format="pyarrow"), ["event_type"])
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """PIVOT via conditional aggregation: per user, one wide count column
+    per event type. Per batch: 0/1 indicator columns + an Arrow group_by
+    combiner (one row per distinct user per block), then ONE groupby Sum
+    over the wide columns — the classic crosstab without ever shuffling
+    raw events or enumerating types on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    wide = [f"n_{ty}" for ty in _EVENT_TYPES]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id")}
+        for ty, name in zip(_EVENT_TYPES, wide):
+            cols[name] = pc.cast(
+                pc.equal(batch.column("event_type"), ty), pa.int64()
+            )
+        combined = pa.table(cols).group_by("user_id").aggregate(
+            [(name, "sum") for name in wide]
+        )
+        # rebuild by name: pyarrow's group_by output column order (keys
+        # first vs last) is a version detail we must not depend on
+        return pa.table({
+            "user_id": combined.column("user_id"),
+            **{name: combined.column(f"{name}_sum") for name in wide},
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(name, alias_name=name) for name in wide])
+    )
+    return _sorted_table(agg, ["user_id"])
+
+
+def q_events_moving_avg(sf_dir: str):
+    """Frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): per-user
+    moving average of ``value`` over the last three events. One hash
+    shuffle on user_id, then a vectorized shifted-sum per sorted group —
+    the frame never materializes row-by-row. Sum order matches the
+    oracle's left-to-right frame walk; ROUND(6) absorbs residual FP
+    association drift."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def moving(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = group["value"].to_numpy(dtype="float64")
+        n = len(v)
+        prev1 = np.concatenate(([0.0], v[:-1]))
+        prev2 = np.concatenate(([0.0, 0.0], v[:-2]))
+        sum3 = (prev2 + prev1) + v
+        cnt = np.minimum(np.arange(n) + 1, 3).astype("float64")
+        from ..functions.rounding import round_half_away
+
+        return pd.DataFrame({
+            "event_id": group["event_id"],
+            "user_id": group["user_id"],
+            "avg3": round_half_away(sum3 / cnt, 6),
+        })
+
+    out = ds.groupby("user_id").map_groups(moving, batch_format="pandas")
+    return _sorted_table(out, ["event_id"])
+
+
+def q_sales_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): hierarchical totals
+    derived by RE-AGGREGATING the finest-grain result (≤ |flag|×|status|
+    rows) instead of rescanning lineitem once per level — the one big
+    groupby runs exactly once; the coarser levels fold k rows on the
+    driver. NULL marks a rolled-up dimension, as in SQL."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    finest = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Count(alias_name="n_rows"))
+        .to_pandas()
+    )
+    by_flag = (
+        finest.groupby("l_returnflag", as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+    )
+    by_flag["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "sum_qty": [finest["sum_qty"].sum()],
+        "n_rows": [finest["n_rows"].sum()],
+    })
+    out = pd.concat([finest, by_flag, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    ]
+    from ..functions.rounding import round_half_away
+
+    # quantities are integral doubles — every level's sum is exact; round
+    # like the oracle's ROUND(SUM(...), 0)
+    out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy(), 0)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
 def q_events_lag_gap(sf_dir: str):
     """Partition-sorted window function: per user, the gap (µs) since their
     previous event — ``groupby(user).map_groups`` over ts-sorted groups, the
@@ -1909,6 +2019,9 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_props_extract": q_events_props_extract,
+    "event_type_pivot": q_event_type_pivot,
+    "events_moving_avg": q_events_moving_avg,
+    "sales_rollup": q_sales_rollup,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "events_lag_gap": q_events_lag_gap,
@@ -2170,6 +2283,27 @@ ORACLE_SQL = {
         SELECT event_type, COUNT(*) AS n,
                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "events_moving_avg": """
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+        FROM events ORDER BY event_id
+    """,
+    "sales_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 0) AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "events_sessionize": """
         SELECT user_id, session_id, COUNT(*) AS n_events FROM (

@@ -76,3 +76,59 @@ def test_c4_filter_reasons(ray_session):
         assert (reason is None) == kept
         if reason is not None:
             assert reason in ("length", "stopwords", "repetition")
+
+
+def test_event_type_pivot_row_sums(ray_session):
+    """Pivot invariant: the wide count columns per user sum to that user's
+    event count, and the grand total equals the table row count."""
+    import pyarrow.parquet as pq
+
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["event_type_pivot"]("/root/testdata/sf0.001")
+    n_events = pq.read_metadata(
+        "/root/testdata/sf0.001/events.parquet").num_rows
+    wide = [c for c in out.columns if c.startswith("n_")]
+    assert sorted(wide) == ["n_click", "n_error", "n_purchase", "n_signup",
+                            "n_view"]
+    assert int(out[wide].sum().sum()) == n_events
+    assert (out[wide].sum(axis=1) > 0).all()
+
+
+def test_events_moving_avg_prefix_rows(ray_session):
+    """Frame-window invariant: each user's first event averages only itself,
+    the second averages two rows — spot-check against a driver recompute."""
+    import duckdb
+
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["events_moving_avg"]("/root/testdata/sf0.001").set_index(
+        "event_id")["avg3"]
+    first_two = duckdb.sql("""
+        SELECT event_id, value, rn FROM (
+            SELECT event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM '/root/testdata/sf0.001/events.parquet')
+        WHERE rn <= 1
+    """).df()
+    for _, row in first_two.iterrows():
+        assert abs(out[row["event_id"]] - round(row["value"], 6)) < 1e-9
+
+
+def test_sales_rollup_levels_consistent(ray_session):
+    """ROLLUP invariant: each level's totals re-aggregate the level below —
+    per-flag rows sum their (flag, status) children, the grand total sums
+    the per-flag rows; NULL marks the rolled-up dimension."""
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["sales_rollup"]("/root/testdata/sf0.001")
+    finest = out[out["l_returnflag"].notna() & out["l_linestatus"].notna()]
+    by_flag = out[out["l_returnflag"].notna() & out["l_linestatus"].isna()]
+    total = out[out["l_returnflag"].isna()]
+    assert len(total) == 1 and total["l_linestatus"].isna().all()
+    for _, row in by_flag.iterrows():
+        children = finest[finest["l_returnflag"] == row["l_returnflag"]]
+        assert row["n_rows"] == children["n_rows"].sum()
+        assert row["sum_qty"] == children["sum_qty"].sum()
+    assert total["n_rows"].iloc[0] == by_flag["n_rows"].sum()
+    assert total["sum_qty"].iloc[0] == by_flag["sum_qty"].sum()
