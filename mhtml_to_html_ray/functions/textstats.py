@@ -132,6 +132,80 @@ def stopword_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Gopher (Rae et al. 2021, arXiv:2112.11446 table A1) quality-rule subset —
+# the deterministic, SQL-expressible rules; thresholds tuned to this corpus
+# so keeps and drops both occur (the paper's 50-word floor would reject the
+# whole synthetic table).
+GOPHER_STOPSET = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 90
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 4.3, 4.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 1
+
+
+def gopher_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-rule quality gate, fully vectorized (RE2 kernels only, so the
+    DuckDB oracle runs the IDENTICAL patterns): word-count window, mean
+    word length window, symbol-to-word ratio ceiling (# and ... marks),
+    distinct-stopword floor. keep + FIRST-failing-rule drop_reason, the
+    same contract as the C4 filter. Threshold comparisons use the raw
+    float ratios (bit-identical int divisions on both sides); only the
+    REPORTED ratios are rounded."""
+    import numpy as np
+
+    from .rounding import round_half_away
+
+    text = batch.column("text")
+    n_words = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64())
+    words_np = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_words = np.maximum(words_np, 1.0)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_ws = pc.count_substring_regex(text, r"\s").cast(pa.int64())
+    nonws_np = (
+        n_chars.to_numpy(zero_copy_only=False)
+        - n_ws.to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    mwl = nonws_np / safe_words
+
+    n_hash = pc.count_substring(text, "#").cast(pa.int64())
+    n_ellipsis = pc.count_substring(text, "...").cast(pa.int64())
+    symbols_np = (
+        n_hash.to_numpy(zero_copy_only=False)
+        + n_ellipsis.to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    symbol_ratio = symbols_np / safe_words
+
+    isolated = _space_isolated(text, r"[\t\n\f\r ]")
+    n_stop = np.zeros(len(words_np), dtype=np.int64)
+    for word in GOPHER_STOPSET:
+        present = pc.greater(
+            pc.count_substring(isolated, f" {word} "), 0
+        ).to_numpy(zero_copy_only=False)
+        n_stop += present.astype(np.int64)
+
+    ints = n_words.to_numpy(zero_copy_only=False)
+    ok_words = (ints >= GOPHER_MIN_WORDS) & (ints <= GOPHER_MAX_WORDS)
+    ok_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    keep = ok_words & ok_mwl & ok_sym & ok_stop
+    reasons = np.where(
+        ~ok_words, "words",
+        np.where(~ok_mwl, "word_length",
+                 np.where(~ok_sym, "symbols",
+                          np.where(~ok_stop, "stopwords", ""))))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": n_words,
+        "mean_word_len": pa.array(round_half_away(mwl, 6), pa.float64()),
+        "symbol_ratio": pa.array(round_half_away(symbol_ratio, 6), pa.float64()),
+        "n_stop_distinct": pa.array(n_stop, pa.int64()),
+        "keep": pa.array(keep, pa.bool_()),
+        "drop_reason": pa.array(
+            [r if r else None for r in reasons.tolist()], pa.string()),
+    })
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Gopher/C4-style repetition signal: fraction of duplicate word bigrams
     per document (high → boilerplate/spam). doc_id, n_bigrams,

@@ -1613,6 +1613,18 @@ def q_c4_filter(sf_dir: str):
     return _sorted_table(ds.map_batches(batch_fn, batch_format="pyarrow"), ["doc_id"])
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-rule quality gate (functions/textstats.gopher_stats_batch):
+    word-count window + mean-word-length window + symbol-ratio ceiling +
+    distinct-stopword floor, first-failing-rule drop reasons — one
+    map_batches pass, zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(
+        ds.map_batches(textstats.gopher_stats_batch, batch_format="pyarrow"),
+        ["doc_id"],
+    )
+
+
 def q_lm_score(sf_dir: str):
     """Unigram LM quality scores (functions/textstats.unigram_lm_scores):
     the oracle recomputes the same corpus-unigram mean log-probability in
@@ -2059,6 +2071,7 @@ QUERIES = {
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding": q_dedup_embedding,
     "c4_filter": q_c4_filter,
+    "gopher_filter": q_gopher_filter,
     "lm_score": q_lm_score,
     "tfidf_topk": q_tfidf_topk,
     "inverted_index_stats": q_inverted_index_stats,
@@ -2527,6 +2540,37 @@ ORACLE_SQL = {
                     WHEN stopword_ratio < 0.03 THEN 'stopwords'
                     WHEN dup_bigram_frac > 0.06 THEN 'repetition' END AS drop_reason
         FROM m ORDER BY doc_id
+    """,
+    "gopher_filter": """
+        WITH m AS (
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '\\S+')) AS n_words,
+                   LENGTH(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
+                   LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                       + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+                       AS n_symbols,
+                   LENGTH(list_distinct(list_filter(
+                       regexp_extract_all(text, '\\S+'),
+                       t -> t IN ('the','be','to','of','and','that','have','with')
+                   ))) AS n_stop_distinct
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_words, n_stop_distinct,
+                   CAST(n_nonws AS DOUBLE) / GREATEST(n_words, 1) AS mwl,
+                   CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) AS sym
+            FROM m
+        )
+        SELECT doc_id, n_words,
+               ROUND(mwl, 6) AS mean_word_len,
+               ROUND(sym, 6) AS symbol_ratio,
+               n_stop_distinct,
+               (n_words BETWEEN 30 AND 90) AND mwl >= 4.3 AND mwl <= 4.8
+                   AND sym <= 0.1 AND n_stop_distinct >= 1 AS keep,
+               CASE WHEN n_words NOT BETWEEN 30 AND 90 THEN 'words'
+                    WHEN mwl < 4.3 OR mwl > 4.8 THEN 'word_length'
+                    WHEN sym > 0.1 THEN 'symbols'
+                    WHEN n_stop_distinct < 1 THEN 'stopwords' END AS drop_reason
+        FROM r ORDER BY doc_id
     """,
     "lm_score": """
         WITH tokens AS (

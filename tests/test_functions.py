@@ -17,6 +17,35 @@ def _docs_table(texts):
 # pure kernels
 
 
+def test_gopher_stats_rules_and_reason_precedence():
+    """Every Gopher rule fires, in first-failing order: words before
+    word_length before symbols before stopwords; a clean doc keeps."""
+    # 41 words, mwl = (3 + 100 + 80) / 41 ≈ 4.46 — inside every window
+    good = "the " + " ".join(["query"] * 20 + ["data"] * 20)
+    too_short = "the query"                             # words
+    # in-window word count but words too long → word_length
+    long_words = "that " + " ".join(["elephants"] * 40)
+    # word count + mwl ok (208/46 ≈ 4.52), saturated with '#' → symbols
+    symbols = "the " + " ".join(["####"] * 20 + ["query"] * 25)
+    # everything ok except no stopword from the 8-set → stopwords
+    no_stop = " ".join(["query"] * 35 + ["a"] * 5)
+    # word-count failure outranks a simultaneous word_length failure
+    short_and_long = "supercalifragilistic"
+    out = textstats.gopher_stats_batch(_docs_table([
+        good, too_short, long_words, symbols, no_stop, short_and_long,
+    ]))
+    assert out["keep"].to_pylist() == [True, False, False, False, False, False]
+    assert out["drop_reason"].to_pylist() == [
+        None, "words", "word_length", "symbols", "stopwords", "words",
+    ]
+    # distinct stopword counting: 'the the the' is ONE distinct stopword
+    rep = textstats.gopher_stats_batch(_docs_table(["the the the", "the and of"]))
+    assert rep["n_stop_distinct"].to_pylist() == [1, 3]
+    # ellipsis marks count into the symbol ratio (non-overlapping '...')
+    ell = textstats.gopher_stats_batch(_docs_table(["wait... what... no"]))
+    assert ell["symbol_ratio"].to_pylist()[0] == pytest.approx(2 / 3)
+
+
 def test_shingles_and_jaccard():
     a = dedup.shingle_set("the quick brown fox jumps", 3)
     b = dedup.shingle_set("the quick brown fox leaps", 3)
