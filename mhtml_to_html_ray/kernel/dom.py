@@ -438,6 +438,11 @@ class _Tokenizer:
     closing </svg>."""
 
     def __init__(self, source: str) -> None:
+        # spec input-stream preprocessing (also what parse5 sees): CRLF and
+        # lone CR both become LF before tokenization — text nodes, attribute
+        # values and raw content all observe normalized newlines
+        if "\r" in source:
+            source = source.replace("\r\n", "\n").replace("\r", "\n")
         self.source = source
         self.pos = 0
         self.foreign = False
@@ -506,6 +511,11 @@ class _Tokenizer:
                     yield ("comment", ("?" if source[lt + 1] == "?" else "") + content)
                 self.pos = n if gt == -1 else gt + 1
             elif source.startswith("</", lt):
+                if source.startswith("</>", lt):
+                    # spec missing-end-tag-name: "</>" is ignored outright —
+                    # no token, no comment (unlike "</1>", a bogus comment)
+                    self.pos = lt + 3
+                    continue
                 m = _TAG_NAME_RE.match(source, lt + 2)
                 if m is None:
                     # "</" not followed by a letter is a bogus comment / text
@@ -518,17 +528,23 @@ class _Tokenizer:
                         self.pos = gt + 1
                 else:
                     gt = source.find(">", m.end())
-                    yield ("endtag", m.group(0).lower())
-                    self.pos = n if gt == -1 else gt + 1
+                    if gt == -1:
+                        # spec eof-in-tag: the truncated token is dropped
+                        self.pos = n
+                        continue
+                    yield ("endtag", m.group(0).lower().replace("\x00", "�"))
+                    self.pos = gt + 1
             else:
                 m = _TAG_NAME_RE.match(source, lt + 1)
                 if m is None:
                     yield ("text", "<")
                     self.pos = lt + 1
                     continue
-                tag = m.group(0).lower()
-                attrs, self_closing, end = self._read_attributes(m.end())
+                tag = m.group(0).lower().replace("\x00", "�")
+                attrs, self_closing, end, terminated = self._read_attributes(m.end())
                 self.pos = end
+                if not terminated:
+                    continue  # spec eof-in-tag: dropped, not emitted
                 yield ("starttag", tag, attrs, self_closing)
                 if self.foreign:
                     continue  # no raw-content modes inside foreign content
@@ -559,10 +575,10 @@ class _Tokenizer:
                 break
             c = source[pos]
             if c == ">":
-                return attrs, self_closing, pos + 1
+                return attrs, self_closing, pos + 1, True
             if c == "/":
                 if source.startswith("/>", pos):
-                    return attrs, True, pos + 2
+                    return attrs, True, pos + 2, True
                 pos += 1
                 continue
             if c == "=":
@@ -579,6 +595,8 @@ class _Tokenizer:
                     continue
                 name = m.group(0).lower()
                 pos = m.end()
+            # spec: NULL in an attribute name → U+FFFD at the tokenizer
+            name = name.replace("\x00", "�")
             m = _WS_RE.match(source, pos)
             if m:
                 pos = m.end()
@@ -605,7 +623,8 @@ class _Tokenizer:
             if not any(attr[0] == name for attr in attrs):
                 # spec: NULL in an attribute value → U+FFFD at the tokenizer
                 attrs.append([name, _unescape_attr(value).replace("\x00", "�")])
-        return attrs, self_closing, n
+        # ran off the end of the input without seeing ">" — eof-in-tag
+        return attrs, self_closing, n, False
 
     def _read_raw_content(self, tag: str, pos: int):
         source = self.source
@@ -1522,7 +1541,17 @@ def parse_html(source: str) -> Document:
                     # spec "in select in table": these pop the select, then
                     # the token is processed by the table rules
                     pop_stack_to(select_el)
-                elif tag not in ("option", "optgroup", "script", "style", "template", "hr"):
+                elif tag == "hr":
+                    # spec "in select" <hr>: pop an open option, then an
+                    # open optgroup — the rule lands <hr> as a child of the
+                    # select itself, never inside an option
+                    if (stack and isinstance(stack[-1], Element)
+                            and stack[-1].tag_name == "option"):
+                        stack.pop()
+                    if (stack and isinstance(stack[-1], Element)
+                            and stack[-1].tag_name == "optgroup"):
+                        stack.pop()
+                elif tag not in ("option", "optgroup", "script", "style", "template"):
                     continue
 
             if (

@@ -1545,3 +1545,84 @@ def test_attr_name_edge_tokenization(source, attrs, expected):
 )
 def test_bogus_comments_and_unquoted_values(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec input preprocessing: CRLF and lone CR both normalize to LF
+        # before tokenization — text, raw text and attribute values alike
+        ("<body><pre>a\r\nb\rc</pre></body>", "<body><pre>a\nb\nc</pre></body>"),
+        ('<body><div title="a\r\nb\rc">t</div></body>',
+         '<body><div title="a\nb\nc">t</div></body>'),
+        # a leading CRLF after <pre> normalizes to LF, then the pre rule
+        # drops it
+        ("<body><pre>\r\nkept</pre></body>", "<body><pre>kept</pre></body>"),
+        ("<body><textarea>\rkept</textarea></body>",
+         "<body><textarea>kept</textarea></body>"),
+    ],
+)
+def test_newline_preprocessing(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "in select" <hr>: pop an open option, then an open optgroup —
+        # the rule is the spec's only way an hr becomes a select child
+        ("<body><select><option>a<hr><option>b</select></body>",
+         "<body><select><option>a</option><hr><option>b</option></select></body>"),
+        ("<body><select><optgroup><option>a<hr><option>b</select></body>",
+         "<body><select><optgroup><option>a</option></optgroup><hr>"
+         "<option>b</option></select></body>"),
+        # outside a select, hr does NOT close an option
+        ("<body><select></select><option>a<hr>b</body>",
+         "<body><select></select><option>a<hr>b</option></body>"),
+    ],
+)
+def test_hr_in_select(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec eof-in-tag: a start or end tag truncated by EOF is dropped
+        ("<body>x<div foo", "<body>x</body>"),
+        ('<body>x<div foo="bar', "<body>x</body>"),
+        ("<body>x</div", "<body>x</body>"),
+        ("<body>x<sp", "<body>x</body>"),
+        # spec missing-end-tag-name: "</>" vanishes without a comment,
+        # while "</3>" is a bogus comment
+        ("<body>x</>y</body>", "<body>xy</body>"),
+        ("<body>x</3>y</body>", "<body>x<!--3-->y</body>"),
+    ],
+)
+def test_eof_in_tag_dropped(source, expected):
+    assert body_html(source) == expected
+
+
+def test_null_in_names_becomes_replacement_char():
+    # spec: U+0000 in tag and attribute names → U+FFFD at the tokenizer
+    doc = parse_html("<body><di\x00v a\x00b=1>x</di\x00v></body>")
+    el = doc.body.child_nodes[0]
+    assert el.tag_name == "di�v"
+    assert el.attrs == [["a�b", "1"]]
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "in table" <input type=hidden>: inserted IN the table (not
+        # fostered) — any other input fosters out
+        ('<body><table><input type="hidden" name="x"><tr><td>c</td></tr></table></body>',
+         '<body><table><input type="hidden" name="x"><tbody><tr><td>c</td></tr>'
+         "</tbody></table></body>"),
+        ('<body><table><input type="text"><tr><td>c</td></tr></table></body>',
+         '<body><input type="text"><table><tbody><tr><td>c</td></tr></tbody>'
+         "</table></body>"),
+    ],
+)
+def test_hidden_input_in_table(source, expected):
+    assert body_html(source) == expected
