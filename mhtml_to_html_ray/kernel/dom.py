@@ -1345,6 +1345,17 @@ def parse_html(source: str) -> Document:
             if (
                 not is_ws
                 and isinstance(parent, Element)
+                and parent.tag_name == "colgroup"
+                and parent.namespace == "html"
+            ):
+                # spec "in column group" anything-else: pop the colgroup and
+                # reprocess "in table" — the character tokens foster out
+                if stack and stack[-1] is parent:
+                    stack.pop()
+                parent = insertion_parent(for_text=True, ws=is_ws)
+            if (
+                not is_ws
+                and isinstance(parent, Element)
                 and parent.tag_name in _TABLE_SECTION_TAGS
                 and insert_fostered(Text(text))
             ):

@@ -1626,3 +1626,37 @@ def test_null_in_names_becomes_replacement_char():
 )
 def test_hidden_input_in_table(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "in column group" anything-else: non-ws text pops the
+        # colgroup and reprocesses in table → fosters out; the popped
+        # (empty) colgroup STAYS and <col> opens a fresh implied one
+        ("<body><table><colgroup>x<col></colgroup><tr><td>c</td></table></body>",
+         "<body>x<table><colgroup></colgroup><colgroup><col></colgroup>"
+         "<tbody><tr><td>c</td></tr></tbody></table></body>"),
+        # whitespace stays inside the colgroup
+        ("<body><table><colgroup> <col></colgroup><tr><td>c</td></table></body>",
+         "<body><table><colgroup> <col></colgroup>"
+         "<tbody><tr><td>c</td></tr></tbody></table></body>"),
+        # <col> in a table body pops the tbody (which stays, empty) and a
+        # colgroup is implied; the later <tr> opens a NEW tbody
+        ("<body><table><tbody><col><tr><td>c</td></table></body>",
+         "<body><table><tbody></tbody><colgroup><col></colgroup>"
+         "<tbody><tr><td>c</td></tr></tbody></table></body>"),
+        # style/script in a row stay in the tr (in-head rules at the
+        # current node — NOT fostered)
+        ("<body><table><tr><style>.c{}</style><td>x</td></table></body>",
+         "<body><table><tbody><tr><style>.c{}</style><td>x</td></tr>"
+         "</tbody></table></body>"),
+        # a nested <table> inside a caption is flow content (the in-caption
+        # close-and-reprocess list has td/tr/sections — not table)
+        ("<body><table><caption>a<table><tr><td>i</td></table>b</table></body>",
+         "<body><table><caption>a<table><tbody><tr><td>i</td></tr></tbody>"
+         "</table>b</caption></table></body>"),
+    ],
+)
+def test_colgroup_text_and_table_mode_corners(source, expected):
+    assert body_html(source) == expected
