@@ -691,6 +691,92 @@ def q_customer_big_order_counts(sf_dir: str):
                          ["c_custkey"])
 
 
+def q_events_value_stats(sf_dir: str):
+    """Numeric-moments combiner: per event_type n / mean / sample variance
+    from ONE pass of per-block (n, Σx, Σx²) partials + one k-row groupby —
+    the classic distributed-statistics shape (no second scan for the
+    variance). Rounding absorbs the sum-order drift vs the oracle's
+    streaming VAR_SAMP."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        keys = batch.column("event_type")
+        t = pa.table({
+            "event_type": keys,
+            "n_part": pa.array(np.where(np.isnan(v), 0, 1), pa.int64()),
+            "sum_part": pa.array(np.nan_to_num(v), pa.float64()),
+            "sumsq_part": pa.array(np.nan_to_num(v * v), pa.float64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("n_part", "sum"), ("sum_part", "sum"), ("sumsq_part", "sum")]
+        )
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_part": g.column("n_part_sum"),
+            "sum_part": g.column("sum_part_sum"),
+            "sumsq_part": g.column("sumsq_part_sum"),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_part", alias_name="n"),
+                   Sum("sum_part", alias_name="s"),
+                   Sum("sumsq_part", alias_name="ss"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "mean_value": pa.array([], pa.float64()),
+                             "var_value": pa.array([], pa.float64())})
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        ss = batch.column("ss").to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = (ss - n * mean * mean) / np.maximum(n - 1, 1.0)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "mean_value": pa.array(round_half_away(mean, 6), pa.float64()),
+            "var_value": pa.array(round_half_away(var, 6), pa.float64()),
+        })
+
+    return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"),
+                         ["event_type"])
+
+
+def q_length_histogram(sf_dir: str):
+    """Binned aggregation: documents histogrammed by 50-char n_chars bucket.
+    The bucket id is derived vectorized per batch and pre-counted per block
+    (combiner), so the one groupby shuffles (bucket, n) partial rows only."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        bucket = (n_chars // 50).astype(np.int64)
+        t = pa.table({"bucket": pa.array(bucket, pa.int64()),
+                      "n_part": pa.array(np.ones(len(bucket), np.int64))})
+        g = t.group_by("bucket").aggregate([("n_part", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "n_part": g.column("n_part_sum")})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+    return _sorted_table(agg, ["bucket"])
+
+
 def q_supplier_count_by_region(sf_dir: str):
     """Dimension-chain broadcast join: supplier ⋈ nation ⋈ region →
     suppliers per region."""
@@ -2024,6 +2110,8 @@ QUERIES = {
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "customer_big_order_semi": q_customer_big_order_semi,
+    "events_value_stats": q_events_value_stats,
+    "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,
     "supplier_count_by_region": q_supplier_count_by_region,
@@ -2186,6 +2274,16 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
+    """,
+    "events_value_stats": """
+        SELECT event_type, COUNT(value) AS n,
+               ROUND(AVG(value), 6) AS mean_value,
+               ROUND(VAR_SAMP(value), 6) AS var_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "length_histogram": """
+        SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
+        FROM documents GROUP BY bucket ORDER BY bucket
     """,
     "customer_big_order_semi": """
         SELECT c_custkey, c_name, c_acctbal FROM customer c
