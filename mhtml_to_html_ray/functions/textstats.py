@@ -240,6 +240,56 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def bpe_pair_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-block partial counts of ADJACENT CHARACTER PAIRS inside words —
+    the first merge-candidate census of BPE tokenizer training. Fully
+    vectorized: the batch's words join under a NUL separator, the string
+    views as a uint32 codepoint array (utf-32), shifted arrays pair up
+    neighbors, and pairs crossing a word boundary mask out; np.unique
+    folds the block to one (pair, n) row per distinct pair. Only distinct
+    pairs ever leave the task, so the downstream groupby shuffles
+    vocabulary-sized rows no matter how large the corpus block is.
+
+    Caveat: U+0000 is the separator, so a NUL inside a word (legal to RE2's
+    ``\\S``) would split it; the extraction kernel upstream already maps
+    NULs per the HTML spec, and the oracle-side SQL sees none either."""
+    import numpy as np
+
+    text = batch.column("text")
+    joined = "\x00".join(
+        t for t in text.to_pylist() if t
+    )
+    # words under one separator: collapse runs of whitespace to NUL
+    joined = _re_ws().sub("\x00", joined)
+    if not joined:
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "n_part": pa.array([], pa.int64())})
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    a, b = cp[:-1], cp[1:]
+    mask = (a != 0) & (b != 0)
+    if not mask.any():
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "n_part": pa.array([], pa.int64())})
+    packed = (a[mask].astype(np.uint64) << 32) | b[mask].astype(np.uint64)
+    uniq, counts = np.unique(packed, return_counts=True)
+    pairs = [chr(v >> 32) + chr(v & 0xFFFFFFFF) for v in map(int, uniq)]
+    return pa.table({"pair": pa.array(pairs, pa.string()),
+                     "n_part": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+_WS_RUN_RE = None
+
+
+def _re_ws():
+    global _WS_RUN_RE
+    if _WS_RUN_RE is None:
+        import re
+
+        # the exact RE2 \s class (see _lm_tokens): no \v, no NBSP
+        _WS_RUN_RE = re.compile(r"[\t\n\f\r ]+")
+    return _WS_RUN_RE
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint per document (md5 hex — matches DuckDB's md5()
     oracle; the rolling-hash variant lives in dedup.simhash/minhash)."""

@@ -1327,6 +1327,23 @@ def q_top_tokens(sf_dir: str):
     return top.to_pandas()
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE tokenizer training, first census: corpus-wide counts of adjacent
+    character pairs inside words (functions/textstats.bpe_pair_count_partials
+    — utf-32 codepoint-array vectorization, one distinct-pair row per block),
+    one vocabulary-sized groupby, deterministic top-50 merge candidates."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = (
+        ds.map_batches(textstats.bpe_pair_count_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    top = agg.sort(["n", "pair"], descending=[True, False]).limit(50)
+    return top.to_pandas()
+
+
 def q_top_tokens_per_lang(sf_dir: str):
     """GROUPED heavy hitters: top-5 tokens per language. Per-batch (lang,
     token, n) partial counts (vectorized polars explode+group — the RE2
@@ -2135,6 +2152,7 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "approx_top_tokens": q_approx_top_tokens,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
@@ -2469,6 +2487,12 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS n FROM (
             SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "bpe_pair_counts": """
+        SELECT pair, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(range(1, LENGTH(w)), i -> w[i] || w[i + 1])) AS pair
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents))
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 50
     """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id

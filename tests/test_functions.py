@@ -46,6 +46,23 @@ def test_gopher_stats_rules_and_reason_precedence():
     assert ell["symbol_ratio"].to_pylist()[0] == pytest.approx(2 / 3)
 
 
+def test_bpe_pair_count_partials():
+    """Adjacent-pair census: pairs never cross word or document boundaries,
+    counts fold per block, astral codepoints survive the utf-32 packing."""
+    out = textstats.bpe_pair_count_partials(_docs_table(["ab ab  cd", "bc"]))
+    got = dict(zip(out["pair"].to_pylist(), out["n_part"].to_pylist()))
+    assert got == {"ab": 2, "cd": 1, "bc": 1}
+    # no pair spans the doc boundary (b-of-doc1 + b-of-doc2 absent), and
+    # leading/trailing whitespace contributes nothing
+    out2 = textstats.bpe_pair_count_partials(_docs_table([" xy", "yx "]))
+    got2 = dict(zip(out2["pair"].to_pylist(), out2["n_part"].to_pylist()))
+    assert got2 == {"xy": 1, "yx": 1}
+    out3 = textstats.bpe_pair_count_partials(_docs_table(["h😀o"]))
+    assert set(out3["pair"].to_pylist()) == {"h😀", "😀o"}
+    empty = textstats.bpe_pair_count_partials(_docs_table(["", "a", " "]))
+    assert empty["pair"].to_pylist() == []
+
+
 def test_shingles_and_jaccard():
     a = dedup.shingle_set("the quick brown fox jumps", 3)
     b = dedup.shingle_set("the quick brown fox leaps", 3)
