@@ -691,42 +691,48 @@ def q_customer_big_order_counts(sf_dir: str):
                          ["c_custkey"])
 
 
+def _value_moment_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (n, Σx, Σx²) combiner rows per event_type — the shared
+    first pass of events_value_stats and events_value_outliers."""
+    v = batch.column("value").to_numpy(zero_copy_only=False)
+    keys = batch.column("event_type")
+    t = pa.table({
+        "event_type": keys,
+        "n_part": pa.array(np.where(np.isnan(v), 0, 1), pa.int64()),
+        "sum_part": pa.array(np.nan_to_num(v), pa.float64()),
+        "sumsq_part": pa.array(np.nan_to_num(v * v), pa.float64()),
+    })
+    g = t.group_by("event_type").aggregate(
+        [("n_part", "sum"), ("sum_part", "sum"), ("sumsq_part", "sum")]
+    )
+    return pa.table({
+        "event_type": g.column("event_type"),
+        "n_part": g.column("n_part_sum"),
+        "sum_part": g.column("sum_part_sum"),
+        "sumsq_part": g.column("sumsq_part_sum"),
+    })
+
+
+def _value_moments_agg(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return (
+        ds.map_batches(_value_moment_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_part", alias_name="n"),
+                   Sum("sum_part", alias_name="s"),
+                   Sum("sumsq_part", alias_name="ss"))
+    )
+
+
 def q_events_value_stats(sf_dir: str):
     """Numeric-moments combiner: per event_type n / mean / sample variance
     from ONE pass of per-block (n, Σx, Σx²) partials + one k-row groupby —
     the classic distributed-statistics shape (no second scan for the
     variance). Rounding absorbs the sum-order drift vs the oracle's
     streaming VAR_SAMP."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def partials(batch: pa.Table) -> pa.Table:
-        v = batch.column("value").to_numpy(zero_copy_only=False)
-        keys = batch.column("event_type")
-        t = pa.table({
-            "event_type": keys,
-            "n_part": pa.array(np.where(np.isnan(v), 0, 1), pa.int64()),
-            "sum_part": pa.array(np.nan_to_num(v), pa.float64()),
-            "sumsq_part": pa.array(np.nan_to_num(v * v), pa.float64()),
-        })
-        g = t.group_by("event_type").aggregate(
-            [("n_part", "sum"), ("sum_part", "sum"), ("sumsq_part", "sum")]
-        )
-        return pa.table({
-            "event_type": g.column("event_type"),
-            "n_part": g.column("n_part_sum"),
-            "sum_part": g.column("sum_part_sum"),
-            "sumsq_part": g.column("sumsq_part_sum"),
-        })
-
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("n_part", alias_name="n"),
-                   Sum("sum_part", alias_name="s"),
-                   Sum("sumsq_part", alias_name="ss"))
-    )
+    agg = _value_moments_agg(sf_dir)
 
     def finalize(batch: pa.Table) -> pa.Table:
         from ..functions.rounding import round_half_away
@@ -750,6 +756,69 @@ def q_events_value_stats(sf_dir: str):
 
     return _sorted_table(agg.map_batches(finalize, batch_format="pyarrow"),
                          ["event_type"])
+
+
+def q_events_value_outliers(sf_dir: str):
+    """Broadcast-aggregate composition: the k-row moments result feeds back
+    as a broadcast lookup (k × 3 floats — never a join shuffle) and one
+    vectorized filter pass keeps |z| > 2.5 rows. The two-phase
+    aggregate-then-filter shape of every anomaly scrub at 100 TB."""
+    from ..functions.rounding import round_half_away
+
+    stats = _value_moments_agg(sf_dir).to_pandas()
+    n = stats["n"].to_numpy(dtype="float64")
+    s = stats["s"].to_numpy(dtype="float64")
+    ss = stats["ss"].to_numpy(dtype="float64")
+    mean = s / n
+    sd = np.sqrt((ss - n * mean * mean) / np.maximum(n - 1.0, 1.0))
+    type_keys = pa.array(stats["event_type"].tolist(), pa.string())
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def keep_outliers(batch: pa.Table) -> pa.Table:
+        # vectorized gather: dictionary-encode the type column against the
+        # broadcast key list, then numpy-take the per-type moments
+        idx = pc.index_in(batch.column("event_type"), value_set=type_keys) \
+            .to_numpy(zero_copy_only=False)
+        m = mean[idx]
+        d = sd[idx]
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        z = (v - m) / d
+        mask = np.abs(z) > 2.5
+        kept = batch.filter(pa.array(mask))
+        return pa.table({
+            "event_id": kept.column("event_id"),
+            "event_type": kept.column("event_type"),
+            "value": kept.column("value"),
+            "z": pa.array(round_half_away(z[mask], 6), pa.float64()),
+        })
+
+    out = ds.map_batches(keep_outliers, batch_format="pyarrow")
+    return _sorted_table(out, ["event_id"])
+
+
+def q_events_running_total(sf_dir: str):
+    """Cumulative window (ROWS UNBOUNDED PRECEDING): per-user running total
+    of ``value`` in (ts, event_id) order — one hash shuffle on user_id,
+    np.cumsum per sorted group (the strict left-to-right order the oracle's
+    frame walk uses)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        group = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        total = np.cumsum(group["value"].to_numpy(dtype="float64"))
+        return pd.DataFrame({
+            "event_id": group["event_id"],
+            "user_id": group["user_id"],
+            "running_value": round_half_away(total, 6),
+        })
+
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return _sorted_table(out, ["event_id"])
 
 
 def q_length_histogram(sf_dir: str):
@@ -2128,6 +2197,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "customer_big_order_semi": q_customer_big_order_semi,
     "events_value_stats": q_events_value_stats,
+    "events_value_outliers": q_events_value_outliers,
+    "events_running_total": q_events_running_total,
     "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,
@@ -2302,6 +2373,22 @@ ORACLE_SQL = {
     "length_histogram": """
         SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
         FROM documents GROUP BY bucket ORDER BY bucket
+    """,
+    "events_value_outliers": """
+        WITH s AS (
+            SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value, ROUND((value - m) / sd, 6) AS z
+        FROM events e JOIN s ON s.event_type = e.event_type
+        WHERE ABS((value - m) / sd) > 2.5
+        ORDER BY event_id
+    """,
+    "events_running_total": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 6) AS running_value
+        FROM events ORDER BY event_id
     """,
     "customer_big_order_semi": """
         SELECT c_custkey, c_name, c_acctbal FROM customer c
