@@ -53,13 +53,15 @@ _TABLE_STRUCTURE_TAGS = frozenset(
 )
 # start tags that do NOT reconstruct active formatting before insertion (the
 # spec gives these their own insertion rules without the reconstruct step)
-_NO_RECONSTRUCT_TAGS = _P_CLOSERS | frozenset(
+_NO_RECONSTRUCT_TAGS = (_P_CLOSERS | frozenset(
     ("html", "head", "body", "frameset", "frame", "caption", "colgroup",
      "col", "tbody", "thead", "tfoot", "tr", "td", "th", "li", "dd", "dt",
      "optgroup", "option", "select", "script", "style", "template", "title",
      "meta", "link", "base", "noscript", "noframes", "textarea", "svg",
      "math")
-)
+    # xmp is the one p-closer whose spec rule DOES reconstruct active
+    # formatting (close p → reconstruct → raw text)
+)) - frozenset(("xmp",))
 _P_TARGET = frozenset(("p",))
 # HTML spec "tree construction dispatcher": MathML text integration points —
 # tokens at these parse as HTML unless the tag is mglyph/malignmark

@@ -1660,3 +1660,23 @@ def test_hidden_input_in_table(source, expected):
 )
 def test_colgroup_text_and_table_mode_corners(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "in body" <xmp>: close p → RECONSTRUCT active formatting →
+        # raw text. xmp is the one p-closer that reconstructs, so the open
+        # <b> reopens around it
+        ("<body><p><b>x<xmp>raw</xmp>y</body>",
+         "<body><p><b>x</b></p><b><xmp>raw</xmp>y</b></body>"),
+        # the raw content is still unescaped markup
+        ("<body><xmp><b>not bold</b></xmp></body>",
+         "<body><xmp><b>not bold</b></xmp></body>"),
+        # no open formatting: plain p close only
+        ("<body><p>x<xmp>raw</xmp></body>",
+         "<body><p>x</p><xmp>raw</xmp></body>"),
+    ],
+)
+def test_xmp_reconstructs_formatting(source, expected):
+    assert body_html(source) == expected
