@@ -43,7 +43,7 @@ _HEAD_TAGS = frozenset(
 _P_CLOSERS = frozenset(
     """address article aside blockquote center details dialog dir div dl
     fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr
-    listing main menu nav ol p plaintext pre section summary table ul
+    listing main menu nav ol p plaintext pre search section summary table ul
     xmp""".split()
 )
 

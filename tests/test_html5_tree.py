@@ -1680,3 +1680,9 @@ def test_colgroup_text_and_table_mode_corners(source, expected):
 )
 def test_xmp_reconstructs_formatting(source, expected):
     assert body_html(source) == expected
+
+
+def test_search_element_closes_p():
+    # <search> (2023 addition, parse5 8.x) is a p-closer like section/nav
+    assert body_html("<body><p>x<search>y</search>z</body>") == \
+        "<body><p>x</p><search>y</search>z</body>"
