@@ -1686,3 +1686,24 @@ def test_search_element_closes_p():
     # <search> (2023 addition, parse5 8.x) is a p-closer like section/nav
     assert body_html("<body><p>x<search>y</search>z</body>") == \
         "<body><p>x</p><search>y</search>z</body>"
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # canonical html5lib tests1.dat adoption-agency trees
+        ('<body><p>1<s id="A">2<b id="B">3</p>4</s>5</b>6</body>',
+         '<body><p>1<s id="A">2<b id="B">3</b></s></p>'
+         '<s id="A"><b id="B">4</b></s><b id="B">5</b>6</body>'),
+        ("<body><a><b><big><em><strong><div>X</a>Y</body>",
+         "<body><a><b><big><em><strong></strong></em></big></b></a>"
+         "<big><em><strong><div><a>X</a>Y</div></strong></em></big></body>"),
+        ("<body><p><b><div><marquee></p></b></div>X</body>",
+         "<body><p><b></b></p><div><b><marquee><p></p>X</marquee></b></div></body>"),
+        ('<body><a href="a">a<table><a href="b">b</table>x</body>',
+         '<body><a href="a">a<a href="b">b</a><table></table></a>'
+         '<a href="b">x</a></body>'),
+    ],
+)
+def test_html5lib_canonical_adoption_trees(source, expected):
+    assert body_html(source) == expected
