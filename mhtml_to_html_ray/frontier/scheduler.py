@@ -78,6 +78,10 @@ class CrawlConfig:
     user_agent: str = "engine-crawler"
     checkpoint_dir: str | None = None
     depth_penalty: float = 0.1  # priority decay per depth level
+    priority_fn: object = None  # pluggable priority (SURVEY.md §2.6 extension
+    # surface): (host_stats: dict, depth: int) -> float; None = the built-in
+    # ok_rate - depth_penalty * depth. A Python fn can't vectorize, so a
+    # custom priority routes admission through the driver loop.
     retry_sleep_scale: float = 1.0  # tests shrink backoff wall time
     num_gate_shards: int = 2  # politeness gate actors (host-hash sharded)
     keep_bodies: bool = False  # carry fetched bodies into results (for a
@@ -521,9 +525,11 @@ class CrawlScheduler:
                 pc.sum(pc.list_value_length(results_table.column("discovered"))).as_py()
                 or 0
             )
-            use_distributed = config.admit_strategy == "distributed" or (
-                config.admit_strategy == "auto"
-                and n_discovered >= config.admit_distributed_threshold
+            use_distributed = config.priority_fn is None and (
+                config.admit_strategy == "distributed" or (
+                    config.admit_strategy == "auto"
+                    and n_discovered >= config.admit_distributed_threshold
+                )
             )
             if use_distributed:
                 # scale path: admission as a Ray Data pipeline — workers
@@ -623,7 +629,11 @@ class CrawlScheduler:
                     continue
                 candidate_seen.add(canon_url)
                 stats = host_stats.get(host, {"ok_rate": 1.0})
-                priority = stats["ok_rate"] - config.depth_penalty * (depth + 1)
+                priority = (
+                    config.priority_fn(stats, depth + 1)
+                    if config.priority_fn is not None
+                    else stats["ok_rate"] - config.depth_penalty * (depth + 1)
+                )
                 candidates.append(
                     {
                         "url": child_url,

@@ -123,6 +123,9 @@ class Config:
     enable_scripts: bool = False
     fetch_missing_resources: bool = False
     fetch: Callable | None = None
+    # injectable HTML parser backend (the reference's DOMParser option,
+    # mod.d.ts:125-195): (data, content_type) -> DOM; None = kernel parser
+    dom_parser: Callable | None = None
     max_retries: int = DEFAULT_MAX_RETRIES
     max_parallel_requests: int = DEFAULT_MAX_PARALLEL_REQUESTS
     # injectable clocks so retry timing is testable at any speed
@@ -268,7 +271,7 @@ def fetch_and_convert(mhtml, config: Config | None = None, failed_resources=None
     merge → recurse; final rewrite with fetching disabled."""
     config = config or Config()
     if isinstance(mhtml, (bytes, str)):
-        mhtml = parse(mhtml)
+        mhtml = parse(mhtml, dom_parser=config.dom_parser)
     if failed_resources is None:
         failed_resources = []
     if config.fetch_missing_resources:
@@ -285,6 +288,7 @@ def fetch_and_convert(mhtml, config: Config | None = None, failed_resources=None
             enable_scripts=config.enable_scripts,
             fetch_missing_resources=False,
             fetch=config.fetch,
+            dom_parser=config.dom_parser,
             max_retries=config.max_retries,
             max_parallel_requests=config.max_parallel_requests,
             sleep_ms=config.sleep_ms,
@@ -549,7 +553,7 @@ def convert_walk(mhtml: MHTML, config: Config):
         charset = get_charset(resource.content_type) if resource.content_type else None
         resource.data = _decode_base64_text(str(resource.data), charset)
     content_type = resource.content_type.split(";")[0] if resource.content_type else None
-    dom = get_resource_dom(resource, content_type)
+    dom = get_resource_dom(resource, content_type, config.dom_parser)
     if not fetch_missing:
         # the rewrite mutates the tree, so the cached one is given up
         release_resource_dom(resource)

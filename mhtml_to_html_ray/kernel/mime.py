@@ -158,19 +158,29 @@ class _ChunkData:
 
 
 class _Context:
-    __slots__ = ("resources", "frames", "anomalies", "index")
+    __slots__ = ("resources", "frames", "anomalies", "index", "dom_parser")
 
-    def __init__(self, resources=None, frames=None, anomalies=None, index=None):
+    def __init__(self, resources=None, frames=None, anomalies=None, index=None,
+                 dom_parser=None):
         self.resources = resources if resources is not None else {}
         self.frames = frames if frames is not None else {}
         self.anomalies = anomalies if anomalies is not None else []
         self.index = index
+        # injectable HTML parser backend (the reference's DOMParser option,
+        # mod.d.ts:125-195): anything with parse_dom's (data, content_type)
+        # → DOM contract
+        self.dom_parser = dom_parser or parse_dom
 
 
-def parse(mhtml: bytes | str, context: _Context | None = None) -> MHTML:
+def parse(mhtml: bytes | str, context: _Context | None = None,
+          dom_parser=None) -> MHTML:
     if isinstance(mhtml, str):
         mhtml = encode_string(mhtml)
-    parser = _Parser(mhtml, context or _Context())
+    if context is None:
+        context = _Context(dom_parser=dom_parser)
+    elif dom_parser is not None:
+        context.dom_parser = dom_parser
+    parser = _Parser(mhtml, context)
     return parser.run()
 
 
@@ -438,7 +448,8 @@ class _Parser:
     def convert_embedded_mhtml(self, index_end: int) -> str | None:
         """multipart/alternative part → recursive parse over the sub-span,
         sharing resources/frames/anomalies; child index wins (parse.js:338-348)."""
-        sub_context = _Context(self.ctx.resources, self.ctx.frames, self.ctx.anomalies)
+        sub_context = _Context(self.ctx.resources, self.ctx.frames, self.ctx.anomalies,
+                               dom_parser=self.ctx.dom_parser)
         embedded = self.m[self.index_start_embedded : index_end]
         if ends_with_crlf(embedded):
             index_end -= 2
@@ -519,7 +530,8 @@ class _Parser:
         document_charset = charset
         modified = False
         content_type = resource.content_type.split(";")[0]
-        dom = parse_dom(resource.data, content_type)
+        dom_parser = self.ctx.dom_parser
+        dom = dom_parser(resource.data, content_type)
         charset_metas = _meta_charset_elements(dom.document)
         if charset_metas:
             html_charset = charset_metas[0].get_attribute("charset")
@@ -528,7 +540,7 @@ class _Parser:
                 if bom_charset is None and html_charset != UTF8 and html_charset != charset:
                     resource.data = decode_string(resource.raw_data, html_charset)
                     document_charset = html_charset
-                    dom = parse_dom(resource.data, content_type)
+                    dom = dom_parser(resource.data, content_type)
                     charset_metas = _meta_charset_elements(dom.document)
             for meta in charset_metas:
                 meta.remove()
@@ -547,7 +559,7 @@ class _Parser:
             ):
                 resource.data = decode_string(resource.raw_data, html_charset)
                 document_charset = html_charset
-                dom = parse_dom(resource.data, content_type)
+                dom = dom_parser(resource.data, content_type)
                 content_type_metas = _meta_content_type_elements(dom.document)
                 # the re-read brought back the meta charset elements
                 for meta in _meta_charset_elements(dom.document):
@@ -557,7 +569,7 @@ class _Parser:
             modified = True
         if modified:
             resource.data = dom.serialize()
-            dom = parse_dom(resource.data, content_type)
+            dom = dom_parser(resource.data, content_type)
         cache_resource_dom(resource, dom)
         return document_charset
 
@@ -584,9 +596,11 @@ def _meta_content_type_elements(document) -> list:
 # --- resource DOM cache (util.js:341-358) ---
 
 
-def get_resource_dom(resource: Resource, content_type: str | None) -> DOM:
+def get_resource_dom(resource: Resource, content_type: str | None,
+                     dom_parser=None) -> DOM:
     if resource.dom is None or resource.dom_data != resource.data:
-        cache_resource_dom(resource, parse_dom(resource.data, content_type))
+        parser = dom_parser or parse_dom
+        cache_resource_dom(resource, parser(resource.data, content_type))
     return resource.dom
 
 
