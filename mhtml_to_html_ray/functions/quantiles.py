@@ -80,3 +80,80 @@ def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
         {"q": pa.array([float(q) for q in qs], pa.float64()),
          "value": values.take(pa.array(picked, pa.int64()))}
     )
+
+
+def grouped_value_counts_ds(ds, key: str, col: str):
+    """(key, value, n) dataset — per-group distinct-value counts, same
+    per-block pre-aggregation shape as value_counts_ds."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, col])
+        # NULL values are excluded from the distribution; null KEYS form
+        # their own group in SQL GROUP BY, but quantile callers group by
+        # non-null dimensions — drop both for one consistent contract
+        mask = pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(col)))
+        t = t.filter(mask)
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return pa.table({
+            "key": g.column(key),
+            "value": g.column(col),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return (
+        ds.select_columns([key, col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["key", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def exact_quantiles_by(ds, key: str, col: str, qs: list[float],
+                       key_name: str | None = None) -> pa.Table:
+    """Per-group exact discrete quantiles: (key, q, value) rows, DuckDB
+    ``quantile_disc`` parity per group. The driver folds DISTINCT
+    (key, value) pairs only — bounded by group count × distinct values,
+    independent of row count."""
+    import ray
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    key_name = key_name or key
+    blocks = [
+        b
+        for b in ray.get(grouped_value_counts_ds(ds, key, col).to_arrow_refs())
+        if b.num_columns > 0 and b.num_rows > 0
+    ]
+    if not blocks:
+        return pa.table({key_name: pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    folded = pa.concat_tables(blocks)
+    order = pc.sort_indices(
+        folded, sort_keys=[("key", "ascending"), ("value", "ascending")]
+    )
+    folded = folded.take(order)
+    keys = folded.column("key").to_pylist()
+    values = folded.column("value")
+    counts = folded.column("n").to_numpy(zero_copy_only=False)
+    out_keys, out_qs, out_pos = [], [], []
+    start = 0
+    for end in range(1, len(keys) + 1):
+        if end < len(keys) and keys[end] == keys[start]:
+            continue
+        cum = np.cumsum(counts[start:end])
+        total = int(cum[-1])
+        for q in qs:
+            idx = max(0, math.ceil(q * total) - 1)
+            pos = start + int(np.searchsorted(cum, idx, side="right"))
+            out_keys.append(keys[start])
+            out_qs.append(float(q))
+            out_pos.append(pos)
+        start = end
+    return pa.table({
+        key_name: pa.array(out_keys),
+        "q": pa.array(out_qs, pa.float64()),
+        "value": values.take(pa.array(out_pos, pa.int64())),
+    })

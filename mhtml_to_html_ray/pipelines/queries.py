@@ -821,6 +821,57 @@ def q_events_running_total(sf_dir: str):
     return _sorted_table(out, ["event_id"])
 
 
+def q_length_quantiles_by_lang(sf_dir: str):
+    """Grouped exact quantiles (functions/quantiles.exact_quantiles_by):
+    per-block (lang, value, n) partials → one groupby over DISTINCT pairs →
+    per-group driver CDF walk. Driver footprint = groups × distinct values,
+    never rows."""
+    from ..functions.quantiles import exact_quantiles_by
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = exact_quantiles_by(ds, "lang", "n_chars", [0.25, 0.5, 0.75, 0.9],
+                             key_name="lang")
+    return _sorted_table(out, ["lang", "q"])
+
+
+def q_events_first_last(sf_dir: str):
+    """argmin/argmax aggregate: each user's FIRST and LAST event value in
+    (ts, event_id) order, computed as a per-block combiner (one candidate
+    first/last row per user per block) + a tiny per-user reduce — the
+    shuffle carries ≤ 2 × n_blocks rows per user, never the event log."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.assign(ts_us=ts_us)
+        first = df.groupby("user_id", as_index=False).head(1)
+        last = df.groupby("user_id", as_index=False).tail(1)
+        return pd.DataFrame({
+            "user_id": pd.concat([first["user_id"], last["user_id"]]),
+            "ts_us": pd.concat([first["ts_us"], last["ts_us"]]),
+            "event_id": pd.concat([first["event_id"], last["event_id"]]),
+            "value": pd.concat([first["value"], last["value"]]),
+        }).reset_index(drop=True)
+
+    def reduce_group(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "user_id": [group["user_id"].iloc[0]],
+            "first_value": [group["value"].iloc[0]],
+            "last_value": [group["value"].iloc[-1]],
+        })
+
+    out = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(reduce_group, batch_format="pandas")
+    )
+    return _sorted_table(out, ["user_id"])
+
+
 def q_length_histogram(sf_dir: str):
     """Binned aggregation: documents histogrammed by 50-char n_chars bucket.
     The bucket id is derived vectorized per batch and pre-counted per block
@@ -2199,6 +2250,8 @@ QUERIES = {
     "events_value_stats": q_events_value_stats,
     "events_value_outliers": q_events_value_outliers,
     "events_running_total": q_events_running_total,
+    "events_first_last": q_events_first_last,
+    "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,
@@ -2389,6 +2442,27 @@ ORACLE_SQL = {
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING), 6) AS running_value
         FROM events ORDER BY event_id
+    """,
+    "events_first_last": """
+        WITH w AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events)
+        SELECT a.user_id, a.value AS first_value, d.value AS last_value
+        FROM (SELECT user_id, value FROM w WHERE rn_a = 1) a
+        JOIN (SELECT user_id, value FROM w WHERE rn_d = 1) d USING (user_id)
+        ORDER BY a.user_id
+    """,
+    "length_quantiles_by_lang": """
+        WITH per_lang AS (
+            SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9]) AS vs
+            FROM documents GROUP BY lang)
+        SELECT lang, [0.25, 0.5, 0.75, 0.9][i] AS q, vs[i] AS value
+        FROM per_lang, (SELECT unnest(range(1, 5)) AS i)
+        ORDER BY lang, q
     """,
     "customer_big_order_semi": """
         SELECT c_custkey, c_name, c_acctbal FROM customer c

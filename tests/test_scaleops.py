@@ -74,6 +74,36 @@ def test_exact_quantiles_duckdb_parity(ray_session):
     assert got.column("value").to_pylist() == [w[0] for w in want]
 
 
+def test_exact_quantiles_by_group_parity(ray_session):
+    """Grouped quantiles equal per-group single-column quantiles and are
+    independent of block layout."""
+    import duckdb
+    import ray
+
+    rng = np.random.default_rng(13)
+    keys = rng.choice(["a", "b", "c"], size=900).tolist()
+    vals = rng.integers(0, 40, size=900)
+    tbl = pa.table({"k": pa.array(keys, pa.string()),
+                    "v": pa.array(vals, pa.int64())})
+    qs = [0.25, 0.5, 0.9]
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = quantiles.exact_quantiles_by(ds, "k", "v", qs)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            "SELECT k, unnest(quantile_disc(v, ?)) FROM t GROUP BY k ORDER BY k",
+            [qs],
+        ).fetchall()
+        rows = sorted(zip(got.column("k").to_pylist(),
+                          got.column("q").to_pylist(),
+                          got.column("value").to_pylist()))
+        assert [(k, v) for k, _, v in rows] == [(w[0], w[1]) for w in want]
+
+    with pytest.raises(ValueError, match="outside"):
+        quantiles.exact_quantiles_by(ds, "k", "v", [2.0])
+
+
 def test_exact_quantiles_rejects_out_of_range(ray_session):
     import ray
 
