@@ -872,6 +872,62 @@ def q_events_first_last(sf_dir: str):
     return _sorted_table(out, ["user_id"])
 
 
+def q_length_percentile_rank(sf_dir: str):
+    """Global rank WITHOUT a global sort: CUME_DIST of every document's
+    length via a broadcast CDF — one distinct-value counts pass (bounded by
+    |distinct lengths|), cumsum on the driver, then a vectorized
+    searchsorted gather per batch. The 100-TB way to percentile-normalize a
+    feature column."""
+    from ..functions.quantiles import value_counts_ds
+    from ..functions.rounding import round_half_away
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    counts = value_counts_ds(docs, "n_chars").to_pandas().sort_values("value")
+    values = counts["value"].to_numpy(dtype="int64")
+    cum = np.cumsum(counts["n"].to_numpy(dtype="int64"))
+    total = float(cum[-1]) if len(cum) else 1.0
+
+    def rank(batch: pa.Table) -> pa.Table:
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(values, n_chars, side="right") - 1
+        cd = cum[pos] / total
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "cume_dist": pa.array(round_half_away(cd, 6), pa.float64()),
+        })
+
+    return _sorted_table(docs.map_batches(rank, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
+def q_orders_pushdown_count(sf_dir: str):
+    """Predicate pushdown AT THE READ: the date+price filter ships into
+    read_parquet as a pyarrow dataset expression, so row groups that can't
+    match never leave storage — only the two projected columns of the
+    surviving rows enter the pipeline. One count groupby after."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ray.data.aggregate import Count
+
+    cutoff = np.datetime64("2000-01-01", "us")
+    expr = (pads.field("o_orderdate") >= pa.scalar(cutoff)) & (
+        pads.field("o_totalprice") > 300_000.0
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        filter=expr,
+    )
+    agg = (
+        ds.select_columns(["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    return _sorted_table(agg, ["o_orderpriority"])
+
+
 def q_length_histogram(sf_dir: str):
     """Binned aggregation: documents histogrammed by 50-char n_chars bucket.
     The bucket id is derived vectorized per batch and pre-counted per block
@@ -2252,6 +2308,8 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "events_first_last": q_events_first_last,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
+    "length_percentile_rank": q_length_percentile_rank,
+    "orders_pushdown_count": q_orders_pushdown_count,
     "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,
@@ -2463,6 +2521,17 @@ ORACLE_SQL = {
         SELECT lang, [0.25, 0.5, 0.75, 0.9][i] AS q, vs[i] AS value
         FROM per_lang, (SELECT unnest(range(1, 5)) AS i)
         ORDER BY lang, q
+    """,
+    "length_percentile_rank": """
+        SELECT doc_id, n_chars,
+               ROUND(CUME_DIST() OVER (ORDER BY n_chars), 6) AS cume_dist
+        FROM documents ORDER BY doc_id
+    """,
+    "orders_pushdown_count": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 300000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "customer_big_order_semi": """
         SELECT c_custkey, c_name, c_acctbal FROM customer c
