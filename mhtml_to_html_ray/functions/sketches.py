@@ -208,3 +208,149 @@ def cms_heavy_hitters(ds, value_fn, k: int = 20,
     ranked = sorted(((key, merged.query(key)) for key in candidates),
                     key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl, arXiv:1902.04023): a mergeable
+    quantile sketch for CONTINUOUS columns — the scale path the exact
+    value-counts quantiles (functions/quantiles.py) can't take when the
+    value domain is unbounded. Clusters are (mean, weight) centroids bounded
+    by the arcsine scale function, so accuracy concentrates at the tails;
+    size is O(compression) regardless of input count. Deterministic: no
+    RNG, stable mean-ordered merging."""
+
+    __slots__ = ("compression", "means", "weights", "_buffer", "_min", "_max")
+
+    def __init__(self, compression: int = 200):
+        self.compression = compression
+        self.means = np.empty(0, np.float64)
+        self.weights = np.empty(0, np.float64)
+        self._buffer: list[np.ndarray] = []
+        self._min = np.inf
+        self._max = -np.inf
+
+    # --- scale function (k1, arcsine): k(q) = c/(2π)·asin(2q−1) ---
+    def _k(self, q: np.ndarray | float):
+        return self.compression / (2.0 * np.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+    def add_array(self, values) -> None:
+        arr = np.asarray(values, np.float64)
+        arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return
+        self._min = min(self._min, float(arr.min()))
+        self._max = max(self._max, float(arr.max()))
+        self._buffer.append(arr)
+        if sum(a.size for a in self._buffer) > 10 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
+        other._compress()
+        self._compress()
+        self._merge_weighted(other.means, other.weights)
+        return self
+
+    def _merge_weighted(self, means: np.ndarray, weights: np.ndarray) -> None:
+        all_means = np.concatenate([self.means, means])
+        all_weights = np.concatenate([self.weights, weights])
+        order = np.argsort(all_means, kind="stable")
+        self.means, self.weights = self._cluster(all_means[order], all_weights[order])
+
+    def _compress(self) -> None:
+        if not self._buffer:
+            return
+        buffered = np.concatenate(self._buffer)
+        self._buffer = []
+        self._merge_weighted(buffered, np.ones(buffered.size, np.float64))
+
+    def _cluster(self, means: np.ndarray, weights: np.ndarray):
+        total = weights.sum()
+        if total == 0:
+            return means[:0], weights[:0]
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        cum = 0.0
+        cur_sum = means[0] * weights[0]
+        cur_w = weights[0]
+        k_start = self._k(0.0)
+        for m, w in zip(means[1:], weights[1:]):
+            if self._k((cum + cur_w + w) / total) - k_start <= 1.0:
+                cur_sum += m * w
+                cur_w += w
+            else:
+                out_means.append(cur_sum / cur_w)
+                out_weights.append(cur_w)
+                cum += cur_w
+                cur_sum, cur_w = m * w, w
+                k_start = self._k(cum / total)
+        out_means.append(cur_sum / cur_w)
+        out_weights.append(cur_w)
+        return np.asarray(out_means), np.asarray(out_weights)
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        total = self.weights.sum()
+        target = q * total
+        # cumulative weight at each centroid MIDPOINT, interpolate between
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return self._min if total >= 2 and target <= self.weights[0] / 2.0 else float(self.means[0])
+        if target >= cum[-1]:
+            return self._max if target >= total - self.weights[-1] / 2.0 else float(self.means[-1])
+        pos = int(np.searchsorted(cum, target) - 1)
+        span = cum[pos + 1] - cum[pos]
+        frac = (target - cum[pos]) / span if span > 0 else 0.0
+        return float(self.means[pos] + frac * (self.means[pos + 1] - self.means[pos]))
+
+    def dumps(self) -> bytes:
+        import struct
+
+        self._compress()
+        head = struct.pack("<idd i", self.compression, self._min, self._max,
+                           self.means.size)
+        return head + self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def loads(cls, blob: bytes) -> "TDigest":
+        import struct
+
+        head_size = struct.calcsize("<idd i")
+        compression, lo, hi, n = struct.unpack("<idd i", blob[:head_size])
+        digest = cls(compression)
+        digest._min, digest._max = lo, hi
+        digest.means = np.frombuffer(
+            blob, np.float64, count=n, offset=head_size).copy()
+        digest.weights = np.frombuffer(
+            blob, np.float64, count=n, offset=head_size + 8 * n).copy()
+        return digest
+
+
+def tdigest_quantiles(ds, col: str, qs: list[float], compression: int = 200,
+                      fanin: int = 64) -> dict[float, float]:
+    """Approximate quantiles of a continuous column: one t-digest partial
+    per block (O(compression) bytes), tree-merged like the HLL/CMS partials
+    — the driver folds only the final fan-in."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sketch = TDigest(compression)
+        sketch.add_array(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([sketch.dumps()], pa.binary())})
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        merged_level = TDigest(compression)
+        for blob in batch.column("sketch").to_pylist():
+            merged_level.merge(TDigest.loads(blob))
+        return pa.table({"sketch": pa.array([merged_level.dumps()], pa.binary())})
+
+    merged = TDigest(compression)
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+    for row in _tree_reduce(partials, merge_batch, fanin=fanin):
+        merged.merge(TDigest.loads(row["sketch"]))
+    return {float(q): merged.quantile(q) for q in qs}

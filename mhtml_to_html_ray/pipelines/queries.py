@@ -872,6 +872,26 @@ def q_events_first_last(sf_dir: str):
     return _sorted_table(out, ["user_id"])
 
 
+def q_value_quantiles_tdigest(sf_dir: str):
+    """Approximate quantiles of the CONTINUOUS events.value column via the
+    mergeable t-digest (functions/sketches.TDigest): one O(compression)
+    partial per block, tree-merged — the scale path for unbounded domains
+    where exact value-counts quantiles would shuffle every distinct double.
+    Deliberately oracle-free (approximate); accuracy pinned in tests
+    against numpy on the same data."""
+    from ..functions.rounding import round_half_away
+    from ..functions.sketches import tdigest_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = tdigest_quantiles(ds, "value", qs, compression=200)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value_est": pa.array(
+            round_half_away(np.array([est[q] for q in qs]), 4), pa.float64()),
+    })
+
+
 def q_length_percentile_rank(sf_dir: str):
     """Global rank WITHOUT a global sort: CUME_DIST of every document's
     length via a broadcast CDF — one distinct-value counts pass (bounded by
@@ -2310,6 +2330,7 @@ QUERIES = {
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "length_percentile_rank": q_length_percentile_rank,
     "orders_pushdown_count": q_orders_pushdown_count,
+    "value_quantiles_tdigest": q_value_quantiles_tdigest,
     "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,

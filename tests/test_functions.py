@@ -1148,3 +1148,56 @@ def test_label_norm_stats_is_a_combiner(ray_session):
     rows = {r["label"]: (r["sum_norm"], r["n"]) for r in
             label_norm_stats(ray.data.from_arrow(tbl)).take_all()}
     assert rows == {"x": (15.0, 3), "y": (5.0, 1)}
+
+
+def test_tdigest_accuracy_merge_and_roundtrip():
+    """Rank error ≤ 0.005 at compression 200 on uniform and heavy-tailed
+    data, through both the single-digest and the merged-block paths;
+    dumps/loads round-trips; size stays O(compression)."""
+    from mhtml_to_html_ray.functions.sketches import TDigest
+
+    rng = np.random.default_rng(7)
+    for data in (rng.uniform(0, 100, 50_000), rng.lognormal(0, 2, 50_000)):
+        srt = np.sort(data)
+
+        def rank_err(digest, q):
+            return abs(np.searchsorted(srt, digest.quantile(q)) / len(srt) - q)
+
+        single = TDigest(200)
+        for chunk in np.array_split(data, 13):
+            single.add_array(chunk)
+        merged = TDigest(200)
+        for chunk in np.array_split(data, 8):
+            part = TDigest(200)
+            part.add_array(chunk)
+            merged.merge(TDigest.loads(part.dumps()))
+        for digest in (single, merged):
+            for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+                assert rank_err(digest, q) <= 0.005
+            assert digest.means.size < 4 * 200
+        restored = TDigest.loads(single.dumps())
+        assert restored.quantile(0.5) == single.quantile(0.5)
+    # extremes are exact
+    d = TDigest(100)
+    d.add_array(np.arange(1000, dtype=float))
+    assert d.quantile(0.0) == 0.0 and d.quantile(1.0) == 999.0
+    with pytest.raises(ValueError, match="outside"):
+        d.quantile(1.5)
+
+
+def test_tdigest_distributed_matches_local(ray_session):
+    """tdigest_quantiles over a Dataset ≈ a local digest over the same
+    values: both within the same rank-error bound, fanin-independent."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sketches import TDigest, tdigest_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(50, 10, 20_000)
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})).repartition(9)
+    srt = np.sort(vals)
+    for fanin in (2, 64):
+        est = tdigest_quantiles(ds, "value", [0.1, 0.5, 0.9], fanin=fanin)
+        for q, v in est.items():
+            assert abs(np.searchsorted(srt, v) / len(srt) - q) <= 0.005
