@@ -872,6 +872,78 @@ def q_events_first_last(sf_dir: str):
     return _sorted_table(out, ["user_id"])
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode + whitespace normalization kernel: NFC-normalize, strip C0/C1
+    control chars, collapse whitespace runs, trim — the canonical first
+    transform of a web-text pipeline. The input is deterministically
+    DIRTIED first (combining accent + tabs + a control char derived the
+    same way in the SQL oracle), so the hash match proves the
+    normalization arithmetic, not an identity pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # U+0065 U+0301 must fuse to é under NFC; \x0b must strip as a control
+    prefix = " éx\t"
+    suffix = " \x0b\t"
+
+    def norm(batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        n = batch.num_rows
+        dirty = pc.binary_join_element_wise(
+            pa.array([prefix] * n, pa.string()),
+            batch.column("text"),
+            pa.array([suffix] * n, pa.string()),
+            "",
+        )
+        # NOT pc.utf8_normalize: Arrow 16's NFC does not COMPOSE (e+U+0301
+        # stays decomposed — verified), so it can't match DuckDB's
+        # nfc_normalize. unicodedata is C-implemented and is_normalized
+        # fast-paths the (typical) already-NFC rows without a copy.
+        t = pa.array(
+            [s if unicodedata.is_normalized("NFC", s)
+             else unicodedata.normalize("NFC", s)
+             for s in dirty.to_pylist()],
+            pa.string(),
+        )
+        t = pc.replace_substring_regex(
+            t, r"[\x00-\x08\x0b\x0e-\x1f\x7f]", "")
+        t = pc.replace_substring_regex(t, r"[\t\n\f\r ]+", " ")
+        t = pc.utf8_trim(t, " ")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_norm": t,
+            "n_chars_norm": pc.utf8_length(t).cast(pa.int64()),
+        })
+
+    return _sorted_table(ds.map_batches(norm, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
+def q_domain_sample(sf_dir: str):
+    """Uniform k-per-group sampling WITHOUT RNG: order by md5(text) (a
+    uniform hash) and keep the 5 smallest per source via the per_key_cap
+    combiner — layout-independent, reproducible, and the shuffle carries at
+    most cap × n_blocks rows per key."""
+    import hashlib
+
+    from ..functions.sampling import per_key_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def hash_key(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(t.encode()).hexdigest()
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "source": batch.column("source"),
+            "sample_key": pa.array(keys, pa.string()),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    keyed = ds.map_batches(hash_key, batch_format="pyarrow")
+    out = per_key_cap(keyed, key="source", max_per_key=5,
+                      order_col="sample_key", columns=["doc_id"])
+    return _sorted_table(out, ["source", "sample_key"])
+
+
 def q_value_quantiles_tdigest(sf_dir: str):
     """Approximate quantiles of the CONTINUOUS events.value column via the
     mergeable t-digest (functions/sketches.TDigest): one O(compression)
@@ -2331,6 +2403,8 @@ QUERIES = {
     "length_percentile_rank": q_length_percentile_rank,
     "orders_pushdown_count": q_orders_pushdown_count,
     "value_quantiles_tdigest": q_value_quantiles_tdigest,
+    "normalize_text": q_normalize_text,
+    "domain_sample": q_domain_sample,
     "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,
@@ -2553,6 +2627,30 @@ ORACLE_SQL = {
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 300000
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "normalize_text": """
+        WITH dirty AS (
+            SELECT doc_id,
+                   ' e' || chr(769) || 'x' || chr(9) || text
+                       || ' ' || chr(11) || chr(9) AS t
+            FROM documents
+        ), n AS (
+            SELECT doc_id,
+                   TRIM(REGEXP_REPLACE(REGEXP_REPLACE(nfc_normalize(t),
+                       '[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS text_norm
+            FROM dirty
+        )
+        SELECT doc_id, text_norm, LENGTH(text_norm) AS n_chars_norm
+        FROM n ORDER BY doc_id
+    """,
+    "domain_sample": """
+        SELECT source, md5(text) AS sample_key, doc_id FROM (
+            SELECT source, text, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(text), doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 5 ORDER BY source, sample_key
     """,
     "customer_big_order_semi": """
         SELECT c_custkey, c_name, c_acctbal FROM customer c
