@@ -205,6 +205,9 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     * ``"anti"``  — ``WHERE NOT EXISTS``: left rows with no right match,
       left columns only; null-key left rows are kept (the EXISTS predicate
       can never be true for them).
+    * ``"full"``  — full outer: every row of BOTH sides survives; unmatched
+      payload on the other side is null; null-key rows of either side are
+      kept unmatched, per SQL FULL JOIN.
 
     Deliberately NOT ray.data.Dataset.join: Ray 2.49's hash join emits empty
     partitions as zero-column blocks that poison schema-dependent downstream
@@ -220,7 +223,7 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     key-sized rows only.  Right payload columns that collide with left
     names get ``right_suffix``.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"unknown join mode {how!r}")
     left_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
     right_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
@@ -230,7 +233,8 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
         else [n for n in right_schema if n != key]
     out_right = _suffixed_names(right_payload, left_schema,
                                 {key, "_bucket", "_side"}, right_suffix)
-    keep_null_left = how in ("left", "anti")
+    keep_null_left = how in ("left", "anti", "full")
+    keep_null_right = how == "full"
 
     def bucket_of(column: pa.ChunkedArray) -> pa.Array:
         values = column.combine_chunks().to_numpy(zero_copy_only=False) \
@@ -271,7 +275,9 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
     def tag_right(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        batch = batch.filter(pc.is_valid(batch.column(key)))
+        valid = pc.is_valid(batch.column(key))
+        null_rows = batch.filter(pc.invert(valid)) if keep_null_right else None
+        batch = batch.filter(valid)
         key_col = batch.column(key)
         if how in ("semi", "anti"):
             # existence is all that matters — distinct keys per batch bound
@@ -284,14 +290,23 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
             for name in left_payload:
                 columns[name] = pa.nulls(len(key_col), left_schema[name])
             return pa.table(columns)
-        columns = {key: key_col,
-                   "_bucket": bucket_of(key_col),
-                   "_side": pa.array([1] * batch.num_rows, pa.int8())}
-        for name in left_payload:
-            columns[name] = pa.nulls(batch.num_rows, left_schema[name])
-        for name, out in zip(right_payload, out_right):
-            columns[out] = batch.column(name)
-        return pa.table(columns)
+
+        def build(part: pa.Table, buckets: pa.Array) -> pa.Table:
+            columns = {key: part.column(key), "_bucket": buckets,
+                       "_side": pa.array([1] * part.num_rows, pa.int8())}
+            for name in left_payload:
+                columns[name] = pa.nulls(part.num_rows, left_schema[name])
+            for name, out in zip(right_payload, out_right):
+                columns[out] = part.column(name)
+            return pa.table(columns)
+
+        parts = [build(batch, bucket_of(key_col))]
+        if null_rows is not None and null_rows.num_rows:
+            # full outer keeps null-key right rows unmatched
+            parts.append(
+                build(null_rows, pa.array([0] * null_rows.num_rows, pa.int64()))
+            )
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     union = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -315,6 +330,12 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
             )
 
         if left_rows.num_rows == 0:
+            if how == "full":
+                # full outer with an empty left bucket: right rows survive
+                # with null left payload (already padded in the union schema)
+                right_only = group.filter(pc.equal(side, 1))
+                return right_only.select(out_columns) if right_only.num_rows \
+                    else typed_empty()
             return typed_empty()
         if how in ("semi", "anti"):
             right_keys = group.filter(pc.equal(side, 1)).select([key])
@@ -336,7 +357,8 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64,
                     left_rows.num_rows, group.schema.field(name).type
                 )
             return pa.table(columns).select(out_columns)
-        join_type = "inner" if how == "inner" else "left outer"
+        join_type = {"inner": "inner", "left": "left outer",
+                     "full": "full outer"}[how]
         return left_rows.join(
             right_rows, keys=key, join_type=join_type
         ).select(out_columns)

@@ -650,6 +650,41 @@ def q_customer_no_big_order_anti(sf_dir: str):
     return _sorted_table(out, ["c_custkey"])
 
 
+def q_customer_order_full_audit(sf_dir: str):
+    """Distributed FULL OUTER join (hash_join how="full"): high-balance
+    customers ⟗ big-order counts — matched rows, customers with no big
+    order (null count) and big-order customers below the balance bar (null
+    name) all survive, null-key rows of either side included per SQL FULL
+    JOIN. Same one-shuffle bucket plan as every other mode."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def hi(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("c_acctbal"), 9_000.0))
+        return pa.table({"c_custkey": kept.column("c_custkey"),
+                         "c_name": kept.column("c_name")})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("o_totalprice"), 400_000.0))
+        counts = kept.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"c_custkey": counts.column("o_custkey"),
+                         "n_big": counts.column("o_custkey_count")})
+
+    big = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_big", alias_name="n_big"))
+    )
+    out = hash_join(cust.map_batches(hi, batch_format="pyarrow"), big,
+                    key="c_custkey", num_buckets=32, how="full")
+    return _sorted_table(out, ["c_custkey"])
+
+
 def q_customer_big_order_counts(sf_dir: str):
     """LEFT OUTER join + COALESCE: every customer with their count of >400k
     orders, zero included. Fact side pre-aggregates per batch (one row per
@@ -2408,6 +2443,7 @@ QUERIES = {
     "length_histogram": q_length_histogram,
     "customer_no_big_order_anti": q_customer_no_big_order_anti,
     "customer_big_order_counts": q_customer_big_order_counts,
+    "customer_order_full_audit": q_customer_order_full_audit,
     "supplier_count_by_region": q_supplier_count_by_region,
     "part_type_stats": q_part_type_stats,
     "events_tumbling": q_events_tumbling,
@@ -2662,6 +2698,14 @@ ORACLE_SQL = {
         SELECT c_custkey, c_name, c_acctbal FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    "customer_order_full_audit": """
+        WITH hi AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+             big AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_big
+                     FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_big
+        FROM hi FULL JOIN big USING (c_custkey)
         ORDER BY c_custkey
     """,
     "customer_big_order_counts": """

@@ -923,7 +923,7 @@ def test_hash_join_modes_empty_right_and_bad_mode(ray_session):
     assert sorted((r["lv"], r["rv"]) for r in left_out) == [("a", None), ("b", None)]
 
     with pytest.raises(ValueError, match="join mode"):
-        hash_join(left, empty_right, key="k", how="full")
+        hash_join(left, empty_right, key="k", how="cross")
 
 
 def test_simhash_bucket_cap_bounds_degenerate_blocks(ray_session):
@@ -1201,3 +1201,30 @@ def test_tdigest_distributed_matches_local(ray_session):
         est = tdigest_quantiles(ds, "value", [0.1, 0.5, 0.9], fanin=fanin)
         for q, v in est.items():
             assert abs(np.searchsorted(srt, v) / len(srt) - q) <= 0.005
+
+
+def test_hash_join_full_outer_semantics(ray_session):
+    """FULL JOIN: matched rows, unmatched left, unmatched right, and
+    null-key rows of BOTH sides all survive with null padding."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3, None], pa.int64()),
+         "lv": pa.array(list("abcd"), pa.string())}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([2, 2, 9, None], pa.int64()),
+         "rv": pa.array([20, 21, 90, 99], pa.int64())}))
+    rows = sorted(
+        ((r["lv"] or ""), (-1 if r["k"] is None else r["k"]), r.get("rv"))
+        for r in hash_join(left, right, key="k", num_buckets=4, how="full").take_all()
+    )
+    assert rows == [
+        ("", -1, 99),          # null-key right row, unmatched
+        ("", 9, 90),           # right-only key
+        ("a", 1, None),
+        ("b", 2, 20), ("b", 2, 21),
+        ("c", 3, None),
+        ("d", -1, None),       # null-key left row, unmatched
+    ]
