@@ -818,8 +818,11 @@ def q_events_value_outliers(sf_dir: str):
         m = mean[idx]
         d = sd[idx]
         v = batch.column("value").to_numpy(zero_copy_only=False)
-        z = (v - m) / d
-        mask = np.abs(z) > 2.5
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - m) / d
+        # a degenerate group (n==1 or zero variance) has no meaningful z —
+        # the oracle's NULL/zero stddev drops those rows too
+        mask = (d > 0) & (np.abs(z) > 2.5)
         kept = batch.filter(pa.array(mask))
         return pa.table({
             "event_id": kept.column("event_id"),
@@ -2623,7 +2626,7 @@ ORACLE_SQL = {
         )
         SELECT event_id, e.event_type, value, ROUND((value - m) / sd, 6) AS z
         FROM events e JOIN s ON s.event_type = e.event_type
-        WHERE ABS((value - m) / sd) > 2.5
+        WHERE sd > 0 AND ABS((value - m) / sd) > 2.5
         ORDER BY event_id
     """,
     "events_running_total": """
