@@ -12,9 +12,9 @@ import __ray_entry__ as entry_module  # noqa: E402
 def test_registry_shape():
     queries = entry_module.queries()
     oracles = entry_module.oracle_sql()
-    assert len(queries) >= 70, "query registry shrank — a pipeline was lost"
+    assert len(queries) >= 90, "query registry shrank — a pipeline was lost"
     assert set(oracles) <= set(queries), "oracle for a query that does not exist"
-    assert len(oracles) >= 55, "most queries should be oracle-checked"
+    assert len(oracles) >= 75, "most queries should be oracle-checked"
     for name, fn in queries.items():
         assert callable(fn), name
 
