@@ -1105,3 +1105,30 @@ def test_injectable_dom_parser_backend():
     spied_out = convert(page(body="<p>hello</p>"), Config(dom_parser=spying_parser))
     assert spied_out.data == default_out.data
     assert calls, "the injected parser backend was never used"
+
+
+def test_default_priority_keeps_distributed_admit_eligible(ray_session):
+    """Regression for the priority_fn gating: with the default (None)
+    priority, admit_strategy='distributed' must still run the distributed
+    path and match the driver loop exactly."""
+    from mhtml_to_html_ray.frontier.scheduler import request_log
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {
+        "https://da.example/": html_page(["/a", "/b", "/c"]),
+        "https://da.example/a": html_page(["/d"]),
+        "https://da.example/b": html_page([]),
+        "https://da.example/c": html_page(["/d"]),
+        "https://da.example/d": html_page([]),
+    }
+    seeds = ["https://da.example/"]
+    driver = _crawl(routes, seeds, ray_session, discovery_mode="hyperlinks",
+                    max_waves=5, admit_strategy="driver")
+    distributed = _crawl(routes, seeds, ray_session,
+                         discovery_mode="hyperlinks", max_waves=5,
+                         admit_strategy="distributed")
+    assert request_log(distributed) == request_log(driver)
+    assert distributed.seen_urls == driver.seen_urls

@@ -1707,3 +1707,30 @@ def test_search_element_closes_p():
 )
 def test_html5lib_canonical_adoption_trees(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "doctype, quirks",
+    [
+        ("", True),                                  # no doctype
+        ("<!DOCTYPE html>", False),
+        ('<!DOCTYPE html SYSTEM "about:legacy-compat">', False),
+        ('<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2 Final//EN">', True),
+        # HTML 4.01 Transitional: quirks WITHOUT a system id,
+        # limited-quirks (standards parsing) WITH one
+        ('<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">', True),
+        ('<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+         '"http://www.w3.org/TR/html4/loose.dtd">', False),
+        ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" '
+         '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">', False),
+        ('<!DOCTYPE html SYSTEM '
+         '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd">', True),
+    ],
+)
+def test_quirks_mode_doctype_matrix(doctype, quirks):
+    """Quirks-mode detection across the spec's public/system-id lists,
+    observed through the one tree-construction rule it gates: <table>
+    nests inside an open <p> only in quirks mode."""
+    out = body_html(doctype + "<body><p><table><td>x</td></table></body>")
+    nested = "<p><table>" in out
+    assert nested == quirks
