@@ -129,11 +129,35 @@ def decode_wav_meta(data: bytes) -> dict:
     }
 
 
+def decode_bmp_meta(data: bytes) -> dict:
+    """BMP file header + BITMAPINFOHEADER (and the ancient BITMAPCOREHEADER):
+    signed little-endian dimensions; a negative height encodes a top-down
+    bitmap of |height| rows."""
+    import struct
+
+    if len(data) < 26 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (header_size,) = struct.unpack_from("<I", data, 14)
+    if header_size == 12:  # BITMAPCOREHEADER: u16 dimensions
+        width, height = struct.unpack_from("<HH", data, 18)
+    elif header_size >= 40:  # BITMAPINFOHEADER and successors: i32
+        width, height = struct.unpack_from("<ii", data, 18)
+        height = abs(height)
+    else:
+        raise ValueError(f"BMP with unsupported DIB header size {header_size}")
+    if width <= 0 or height == 0:
+        raise ValueError("BMP with non-positive dimension")
+    if width > 0x7FFFFFFF or height > 0x7FFFFFFF:
+        raise ValueError("BMP with out-of-range dimension")
+    return {"width": width, "height": height}
+
+
 _SNIFFERS = (
     (lambda d: d.startswith(_PNG_SIG), decode_png_meta),
     (lambda d: d[:6] in (b"GIF87a", b"GIF89a"), decode_gif_meta),
     (lambda d: d[:2] == b"\xff\xd8", decode_jpeg_meta),
     (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WAVE", decode_wav_meta),
+    (lambda d: d[:2] == b"BM", decode_bmp_meta),
 )
 
 

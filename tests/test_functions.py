@@ -1228,3 +1228,33 @@ def test_hash_join_full_outer_semantics(ray_session):
         ("c", 3, None),
         ("d", -1, None),       # null-key left row, unmatched
     ]
+
+
+def test_media_decode_bmp_headers():
+    """BMP: BITMAPINFOHEADER (i32 dims, negative height = top-down) and the
+    ancient BITMAPCOREHEADER (u16 dims); truncated/invalid payloads raise."""
+    import struct
+
+    from mhtml_to_html_ray.functions.multimodal import decode_media_meta
+
+    def bmp_info(width, height):
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0,
+                          2835, 2835, 0, 0)
+        head = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib))
+        return head + dib
+
+    def bmp_core(width, height):
+        dib = struct.pack("<IHHHH", 12, width, height, 1, 24)
+        head = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib))
+        return head + dib
+
+    assert decode_media_meta(bmp_info(640, 480)) == {"width": 640, "height": 480}
+    # top-down bitmap: negative height encodes |height| rows
+    assert decode_media_meta(bmp_info(640, -480)) == {"width": 640, "height": 480}
+    assert decode_media_meta(bmp_core(31, 17)) == {"width": 31, "height": 17}
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_media_meta(bmp_info(0, 10))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_media_meta(b"BMxx")
+    with pytest.raises(ValueError, match="unsupported DIB"):
+        decode_media_meta(bmp_info(1, 1)[:14] + struct.pack("<I", 16) + bytes(24))
