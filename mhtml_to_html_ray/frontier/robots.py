@@ -36,6 +36,10 @@ class RobotsRules:
     allow: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
     disallow_all: bool = False  # RFC 9309 "unreachable" posture
+    # RFC 9309 §2.3 Sitemap lines are GLOBAL (not per-group): collected in
+    # file order, deduplicated, regardless of which user-agent group
+    # surrounds them — a crawler can seed these into its frontier
+    sitemaps: list[str] = field(default_factory=list)
 
     def __post_init__(self):
         self._compiled: list[tuple[int, bool, object]] | None = None
@@ -80,6 +84,13 @@ def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
         key, _, value = line.partition(":")
         key = key.strip().lower()
         value = value.strip()
+        if key == "sitemap":
+            # global line: dedup, keep file order, attach to BOTH candidate
+            # rule sets so the chosen one carries it
+            if value and value not in generic.sitemaps:
+                generic.sitemaps.append(value)
+                specific.sitemaps.append(value)
+            continue
         if key == "user-agent":
             if in_group_body:
                 current_agents = []

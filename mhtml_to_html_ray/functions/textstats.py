@@ -290,6 +290,42 @@ def _re_ws():
     return _WS_RUN_RE
 
 
+def compression_stats_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """zlib compression-ratio quality signal (the Gopher/RefinedWeb-family
+    redundancy detector): machine-generated or boilerplate-repetitive text
+    compresses far below natural prose, so a LOW ratio flags junk that
+    token-level repetition stats can miss (long-range duplication). Per-row
+    zlib is C-speed; no SQL oracle exists (DuckDB ships no zlib UDF), so
+    the query is rows-only and the semantics are test-pinned."""
+    import zlib
+
+    ratios = []
+    sizes = []
+    for text in batch.column("text").to_pylist():
+        raw = (text or "").encode("utf-8")
+        if not raw:
+            ratios.append(None)
+            sizes.append(0)
+            continue
+        compressed = len(zlib.compress(raw, level))
+        sizes.append(len(raw))
+        ratios.append(compressed / len(raw))
+    import numpy as np
+
+    from .rounding import round_half_away
+
+    ratio_col = pa.array(
+        [None if r is None else float(round_half_away(np.array([r]), 6)[0])
+         for r in ratios],
+        pa.float64(),
+    )
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bytes": pa.array(sizes, pa.int64()),
+        "compression_ratio": ratio_col,
+    })
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint per document (md5 hex — matches DuckDB's md5()
     oracle; the rolling-hash variant lives in dedup.simhash/minhash)."""

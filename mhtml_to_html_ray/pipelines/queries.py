@@ -2022,6 +2022,18 @@ def q_c4_filter(sf_dir: str):
     return _sorted_table(ds.map_batches(batch_fn, batch_format="pyarrow"), ["doc_id"])
 
 
+def q_compression_ratio(sf_dir: str):
+    """zlib-ratio redundancy signal (textstats.compression_stats_batch):
+    one map_batches pass, zero shuffle. Deliberately oracle-free — DuckDB
+    has no zlib — semantics pinned in tests (repetitive ≪ prose)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(
+        ds.map_batches(textstats.compression_stats_batch,
+                       batch_format="pyarrow"),
+        ["doc_id"],
+    )
+
+
 def q_gopher_filter(sf_dir: str):
     """Gopher-rule quality gate (functions/textstats.gopher_stats_batch):
     word-count window + mean-word-length window + symbol-ratio ceiling +
@@ -2494,6 +2506,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "c4_filter": q_c4_filter,
     "gopher_filter": q_gopher_filter,
+    "compression_ratio": q_compression_ratio,
     "lm_score": q_lm_score,
     "tfidf_topk": q_tfidf_topk,
     "inverted_index_stats": q_inverted_index_stats,

@@ -1132,3 +1132,22 @@ def test_default_priority_keeps_distributed_admit_eligible(ray_session):
                          admit_strategy="distributed")
     assert request_log(distributed) == request_log(driver)
     assert distributed.seen_urls == driver.seen_urls
+
+
+def test_robots_sitemap_lines_are_global():
+    """RFC 9309: Sitemap lines are file-global — collected in order,
+    deduplicated, surviving group selection for any user agent."""
+    text = (
+        "Sitemap: https://a.example/s1.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example/s2.xml\n"
+        "User-agent: specialbot\nDisallow: /\n"
+        "sitemap: https://a.example/s1.xml\n"   # dup, case-insensitive key
+    )
+    generic = parse_robots(text, user_agent="engine-crawler")
+    assert generic.sitemaps == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml"]
+    assert generic.allowed("/y") and not generic.allowed("/x")
+    special = parse_robots(text, user_agent="specialbot")
+    assert special.sitemaps == generic.sitemaps
+    assert not special.allowed("/anything")

@@ -1258,3 +1258,18 @@ def test_media_decode_bmp_headers():
         decode_media_meta(b"BMxx")
     with pytest.raises(ValueError, match="unsupported DIB"):
         decode_media_meta(bmp_info(1, 1)[:14] + struct.pack("<I", 16) + bytes(24))
+
+
+def test_compression_ratio_orders_repetitive_below_prose():
+    """The zlib-ratio signal: repeated boilerplate compresses far below
+    varied prose; empty text yields a null ratio."""
+    repetitive = "click here to subscribe " * 50
+    prose = ("the quick brown fox jumps over the lazy dog while seventeen "
+             "archaeologists examine quartz formations beneath volcanic "
+             "outcrops discussing jurisprudence and marmalade")
+    out = textstats.compression_stats_batch(_docs_table([repetitive, prose, ""]))
+    ratios = out["compression_ratio"].to_pylist()
+    assert ratios[0] < 0.15 < ratios[1]
+    assert ratios[2] is None
+    assert out["n_bytes"].to_pylist() == [
+        len(repetitive.encode()), len(prose.encode()), 0]
