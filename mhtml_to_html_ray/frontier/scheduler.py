@@ -97,6 +97,9 @@ class CrawlConfig:
     # CrawlResult.results_dataset()
     dedup_content: bool = False  # mirror guard: a page whose body hash was
     # already seen contributes no discoveries (first copy wins)
+    seed_sitemaps: bool = False  # expand seeds with robots.txt Sitemap
+    # <loc> urls before wave 0 (deterministic order, first-wins; an
+    # unreachable robots/sitemap only skips the expansion)
     admit_strategy: str = "auto"  # "driver" | "distributed" | "auto":
     # the admit phase (discovery enumeration + within-wave dedup + seen-set
     # check) as a driver loop or a Ray Data pipeline (frontier/admit.py).
@@ -236,6 +239,81 @@ class FetchWorker:
                 "body": outcome.body if self.config.get("keep_bodies") else b"",
                 "discovered": discovered,
                 "discovered_canon": discovered_canon}
+
+
+_SITEMAP_LOC_RE = None
+
+
+def _sitemap_seed_urls(transport, seed_urls: list[str],
+                       max_sitemaps: int = 64,
+                       max_urls: int = 100_000) -> list[str]:
+    """robots.txt Sitemap expansion (RFC 9309 §2.3 global lines + the
+    sitemaps.org <loc> format): for each distinct seed authority in
+    first-appearance order, fetch /robots.txt, collect its Sitemap URLs,
+    fetch each sitemap and extract <loc> entries. A <sitemapindex> document
+    is followed one level. Deterministic order (authority order → sitemap
+    order → loc document order), first-wins dedup, failures skipped —
+    expansion can only ADD seeds, never block the crawl."""
+    import re as _re
+
+    from .robots import parse_robots
+
+    global _SITEMAP_LOC_RE
+    if _SITEMAP_LOC_RE is None:
+        _SITEMAP_LOC_RE = _re.compile(r"<loc>\s*([^<]+?)\s*</loc>", _re.IGNORECASE)
+
+    origins: list[str] = []
+    seen_origin = set()
+    for url in seed_urls:
+        canon = canonicalize(url)
+        scheme_end = canon.canon_url.find("://")
+        if scheme_end == -1:
+            continue
+        path_start = canon.canon_url.find("/", scheme_end + 3)
+        origin = canon.canon_url[:path_start] if path_start != -1 else canon.canon_url
+        if origin not in seen_origin:
+            seen_origin.add(origin)
+            origins.append(origin)
+
+    def fetch_text(url: str) -> str | None:
+        try:
+            response = transport(url)
+        except Exception:
+            return None
+        return response.text() if response.ok else None
+
+    sitemap_urls: list[str] = []
+    seen_sitemap = set()
+    for origin in origins:
+        body = fetch_text(f"{origin}/robots.txt")
+        if body is None:
+            continue
+        for sitemap in parse_robots(body).sitemaps:
+            if sitemap not in seen_sitemap:
+                seen_sitemap.add(sitemap)
+                sitemap_urls.append(sitemap)
+
+    out: list[str] = []
+    seen_url = set()
+    index = 0
+    while index < len(sitemap_urls) and len(sitemap_urls) <= max_sitemaps:
+        body = fetch_text(sitemap_urls[index])
+        index += 1
+        if body is None:
+            continue
+        locs = _SITEMAP_LOC_RE.findall(body)
+        if "<sitemapindex" in body:
+            # one level of sitemap-index indirection: locs are sitemaps
+            for loc in locs:
+                if loc not in seen_sitemap and len(sitemap_urls) < max_sitemaps:
+                    seen_sitemap.add(loc)
+                    sitemap_urls.append(loc)
+            continue
+        for loc in locs:
+            if loc not in seen_url and len(out) < max_urls:
+                seen_url.add(loc)
+                out.append(loc)
+    return out
 
 
 def _base_result(row: dict) -> dict:
@@ -431,6 +509,10 @@ class CrawlScheduler:
         else:
             # admit seeds in list order — first-wins exactly like resource
             # registration (parse.js:287-293)
+            if config.seed_sitemaps:
+                seed_urls = list(seed_urls) + _sitemap_seed_urls(
+                    self.transport_factory(), seed_urls
+                )
             seed_rows: list[dict] = []
             for url in seed_urls:
                 canon = canonicalize(url)

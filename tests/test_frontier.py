@@ -1151,3 +1151,40 @@ def test_robots_sitemap_lines_are_global():
     special = parse_robots(text, user_agent="specialbot")
     assert special.sitemaps == generic.sitemaps
     assert not special.allowed("/anything")
+
+
+def test_sitemap_seed_expansion(ray_session):
+    """seed_sitemaps=True: robots.txt Sitemap URLs expand the seed list —
+    plain sitemaps contribute <loc> pages, a <sitemapindex> is followed one
+    level, failures skip silently, and the default (False) never touches
+    robots.txt."""
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    origin = "https://sm.example"
+    routes = {
+        f"{origin}/": html_page([]),
+        f"{origin}/robots.txt": ("text/plain",
+                                 b"Sitemap: https://sm.example/smidx.xml\n"
+                                 b"User-agent: *\nDisallow:\n"),
+        f"{origin}/smidx.xml": ("application/xml",
+                                b"<sitemapindex><sitemap>"
+                                b"<loc>https://sm.example/sm1.xml</loc>"
+                                b"</sitemap><sitemap>"
+                                b"<loc> https://sm.example/missing.xml </loc>"
+                                b"</sitemap></sitemapindex>"),
+        f"{origin}/sm1.xml": ("application/xml",
+                              b"<urlset><url><loc>https://sm.example/p1</loc></url>"
+                              b"<url><loc>https://sm.example/p2</loc></url></urlset>"),
+        f"{origin}/p1": html_page([]),
+        f"{origin}/p2": html_page([]),
+    }
+    expanded = _crawl(routes, [f"{origin}/"], ray_session,
+                      max_waves=2, seed_sitemaps=True)
+    assert {f"{origin}/p1", f"{origin}/p2"} <= expanded.seen_urls
+
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+    plain_factory = DictTransportFactory(routes)
+    plain = _crawl(routes, [f"{origin}/"], ray_session, max_waves=2)
+    assert f"{origin}/p1" not in plain.seen_urls
