@@ -1,0 +1,182 @@
+"""WARC source: read Common-Crawl-style WARC archives into the engine's
+``input_hint`` pages table (url, warc_ts, html, text, lang).
+
+WARC (ISO 28500) is the wire format Common Crawl actually publishes; the
+driver's Parquet tables are its columnar restatement. This reader makes the
+engine ingestible from the native format too:
+
+* ``parse_warc_records(data)`` — pure per-file record parser, no Ray: walks
+  ``WARC/1.x`` records (named headers, Content-Length-delimited payload),
+  yields (headers, payload) pairs. Handles the standard 4-byte record
+  separator and (multi-member) gzip, the .warc.gz convention where every
+  record is its own gzip member — stdlib ``zlib`` only.
+* ``warc_response_rows(data)`` — response/resource records → page rows: the
+  target URI, WARC-Date as µs timestamp, the HTTP response body (headers
+  stripped, chunked transfer-encoding de-chunked) as the ``html`` payload.
+  request/metadata/warcinfo records are skipped like every WARC consumer
+  does.
+* ``read_warc(paths)`` — the Ray Data source: ``read_binary_files`` (one
+  block per archive shard — WARC files are not splittable mid-record
+  without an index, so the shard is the parallelism unit, exactly how
+  Common Crawl distributes them: ~1 GB per file, thousands of files) +
+  one flat map_batches into the input_hint schema. Feed the result
+  straight into the extraction stage.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+_INPUT_HINT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.large_binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress CONCATENATED gzip members (the .warc.gz convention wraps
+    every record in its own member; a plain single-member file is the
+    degenerate case)."""
+    out = []
+    view = memoryview(data)
+    while len(view):
+        decompressor = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(decompressor.decompress(bytes(view)))
+        out.append(decompressor.flush())
+        tail = decompressor.unused_data
+        if not tail or len(tail) >= len(view):
+            break
+        view = memoryview(tail)
+    return b"".join(out)
+
+
+def parse_warc_records(data: bytes):
+    """Yield (headers: dict[str, str], payload: bytes) per WARC record.
+    Header names are lower-cased; malformed tails stop the walk rather than
+    raising (a truncated archive yields its complete prefix)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            return  # garbage tail — stop at the last complete record
+        header_end = data.find(b"\r\n\r\n", pos)
+        if header_end == -1:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:header_end].split(b"\r\n")[1:]:
+            name, sep, value = line.partition(b":")
+            if sep:
+                headers[name.strip().lower().decode("latin-1")] = (
+                    value.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = header_end + 4
+        if body_start + length > n:
+            return  # truncated final record
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body; malformed chunking
+    returns what decoded so far plus nothing (never raises)."""
+    out = []
+    pos = 0
+    while True:
+        line_end = body.find(b"\r\n", pos)
+        if line_end == -1:
+            break
+        try:
+            size = int(body[pos:line_end].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk_start = line_end + 2
+        out.append(body[chunk_start : chunk_start + size])
+        pos = chunk_start + size + 2
+    return b"".join(out)
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope from a WARC response payload; a
+    payload without an HTTP status line is a raw resource body."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    header_end = payload.find(b"\r\n\r\n")
+    if header_end == -1:
+        return b""
+    head = payload[:header_end].lower()
+    body = payload[header_end + 4 :]
+    if b"transfer-encoding:" in head and b"chunked" in head.split(
+        b"transfer-encoding:", 1
+    )[1].split(b"\r\n", 1)[0]:
+        body = _dechunk(body)
+    return body
+
+
+def _parse_warc_date(value: str) -> int | None:
+    """WARC-Date (ISO 8601 UTC) → epoch microseconds."""
+    try:
+        stamp = datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        try:
+            stamp = datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%fZ")
+        except ValueError:
+            return None
+    return int(stamp.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+
+def warc_response_rows(data: bytes) -> list[dict]:
+    """response/resource records of one WARC file → input_hint rows (text
+    and lang stay empty — they are downstream products of extraction)."""
+    rows: list[dict] = []
+    for headers, payload in parse_warc_records(data):
+        record_type = headers.get("warc-type", "")
+        if record_type not in ("response", "resource"):
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        rows.append({
+            "url": url,
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "html": _http_body(payload),
+            "text": "",
+            "lang": "",
+        })
+    return rows
+
+
+def read_warc(paths):
+    """WARC archive(s) → Dataset in the input_hint schema. One block per
+    archive file (WARC is not splittable without an external index);
+    parallelism = number of shards, the way Common Crawl ships them."""
+    import ray.data
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        all_rows: list[dict] = []
+        for blob in batch.column("bytes").to_pylist():
+            all_rows.extend(warc_response_rows(blob))
+        if not all_rows:
+            return _INPUT_HINT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(all_rows, schema=_INPUT_HINT_SCHEMA)
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(to_rows, batch_format="pyarrow")

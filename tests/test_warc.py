@@ -1,0 +1,122 @@
+"""WARC source: record walking, HTTP envelope stripping, gzip members,
+and the Ray read path feeding the extraction stage end-to-end."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from mhtml_to_html_ray.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    warc_response_rows,
+)
+
+
+def _record(record_type, url=None, payload=b"", date="2026-01-02T03:04:05Z",
+            extra=()):
+    headers = [f"WARC-Type: {record_type}", f"WARC-Date: {date}"]
+    if url:
+        headers.append(f"WARC-Target-URI: {url}")
+    headers.extend(extra)
+    head = "WARC/1.0\r\n" + "\r\n".join(headers) + \
+        f"\r\nContent-Length: {len(payload)}\r\n\r\n"
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, extra_headers=b"") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + extra_headers
+            + b"\r\n" + body)
+
+
+def _warc_bytes():
+    return b"".join([
+        _record("warcinfo", payload=b"software: test\r\n"),
+        _record("request", url="https://w.example/a",
+                payload=b"GET /a HTTP/1.1\r\n\r\n"),
+        _record("response", url="https://w.example/a",
+                payload=_http(b"<html>alpha</html>")),
+        _record("resource", url="https://w.example/raw",
+                payload=b"<html>raw resource</html>",
+                date="2026-01-02T03:04:05.123456Z"),
+        _record("response", url="https://w.example/chunked",
+                payload=_http(b"7\r\n<html>c\r\n9\r\n</html>xx\r\n0\r\n\r\n",
+                              extra_headers=b"Transfer-Encoding: chunked\r\n")),
+    ])
+
+
+def test_warc_record_walk_and_response_rows():
+    data = _warc_bytes()
+    records = list(parse_warc_records(data))
+    assert [h["warc-type"] for h, _ in records] == [
+        "warcinfo", "request", "response", "resource", "response"]
+
+    rows = warc_response_rows(data)
+    assert [r["url"] for r in rows] == [
+        "https://w.example/a", "https://w.example/raw",
+        "https://w.example/chunked"]
+    assert rows[0]["html"] == b"<html>alpha</html>"
+    assert rows[1]["html"] == b"<html>raw resource</html>"
+    # chunked body de-chunked, trailing chunk dropped
+    assert rows[2]["html"] == b"<html>c</html>xx"
+    # WARC-Date with and without fractional seconds
+    assert rows[0]["warc_ts"] == 1767323045000000
+    assert rows[1]["warc_ts"] == 1767323045123456
+
+
+def test_warc_gzip_members_and_truncation():
+    # the .warc.gz convention: each record its own gzip member
+    data = _warc_bytes()
+    members = b"".join(
+        gzip.compress(_record("response", url=f"https://w.example/{i}",
+                              payload=_http(f"<p>{i}</p>".encode())))
+        for i in range(3)
+    )
+    rows = warc_response_rows(members)
+    assert [r["html"] for r in rows] == [b"<p>0</p>", b"<p>1</p>", b"<p>2</p>"]
+
+    # a truncated final record yields the complete prefix, never raises
+    cut = data[: len(data) - 30]
+    assert len(warc_response_rows(cut)) <= 3
+    assert warc_response_rows(data[:10]) == []
+    assert warc_response_rows(b"") == []
+
+
+def test_read_warc_feeds_extraction(ray_session, tmp_path):
+    """read_warc → input_hint schema → ExtractBatch end-to-end: the WARC
+    payloads are real MHTML from the fixture builder, so the kernel's
+    extracted titles come back through the Ray path."""
+    from mhtml_to_html_ray.sources.fixtures import pages_table
+    from mhtml_to_html_ray.stages.extract import ExtractBatch
+
+    fixture = pages_table().slice(0, 4)
+    records = []
+    for i in range(fixture.num_rows):
+        records.append(_record(
+            "response", url=fixture.column("url")[i].as_py(),
+            payload=_http(fixture.column("html")[i].as_py())))
+    path = tmp_path / "shard-00000.warc"
+    path.write_bytes(b"".join(records))
+
+    ds = read_warc([str(path)])
+    assert ds.schema().names == ["url", "warc_ts", "html", "text", "lang"]
+    out = ds.map_batches(ExtractBatch, fn_constructor_kwargs={"keep_html": False},
+                         batch_format="pyarrow", batch_size=4,
+                         concurrency=1).take_all()
+    assert len(out) == 4
+    by_url = {row["url"]: row for row in out}
+    assert set(by_url) == set(fixture.column("url").to_pylist())
+    for row in out:
+        assert row["error"] is None
+        assert row["text_out"]
+
+
+def test_warc_http_payload_edge_cases():
+    # no HTTP envelope separator → empty body; non-HTTP payload passes raw
+    assert warc_response_rows(_record(
+        "response", url="https://w.example/x",
+        payload=b"HTTP/1.1 200 OK\r\nno-terminator"))[0]["html"] == b""
+    bad_date = warc_response_rows(_record(
+        "response", url="https://w.example/y", payload=_http(b"z"),
+        date="not-a-date"))
+    assert bad_date[0]["warc_ts"] is None
