@@ -69,7 +69,13 @@ def cmd_extract(args) -> int:
         if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
             skipped += 1
             continue
-        ds = ray.data.read_parquet(path)
+        if path.endswith((".warc", ".warc.gz")):
+            # Common Crawl's native format — same input_hint schema out
+            from .sources.warc import read_warc
+
+            ds = read_warc([path])
+        else:
+            ds = ray.data.read_parquet(path)
         out = extract_pages(
             ds,
             batch_size=args.batch_size,
