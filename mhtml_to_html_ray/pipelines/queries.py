@@ -1758,6 +1758,19 @@ def q_token_count_bpe(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_train_prep(sf_dir: str):
+    """The composed end-to-end pipeline (pipelines/train_prep): extract →
+    C4 gate → exact dedup (semi join) → MinHash near-dedup (anti join) →
+    packed-sequence assignment. Deliberately oracle-free (the composition
+    spans the non-SQL extraction kernel and LSH); each stage is oracled or
+    test-pinned on its own, and the composition invariants are pinned in
+    test_entry_contract."""
+    from .train_prep import train_prep
+
+    out = train_prep(sf_dir, seq_len=128)
+    return _sorted_table(out, ["doc_id"])
+
+
 def q_pack_sequences(sf_dir: str):
     """Fixed-length training-sequence packing (functions/packing.py): token
     counts via the shared tokenizer, then a distributed prefix-sum in
@@ -2486,6 +2499,7 @@ QUERIES = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "pack_sequences": q_pack_sequences,
+    "train_prep": q_train_prep,
     "token_offsets": q_token_offsets,
     "chunk_spans": q_chunk_spans,
     "source_quality_filter": q_source_quality_filter,

@@ -132,3 +132,26 @@ def test_sales_rollup_levels_consistent(ray_session):
         assert row["sum_qty"] == children["sum_qty"].sum()
     assert total["n_rows"].iloc[0] == by_flag["n_rows"].sum()
     assert total["sum_qty"].iloc[0] == by_flag["sum_qty"].sum()
+
+
+def test_train_prep_composition_invariants(ray_session):
+    """The composed pipeline: every surviving doc appears once, the packed
+    token stream is gapless (each doc starts where the previous one ended
+    plus the separator), sequence indexes are consistent with seq_len, and
+    the filters actually dropped something."""
+    import pyarrow.parquet as pq
+
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["train_prep"]("/root/testdata/sf0.001")
+    n_docs = pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet").num_rows
+    assert 0 < len(out) < n_docs, "quality gate + dedup must drop some docs"
+    assert out["doc_id"].is_unique
+    # gapless packing in doc_id order: next start = start + n_tokens + 1 sep
+    starts = out["start_offset"].to_numpy()
+    tokens = out["n_tokens"].to_numpy()
+    assert (starts[1:] == starts[:-1] + tokens[:-1] + 1).all()
+    assert (out["first_seq"] == starts // 128).all()
+    last_token = starts + (tokens - 1).clip(0)
+    assert (out["last_seq"] == last_token // 128).all()
