@@ -180,3 +180,66 @@ def read_warc(paths):
 
     files = ray.data.read_binary_files(paths)
     return files.map_batches(to_rows, batch_format="pyarrow")
+
+
+def _wet_record(url: str, ts_us: int | None, text: str) -> bytes:
+    """One WET 'conversion' record (the Common Crawl extracted-text format)."""
+    payload = text.encode("utf-8")
+    if ts_us is None:
+        date = "1970-01-01T00:00:00Z"
+    else:
+        date = datetime.fromtimestamp(
+            ts_us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def write_wet(extracted_ds, output_dir: str, url_col: str = "url",
+              text_col: str = "text_out", ts_col: str | None = None,
+              compress: bool = True) -> int:
+    """Extraction output → WET shards (WARC 'conversion' records, the format
+    Common Crawl publishes extracted text in): each input block writes ONE
+    shard named by the content hash of its record bytes — deterministic,
+    rerun-idempotent (same block → same file), no driver accumulation.
+    Returns the number of records written. ``compress`` gzips each record
+    as its own member (the .warc.gz convention), so shards concatenate."""
+    import gzip
+    import hashlib
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        records = []
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        stamps = batch.column(ts_col).to_pylist() if ts_col else [None] * len(urls)
+        for url, text, stamp in zip(urls, texts, stamps):
+            if text is None:
+                continue
+            if stamp is not None and not isinstance(stamp, int):
+                stamp = int(stamp.timestamp() * 1_000_000)
+            record = _wet_record(url, stamp, text)
+            records.append(gzip.compress(record, mtime=0) if compress else record)
+        if not records:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        blob = b"".join(records)
+        name = hashlib.sha1(blob).hexdigest()[:16] + suffix
+        path = os.path.join(output_dir, name)
+        if not os.path.exists(path):  # rerun-idempotent
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as handle:
+                handle.write(blob)
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(records)], pa.int64())})
+
+    counts = extracted_ds.map_batches(write_block, batch_format="pyarrow")
+    return sum(row["n"] for row in counts.take_all())

@@ -120,3 +120,46 @@ def test_warc_http_payload_edge_cases():
         "response", url="https://w.example/y", payload=_http(b"z"),
         date="not-a-date"))
     assert bad_date[0]["warc_ts"] is None
+
+
+def test_write_wet_roundtrip(ray_session, tmp_path):
+    """Extraction output → WET shards → parse back: conversion records
+    round-trip url/date/text; shards are deterministic and rerun-idempotent;
+    gzip members concatenate."""
+    import glob
+
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import write_wet
+
+    extracted = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://w.example/{i}" for i in range(5)],
+                        pa.string()),
+        "text_out": pa.array(["alpha text", "beta", None, "delta", "épsilon"],
+                             pa.string()),
+    }))
+    out_dir = tmp_path / "wet"
+    n = write_wet(extracted, str(out_dir))
+    assert n == 4  # the null text row is skipped
+
+    shards = sorted(glob.glob(str(out_dir / "*.warc.wet.gz")))
+    assert shards
+    records = []
+    for shard in shards:
+        with open(shard, "rb") as handle:
+            records.extend(parse_warc_records(handle.read()))
+    assert len(records) == 4
+    by_url = {h["warc-target-uri"]: p for h, p in records}
+    assert by_url["https://w.example/0"] == b"alpha text"
+    assert by_url["https://w.example/4"] == "épsilon".encode()
+    for headers, _ in records:
+        assert headers["warc-type"] == "conversion"
+        assert headers["content-type"] == "text/plain"
+
+    # rerun writes nothing new (same content hashes)
+    before = {s: open(s, "rb").read() for s in shards}
+    assert write_wet(extracted, str(out_dir)) == 4
+    after = sorted(glob.glob(str(out_dir / "*.warc.wet.gz")))
+    assert after == shards
+    for shard in shards:
+        assert open(shard, "rb").read() == before[shard]
