@@ -293,10 +293,16 @@ def _sitemap_seed_urls(transport, seed_urls: list[str],
                 seen_sitemap.add(sitemap)
                 sitemap_urls.append(sitemap)
 
+    # if the seed hosts' robots files collectively list more than the cap,
+    # process the first max_sitemaps rather than silently fetching none
+    # (ADVICE round 3: the old `<= max_sitemaps` loop condition short-
+    # circuited the whole expansion when the initial list was over-cap)
+    sitemap_urls = sitemap_urls[:max_sitemaps]
+
     out: list[str] = []
     seen_url = set()
     index = 0
-    while index < len(sitemap_urls) and len(sitemap_urls) <= max_sitemaps:
+    while index < len(sitemap_urls):
         body = fetch_text(sitemap_urls[index])
         index += 1
         if body is None:

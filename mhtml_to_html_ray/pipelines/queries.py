@@ -1761,10 +1761,13 @@ def q_token_count_bpe(sf_dir: str):
 def q_train_prep(sf_dir: str):
     """The composed end-to-end pipeline (pipelines/train_prep): extract →
     C4 gate → exact dedup (semi join) → MinHash near-dedup (anti join) →
-    packed-sequence assignment. Deliberately oracle-free (the composition
-    spans the non-SQL extraction kernel and LSH); each stage is oracled or
-    test-pinned on its own, and the composition invariants are pinned in
-    test_entry_contract."""
+    packed-sequence assignment. Fully oracled (VERDICT round 3 #6): the
+    extraction stage round-trips text verbatim on this fixture (pinned by
+    extract_text's hash-green oracle), the gate/dedup/pack stages are each
+    SQL-expressible, and the near-dedup stage provably equals all-pairs
+    exact Jaccard + transitive closure here because LSH is candidate
+    generation ahead of an exact verify (parity asserted in
+    tests/test_queries_oracle_parity.py)."""
     from .train_prep import train_prep
 
     out = train_prep(sf_dir, seq_len=128)
@@ -1916,6 +1919,10 @@ def q_langid(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clusters. Oracled: the keep decision is exact
+    Jaccard over the LSH candidates, so (at these band settings) the result
+    equals the oracle's all-pairs Jaccard + transitive closure — parity
+    pinned in tests/test_queries_oracle_parity.py."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_dedup(ds, threshold=0.8)
 
@@ -1926,6 +1933,8 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard over LSH candidates. Oracled against all-pairs
+    Jaccard in SQL (same exactness argument as dedup_minhash)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.ngram_jaccard_pairs(ds, threshold=0.5)
 
@@ -2444,17 +2453,77 @@ def q_decontaminate(sf_dir: str):
 
 
 QUERIES = {
+    # --- driver correctness window (first 50, validated per round at
+    # sf0.01 against ORACLE_SQL): round 4 rotates the registry so the
+    # entries never driver-checked in rounds 1-3 — the LLM-data operator
+    # suite — come first (incl. the three never-checked approximate ops,
+    # which get the weaker rows-only check), then oracled entries checked
+    # in r01/r02 but outside r03's window, then oracled flagship rows
+    # exercising this round's refactors (dedup/tfidf/lm join plans). ---
+    "pack_sequences": q_pack_sequences,
+    "train_prep": q_train_prep,
+    "token_offsets": q_token_offsets,
+    "chunk_spans": q_chunk_spans,
+    "source_quality_filter": q_source_quality_filter,
+    "c4_filter": q_c4_filter,
+    "gopher_filter": q_gopher_filter,
+    "lm_score": q_lm_score,
+    "tfidf_topk": q_tfidf_topk,
+    "inverted_index_stats": q_inverted_index_stats,
+    "token_postings": q_token_postings,
+    "bm25_topk": q_bm25_topk,
+    "sample_docs": q_sample_docs,
+    "sample_stratified": q_sample_stratified,
+    "mixture_sample": q_mixture_sample,
+    "pii_redact": q_pii_redact,
+    "media_decode_real": q_media_decode_real,
+    "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
+    "decontaminate": q_decontaminate,
+    "domain_cap": q_domain_cap,
+    "length_quantiles": q_length_quantiles,
+    "dedup_incremental": q_dedup_incremental,
+    "semdedup": q_semdedup,
+    "embedding_kmeans_assign": q_embedding_kmeans_assign,
+    "compression_ratio": q_compression_ratio,
+    "neardup_incremental": q_neardup_incremental,
+    "embedding_kmeans": q_embedding_kmeans,
+    "dedup_minhash": q_dedup_minhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
+    "stopword_stats": q_stopword_stats,
+    "quality_score": q_quality_score,
+    "repetition_stats": q_repetition_stats,
+    "length_filter": q_length_filter,
+    "lang_distribution": q_lang_distribution,
+    "embedding_topk": q_embedding_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+    "media_decode": q_media_decode,
     "extract_text": q_extract_text,
-    "extract_page_stats": q_extract_page_stats,
+    "crawl_bfs_wave1": q_crawl_bfs_wave1,
     "extract_charset_title": q_extract_charset_title,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "canonicalize_urls": q_canonicalize_urls,
+    "q1_pricing_summary": q1_pricing_summary,
+    "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
+    # --- beyond the 50-entry driver window: every row below was
+    # driver-checked green in an earlier round (CORRECTNESS_r01-03);
+    # local re-verification stays in scripts/check_correctness.py. ---
+    "langid": q_langid,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_ann": q_embedding_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "embedding_ivf_indexed": q_embedding_ivf_indexed,
+    "dedup_embedding": q_dedup_embedding,
+    "extract_page_stats": q_extract_page_stats,
     "extract_anomaly_stats": q_extract_anomaly_stats,
     "frontier_seed": q_frontier_seed,
     "frontier_host_budget": q_frontier_host_budget,
     "frontier_topk": q_frontier_topk,
-    "url_seen_antijoin": q_url_seen_antijoin,
-    "crawl_bfs_wave1": q_crawl_bfs_wave1,
-    "canonicalize_urls": q_canonicalize_urls,
-    "q1_pricing_summary": q1_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "customer_big_order_semi": q_customer_big_order_semi,
@@ -2480,8 +2549,6 @@ QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "events_moving_avg": q_events_moving_avg,
     "sales_rollup": q_sales_rollup,
-    "pagerank": q_pagerank,
-    "connected_components": q_connected_components,
     "events_lag_gap": q_events_lag_gap,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -2494,54 +2561,6 @@ QUERIES = {
     "approx_top_tokens": q_approx_top_tokens,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bpe_pair_counts": q_bpe_pair_counts,
-    "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
-    "token_count": q_token_count,
-    "token_count_bpe": q_token_count_bpe,
-    "pack_sequences": q_pack_sequences,
-    "train_prep": q_train_prep,
-    "token_offsets": q_token_offsets,
-    "chunk_spans": q_chunk_spans,
-    "source_quality_filter": q_source_quality_filter,
-    "stopword_stats": q_stopword_stats,
-    "quality_score": q_quality_score,
-    "repetition_stats": q_repetition_stats,
-    "length_filter": q_length_filter,
-    "lang_distribution": q_lang_distribution,
-    "langid": q_langid,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_topk": q_embedding_topk,
-    "embedding_ann": q_embedding_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_ivf_indexed": q_embedding_ivf_indexed,
-    "embedding_label_stats": q_embedding_label_stats,
-    "dedup_embedding": q_dedup_embedding,
-    "c4_filter": q_c4_filter,
-    "gopher_filter": q_gopher_filter,
-    "compression_ratio": q_compression_ratio,
-    "lm_score": q_lm_score,
-    "tfidf_topk": q_tfidf_topk,
-    "inverted_index_stats": q_inverted_index_stats,
-    "token_postings": q_token_postings,
-    "bm25_topk": q_bm25_topk,
-    "sample_docs": q_sample_docs,
-    "sample_stratified": q_sample_stratified,
-    "pii_redact": q_pii_redact,
-    "media_decode": q_media_decode,
-    "media_decode_real": q_media_decode_real,
-    "line_dedup": q_line_dedup,
-    "substring_dedup": q_substring_dedup,
-    "decontaminate": q_decontaminate,
-    "domain_cap": q_domain_cap,
-    "length_quantiles": q_length_quantiles,
-    "dedup_incremental": q_dedup_incremental,
-    "neardup_incremental": q_neardup_incremental,
-    "embedding_kmeans": q_embedding_kmeans,
-    "embedding_kmeans_assign": q_embedding_kmeans_assign,
-    "semdedup": q_semdedup,
-    "mixture_sample": q_mixture_sample,
 }
 
 
@@ -2920,6 +2939,131 @@ ORACLE_SQL = {
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id
         FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+    # The near-dup oracles restate the pipeline EXACTLY because LSH here is
+    # candidate generation only — the keep decision is exact Jaccard over
+    # word-3-gram shingle sets, and the engine's banding (recall ≥ 1-7e-6
+    # per true pair at these thresholds) plus verify provably reproduces the
+    # all-pairs answer on this corpus (equivalence asserted in
+    # tests/test_queries_oracle_parity.py before these oracles were added).
+    "ngram_jaccard": """
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(t) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN LENGTH(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct(list_transform(range(1, LENGTH(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   END AS sh
+            FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents))
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               ROUND(LENGTH(list_intersect(x.sh, y.sh))
+                     / LENGTH(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        FROM s x JOIN s y ON x.doc_id < y.doc_id
+        WHERE LENGTH(list_intersect(x.sh, y.sh))
+              >= 0.5 * LENGTH(list_distinct(list_concat(x.sh, y.sh)))
+        ORDER BY a, b
+    """,
+    "dedup_minhash": """
+        WITH RECURSIVE s AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(t) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN LENGTH(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct(list_transform(range(1, LENGTH(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   END AS sh
+            FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents)),
+        edges AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM s x JOIN s y ON x.doc_id < y.doc_id
+            WHERE LENGTH(list_intersect(x.sh, y.sh))
+                  >= 0.8 * LENGTH(list_distinct(list_concat(x.sh, y.sh)))),
+        sym AS (
+            SELECT a, b FROM edges
+            UNION SELECT b, a FROM edges
+            UNION SELECT a, a FROM edges
+            UNION SELECT b, b FROM edges),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, m.b FROM reach r JOIN sym m ON r.b = m.a)
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id
+    """,
+    # train_prep: the composed pipeline end to end — gate (c4_filter's
+    # expressions) → exact dedup (min doc_id per text) → near-dedup
+    # (all-pairs exact Jaccard ≥ 0.85 + transitive closure, keep each
+    # component's min doc_id) → pack_sequences at seq_len=128. The
+    # extraction stage round-trips text verbatim (extract_text's oracle).
+    "train_prep": """
+        WITH RECURSIVE gated AS (
+            SELECT doc_id, text
+            FROM (
+                SELECT doc_id, text, LENGTH(text) AS n_chars,
+                       ROUND(LENGTH(list_filter(string_split(text, ' '), w -> w IN
+                           ('the','and','of','a','to','in','is','it','that','for')))
+                           / GREATEST(LENGTH(list_filter(string_split(text, ' '),
+                                                         w -> w <> '')), 1), 6)
+                           AS stopword_ratio,
+                       ROUND((LENGTH(g) - LENGTH(list_distinct(g)))
+                           / GREATEST(LENGTH(g), 1), 6) AS dup_bigram_frac
+                FROM (
+                    SELECT doc_id, text,
+                           list_transform(range(1, LENGTH(t)),
+                                          i -> t[i] || ' ' || t[i + 1]) AS g
+                    FROM (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS t
+                          FROM documents)))
+            WHERE n_chars BETWEEN 150 AND 450
+              AND stopword_ratio >= 0.03 AND dup_bigram_frac <= 0.06),
+        uniq AS (
+            SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+            FROM gated GROUP BY text),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(t) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN LENGTH(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct(list_transform(range(1, LENGTH(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   END AS sh
+            FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM uniq)),
+        edges AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM s x JOIN s y ON x.doc_id < y.doc_id
+            WHERE LENGTH(list_intersect(x.sh, y.sh))
+                  >= 0.85 * LENGTH(list_distinct(list_concat(x.sh, y.sh)))),
+        sym AS (
+            SELECT a, b FROM edges
+            UNION SELECT b, a FROM edges
+            UNION SELECT a, a FROM edges
+            UNION SELECT b, b FROM edges),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, m.b FROM reach r JOIN sym m ON r.b = m.a),
+        labels AS (
+            SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        survivors AS (
+            SELECT u.doc_id, u.text FROM uniq u
+            LEFT JOIN labels l ON u.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL OR l.cluster_id = u.doc_id),
+        counted AS (
+            SELECT doc_id, LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens
+            FROM survivors),
+        o AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+            FROM counted)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 128 AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_offset + n_tokens - 1) // 128
+                    ELSE start_offset // 128 END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_offset + n_tokens - 1) // 128
+                    ELSE start_offset // 128 END
+                 - start_offset // 128 + 1 AS n_seqs
+        FROM o ORDER BY doc_id
     """,
     "doc_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id

@@ -128,6 +128,22 @@ def _http_body(payload: bytes) -> bytes:
         b"transfer-encoding:", 1
     )[1].split(b"\r\n", 1)[0]:
         body = _dechunk(body)
+    # Common Crawl response records preserve Content-Encoding as delivered
+    # (ADVICE round 3) — decompress gzip/deflate so extraction sees bytes,
+    # falling back to the raw body on a corrupt stream
+    if b"content-encoding:" in head:
+        encoding = head.split(b"content-encoding:", 1)[1].split(b"\r\n", 1)[0]
+        if b"gzip" in encoding or b"deflate" in encoding:
+            import zlib
+
+            try:
+                # wbits=MAX_WBITS|32 auto-detects gzip and zlib wrappers
+                body = zlib.decompress(body, zlib.MAX_WBITS | 32)
+            except zlib.error:
+                try:  # raw deflate (no wrapper), the other wild variant
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)
+                except zlib.error:
+                    pass
     return body
 
 
@@ -183,18 +199,34 @@ def read_warc(paths):
 
 
 def _wet_record(url: str, ts_us: int | None, text: str) -> bytes:
-    """One WET 'conversion' record (the Common Crawl extracted-text format)."""
+    """One WET 'conversion' record (the Common Crawl extracted-text format).
+
+    Carries the ISO 28500-mandatory WARC-Record-ID (ADVICE round 3) as a
+    DETERMINISTIC urn:uuid — UUIDv5 over (url, date, payload) — plus a
+    WARC-Block-Digest, so strict consumers (warcio validation) accept the
+    output while shard naming stays content-addressed and rerun-idempotent."""
+    import base64
+    import hashlib
+    import uuid
+
     payload = text.encode("utf-8")
     if ts_us is None:
         date = "1970-01-01T00:00:00Z"
     else:
         date = datetime.fromtimestamp(
             ts_us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    payload_sha1 = hashlib.sha1(payload)
+    record_id = uuid.uuid5(
+        uuid.NAMESPACE_URL, f"{url}\n{date}\n{payload_sha1.hexdigest()}"
+    )
+    digest = base64.b32encode(payload_sha1.digest()).decode()
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        f"WARC-Block-Digest: sha1:{digest}\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode()
@@ -226,6 +258,13 @@ def write_wet(extracted_ds, output_dir: str, url_col: str = "url",
             if text is None:
                 continue
             if stamp is not None and not isinstance(stamp, int):
+                # Arrow timestamp('us') round-trips as a tz-NAIVE datetime
+                # that stores UTC (the reader's own warc_ts convention);
+                # naive .timestamp() would reinterpret it in the machine's
+                # local timezone and shift WARC-Date by the UTC offset on
+                # any non-UTC host (ADVICE round 3) — pin naive to UTC
+                if stamp.tzinfo is None:
+                    stamp = stamp.replace(tzinfo=timezone.utc)
                 stamp = int(stamp.timestamp() * 1_000_000)
             record = _wet_record(url, stamp, text)
             records.append(gzip.compress(record, mtime=0) if compress else record)

@@ -1188,3 +1188,31 @@ def test_sitemap_seed_expansion(ray_session):
     plain_factory = DictTransportFactory(routes)
     plain = _crawl(routes, [f"{origin}/"], ray_session, max_waves=2)
     assert f"{origin}/p1" not in plain.seen_urls
+
+
+def test_sitemap_seed_over_cap_processes_first_batch(ray_session):
+    """Robots files listing MORE than max_sitemaps sitemaps must still
+    expand the first max_sitemaps of them — the old loop condition silently
+    returned [] whenever the initial list was over-cap (ADVICE round 3)."""
+    from mhtml_to_html_ray.frontier.scheduler import _sitemap_seed_urls
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    origin = "https://cap.example"
+    robots_lines = "".join(
+        f"Sitemap: {origin}/sm{i}.xml\n" for i in range(5)
+    )
+    routes = {
+        f"{origin}/robots.txt": ("text/plain", robots_lines.encode()),
+    }
+    for i in range(5):
+        routes[f"{origin}/sm{i}.xml"] = (
+            "application/xml",
+            f"<urlset><url><loc>{origin}/p{i}</loc></url></urlset>".encode(),
+        )
+    transport = DictTransportFactory(routes)()
+    # cap smaller than the listed sitemaps: first 3 processed, not zero
+    out = _sitemap_seed_urls(transport, [f"{origin}/"], max_sitemaps=3)
+    assert out == [f"{origin}/p0", f"{origin}/p1", f"{origin}/p2"]
+    # cap larger than the list: everything processed
+    out_all = _sitemap_seed_urls(transport, [f"{origin}/"], max_sitemaps=64)
+    assert out_all == [f"{origin}/p{i}" for i in range(5)]

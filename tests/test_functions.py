@@ -1,6 +1,8 @@
 """Training-data op semantics: dedup variants, similarity search (recall of
 the ANN path vs brute force), text stats, multimodal plumbing."""
 
+import contextlib
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -477,6 +479,79 @@ def test_winnow_strategies_agree(ray_session):
     driver = winnow_overlap_pairs(ds, min_shared=3, strategy="driver").take_all()
     grouped = winnow_overlap_pairs(ds, min_shared=3, strategy="groupby").take_all()
     assert driver == grouped, "the two physical plans must agree"
+
+
+@contextlib.contextmanager
+def _ban_driver_collect():
+    """Fail the test if Dataset.take_all/to_pandas runs inside the block —
+    the pin that a distributed plan keeps pair-sized data off the driver
+    (VERDICT round 3 #1/#2)."""
+    import ray.data
+
+    def banned(self, *a, **k):  # pragma: no cover - the assertion IS the point
+        raise AssertionError("driver-side collect inside a distributed plan")
+
+    orig_take_all = ray.data.Dataset.take_all
+    orig_to_pandas = ray.data.Dataset.to_pandas
+    ray.data.Dataset.take_all = banned
+    ray.data.Dataset.to_pandas = banned
+    try:
+        yield
+    finally:
+        ray.data.Dataset.take_all = orig_take_all
+        ray.data.Dataset.to_pandas = orig_to_pandas
+
+
+def test_winnow_groupby_plan_never_collects_pairs(ray_session):
+    """strategy="groupby" must build (and threshold-filter) the counted pair
+    table as a Dataset — no take_all/to_pandas during plan construction."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.dedup import winnow_overlap_pairs
+
+    passage = "a long shared passage of text that appears verbatim in two documents"
+    texts = [f"intro {passage} one", f"other {passage} two", "unrelated text entirely"]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    with _ban_driver_collect():
+        out = winnow_overlap_pairs(ds, min_shared=3, strategy="groupby")
+        assert isinstance(out, ray.data.Dataset)
+    rows = out.take_all()
+    assert {(r["a"], r["b"]) for r in rows} == {(0, 1)}
+
+
+def test_minhash_groupby_pairs_stay_dataset(near_dup_docs):
+    """pair_strategy="groupby" + cluster_strategy="distributed" is the
+    100-TB plan: candidate pairs, verify, and clustering must all run as
+    Datasets — the whole plan builds AND materializes without a single
+    take_all/to_pandas (the driver holds nothing pair-sized)."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.dedup import _candidate_pairs_from_lsh, MinHashLSHBatch
+
+    lsh_rows = near_dup_docs.map_batches(MinHashLSHBatch(), batch_format="pyarrow")
+    with _ban_driver_collect():
+        pairs = _candidate_pairs_from_lsh(lsh_rows, 64, strategy="groupby")
+        assert isinstance(pairs, ray.data.Dataset)
+        pairs = pairs.materialize()
+    got = sorted((r["a"], r["b"]) for r in pairs.take_all())
+    assert (0, 3) in got and got == sorted(set(got)), got
+
+    with _ban_driver_collect():
+        clusters = dedup.minhash_dedup(
+            near_dup_docs, threshold=0.8,
+            pair_strategy="groupby", cluster_strategy="distributed",
+        ).materialize()
+    labels = {r["doc_id"]: r["cluster_id"] for r in clusters.take_all()}
+    assert labels.get(0) == labels.get(3) == 0 and labels.get(1) == 0
+    # and the distributed plan agrees with the driver plan exactly
+    driver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.minhash_dedup(
+            near_dup_docs, threshold=0.8,
+            pair_strategy="driver", cluster_strategy="driver",
+        ).take_all()
+    }
+    assert labels == driver
 
 
 def test_repetition_stats_batch():
@@ -1273,3 +1348,27 @@ def test_compression_ratio_orders_repetitive_below_prose():
     assert ratios[2] is None
     assert out["n_bytes"].to_pylist() == [
         len(repetitive.encode()), len(prose.encode()), 0]
+
+
+def test_unigram_lm_join_strategy_matches_broadcast(ray_session):
+    """strategy="join" (no vocabulary-sized driver structure) must match the
+    broadcast plan on rounded scores exactly."""
+    import ray.data
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat",
+        "unique words here only once",
+        "",
+    ]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    broadcast = sorted(
+        (r["doc_id"], r["n_tokens"], r["lm_score"])
+        for r in textstats.unigram_lm_scores(docs, strategy="broadcast").take_all()
+    )
+    joined = sorted(
+        (r["doc_id"], r["n_tokens"], r["lm_score"])
+        for r in textstats.unigram_lm_scores(docs, strategy="join").take_all()
+    )
+    assert broadcast == joined
+    assert broadcast and broadcast[0][0] == 0

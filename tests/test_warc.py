@@ -163,3 +163,73 @@ def test_write_wet_roundtrip(ray_session, tmp_path):
     assert after == shards
     for shard in shards:
         assert open(shard, "rb").read() == before[shard]
+
+
+def test_warc_content_encoding_gzip_and_deflate():
+    """Common Crawl response records preserve Content-Encoding as delivered
+    (ADVICE round 3): gzip, zlib-wrapped and raw deflate bodies all
+    decompress; a corrupt stream falls back to the raw bytes."""
+    import zlib
+
+    body = b"<html>compressed alpha</html>"
+    gz = warc_response_rows(_record(
+        "response", url="https://w.example/gz",
+        payload=_http(gzip.compress(body),
+                      extra_headers=b"Content-Encoding: gzip\r\n")))
+    assert gz[0]["html"] == body
+    zl = warc_response_rows(_record(
+        "response", url="https://w.example/zl",
+        payload=_http(zlib.compress(body),
+                      extra_headers=b"Content-Encoding: deflate\r\n")))
+    assert zl[0]["html"] == body
+    raw = warc_response_rows(_record(
+        "response", url="https://w.example/raw-deflate",
+        payload=_http(zlib.compress(body)[2:-4],
+                      extra_headers=b"Content-Encoding: deflate\r\n")))
+    assert raw[0]["html"] == body
+    corrupt = warc_response_rows(_record(
+        "response", url="https://w.example/corrupt",
+        payload=_http(b"\x00not-gzip",
+                      extra_headers=b"Content-Encoding: gzip\r\n")))
+    assert corrupt[0]["html"] == b"\x00not-gzip"
+
+
+def test_write_wet_ts_col_utc_and_mandatory_headers(ray_session, tmp_path, monkeypatch):
+    """ts_col datetimes (Arrow timestamp('us') → tz-naive UTC) must emit the
+    UTC WARC-Date regardless of the host timezone (ADVICE round 3), and
+    every record carries the ISO 28500-mandatory WARC-Record-ID plus a
+    WARC-Block-Digest — deterministically (same record → same id)."""
+    import glob
+    import os
+    import time
+
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import write_wet
+
+    monkeypatch.setenv("TZ", "America/New_York")  # UTC-5: would shift a naive stamp
+    time.tzset()
+    try:
+        extracted = ray.data.from_arrow(pa.table({
+            "url": pa.array(["https://w.example/t"], pa.string()),
+            "text_out": pa.array(["stamped text"], pa.string()),
+            "warc_ts": pa.array([1767323045000000], pa.timestamp("us")),
+        }))
+        out_dir = tmp_path / "wet-ts"
+        assert write_wet(extracted, str(out_dir), ts_col="warc_ts") == 1
+        shard = glob.glob(str(out_dir / "*.warc.wet.gz"))[0]
+        with open(shard, "rb") as handle:
+            (headers, payload), = parse_warc_records(handle.read())
+        # 1767323045 epoch-s == 2026-01-02T03:04:05Z exactly
+        assert headers["warc-date"] == "2026-01-02T03:04:05Z"
+        assert headers["warc-record-id"].startswith("<urn:uuid:")
+        assert headers["warc-block-digest"].startswith("sha1:")
+        first_name = os.path.basename(shard)
+        # determinism: a fresh write of the same rows produces the same shard
+        out_dir2 = tmp_path / "wet-ts-2"
+        assert write_wet(extracted, str(out_dir2), ts_col="warc_ts") == 1
+        assert os.path.basename(
+            glob.glob(str(out_dir2 / "*.warc.wet.gz"))[0]) == first_name
+    finally:
+        monkeypatch.delenv("TZ", raising=False)
+        time.tzset()
