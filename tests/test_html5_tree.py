@@ -731,6 +731,27 @@ def test_after_body_comments():
     )
 
 
+def test_after_frameset_comments():
+    """Spec 'after frameset': comments become children of the html element;
+    'after after frameset' (past </html>): children of the Document, which
+    the doctype+documentElement serialization drops — mirroring the
+    after-body pair above for frameset documents."""
+    assert parse_dom(
+        "<html><frameset></frameset><!--f--></html>"
+    ).serialize() == (
+        "<html><head></head><frameset></frameset><!--f--></html>"
+    )
+    assert parse_dom(
+        "<html><frameset></frameset></html><!--g-->"
+    ).serialize() == (
+        "<html><head></head><frameset></frameset></html>"
+    )
+    # and the Document-level placement is real, not a dropped token
+    doc = parse_html("<html><frameset></frameset></html><!--g-->")
+    kinds = [type(node).__name__ for node in doc.child_nodes]
+    assert kinds[-1] == "Comment" and doc.child_nodes[-1].data == "g"
+
+
 # ---------------------------------------------------------------------------
 # NULL-character handling (tokenizer U+FFFD states + tree-builder drop rules)
 
