@@ -1914,6 +1914,8 @@ def serialize(node: Node) -> str:
         return f"<!--{node.data}-->"
     if isinstance(node, (Fragment, Document)):
         return "".join(serialize(child) for child in node.child_nodes)
+    if isinstance(node, DocumentType):
+        return serialize_doctype(node)
     return _serialize_element(node)  # type: ignore[arg-type]
 
 

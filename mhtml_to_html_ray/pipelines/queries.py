@@ -2515,7 +2515,6 @@ QUERIES = {
     # driver-checked green in an earlier round (CORRECTNESS_r01-03);
     # local re-verification stays in scripts/check_correctness.py. ---
     "pagerank": q_pagerank,
-    "langid": q_langid,
     "dedup_simhash": q_dedup_simhash,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,

@@ -1755,3 +1755,18 @@ def test_quirks_mode_doctype_matrix(doctype, quirks):
     out = body_html(doctype + "<body><p><table><td>x</td></table></body>")
     nested = "<p><table>" in out
     assert nested == quirks
+
+
+def test_serialize_document_includes_doctype():
+    """serialize() on a whole Document must render the DocumentType child
+    (the DOM.serialize wrapper handles it separately; the generic walk used
+    to crash on it — round-4 regression guard)."""
+    from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+
+    out = serialize(parse_html("<!DOCTYPE html><p>x"))
+    assert out == "<!DOCTYPE html><html><head></head><body><p>x</p></body></html>"
+    out = serialize(
+        parse_html('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN"><p>x')
+    )
+    assert out.startswith('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">')
+    assert out.endswith("<html><head></head><body><p>x</p></body></html>")
