@@ -66,14 +66,65 @@ def decode_png_meta(data: bytes) -> dict:
     return {"width": width, "height": height, "frames": 1}
 
 
+def _skip_gif_subblocks(data: bytes, pos: int) -> int:
+    """Advance past a chain of GIF data sub-blocks (length byte + payload,
+    terminated by a zero-length block)."""
+    while pos < len(data):
+        block_len = data[pos]
+        pos += 1
+        if block_len == 0:
+            return pos
+        pos += block_len
+    raise ValueError("GIF truncated inside data sub-blocks")
+
+
+def gif_frame_count(data: bytes) -> int:
+    """Count GIF frames by walking the block structure (GIF89a spec
+    appendix): extensions (0x21) and image descriptors (0x2C) up to the
+    trailer (0x3B). No LZW decode needed — frame sampling only requires the
+    count and descriptor offsets."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 × 2^(depth+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    while pos < len(data):
+        marker = data[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            return frames
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos = _skip_gif_subblocks(data, pos + 1)
+        elif marker == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                raise ValueError("GIF truncated in image descriptor")
+            local_flags = data[pos + 8]
+            pos += 9
+            if local_flags & 0x80:
+                pos += 3 * (2 << (local_flags & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = _skip_gif_subblocks(data, pos)
+            frames += 1
+        else:
+            raise ValueError(f"GIF with unknown block marker 0x{marker:02x}")
+    raise ValueError("GIF without trailer")
+
+
 def decode_gif_meta(data: bytes) -> dict:
-    """GIF87a/GIF89a logical screen descriptor: little-endian u16 pair."""
+    """GIF87a/GIF89a logical screen descriptor (little-endian u16 pair) plus
+    a real frame count from the block walk."""
     if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     width, height = struct.unpack("<HH", data[6:10])
     if not width or not height:
         raise ValueError("GIF with zero dimension")
-    return {"width": width, "height": height, "frames": 1}
+    try:
+        frames = gif_frame_count(data)
+    except ValueError:
+        frames = 1  # dimensions were readable; a truncated tail degrades soft
+    return {"width": width, "height": height, "frames": frames}
 
 
 def decode_jpeg_meta(data: bytes) -> dict:

@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..frontier.canon import canonicalize
-from ..functions import (clustering, corpusstats, dedup, multimodal, pii,
-                         sampling, similarity, textstats)
+from ..functions import (clustering, corpusstats, dedup, imageops, multimodal,
+                         pii, sampling, similarity, textstats)
 from .flagship import run_flagship
 
 
@@ -2219,6 +2219,44 @@ def q_media_decode_real(sf_dir: str):
     )
 
 
+def q_image_features(sf_dir: str):
+    """Synthesized gradient PNGs (real zlib-compressed pixel data) decoded by
+    the from-scratch PNG codec, then per-image feature extraction; the oracle
+    recomputes channel-0 means from the synthesis arithmetic, so a hash match
+    proves the full decode→unfilter→aggregate path (functions/imageops.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = imageops.image_features(ds)
+    return _sorted_table(
+        out.select_columns(
+            ["doc_id", "width", "height", "channels", "n_px", "mean_c0"]
+        ),
+        ["doc_id"],
+    )
+
+
+def q_image_resize(sf_dir: str):
+    """Decode + nearest-neighbor resize to 8×6 over the gradient PNGs; the
+    oracle recomputes the resampled channel-0 checksum with the same integer
+    index math ((dst·src)//out), pinning the resize kernel end to end."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = imageops.image_resize(ds, out_w=8, out_h=6)
+    return _sorted_table(
+        out.select_columns(
+            ["doc_id", "out_w", "out_h", "channels", "n_bytes", "checksum_c0"]
+        ),
+        ["doc_id"],
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    """Multi-frame GIF payloads (frames = doc_id%5+1, each the canonical
+    minimal LZW unit) → block-walk frame count → every-2nd-frame sampling;
+    one output row per (doc, sampled frame)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = imageops.frame_sample(ds, stride=2)
+    return _sorted_table(out, ["doc_id", "frame_idx"])
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet-style duplicated-line scrub over synthesized multi-line pages:
     deterministic boilerplate (nav/footer lines shared across documents)
@@ -2562,6 +2600,9 @@ QUERIES = {
     "approx_top_tokens": q_approx_top_tokens,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "image_features": q_image_features,
+    "image_resize": q_image_resize,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -3427,6 +3468,53 @@ ORACLE_SQL = {
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                          ELSE OCTET_LENGTH(ENCODE(text)) % 100 + 1 END AS INTEGER) AS frames
         FROM documents ORDER BY doc_id
+    """,
+    "image_features": """
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+                   CAST(doc_id % 12 + 1 AS BIGINT) AS h
+            FROM documents)
+        SELECT p.doc_id,
+               CAST(p.w AS INTEGER) AS width,
+               CAST(p.h AS INTEGER) AS height,
+               CAST(CASE p.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                    AS INTEGER) AS channels,
+               p.w * p.h AS n_px,
+               ROUND(AVG(CAST((p.doc_id + 3*x.g + 7*y.g) % 256 AS DOUBLE)), 6)
+                   AS mean_c0
+        FROM px p,
+             LATERAL (SELECT UNNEST(generate_series(0, p.w - 1)) AS g) x,
+             LATERAL (SELECT UNNEST(generate_series(0, p.h - 1)) AS g) y
+        GROUP BY p.doc_id, p.w, p.h
+        ORDER BY p.doc_id
+    """,
+    "image_resize": """
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+                   CAST(doc_id % 12 + 1 AS BIGINT) AS h
+            FROM documents)
+        SELECT p.doc_id,
+               CAST(8 AS INTEGER) AS out_w,
+               CAST(6 AS INTEGER) AS out_h,
+               CAST(CASE p.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                    AS INTEGER) AS channels,
+               48 * CAST(CASE p.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                         AS BIGINT) AS n_bytes,
+               CAST(SUM((p.doc_id + 3*((x.g*p.w)//8) + 7*((y.g*p.h)//6)) % 256)
+                    AS BIGINT) AS checksum_c0
+        FROM px p,
+             LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) x,
+             LATERAL (SELECT UNNEST(generate_series(0, 5)) AS g) y
+        GROUP BY p.doc_id, p.w, p.h
+        ORDER BY p.doc_id
+    """,
+    "frame_sample": """
+        SELECT d.doc_id, s.g AS frame_idx
+        FROM documents d,
+             LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 5, 2)) AS g) s
+        ORDER BY d.doc_id, frame_idx
     """,
     "media_decode_real": """
         SELECT doc_id,
