@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..frontier.canon import canonicalize
-from ..functions import (clustering, corpusstats, dedup, imageops, multimodal,
-                         pii, sampling, similarity, textstats)
+from ..functions import (audioops, clustering, corpusstats, dedup, imageops,
+                         multimodal, pii, sampling, similarity, textstats)
 from .flagship import run_flagship
 
 
@@ -2257,6 +2257,21 @@ def q_frame_sample(sf_dir: str):
     return _sorted_table(out, ["doc_id", "frame_idx"])
 
 
+def q_audio_features(sf_dir: str):
+    """Real 16-bit PCM WAV payloads (sawtooth samples closed-form in doc_id)
+    decoded with the stdlib wave module and windowed into integer features
+    (sum|s|, max|s|, zero crossings); the oracle regenerates every sample
+    with generate_series and aggregates the same windows."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = audioops.audio_features(ds, window=40)
+    return _sorted_table(
+        out.select_columns(
+            ["doc_id", "window_idx", "sum_abs", "max_abs", "zero_crossings"]
+        ),
+        ["doc_id", "window_idx"],
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet-style duplicated-line scrub over synthesized multi-line pages:
     deterministic boilerplate (nav/footer lines shared across documents)
@@ -2603,6 +2618,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
+    "audio_features": q_audio_features,
 }
 
 
@@ -3515,6 +3531,25 @@ ORACLE_SQL = {
         FROM documents d,
              LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 5, 2)) AS g) s
         ORDER BY d.doc_id, frame_idx
+    """,
+    "audio_features": """
+        WITH s AS (
+            SELECT d.doc_id, w.g AS window_idx, j.g AS j,
+                   ((d.doc_id*31 + (w.g*40 + j.g)*17) % 4096) - 2048 AS v
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 50 + 1)) AS g) w,
+                 LATERAL (SELECT UNNEST(generate_series(0, 39)) AS g) j),
+        lagged AS (
+            SELECT *, LAG(v) OVER (PARTITION BY doc_id, window_idx ORDER BY j) AS prev
+            FROM s)
+        SELECT doc_id, window_idx,
+               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+               CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+               CAST(SUM(CASE WHEN j > 0 AND ((v < 0) <> (prev < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged
+        GROUP BY doc_id, window_idx
+        ORDER BY doc_id, window_idx
     """,
     "media_decode_real": """
         SELECT doc_id,
