@@ -5,11 +5,12 @@ The container has no Pillow/ffmpeg, so the codec layer is built here from
 the specs directly, real and complete for the formats a training pipeline
 meets most:
 
-* PNG: a spec-correct encoder/decoder for 8-bit greyscale / RGB / RGBA,
-  non-interlaced — zlib-inflated IDAT, all five scanline filters
-  (None/Sub/Up/Average/Paeth) implemented and round-trip tested. Palette,
-  16-bit and Adam7 payloads raise ``NotImplementedError`` (surfaced as an
-  ``error`` row by the stages, never a silent fake).
+* PNG: a spec-correct encoder/decoder for 8-bit greyscale / RGB / RGBA and
+  8-bit-paletted images (PLTE + optional tRNS alpha), non-interlaced —
+  zlib-inflated IDAT, all five scanline filters (None/Sub/Up/Average/Paeth)
+  implemented and round-trip tested. 16-bit, sub-byte-palette and Adam7
+  payloads raise ``NotImplementedError`` (surfaced as an ``error`` row by
+  the stages, never a silent fake).
 * GIF: block-structure walk (no LZW decode needed) to count frames for
   sampling — see ``multimodal.gif_frame_count``.
 
@@ -126,14 +127,18 @@ def _unfilter_scanlines(raw: bytes, width: int, height: int, channels: int) -> n
 
 
 def decode_png_pixels(data: bytes) -> np.ndarray:
-    """Full pixel decode for 8-bit grey/RGB/RGBA non-interlaced PNGs:
-    returns an (H, W, C) uint8 array. Interlaced, paletted and 16-bit
-    payloads raise NotImplementedError (they need no new math, just more
-    branches — out of scope until a corpus needs them)."""
+    """Full pixel decode for 8-bit grey/RGB/RGBA and 8-bit-paletted
+    non-interlaced PNGs: returns an (H, W, C) uint8 array (palette entries
+    expand to RGB; a tRNS chunk upgrades them to RGBA). Interlaced, 16-bit
+    and sub-byte-palette payloads raise NotImplementedError (more branches,
+    no new math — out of scope until a corpus needs them)."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     width = height = channels = -1
+    color_type = -1
+    palette: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -145,11 +150,17 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
             )
             if bit_depth != 8:
                 raise NotImplementedError(f"PNG bit depth {bit_depth}")
-            if color_type not in _COLOR_TYPE_CHANNELS:
+            if color_type not in _COLOR_TYPE_CHANNELS and color_type != 3:
                 raise NotImplementedError(f"PNG color type {color_type}")
             if interlace:
                 raise NotImplementedError("Adam7-interlaced PNG")
-            channels = _COLOR_TYPE_CHANNELS[color_type]
+            channels = 1 if color_type == 3 else _COLOR_TYPE_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = payload
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
@@ -160,7 +171,21 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG without IDAT pixel data")
     raw = zlib.decompress(bytes(idat))
-    return _unfilter_scanlines(raw, width, height, channels)
+    pixels = _unfilter_scanlines(raw, width, height, channels)
+    if color_type != 3:
+        return pixels
+    if palette is None:
+        raise ValueError("paletted PNG without PLTE chunk")
+    lut = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+    indexes = pixels[:, :, 0]
+    if indexes.max(initial=0) >= len(lut):
+        raise ValueError("palette index out of range")
+    rgb = lut[indexes]
+    if trns is None:
+        return rgb
+    alpha_lut = np.full(len(lut), 255, np.uint8)
+    alpha_lut[: len(trns)] = np.frombuffer(trns, np.uint8)
+    return np.concatenate([rgb, alpha_lut[indexes][:, :, None]], axis=2)
 
 
 # ---------------------------------------------------------------------------

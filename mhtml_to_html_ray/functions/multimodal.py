@@ -7,11 +7,13 @@ Two decode paths behind one actor-pool stage (``MediaDecodeBatch``):
   (octet_length etc.). All the Ray-side plumbing (binary column in, struct
   metadata out, actor pool, small batch sizes for large payloads) is real.
 * ``real=True`` — a REAL metadata decoder built on stdlib only (no Pillow /
-  ffmpeg in this container): PNG IHDR, GIF logical-screen descriptor, JPEG
-  SOF scan, WAV via the ``wave`` module. Containers that genuinely need a
-  codec (mp4/webm/...) raise NotImplementedError per payload, surfaced as an
-  ``error`` row (``on_error="null"``, default) or raised (``on_error=
-  "raise"``) — the stage never silently fakes a real decode.
+  ffmpeg in this container): PNG IHDR, GIF logical screen + block-walk frame
+  count, JPEG SOF scan, WAV via the ``wave`` module, BMP DIB headers, and
+  ISO BMFF (mp4/mov) via a box-structure walk (mvhd/tkhd/stsz). Containers
+  that genuinely need a codec (webm/mkv/...) raise NotImplementedError per
+  payload, surfaced as an ``error`` row (``on_error="null"``, default) or
+  raised (``on_error="raise"``) — the stage never silently fakes a real
+  decode.
 
 The payload synthesis is deterministic from the documents table so the fake
 decode is SQL-oracle-able.
@@ -180,6 +182,81 @@ def decode_wav_meta(data: bytes) -> dict:
     }
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for each ISO BMFF box in
+    [start, end): u32 size + fourcc, size==1 → u64 largesize follows,
+    size==0 → box extends to the end."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4 largesize box truncated")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError("mp4 box overruns its container")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
+    for found, s, e in _mp4_boxes(data, start, end):
+        if found == btype:
+            return s, e
+    return None
+
+
+def decode_mp4_meta(data: bytes) -> dict:
+    """ISO BMFF (mp4/mov) metadata via a real box-structure walk — no codec
+    required: mvhd gives duration (timescale-normalized), the first video
+    trak gives width/height (tkhd 16.16 fixed point) and the frame count
+    (stbl/stsz sample_count). Spec: ISO/IEC 14496-12 §8.2-8.7."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF container")
+    moov = _mp4_find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4 without moov box")
+    meta: dict = {}
+    for btype, s, e in _mp4_boxes(data, *moov):
+        if btype == b"mvhd":
+            version = data[s]
+            if version == 1:
+                (timescale,) = struct.unpack_from(">I", data, s + 20)
+                (duration,) = struct.unpack_from(">Q", data, s + 24)
+            else:
+                timescale, duration = struct.unpack_from(">II", data, s + 12)
+            if timescale:
+                meta["duration_ms"] = int(round(duration / timescale * 1000))
+        elif btype == b"trak" and "frames" not in meta:
+            tkhd = _mp4_find(data, s, e, b"tkhd")
+            mdia = _mp4_find(data, s, e, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = _mp4_find(data, *mdia, b"hdlr")
+            if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+                continue
+            if tkhd is not None:
+                ts, _te = tkhd
+                offset = ts + (88 if data[ts] == 1 else 76)
+                width_fx, height_fx = struct.unpack_from(">II", data, offset)
+                if width_fx and height_fx:
+                    meta["width"] = width_fx >> 16
+                    meta["height"] = height_fx >> 16
+            minf = _mp4_find(data, *mdia, b"minf")
+            stbl = _mp4_find(data, *minf, b"stbl") if minf else None
+            stsz = _mp4_find(data, *stbl, b"stsz") if stbl else None
+            if stsz is not None:
+                (sample_count,) = struct.unpack_from(">I", data, stsz[0] + 8)
+                meta["frames"] = sample_count
+    if not meta:
+        raise ValueError("mp4 moov without readable mvhd/trak metadata")
+    return meta
+
+
 def decode_bmp_meta(data: bytes) -> dict:
     """BMP file header + BITMAPINFOHEADER (and the ancient BITMAPCOREHEADER):
     signed little-endian dimensions; a negative height encodes a top-down
@@ -209,6 +286,7 @@ _SNIFFERS = (
     (lambda d: d[:2] == b"\xff\xd8", decode_jpeg_meta),
     (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WAVE", decode_wav_meta),
     (lambda d: d[:2] == b"BM", decode_bmp_meta),
+    (lambda d: len(d) >= 12 and d[4:8] == b"ftyp", decode_mp4_meta),
 )
 
 
@@ -336,6 +414,72 @@ def synthesize_real_media_batch(batch: pa.Table) -> pa.Table:
             "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.large_binary()),
         }
+    )
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+_MP4_MATRIX = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def synthesize_mp4_batch(batch: pa.Table) -> pa.Table:
+    """documents → REAL minimal ISO BMFF payloads (ftyp + moov with one
+    video trak; no mdat — metadata only) whose fields are arithmetic on
+    doc_id: frames = doc_id%30+1 at 25 fps (duration_ms = frames·40),
+    width = doc_id%64+16, height = doc_id%48+9."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    payloads = []
+    for doc_id in doc_ids:
+        frames = doc_id % 30 + 1
+        width = doc_id % 64 + 16
+        height = doc_id % 48 + 9
+        duration = frames * 40  # timescale 1000 → exact milliseconds
+        mvhd = _mp4_box(
+            b"mvhd",
+            bytes(4) + bytes(8) + struct.pack(">II", 1000, duration)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + _MP4_MATRIX + bytes(24) + struct.pack(">I", 2),
+        )
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + bytes(8) + struct.pack(">I", 1) + bytes(4)
+            + struct.pack(">I", duration) + bytes(8) + bytes(8) + _MP4_MATRIX
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = _mp4_box(
+            b"mdhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, duration)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"Video\x00")
+        stsz = _mp4_box(b"stsz", bytes(4) + struct.pack(">II", 0, frames))
+        stbl = _mp4_box(b"stbl", stsz)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        payloads.append(ftyp + _mp4_box(b"moov", mvhd + trak))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(["video/mp4"] * len(doc_ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+def decode_video_meta(documents_ds, batch_size: int = 64, concurrency=2):
+    """documents → synthesized VALID mp4 containers → real box-walk decode.
+    Every row must decode; the metadata round-trips the synthesis arithmetic
+    (the SQL oracle's check)."""
+    media = documents_ds.map_batches(synthesize_mp4_batch, batch_format="pyarrow")
+    return media.map_batches(
+        MediaDecodeBatch,
+        fn_constructor_kwargs={"real": True, "on_error": "null"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 

@@ -2257,6 +2257,19 @@ def q_frame_sample(sf_dir: str):
     return _sorted_table(out, ["doc_id", "frame_idx"])
 
 
+def q_video_meta(sf_dir: str):
+    """Real ISO BMFF (mp4) containers synthesized from doc_id and decoded by
+    the box-structure walk (mvhd/tkhd/hdlr/stsz — ISO 14496-12); the oracle
+    recomputes width/height/frames/duration from the synthesis arithmetic,
+    proving the container parser round-trips."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.decode_video_meta(ds)
+    return _sorted_table(
+        out.select_columns(["doc_id", "width", "height", "frames", "duration_ms"]),
+        ["doc_id"],
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Real 16-bit PCM WAV payloads (sawtooth samples closed-form in doc_id)
     decoded with the stdlib wave module and windowed into integer features
@@ -2619,6 +2632,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
     "audio_features": q_audio_features,
+    "video_meta": q_video_meta,
 }
 
 
@@ -3550,6 +3564,14 @@ ORACLE_SQL = {
         FROM lagged
         GROUP BY doc_id, window_idx
         ORDER BY doc_id, window_idx
+    """,
+    "video_meta": """
+        SELECT doc_id,
+               CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 48 + 9 AS INTEGER) AS height,
+               CAST(doc_id % 30 + 1 AS BIGINT) AS frames,
+               CAST((doc_id % 30 + 1) * 40 AS BIGINT) AS duration_ms
+        FROM documents ORDER BY doc_id
     """,
     "media_decode_real": """
         SELECT doc_id,

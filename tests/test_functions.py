@@ -1335,6 +1335,72 @@ def test_media_decode_bmp_headers():
         decode_media_meta(bmp_info(1, 1)[:14] + struct.pack("<I", 16) + bytes(24))
 
 
+def test_media_decode_mp4_box_walk():
+    """ISO BMFF: the box walk reads mvhd duration, tkhd 16.16 dimensions and
+    stsz sample count from a synthesized container; version-1 mvhd, largesize
+    boxes and corrupt structures are handled."""
+    import struct
+
+    import pyarrow as pa
+
+    from mhtml_to_html_ray.functions.multimodal import (
+        _mp4_box, decode_media_meta, decode_mp4_meta, synthesize_mp4_batch)
+
+    batch = pa.table({"doc_id": pa.array([0, 5, 29, 77, 200], pa.int64())})
+    mp4s = synthesize_mp4_batch(batch)
+    for doc_id, payload in zip(
+        mp4s.column("doc_id").to_pylist(), mp4s.column("payload").to_pylist()
+    ):
+        meta = decode_mp4_meta(payload)
+        assert meta == {
+            "duration_ms": (doc_id % 30 + 1) * 40,
+            "width": doc_id % 64 + 16,
+            "height": doc_id % 48 + 9,
+            "frames": doc_id % 30 + 1,
+        }
+        # sniffed through the generic dispatcher too
+        assert decode_media_meta(payload, "video/mp4") == meta
+
+    # version-1 mvhd (64-bit times/duration)
+    mvhd_v1 = _mp4_box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + bytes(16) + struct.pack(">I", 1000)
+        + struct.pack(">Q", 2500) + bytes(80),
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(8))
+    v1 = ftyp + _mp4_box(b"moov", mvhd_v1)
+    assert decode_mp4_meta(v1)["duration_ms"] == 2500
+
+    # largesize box header (size==1 + u64)
+    moov_payload = mvhd_v1
+    large_moov = (struct.pack(">I", 1) + b"moov"
+                  + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload)
+    assert decode_mp4_meta(ftyp + large_moov)["duration_ms"] == 2500
+
+    with pytest.raises(ValueError, match="not an ISO BMFF"):
+        decode_mp4_meta(b"\x00" * 16)
+    with pytest.raises(ValueError, match="without moov"):
+        decode_mp4_meta(ftyp)
+    # child box claiming to overrun its container
+    bad = ftyp + _mp4_box(b"moov", struct.pack(">I", 99) + b"mvhd" + bytes(8))
+    with pytest.raises(ValueError, match="overruns"):
+        decode_mp4_meta(bad)
+
+
+def test_decode_video_meta_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.multimodal import decode_video_meta
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(25), pa.int64())}))
+    frame = decode_video_meta(docs).to_pandas().sort_values("doc_id")
+    assert len(frame) == 25
+    assert frame["error"].isna().all()
+    assert (frame["frames"] == frame["doc_id"] % 30 + 1).all()
+    assert (frame["width"] == frame["doc_id"] % 64 + 16).all()
+
+
 def test_compression_ratio_orders_repetitive_below_prose():
     """The zlib-ratio signal: repeated boilerplate compresses far below
     varied prose; empty text yields a null ratio."""

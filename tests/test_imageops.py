@@ -133,6 +133,40 @@ def test_png_filter_round_trip_against_reference_filterer():
     assert (decode_png_pixels(png) == img).all()
 
 
+def test_png_paletted_decode():
+    """Color type 3: indexes expand through PLTE; tRNS upgrades to RGBA."""
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00\x00\x01\x02" + b"\x00\x02\x01\x00"  # filter 0 rows of indexes
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    base = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+    tail = chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    out = decode_png_pixels(base + tail)
+    assert out.shape == (2, 3, 3)
+    assert out[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert out[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+    # with tRNS: entry 0 transparent, others default opaque
+    with_trns = (base + chunk(b"tRNS", b"\x00") + tail)
+    out = decode_png_pixels(with_trns)
+    assert out.shape == (2, 3, 4)
+    assert out[0, 0].tolist() == [255, 0, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0, 255]
+    # palette index beyond PLTE is corrupt
+    bad_raw = b"\x00\x05\x01\x02" + b"\x00\x02\x01\x00"
+    bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette) \
+        + chunk(b"IDAT", zlib.compress(bad_raw)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png_pixels(bad)
+    # paletted without PLTE is corrupt
+    no_plte = _PNG_SIG + chunk(b"IHDR", ihdr) + tail
+    with pytest.raises(ValueError):
+        decode_png_pixels(no_plte)
+
+
 def test_png_unsupported_payloads_raise():
     pixels = np.zeros((2, 2), np.uint8)
     good = encode_png(pixels)
@@ -146,9 +180,9 @@ def test_png_unsupported_payloads_raise():
     bad[28] = 1
     with pytest.raises(NotImplementedError):
         decode_png_pixels(bytes(bad))
-    # palette color type
+    # color type 7 does not exist
     bad = bytearray(good)
-    bad[25] = 3
+    bad[25] = 7
     with pytest.raises(NotImplementedError):
         decode_png_pixels(bytes(bad))
     with pytest.raises(ValueError):
