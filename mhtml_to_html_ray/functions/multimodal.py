@@ -182,6 +182,35 @@ def decode_wav_meta(data: bytes) -> dict:
     }
 
 
+def decode_webp_meta(data: bytes) -> dict:
+    """WebP dimensions from the first payload chunk — all three container
+    variants (RFC 9649): VP8X extended header (24-bit canvas dims), VP8
+    lossy key-frame header (14-bit dims after the 0x9D012A sync code), VP8L
+    lossless signature byte + packed 14+14-bit dims."""
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    fourcc = data[12:16]
+    if fourcc == b"VP8X":
+        width = 1 + int.from_bytes(data[24:27], "little")
+        height = 1 + int.from_bytes(data[27:30], "little")
+    elif fourcc == b"VP8 ":
+        if data[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 key frame sync code missing")
+        width = int.from_bytes(data[26:28], "little") & 0x3FFF
+        height = int.from_bytes(data[28:30], "little") & 0x3FFF
+    elif fourcc == b"VP8L":
+        if data[20] != 0x2F:
+            raise ValueError("VP8L signature byte missing")
+        bits = int.from_bytes(data[21:25], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+    else:
+        raise ValueError(f"WebP with unknown payload chunk {fourcc!r}")
+    if not width or not height:
+        raise ValueError("WebP with zero dimension")
+    return {"width": width, "height": height, "frames": 1}
+
+
 def _mp4_boxes(data: bytes, start: int, end: int):
     """Yield (type, payload_start, box_end) for each ISO BMFF box in
     [start, end): u32 size + fourcc, size==1 → u64 largesize follows,
@@ -285,6 +314,7 @@ _SNIFFERS = (
     (lambda d: d[:6] in (b"GIF87a", b"GIF89a"), decode_gif_meta),
     (lambda d: d[:2] == b"\xff\xd8", decode_jpeg_meta),
     (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WAVE", decode_wav_meta),
+    (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WEBP", decode_webp_meta),
     (lambda d: d[:2] == b"BM", decode_bmp_meta),
     (lambda d: len(d) >= 12 and d[4:8] == b"ftyp", decode_mp4_meta),
 )
@@ -298,10 +328,7 @@ def decode_media_meta(data: bytes, media_type: str = "") -> dict:
     for sniff, decoder in _SNIFFERS:
         if sniff(data):
             return decoder(data)
-    if media_type.startswith(("video/", "audio/")) or media_type in (
-        "image/webp",
-        "image/avif",
-    ):
+    if media_type.startswith(("video/", "audio/")) or media_type == "image/avif":
         raise NotImplementedError(
             f"decoding {media_type or 'this container'} requires a codec "
             "library not present in this environment"

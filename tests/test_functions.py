@@ -352,14 +352,15 @@ def test_media_decode_real_stdlib(ray_session):
         _gif_bytes(320, 200),
         _jpeg_bytes(800, 600),
         _wav_bytes(2, 8000, 8000),
-        b"\x00\x00\x00\x18ftypmp42" + bytes(32),  # mp4: needs a codec
+        b"\x1a\x45\xdf\xa3" + bytes(32),  # webm/EBML: needs a codec
         b"not media at all",
+        b"\x00\x00\x00\x18ftypmp42" + bytes(32),  # mp4 with no moov: corrupt
     ]
-    types = ["image/png", "image/gif", "image/jpeg", "audio/wav", "video/mp4",
-             "application/octet-stream"]
+    types = ["image/png", "image/gif", "image/jpeg", "audio/wav", "video/webm",
+             "application/octet-stream", "video/mp4"]
     media = pa.table(
         {
-            "doc_id": pa.array(range(6), pa.int64()),
+            "doc_id": pa.array(range(7), pa.int64()),
             "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.large_binary()),
         }
@@ -383,6 +384,9 @@ def test_media_decode_real_stdlib(ray_session):
     assert rows[4]["error"].startswith("NotImplementedError")
     assert rows[4]["width"] is None
     assert rows[5]["error"].startswith("ValueError")
+    # mp4 is a REAL decoder now (box walk): a moov-less stub is corrupt,
+    # not codec-blocked
+    assert rows[6]["error"] == "ValueError: mp4 without moov box"
 
 
 def test_media_decode_real_on_error_raise():
@@ -391,8 +395,8 @@ def test_media_decode_real_on_error_raise():
     batch = pa.table(
         {
             "doc_id": pa.array([0], pa.int64()),
-            "media_type": pa.array(["video/mp4"], pa.string()),
-            "payload": pa.array([b"\x00\x00\x00\x18ftypmp42"], pa.large_binary()),
+            "media_type": pa.array(["video/webm"], pa.string()),
+            "payload": pa.array([b"\x1a\x45\xdf\xa3" + bytes(8)], pa.large_binary()),
         }
     )
     with pytest.raises(NotImplementedError):
@@ -1333,6 +1337,39 @@ def test_media_decode_bmp_headers():
         decode_media_meta(b"BMxx")
     with pytest.raises(ValueError, match="unsupported DIB"):
         decode_media_meta(bmp_info(1, 1)[:14] + struct.pack("<I", 16) + bytes(24))
+
+
+def test_media_decode_webp_variants():
+    """WebP: VP8X canvas dims, VP8 lossy key-frame dims, VP8L packed dims."""
+    from mhtml_to_html_ray.functions.multimodal import (
+        decode_media_meta, decode_webp_meta)
+
+    def riff(fourcc, payload):
+        chunk = fourcc + len(payload).to_bytes(4, "little") + payload
+        return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+    vp8x = riff(b"VP8X", bytes(4)
+                + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+                + bytes(8))
+    assert decode_webp_meta(vp8x) == {"width": 800, "height": 600, "frames": 1}
+
+    vp8 = riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+               + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+               + bytes(8))
+    assert decode_media_meta(vp8) == {"width": 320, "height": 240, "frames": 1}
+
+    bits = (127 - 1) | ((63 - 1) << 14)  # width 127, height 63
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + bytes(8))
+    assert decode_webp_meta(vp8l) == {"width": 127, "height": 63, "frames": 1}
+
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp_meta(b"RIFF\x00\x00\x00\x00WAVE" + bytes(20))
+    with pytest.raises(ValueError, match="sync code"):
+        decode_webp_meta(riff(b"VP8 ", bytes(16)))
+    with pytest.raises(ValueError, match="signature byte"):
+        decode_webp_meta(riff(b"VP8L", bytes(16)))
+    with pytest.raises(ValueError, match="unknown payload chunk"):
+        decode_webp_meta(riff(b"ANMF", bytes(16)))
 
 
 def test_media_decode_mp4_box_walk():
