@@ -496,6 +496,54 @@ def synthesize_mp4_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def synthesize_webp_batch(batch: pa.Table) -> pa.Table:
+    """documents → REAL WebP payloads cycling the three container variants
+    by doc_id%3 (VP8X extended / VP8 lossy / VP8L lossless), dimensions
+    arithmetic on doc_id: width = doc_id%1024+1, height = doc_id%512+1."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for doc_id in doc_ids:
+        width = doc_id % 1024 + 1
+        height = doc_id % 512 + 1
+        variant = doc_id % 3
+        if variant == 0:
+            body = (b"VP8X" + (10).to_bytes(4, "little") + bytes(4)
+                    + (width - 1).to_bytes(3, "little")
+                    + (height - 1).to_bytes(3, "little"))
+        elif variant == 1:
+            frame = (bytes(3) + b"\x9d\x01\x2a"
+                     + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+                     + bytes(4))
+            body = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+        else:
+            bits = (width - 1) | ((height - 1) << 14)
+            frame = b"\x2f" + bits.to_bytes(4, "little") + bytes(5)
+            body = b"VP8L" + len(frame).to_bytes(4, "little") + frame
+        payloads.append(
+            b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "media_type": pa.array(["image/webp"] * len(doc_ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+def decode_webp(documents_ds, batch_size: int = 64, concurrency=2):
+    """documents → synthesized VALID WebP payloads (all three variants) →
+    real dimension decode through the sniffing dispatcher."""
+    media = documents_ds.map_batches(synthesize_webp_batch, batch_format="pyarrow")
+    return media.map_batches(
+        MediaDecodeBatch,
+        fn_constructor_kwargs={"real": True, "on_error": "null"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_video_meta(documents_ds, batch_size: int = 64, concurrency=2):
     """documents → synthesized VALID mp4 containers → real box-walk decode.
     Every row must decode; the metadata round-trips the synthesis arithmetic

@@ -2270,6 +2270,19 @@ def q_video_meta(sf_dir: str):
     )
 
 
+def q_webp_meta(sf_dir: str):
+    """Real WebP payloads cycling all three container variants (VP8X / VP8
+    lossy / VP8L lossless) decoded through the sniffing dispatcher; the
+    oracle recomputes dimensions from the synthesis arithmetic — variant
+    coverage of RFC 9649's three headers in one hash."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = multimodal.decode_webp(ds)
+    return _sorted_table(
+        out.select_columns(["doc_id", "width", "height", "frames"]),
+        ["doc_id"],
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Real 16-bit PCM WAV payloads (sawtooth samples closed-form in doc_id)
     decoded with the stdlib wave module and windowed into integer features
@@ -2633,6 +2646,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "audio_features": q_audio_features,
     "video_meta": q_video_meta,
+    "webp_meta": q_webp_meta,
 }
 
 
@@ -3564,6 +3578,13 @@ ORACLE_SQL = {
         FROM lagged
         GROUP BY doc_id, window_idx
         ORDER BY doc_id, window_idx
+    """,
+    "webp_meta": """
+        SELECT doc_id,
+               CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+               CAST(doc_id % 512 + 1 AS INTEGER) AS height,
+               CAST(1 AS BIGINT) AS frames
+        FROM documents ORDER BY doc_id
     """,
     "video_meta": """
         SELECT doc_id,

@@ -1372,6 +1372,20 @@ def test_media_decode_webp_variants():
         decode_webp_meta(riff(b"ANMF", bytes(16)))
 
 
+def test_webp_synthesis_round_trips_all_variants(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.multimodal import decode_webp
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(30), pa.int64())}))
+    frame = decode_webp(docs).to_pandas().sort_values("doc_id")
+    assert len(frame) == 30
+    assert frame["error"].isna().all()
+    assert (frame["width"] == frame["doc_id"] % 1024 + 1).all()
+    assert (frame["height"] == frame["doc_id"] % 512 + 1).all()
+
+
 def test_media_decode_mp4_box_walk():
     """ISO BMFF: the box walk reads mvhd duration, tkhd 16.16 dimensions and
     stsz sample count from a synthesized container; version-1 mvhd, largesize
