@@ -632,3 +632,210 @@ def _unigram_lm_scores_join(documents_ds):
         )
 
     return joined.groupby("doc_id").map_groups(fold_doc, batch_format="pandas")
+
+
+def ccnet_bucket_scores(documents_ds):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document under ITS OWN LANGUAGE's unigram distribution, then split each
+    language into head / middle / tail thirds by per-language score
+    quantiles — the standard pre-training curation step that keeps the
+    most-natural third of each language's crawl.
+
+    Plan (three bounded stages, no full materialization of raw tokens):
+
+    1. (lang, tok, n) counts: per-batch Counter combiner → ONE
+       groupby(lang, tok) over partial rows — raw tokens never shuffle.
+       The folded count table is broadcast once via ray.put (reference
+       semantics, oracle-checkable; web scale swaps this for the token
+       equijoin exactly as ``unigram_lm_scores(strategy="join")`` does —
+       the per-language key just rides along in the join key).
+    2. Per-doc scores: one tokenize pass, pandas factorize over
+       newline-joined (lang, tok) keys, numpy gather — mean log-prob 6dp
+       with the same half-away rounding DuckDB's ROUND uses.
+    3. Thresholds: exact per-language discrete quantiles (1/3, 2/3) via
+       ``quantiles.exact_quantiles_by`` over the materialized score table
+       (4 scalar columns per doc — bounded), broadcast back (n_langs × 2
+       floats), vectorized CASE bucket assign.
+
+    Tokenless documents are absent (the oracle's join semantics). Higher
+    mean log-prob = lower perplexity, so ``head`` is the
+    above-2/3-quantile stratum, ``tail`` the at-or-below-1/3 one.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .quantiles import exact_quantiles_by
+    from .rounding import round_half_away
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter = Counter()
+        langs = batch.column("lang").to_pylist()
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            for tok in _lm_tokens(text):
+                counter[(lang, tok)] += 1
+        keys = list(counter.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "tok": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        documents_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    totals: dict[str, float] = {}
+    for row in counts:
+        totals[row["lang"]] = totals.get(row["lang"], 0.0) + row["n"]
+    # math.log per DISTINCT (lang, tok) so the DuckDB LN(n/t) oracle matches
+    logp = {
+        (row["lang"], row["tok"]): math.log(row["n"] / totals[row["lang"]])
+        for row in counts
+    }
+    logp_ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(logp_ref)
+        langs = batch.column("lang").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_ids: list[int] = []
+        out_lang: list[str] = []
+        out_n: list[int] = []
+        out_score: list[float] = []
+        keys: list[str] = []
+        bounds: list[tuple[int, int]] = []
+        # "\n" never appears in a token (the tokenizer splits on it) or a
+        # lang code, so it is a collision-free join key — NOT "\x00":
+        # pandas' StringHashTable compares C strings, so NUL-embedded keys
+        # silently collide at the first NUL
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            tokens = _lm_tokens(text)
+            bounds.append((len(keys), len(tokens)))
+            keys.extend(f"{lang}\n{tok}" for tok in tokens)
+        if keys:
+            codes, uniques = pd.factorize(pd.Series(keys))
+            unique_logp = np.fromiter(
+                (table[tuple(u.split("\n", 1))] for u in uniques),
+                dtype=np.float64, count=len(uniques),
+            )
+            token_logp = unique_logp[codes]
+        else:
+            token_logp = np.array([], dtype=np.float64)
+        for doc_id, lang, (start, length) in zip(doc_ids, langs, bounds):
+            if length == 0:
+                continue
+            segment = token_logp[start : start + length]
+            out_ids.append(doc_id)
+            out_lang.append(lang)
+            out_n.append(length)
+            out_score.append(float(round_half_away(segment.sum() / length, 6)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "lang": pa.array(out_lang, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "lm_score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    scores = documents_ds.map_batches(
+        score, batch_format="pyarrow"
+    ).materialize()
+
+    th = exact_quantiles_by(scores, key="lang", col="lm_score",
+                            qs=[1.0 / 3.0, 2.0 / 3.0])
+    cuts: dict[str, list[float]] = {}
+    for lang, q, value in zip(th.column("lang").to_pylist(),
+                              th.column("q").to_pylist(),
+                              th.column("value").to_pylist()):
+        cuts.setdefault(lang, [None, None])[0 if q < 0.5 else 1] = value
+    cuts_ref = ray.put(cuts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(cuts_ref)
+        langs = batch.column("lang").to_pylist()
+        s = batch.column("lm_score").to_numpy(zero_copy_only=False)
+        t1 = np.fromiter((table[l][0] for l in langs), dtype=np.float64,
+                         count=len(langs))
+        t2 = np.fromiter((table[l][1] for l in langs), dtype=np.float64,
+                         count=len(langs))
+        bucket = np.where(s <= t1, "tail", np.where(s <= t2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scores.map_batches(assign, batch_format="pyarrow")
+
+
+def hashed_bigram_classifier(documents_ds, n_buckets: int = 64):
+    """fastText-shaped quality classifier: hashed word-bigram features
+    through a linear layer. The production version loads trained weights;
+    this reference instance derives the weight of hash bucket ``b``
+    deterministically as ``b - n_buckets//2`` so every stage — tokenize,
+    bigram, hash, embed, reduce — is real and the end-to-end score is
+    exactly checkable (the DuckDB oracle recomputes the identical
+    md5-prefix bucket arithmetic in SQL).
+
+    One map_batches pass, zero shuffle: bigrams are factorized per batch so
+    md5 runs once per DISTINCT bigram, weights gather through the code
+    array, per-doc sums fold with one bincount. Docs with fewer than two
+    tokens have no features and are absent (SQL join semantics).
+    ``keep`` = positive score, the usual classifier gate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    half = n_buckets // 2
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        bigrams: list[str] = []
+        bounds: list[tuple[int, int]] = []
+        for text in batch.column("text").to_pylist():
+            tokens = _lm_tokens(text)
+            pairs = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
+            bounds.append((len(bigrams), len(pairs)))
+            bigrams.extend(pairs)
+        out_ids: list[int] = []
+        out_n: list[int] = []
+        starts: list[int] = []
+        lengths: list[int] = []
+        for doc_id, (start, length) in zip(doc_ids, bounds):
+            if length == 0:
+                continue
+            out_ids.append(doc_id)
+            out_n.append(length)
+            starts.append(start)
+            lengths.append(length)
+        if bigrams:
+            codes, uniques = pd.factorize(pd.Series(bigrams))
+            unique_w = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_buckets
+                 - half for u in uniques),
+                dtype=np.float64, count=len(uniques),
+            )
+            w = unique_w[codes]
+            doc_idx = np.repeat(np.arange(len(starts)),
+                                np.asarray(lengths, dtype=np.int64))
+            sums = np.bincount(doc_idx, weights=w,
+                               minlength=len(starts)).astype(np.int64)
+        else:
+            sums = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_bigrams": pa.array(out_n, pa.int64()),
+                "score_sum": pa.array(sums, pa.int64()),
+                "keep": pa.array(sums > 0, pa.bool_()),
+            }
+        )
+
+    return documents_ds.map_batches(score, batch_format="pyarrow")

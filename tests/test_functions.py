@@ -1489,3 +1489,82 @@ def test_unigram_lm_join_strategy_matches_broadcast(ray_session):
     )
     assert broadcast == joined
     assert broadcast and broadcast[0][0] == 0
+
+
+def test_ccnet_buckets_score_per_language(ray_session):
+    """Every doc is scored under ITS OWN language's unigram distribution:
+    the same token has different log-probs in different languages, and the
+    per-doc means match hand-computed values (this also pins the factorize
+    key fix — NUL-joined keys silently collide in pandas' C-string
+    hash table, which made all tokens of a language share one log-prob)."""
+    import math
+
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+        "text": pa.array(["x x y", "y z", "x w", "  "], pa.string()),
+    })
+    rows = {r["doc_id"]: r for r in
+            textstats.ccnet_bucket_scores(ray.data.from_arrow(tbl)).take_all()}
+    assert set(rows) == {0, 1, 2}  # the whitespace-only doc is absent
+    # en corpus: x×2 y×2 z×1 (total 5); de corpus: x×1 w×1 (total 2)
+    exp0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    exp2 = (math.log(1 / 2) + math.log(1 / 2)) / 2
+    assert abs(rows[0]["lm_score"] - exp0) < 1e-6
+    assert abs(rows[1]["lm_score"] - exp1) < 1e-6
+    assert abs(rows[2]["lm_score"] - exp2) < 1e-6  # "x" ≠ its en log-prob
+    assert all(r["bucket"] in {"head", "middle", "tail"} for r in rows.values())
+
+
+def test_ccnet_buckets_thirds_are_quantile_exact(ray_session):
+    """Within one language the head/middle/tail split follows the exact
+    discrete 1/3 and 2/3 quantiles of the rounded scores: at-or-below t1 is
+    tail, at-or-below t2 is middle, above is head — and the split is
+    monotone in lm_score."""
+    import ray.data
+
+    # 6 docs, engineered distinct scores: doc i = i+1 copies of a common
+    # token plus one rare token unique to the doc — more common mass =
+    # higher mean log-prob, so scores strictly increase with i
+    texts = [" ".join(["the"] * (i + 1)) + f" rare{i}" for i in range(6)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    rows = sorted(
+        textstats.ccnet_bucket_scores(ray.data.from_arrow(tbl)).take_all(),
+        key=lambda r: r["lm_score"],
+    )
+    assert [r["bucket"] for r in rows] == ["tail"] * 2 + ["middle"] * 2 + ["head"] * 2
+    scores = [r["lm_score"] for r in rows]
+    assert scores == sorted(scores) and len(set(scores)) == 6
+
+
+def test_hashed_bigram_classifier_exact_and_join_semantics(ray_session):
+    """Bucket arithmetic matches hashlib exactly; docs with fewer than two
+    tokens (no bigram features) are absent, mirroring the oracle's join."""
+    import hashlib as _hl
+
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table(
+        ["the quick  brown fox", "one", "", "b a b a b"]))
+    rows = {r["doc_id"]: r for r in
+            textstats.hashed_bigram_classifier(docs).take_all()}
+    assert set(rows) == {0, 3}
+
+    def w(bg):
+        return int(_hl.md5(bg.encode()).hexdigest()[:8], 16) % 64 - 32
+
+    exp0 = w("the quick") + w("quick brown") + w("brown fox")
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["score_sum"] == exp0
+    assert rows[0]["keep"] == (exp0 > 0)
+    # repeated bigrams weigh once per OCCURRENCE (4 bigrams, 2 distinct)
+    exp3 = 2 * w("b a") + 2 * w("a b")
+    assert rows[3]["n_bigrams"] == 4
+    assert rows[3]["score_sum"] == exp3
