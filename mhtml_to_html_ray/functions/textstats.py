@@ -839,3 +839,140 @@ def hashed_bigram_classifier(documents_ds, n_buckets: int = 64):
         )
 
     return documents_ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_train(documents_ds, n_merges: int = 8):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    iterative merge loop, run over the corpus's DISTINCT-WORD working set.
+
+    Shape: the corpus collapses once to a (word, n) table — Zipf makes this
+    vocabulary-sized (~10⁶ rows at web scale) however many documents feed
+    it, so every later round shuffles vocabulary rows, never corpus rows.
+    Each round is (a) weighted adjacent-pair partials per block →
+    groupby(left, right) fold, (b) per-block top-1 combiner so the driver
+    sees ≤ n_blocks candidate rows and picks the global argmax (count desc,
+    then left/right lexicographic — deterministic), (c) one map_batches
+    rewriting the symbol sequences that contain the merged pair, then
+    materialize for the next round — the same materialize-between-supersteps
+    discipline as ``pagerank``/``embedding_kmeans``.
+
+    Word symbol sequences start as codepoints plus a terminal "</w>" marker
+    (merges never cross word boundaries; a word-final merge stays distinct
+    from the same pair mid-word). Returns a driver-side pa.Table of
+    (rank, left, right, n) merge rules — k rows, the trained artifact.
+    Parity with a single-process reference trainer is pinned in tests.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counter.update(_lm_tokens(text))
+        return pa.table(
+            {
+                "word": pa.array(list(counter.keys()), pa.string()),
+                "n": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+    def to_symbols(batch: pa.Table) -> pa.Table:
+        syms = [list(w) + ["</w>"] for w in batch.column("word").to_pylist()]
+        return pa.table(
+            {
+                "syms": pa.array(syms, pa.list_(pa.string())),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    words = (
+        documents_ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(to_symbols, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counter: Counter = Counter()
+        ns = batch.column("n").to_pylist()
+        for syms, n in zip(batch.column("syms").to_pylist(), ns):
+            for a, b in zip(syms, syms[1:]):
+                counter[(a, b)] += n
+        keys = list(counter.keys())
+        return pa.table(
+            {
+                "left": pa.array([k[0] for k in keys], pa.string()),
+                "right": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+    def local_top1(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        rows = sorted(
+            zip(batch.column("n").to_pylist(),
+                batch.column("left").to_pylist(),
+                batch.column("right").to_pylist()),
+            key=lambda r: (-r[0], r[1], r[2]),
+        )
+        n, left, right = rows[0]
+        return pa.table({"left": pa.array([left], pa.string()),
+                         "right": pa.array([right], pa.string()),
+                         "n": pa.array([n], pa.int64())})
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        candidates = (
+            words.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(local_top1, batch_format="pyarrow")
+            .take_all()
+        )
+        if not candidates:
+            break
+        best = min(candidates, key=lambda r: (-r["n"], r["left"], r["right"]))
+        left, right = best["left"], best["right"]
+        merges.append((rank, left, right, int(best["n"])))
+        merged_sym = left + right
+
+        def apply_merge(batch: pa.Table, left=left, right=right,
+                        merged_sym=merged_sym) -> pa.Table:
+            out: list[list[str]] = []
+            for syms in batch.column("syms").to_pylist():
+                i = 0
+                new: list[str] = []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        new.append(merged_sym)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                out.append(new)
+            return pa.table(
+                {
+                    "syms": pa.array(out, pa.list_(pa.string())),
+                    "n": batch.column("n").cast(pa.int64()),
+                }
+            )
+
+        words = words.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "n": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )

@@ -2528,6 +2528,17 @@ def q_decontaminate(sf_dir: str):
     return _sorted_table(marked, ["doc_id"])
 
 
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (functions/textstats.bpe_train):
+    8 iterative merge rounds over the vocabulary-sized distinct-word table —
+    weighted pair census → per-block top-1 combiner → global argmax →
+    vectorized merge rewrite, materialized between supersteps. Iterative,
+    so no SQL oracle; single-process-reference parity is pinned in
+    tests/test_functions.py."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.bpe_train(ds, n_merges=8)
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet perplexity bucketing (functions/textstats.ccnet_bucket_scores):
     per-language unigram-LM scores, then head/middle/tail thirds by exact
@@ -2675,6 +2686,7 @@ QUERIES = {
     "approx_top_tokens": q_approx_top_tokens,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 

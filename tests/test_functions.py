@@ -1568,3 +1568,76 @@ def test_hashed_bigram_classifier_exact_and_join_semantics(ray_session):
     exp3 = 2 * w("b a") + 2 * w("a b")
     assert rows[3]["n_bigrams"] == 4
     assert rows[3]["score_sum"] == exp3
+
+
+def _bpe_train_reference(texts, n_merges):
+    """Single-process Sennrich-style BPE trainer: the parity oracle for the
+    distributed loop (same tie-break: count desc, then left/right asc)."""
+    from collections import Counter
+
+    from mhtml_to_html_ray.functions.textstats import _lm_tokens
+
+    words = Counter()
+    for text in texts:
+        words.update(_lm_tokens(text))
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, n in words.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, n))
+        for w, syms in vocab.items():
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """The distributed merge loop reproduces the single-process trainer
+    exactly — ranks, pairs, weighted counts — on a corpus with repeated
+    words (weighting matters) and a word-final merge (</w> handling)."""
+    import ray.data
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide wide new",
+    ]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    got = textstats.bpe_train(docs, n_merges=6)
+    rows = list(zip(got.column("rank").to_pylist(),
+                    got.column("left").to_pylist(),
+                    got.column("right").to_pylist(),
+                    got.column("n").to_pylist()))
+    assert rows == _bpe_train_reference(texts, 6)
+    # sanity: the corpus's dominant pattern ("lo" in low×4 + lower + lowest)
+    assert rows[0][1:3] == ("l", "o") and rows[0][3] == 6
+
+
+def test_bpe_train_stops_when_dry(ray_session):
+    """Fewer distinct pairs than requested merges: the loop stops early
+    instead of emitting degenerate rules."""
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table(["ab ab", "ab"]))
+    got = textstats.bpe_train(docs, n_merges=50)
+    # "ab" exhausts after 3 merges: (a,b), (ab,</w>) — then nothing with
+    # count > 0 remains... the loop must terminate on an empty pair table
+    assert 0 < got.num_rows <= 3
+    lefts = got.column("left").to_pylist()
+    rights = got.column("right").to_pylist()
+    assert (lefts[0], rights[0]) == ("a", "b")
