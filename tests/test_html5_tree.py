@@ -1770,3 +1770,45 @@ def test_serialize_document_includes_doctype():
     )
     assert out.startswith('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">')
     assert out.endswith("<html><head></head><body><p>x</p></body></html>")
+
+
+# ---------------------------------------------------------------------------
+# active-formatting markers: formatting from BEFORE a cell/caption must not
+# leak INTO it, but must be restored AFTER the table closes (spec 13.2.4.3
+# markers; parse5 does the same)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # <b> opened before the table, closed implicitly by </div> AFTER it:
+        # the cell's content is not bold (marker), the post-div text IS
+        # (the entry survives the cell and reconstructs)
+        (
+            "<div><b>1<table><td>3</td></table></div>4",
+            "<body><div><b>1<table><tbody><tr><td>3</td></tr></tbody>"
+            "</table></b></div><b>4</b></body>",
+        ),
+        # same through a <caption> boundary
+        (
+            "<div><b>1<table><caption>c</caption><td>3</td></table></div>4",
+            "<body><div><b>1<table><caption>c</caption><tbody><tr><td>3"
+            "</td></tr></tbody></table></b></div><b>4</b></body>",
+        ),
+        # formatting INSIDE one cell never leaks to the next cell or out of
+        # the table
+        (
+            "<table><td><b>x</td><td>y</td></table>z",
+            "<body><table><tbody><tr><td><b>x</b></td><td>y</td></tr>"
+            "</tbody></table>z</body>",
+        ),
+        # marquee/object are marker boundaries too: inner formatting stays
+        # inner, outer formatting spans across
+        (
+            "<b>pre<marquee>in</marquee>post",
+            "<body><b>pre<marquee>in</marquee>post</b></body>",
+        ),
+    ],
+)
+def test_formatting_marker_boundaries(source, expected):
+    assert body_html(source) == expected
