@@ -634,7 +634,7 @@ def _unigram_lm_scores_join(documents_ds):
     return joined.groupby("doc_id").map_groups(fold_doc, batch_format="pandas")
 
 
-def ccnet_bucket_scores(documents_ds):
+def ccnet_bucket_scores(documents_ds, strategy: str = "auto"):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     document under ITS OWN LANGUAGE's unigram distribution, then split each
     language into head / middle / tail thirds by per-language score
@@ -645,13 +645,16 @@ def ccnet_bucket_scores(documents_ds):
 
     1. (lang, tok, n) counts: per-batch Counter combiner → ONE
        groupby(lang, tok) over partial rows — raw tokens never shuffle.
-       The folded count table is broadcast once via ray.put (reference
-       semantics, oracle-checkable; web scale swaps this for the token
-       equijoin exactly as ``unigram_lm_scores(strategy="join")`` does —
-       the per-language key just rides along in the join key).
-    2. Per-doc scores: one tokenize pass, pandas factorize over
-       newline-joined (lang, tok) keys, numpy gather — mean log-prob 6dp
-       with the same half-away rounding DuckDB's ROUND uses.
+    2. Per-doc scores — two interchangeable plans, like
+       ``unigram_lm_scores``: ``strategy="broadcast"`` ships the folded
+       count table once via ray.put and scores each batch with one
+       factorize + numpy gather (fastest while the vocabulary fits one
+       process; the oracle-reference semantics); ``strategy="join"`` keeps
+       the vocabulary distributed end to end — (lang-newline-tok, doc_id,
+       k) rows equijoin the counts by key, log-prob attached per group
+       with the same math.log calls, one groupby(doc) fold. Only the
+       per-language totals (n_langs floats) ever reach the driver.
+       ``"auto"`` switches to join past 200k docs. Equivalence-tested.
     3. Thresholds: exact per-language discrete quantiles (1/3, 2/3) via
        ``quantiles.exact_quantiles_by`` over the materialized score table
        (4 scalar columns per doc — bounded), broadcast back (n_langs × 2
@@ -661,15 +664,45 @@ def ccnet_bucket_scores(documents_ds):
     mean log-prob = lower perplexity, so ``head`` is the
     above-2/3-quantile stratum, ``tail`` the at-or-below-1/3 one.
     """
-    import math
-
     import numpy as np
-    import pandas as pd
     import ray
-    from ray.data.aggregate import Sum
 
     from .quantiles import exact_quantiles_by
-    from .rounding import round_half_away
+
+    if strategy == "auto":
+        strategy = "join" if documents_ds.count() > 200_000 else "broadcast"
+    if strategy == "join":
+        scores = _ccnet_scores_join(documents_ds).materialize()
+    else:
+        scores = _ccnet_scores_broadcast(documents_ds).materialize()
+
+    th = exact_quantiles_by(scores, key="lang", col="lm_score",
+                            qs=[1.0 / 3.0, 2.0 / 3.0])
+    cuts: dict[str, list[float]] = {}
+    for lang, q, value in zip(th.column("lang").to_pylist(),
+                              th.column("q").to_pylist(),
+                              th.column("value").to_pylist()):
+        cuts.setdefault(lang, [None, None])[0 if q < 0.5 else 1] = value
+    cuts_ref = ray.put(cuts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(cuts_ref)
+        langs = batch.column("lang").to_pylist()
+        s = batch.column("lm_score").to_numpy(zero_copy_only=False)
+        t1 = np.fromiter((table[l][0] for l in langs), dtype=np.float64,
+                         count=len(langs))
+        t2 = np.fromiter((table[l][1] for l in langs), dtype=np.float64,
+                         count=len(langs))
+        bucket = np.where(s <= t1, "tail", np.where(s <= t2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scores.map_batches(assign, batch_format="pyarrow")
+
+
+def _ccnet_lang_counts(documents_ds):
+    """(lang, tok, n) dataset: per-batch Counter combiner → one
+    groupby(lang, tok) — raw tokens never shuffle."""
+    from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -688,12 +721,23 @@ def ccnet_bucket_scores(documents_ds):
             }
         )
 
-    counts = (
+    return (
         documents_ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby(["lang", "tok"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
     )
+
+
+def _ccnet_scores_broadcast(documents_ds):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .rounding import round_half_away
+
+    counts = _ccnet_lang_counts(documents_ds).take_all()
     totals: dict[str, float] = {}
     for row in counts:
         totals[row["lang"]] = totals.get(row["lang"], 0.0) + row["n"]
@@ -748,31 +792,128 @@ def ccnet_bucket_scores(documents_ds):
             }
         )
 
-    scores = documents_ds.map_batches(
-        score, batch_format="pyarrow"
-    ).materialize()
+    return documents_ds.map_batches(score, batch_format="pyarrow")
 
-    th = exact_quantiles_by(scores, key="lang", col="lm_score",
-                            qs=[1.0 / 3.0, 2.0 / 3.0])
-    cuts: dict[str, list[float]] = {}
-    for lang, q, value in zip(th.column("lang").to_pylist(),
-                              th.column("q").to_pylist(),
-                              th.column("value").to_pylist()):
-        cuts.setdefault(lang, [None, None])[0 if q < 0.5 else 1] = value
-    cuts_ref = ray.put(cuts)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        table = ray.get(cuts_ref)
+def _ccnet_scores_join(documents_ds):
+    """ccnet scores with the vocabulary distributed end to end — the same
+    union + groupby(key).map_groups equijoin as
+    ``unigram_lm_scores(strategy="join")``, keyed by the newline-joined
+    (lang, tok) pair so each language's distribution stays separate. The
+    only driver-side state is the per-language token totals (n_langs
+    floats)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts_ds = _ccnet_lang_counts(documents_ds).materialize()
+    totals = {
+        row["lang"]: float(row["n"])
+        for row in counts_ds.groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }
+    totals_ref = ray.put(totals)
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
         langs = batch.column("lang").to_pylist()
-        s = batch.column("lm_score").to_numpy(zero_copy_only=False)
-        t1 = np.fromiter((table[l][0] for l in langs), dtype=np.float64,
-                         count=len(langs))
-        t2 = np.fromiter((table[l][1] for l in langs), dtype=np.float64,
-                         count=len(langs))
-        bucket = np.where(s <= t1, "tail", np.where(s <= t2, "middle", "head"))
-        return batch.append_column("bucket", pa.array(bucket, pa.string()))
+        keys: list[str] = []
+        bounds: list[tuple[int, int]] = []
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            tokens = _lm_tokens(text)
+            bounds.append((len(keys), len(tokens)))
+            keys.extend(f"{lang}\n{tok}" for tok in tokens)
+        rows_key: list[str] = []
+        rows_doc: list[int] = []
+        rows_k: list[int] = []
+        if keys:
+            codes, uniques = pd.factorize(pd.Series(keys))
+            lengths = np.fromiter((ln for _, ln in bounds), dtype=np.int64,
+                                  count=len(bounds))
+            doc_idx = np.repeat(np.arange(len(bounds)), lengths)
+            grouped = (
+                pd.DataFrame({"d": doc_idx, "c": codes})
+                .groupby(["d", "c"], sort=False)
+                .size()
+                .reset_index(name="k")
+            )
+            rows_doc = [doc_ids[d] for d in grouped["d"]]
+            rows_key = [uniques[c] for c in grouped["c"]]
+            rows_k = grouped["k"].tolist()
+        n = len(rows_doc)
+        return pa.table(
+            {
+                "key": pa.array(rows_key, pa.string()),
+                "doc_id": pa.array(rows_doc, pa.int64()),
+                "k": pa.array(rows_k, pa.int64()),
+                "n": pa.nulls(n, pa.int64()),
+            }
+        )
 
-    return scores.map_batches(assign, batch_format="pyarrow")
+    def count_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        n = batch.num_rows
+        key = _pc.binary_join_element_wise(
+            batch.column("lang"), batch.column("tok"), "\n")
+        return pa.table(
+            {
+                "key": key,
+                "doc_id": pa.nulls(n, pa.int64()),
+                "k": pa.nulls(n, pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    def attach_logp(group: pd.DataFrame) -> pa.Table:
+        count_rows = group[group["n"].notna()]
+        doc_rows = group[group["n"].isna()]
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("k", pa.int64()), ("klogp", pa.float64())]
+        )
+        if count_rows.empty or doc_rows.empty:
+            return schema.empty_table()
+        lang = str(group["key"].iloc[0]).split("\n", 1)[0]
+        all_totals = ray.get(totals_ref)
+        logp = math.log(int(count_rows["n"].iloc[0]) / all_totals[lang])
+        k = doc_rows["k"].to_numpy(dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rows["doc_id"].astype("int64"),
+                                   pa.int64()),
+                "lang": pa.array([lang] * len(doc_rows), pa.string()),
+                "k": pa.array(doc_rows["k"].astype("int64"), pa.int64()),
+                "klogp": pa.array(k * logp, pa.float64()),
+            }
+        )
+
+    joined = (
+        documents_ds.map_batches(doc_side, batch_format="pyarrow")
+        .union(counts_ds.map_batches(count_side, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(attach_logp, batch_format="pandas")
+    )
+
+    def fold_doc(group: pd.DataFrame) -> pa.Table:
+        from .rounding import round_half_away
+
+        n_tokens = int(group["k"].sum())
+        score = float(round_half_away(group["klogp"].sum() / n_tokens, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
+                "lang": pa.array([str(group["lang"].iloc[0])], pa.string()),
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                "lm_score": pa.array([score], pa.float64()),
+            }
+        )
+
+    return joined.groupby("doc_id").map_groups(fold_doc, batch_format="pandas")
 
 
 def hashed_bigram_classifier(documents_ds, n_buckets: int = 64):

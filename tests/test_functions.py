@@ -1641,3 +1641,32 @@ def test_bpe_train_stops_when_dry(ray_session):
     lefts = got.column("left").to_pylist()
     rights = got.column("right").to_pylist()
     assert (lefts[0], rights[0]) == ("a", "b")
+
+
+def test_ccnet_join_strategy_matches_broadcast(ray_session):
+    """ccnet_bucket_scores(strategy="join") — the plan with no
+    vocabulary-sized driver structure — must match the broadcast plan
+    exactly: scores, thresholds, buckets."""
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "lang": pa.array(["en", "en", "en", "en", "de", "de", "de", "zh"],
+                         pa.string()),
+        "text": pa.array([
+            "the cat sat on the mat", "the dog ate the cat",
+            "rare words entirely here", "the the the",
+            "der hund", "der der katze", "einzig", "一 二 一",
+        ], pa.string()),
+    })
+    docs = ray.data.from_arrow(tbl)
+
+    def rows(strategy):
+        return sorted(
+            (r["doc_id"], r["lang"], r["n_tokens"], r["lm_score"], r["bucket"])
+            for r in textstats.ccnet_bucket_scores(docs, strategy=strategy).take_all()
+        )
+
+    broadcast, joined = rows("broadcast"), rows("join")
+    assert broadcast == joined
+    assert len(broadcast) == 8
