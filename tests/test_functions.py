@@ -1670,3 +1670,29 @@ def test_ccnet_join_strategy_matches_broadcast(ray_session):
     broadcast, joined = rows("broadcast"), rows("join")
     assert broadcast == joined
     assert len(broadcast) == 8
+
+
+def test_ccnet_join_never_builds_broadcast_map(ray_session):
+    """The join plan must produce buckets WITHOUT ever invoking the
+    broadcast scorer (whose logp map is vocabulary-sized on the driver) —
+    same discipline pin as tfidf/lm join (VERDICT round 3 #3). The join
+    path's only driver-side collects are the per-language totals and the
+    n_langs × 2 thresholds."""
+    from unittest import mock
+
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+        "text": pa.array(["a b a", "b c", "x y", "y y z"], pa.string()),
+    })
+    with mock.patch.object(
+        textstats, "_ccnet_scores_broadcast",
+        side_effect=AssertionError("broadcast logp map built in join plan"),
+    ):
+        out = textstats.ccnet_bucket_scores(
+            ray.data.from_arrow(tbl), strategy="join")
+        rows = out.take_all()
+    assert len(rows) == 4
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
