@@ -1563,3 +1563,134 @@ def neardup_against_index(new_ds, index_dir: str, threshold: float = 0.5):
         .groupby("new_doc_id")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+def substring_scrub(documents_ds, k: int = 5):
+    """Exact substring-duplication REMOVAL (the rewrite step of Lee et al.
+    2022 — ``substring_dup_stats`` is the audit): every occurrence of a
+    corpus-duplicated k-token window is removed except one canonical copy.
+
+    Deterministic contract (restatable in SQL, so the driver hash-checks
+    the rewrite end to end):
+
+    * a k-gram is *duplicated* when its exact text occurs ≥ 2 times in the
+      corpus (any doc, any position);
+    * the CANONICAL occurrence of each duplicated gram is the (doc_id, pos)
+      minimum — first position of the first document;
+    * a token is dropped iff some non-canonical duplicated occurrence
+      covers it AND no canonical occurrence does (canonical spans protect
+      their tokens, so the kept copy always survives intact);
+    * the document rebuilds from its kept tokens joined by single spaces —
+      the standard tokenized-rebuild contract shared with ``line_dedup``.
+
+    Scale shape: one tokenize pass emits (gram, doc_id, pos) rows; shuffle
+    1 groups by gram, keeps only ≥2-occurrence groups and flags the
+    canonical row (groups sort internally — gram groups are tiny); the doc
+    rows and the flagged occurrences meet in a union + ONE groupby(doc_id)
+    — no join, no broadcast, nothing driver-sized. Output: (doc_id,
+    n_tokens, n_kept, text_out) for every doc with ≥ 1 token.
+    """
+    from .textstats import _lm_tokens
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        grams, docs, poss = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            tokens = _lm_tokens(text)
+            for i in range(max(len(tokens) - k + 1, 0)):
+                grams.append(" ".join(tokens[i : i + k]))
+                docs.append(doc_id)
+                poss.append(i)
+        return pa.table(
+            {
+                "key": pa.array(grams, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+
+    def flag_canonical(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "canon": pa.array([], pa.bool_())})
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"),
+                                                  ("pos", "ascending")])
+        g = group.take(order)
+        canon = np.zeros(g.num_rows, dtype=bool)
+        canon[0] = True
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "pos": g.column("pos"),
+                         "canon": pa.array(canon, pa.bool_())})
+
+    occurrences = (
+        documents_ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(flag_canonical, batch_format="pyarrow")
+    )
+
+    def occ_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "canon": batch.column("canon"),
+                "text": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": pa.nulls(n, pa.int64()),
+                "canon": pa.nulls(n, pa.bool_()),
+                "text": batch.column("text"),
+            }
+        )
+
+    import pandas as pd
+
+    def rebuild(group: pd.DataFrame) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                            ("n_kept", pa.int64()), ("text_out", pa.string())])
+        doc_rows = group[group["text"].notna()]
+        if doc_rows.empty:
+            return schema.empty_table()
+        tokens = _lm_tokens(str(doc_rows["text"].iloc[0]))
+        n = len(tokens)
+        if n == 0:
+            return schema.empty_table()
+        occ = group[group["text"].isna()]
+        drop_cover = np.zeros(n + 1, dtype=np.int64)
+        keep_cover = np.zeros(n + 1, dtype=np.int64)
+        for pos, canon in zip(occ["pos"].astype("int64"),
+                              occ["canon"].astype("bool")):
+            lo, hi = int(pos), min(int(pos) + k, n)
+            if canon:
+                keep_cover[lo] += 1
+                keep_cover[hi] -= 1
+            else:
+                drop_cover[lo] += 1
+                drop_cover[hi] -= 1
+        dropped = (np.cumsum(drop_cover[:n]) > 0) & ~(
+            np.cumsum(keep_cover[:n]) > 0)
+        kept = [t for t, d in zip(tokens, dropped) if not d]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(doc_rows["doc_id"].iloc[0])],
+                                   pa.int64()),
+                "n_tokens": pa.array([n], pa.int64()),
+                "n_kept": pa.array([len(kept)], pa.int64()),
+                "text_out": pa.array([" ".join(kept)], pa.string()),
+            }
+        )
+
+    return (
+        occurrences.map_batches(occ_side, batch_format="pyarrow")
+        .union(documents_ds.map_batches(doc_side, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pandas")
+    )

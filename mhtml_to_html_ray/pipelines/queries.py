@@ -2539,6 +2539,17 @@ def q_bpe_train_merges(sf_dir: str):
     return textstats.bpe_train(ds, n_merges=8)
 
 
+def q_substring_scrub(sf_dir: str):
+    """Exact substring-duplication removal (functions/dedup.substring_scrub):
+    every occurrence of a corpus-duplicated 5-token window is dropped except
+    the canonical (min doc_id, pos) copy, whose span protects its tokens;
+    docs rebuild from kept tokens. The oracle restates gram extraction,
+    canonical ROW_NUMBER flagging, span coverage and the string_agg rebuild
+    in SQL — a hash match checks the rewritten text byte for byte."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(dedup.substring_scrub(ds, k=5), ["doc_id"])
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet perplexity bucketing (functions/textstats.ccnet_bucket_scores):
     per-language unigram-LM scores, then head/middle/tail thirds by exact
@@ -2603,6 +2614,7 @@ QUERIES = {
     # suite built this round ---
     "ccnet_buckets": q_ccnet_buckets,
     "hash_classifier": q_hash_classifier,
+    "substring_scrub": q_substring_scrub,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
@@ -2617,7 +2629,6 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "lang_distribution": q_lang_distribution,
     "embedding_topk": q_embedding_topk,
-    "embedding_label_stats": q_embedding_label_stats,
     "media_decode": q_media_decode,
     "extract_text": q_extract_text,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
@@ -2628,6 +2639,7 @@ QUERIES = {
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "token_count": q_token_count,
+    "embedding_label_stats": q_embedding_label_stats,
     "token_count_bpe": q_token_count_bpe,
     "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
@@ -3829,6 +3841,61 @@ ORACLE_SQL = {
                     WHEN s.lm_score <= th.t2 THEN 'middle'
                     ELSE 'head' END AS bucket
         FROM scores s JOIN th USING (lang) ORDER BY s.doc_id
+    """,
+    "substring_scrub": """
+        WITH arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id,
+                   UNNEST([array_to_string(a[i:i+4], ' ')
+                           FOR i IN generate_series(1, len(a)-4)]) AS gram,
+                   UNNEST(generate_series(1, len(a)-4)) AS pos
+            FROM arr WHERE len(a) >= 5
+        ),
+        dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+        docc AS (
+            SELECT occ.doc_id, occ.pos,
+                   ROW_NUMBER() OVER (PARTITION BY occ.gram
+                                      ORDER BY occ.doc_id, occ.pos) = 1
+                       AS canon
+            FROM occ JOIN dup USING (gram)
+        ),
+        tokpos AS (
+            SELECT doc_id, UNNEST(a) AS tok,
+                   UNNEST(generate_series(1, len(a))) AS p
+            FROM arr WHERE len(a) >= 1
+        ),
+        marks AS (
+            SELECT t.doc_id, t.p,
+                   BOOL_OR(NOT s.canon) AS hit_noncanon,
+                   BOOL_OR(s.canon) AS hit_canon
+            FROM tokpos t JOIN docc s
+              ON t.doc_id = s.doc_id AND t.p BETWEEN s.pos AND s.pos + 4
+            GROUP BY t.doc_id, t.p
+        ),
+        kept AS (
+            SELECT t.doc_id, t.p, t.tok
+            FROM tokpos t LEFT JOIN marks m
+              ON t.doc_id = m.doc_id AND t.p = m.p
+            WHERE m.p IS NULL OR NOT (m.hit_noncanon AND NOT m.hit_canon)
+        ),
+        counts AS (
+            SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens
+            FROM arr WHERE len(a) >= 1
+        )
+        SELECT c.doc_id, c.n_tokens,
+               COALESCE(kc.n_kept, 0) AS n_kept,
+               COALESCE(kc.text_out, '') AS text_out
+        FROM counts c LEFT JOIN (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_out
+            FROM kept GROUP BY doc_id
+        ) kc USING (doc_id)
+        ORDER BY c.doc_id
     """,
     "hash_classifier": """
         WITH arr AS (

@@ -337,3 +337,43 @@ def test_neardup_index_rejects_routing_mismatch(ray_session, tmp_path):
     meta_path.write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="routing"):
         dedup.neardup_against_index(_mh_ds(_MH_NEW, 1), idx)
+
+
+def test_substring_scrub_canonical_copy_survives(ray_session):
+    """Lee-et-al removal: the (min doc_id, pos) occurrence of a duplicated
+    5-gram keeps its tokens; every other occurrence's span is dropped;
+    untouched docs rebuild byte-identically."""
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b c d e f",            # canonical home of "a b c d e"
+            "z a b c d e y",          # non-canonical occurrence → scrubbed
+            "unique words only here now",
+        ], pa.string()),
+    })
+    rows = {r["doc_id"]: r for r in
+            dedup.substring_scrub(ray.data.from_arrow(tbl), k=5).take_all()}
+    assert rows[0]["text_out"] == "a b c d e f" and rows[0]["n_kept"] == 6
+    assert rows[1]["text_out"] == "z y" and rows[1]["n_kept"] == 2
+    assert rows[1]["n_tokens"] == 7
+    assert rows[2]["text_out"] == "unique words only here now"
+
+
+def test_substring_scrub_within_doc_and_protection(ray_session):
+    """A gram duplicated WITHIN one document scrubs its own repeat, and the
+    canonical span protects tokens even when a non-canonical span overlaps
+    them."""
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["a b c d e a b c d e"], pa.string()),
+    })
+    rows = dedup.substring_scrub(ray.data.from_arrow(tbl), k=5).take_all()
+    assert len(rows) == 1
+    # occurrences of "a b c d e" at pos 0 (canonical, protected) and pos 5
+    # (dropped); the in-between grams ("b c d e a", ...) are unique
+    assert rows[0]["text_out"] == "a b c d e"
+    assert rows[0]["n_tokens"] == 10 and rows[0]["n_kept"] == 5
