@@ -1565,7 +1565,7 @@ def neardup_against_index(new_ds, index_dir: str, threshold: float = 0.5):
     )
 
 
-def substring_scrub(documents_ds, k: int = 5):
+def substring_scrub(documents_ds, k: int = 5, hashed: bool = False):
     """Exact substring-duplication REMOVAL (the rewrite step of Lee et al.
     2022 — ``substring_dup_stats`` is the audit): every occurrence of a
     corpus-duplicated k-token window is removed except one canonical copy.
@@ -1589,8 +1589,15 @@ def substring_scrub(documents_ds, k: int = 5):
     rows and the flagged occurrences meet in a union + ONE groupby(doc_id)
     — no join, no broadcast, nothing driver-sized. Output: (doc_id,
     n_tokens, n_kept, text_out) for every doc with ≥ 1 token.
+
+    ``hashed=True`` is the 100-TB knob, as in ``substring_dup_stats``:
+    63-bit md5 gram keys (8 bytes/row) instead of the gram text — a
+    vanishing collision probability for a ~k× smaller shuffle;
+    equivalence-tested against exact string keys.
     """
     from .textstats import _lm_tokens
+
+    key_field = pa.int64() if hashed else pa.string()
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         grams, docs, poss = [], [], []
@@ -1598,12 +1605,15 @@ def substring_scrub(documents_ds, k: int = 5):
                                 batch.column("text").to_pylist()):
             tokens = _lm_tokens(text)
             for i in range(max(len(tokens) - k + 1, 0)):
-                grams.append(" ".join(tokens[i : i + k]))
+                gram = " ".join(tokens[i : i + k])
+                grams.append(
+                    (_md5_u64(gram) & 0x7FFFFFFFFFFFFFFF) if hashed else gram
+                )
                 docs.append(doc_id)
                 poss.append(i)
         return pa.table(
             {
-                "key": pa.array(grams, pa.string()),
+                "key": pa.array(grams, key_field),
                 "doc_id": pa.array(docs, pa.int64()),
                 "pos": pa.array(poss, pa.int64()),
             }

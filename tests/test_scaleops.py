@@ -377,3 +377,25 @@ def test_substring_scrub_within_doc_and_protection(ray_session):
     # (dropped); the in-between grams ("b c d e a", ...) are unique
     assert rows[0]["text_out"] == "a b c d e"
     assert rows[0]["n_tokens"] == 10 and rows[0]["n_kept"] == 5
+
+
+def test_substring_scrub_hashed_equivalence(ray_session):
+    """hashed=True (63-bit md5 gram keys — the small-shuffle 100-TB knob)
+    rewrites identically to exact string keys."""
+    import ray.data
+
+    texts = [
+        "a b c d e f g", "q a b c d e h", "x y z w v u t",
+        "x y z w v u t",  # whole-doc duplicate
+        "one two three four five six one two three four five six",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["n_kept"], r["text_out"])
+            for r in dedup.substring_scrub(ds, k=5, **kw).take_all())
+
+    assert rows(hashed=False) == rows(hashed=True)
