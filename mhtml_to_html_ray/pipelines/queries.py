@@ -2539,6 +2539,26 @@ def q_bpe_train_merges(sf_dir: str):
     return textstats.bpe_train(ds, n_merges=8)
 
 
+def q_curation_prep(sf_dir: str):
+    """Composed round-4 curation pipeline, fully oracled end to end:
+    CCNet perplexity gate (drop the tail third of each language) →
+    hashed-bigram classifier gate (keep positive scores) → Lee-et-al
+    substring scrub over the SURVIVORS (duplication is judged within the
+    curated corpus, matching the oracle's CTE chain). Each stage is an
+    already-verified operator; the gates compose as distributed semi
+    joins on doc_id — no driver-side id sets."""
+    from ..functions import joins
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    buckets = textstats.ccnet_bucket_scores(ds)
+    keep1 = buckets.filter(expr="bucket != 'tail'").select_columns(["doc_id"])
+    docs1 = joins.hash_join(ds, keep1, key="doc_id", how="semi")
+    cls = textstats.hashed_bigram_classifier(docs1)
+    keep2 = cls.filter(expr="keep == True").select_columns(["doc_id"])
+    docs2 = joins.hash_join(docs1, keep2, key="doc_id", how="semi")
+    return _sorted_table(dedup.substring_scrub(docs2, k=5), ["doc_id"])
+
+
 def q_substring_scrub(sf_dir: str):
     """Exact substring-duplication removal (functions/dedup.substring_scrub):
     every occurrence of a corpus-duplicated 5-token window is dropped except
@@ -2615,6 +2635,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "hash_classifier": q_hash_classifier,
     "substring_scrub": q_substring_scrub,
+    "curation_prep": q_curation_prep,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
@@ -2627,7 +2648,6 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
-    "lang_distribution": q_lang_distribution,
     "embedding_topk": q_embedding_topk,
     "media_decode": q_media_decode,
     "extract_text": q_extract_text,
@@ -2639,6 +2659,7 @@ QUERIES = {
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "token_count": q_token_count,
+    "lang_distribution": q_lang_distribution,
     "embedding_label_stats": q_embedding_label_stats,
     "token_count_bpe": q_token_count_bpe,
     "stopword_stats": q_stopword_stats,
@@ -3841,6 +3862,112 @@ ORACLE_SQL = {
                     WHEN s.lm_score <= th.t2 THEN 'middle'
                     ELSE 'head' END AS bucket
         FROM scores s JOIN th USING (lang) ORDER BY s.doc_id
+    """,
+    "curation_prep": """
+        WITH tokens AS (
+            SELECT doc_id, lang, tok FROM (
+                SELECT doc_id, lang,
+                       UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        counts AS (
+            SELECT lang, tok, COUNT(*) AS n FROM tokens GROUP BY lang, tok),
+        totals AS (SELECT lang, SUM(n) AS t FROM counts GROUP BY lang),
+        scores AS (
+            SELECT tokens.doc_id, tokens.lang,
+                   ROUND(SUM(LN(counts.n / totals.t)) / COUNT(*), 6)
+                       AS lm_score
+            FROM tokens
+            JOIN counts USING (lang, tok)
+            JOIN totals USING (lang)
+            GROUP BY tokens.doc_id, tokens.lang
+        ),
+        th AS (
+            SELECT lang, quantile_disc(lm_score, 1.0/3) AS t1
+            FROM scores GROUP BY lang
+        ),
+        docs1 AS (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN scores s USING (doc_id)
+            JOIN th ON th.lang = s.lang
+            WHERE s.lm_score > th.t1
+        ),
+        arr1 AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM docs1
+        ),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST([a[i] || ' ' || a[i+1]
+                           FOR i IN generate_series(1, len(a)-1)]) AS bg
+            FROM arr1 WHERE len(a) >= 2
+        ),
+        cls AS (
+            SELECT doc_id,
+                   SUM((CAST(concat('0x', substr(md5(bg), 1, 8))
+                             AS BIGINT) % 64) - 32) AS score_sum
+            FROM bg GROUP BY doc_id
+        ),
+        docs2 AS (
+            SELECT d.doc_id, d.text FROM docs1 d
+            JOIN cls USING (doc_id) WHERE cls.score_sum > 0
+        ),
+        arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM docs2
+        ),
+        occ AS (
+            SELECT doc_id,
+                   UNNEST([array_to_string(a[i:i+4], ' ')
+                           FOR i IN generate_series(1, len(a)-4)]) AS gram,
+                   UNNEST(generate_series(1, len(a)-4)) AS pos
+            FROM arr WHERE len(a) >= 5
+        ),
+        dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+        docc AS (
+            SELECT occ.doc_id, occ.pos,
+                   ROW_NUMBER() OVER (PARTITION BY occ.gram
+                                      ORDER BY occ.doc_id, occ.pos) = 1
+                       AS canon
+            FROM occ JOIN dup USING (gram)
+        ),
+        tokpos AS (
+            SELECT doc_id, UNNEST(a) AS tok,
+                   UNNEST(generate_series(1, len(a))) AS p
+            FROM arr WHERE len(a) >= 1
+        ),
+        marks AS (
+            SELECT t.doc_id, t.p,
+                   BOOL_OR(NOT s.canon) AS hit_noncanon,
+                   BOOL_OR(s.canon) AS hit_canon
+            FROM tokpos t JOIN docc s
+              ON t.doc_id = s.doc_id AND t.p BETWEEN s.pos AND s.pos + 4
+            GROUP BY t.doc_id, t.p
+        ),
+        kept AS (
+            SELECT t.doc_id, t.p, t.tok
+            FROM tokpos t LEFT JOIN marks m
+              ON t.doc_id = m.doc_id AND t.p = m.p
+            WHERE m.p IS NULL OR NOT (m.hit_noncanon AND NOT m.hit_canon)
+        ),
+        cnt AS (
+            SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens
+            FROM arr WHERE len(a) >= 1
+        )
+        SELECT c.doc_id, c.n_tokens,
+               COALESCE(kc.n_kept, 0) AS n_kept,
+               COALESCE(kc.text_out, '') AS text_out
+        FROM cnt c LEFT JOIN (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_out
+            FROM kept GROUP BY doc_id
+        ) kc USING (doc_id)
+        ORDER BY c.doc_id
     """,
     "substring_scrub": """
         WITH arr AS (
