@@ -399,3 +399,54 @@ def test_substring_scrub_hashed_equivalence(ray_session):
             for r in dedup.substring_scrub(ds, k=5, **kw).take_all())
 
     assert rows(hashed=False) == rows(hashed=True)
+
+
+def test_substring_scrub_properties(ray_session):
+    """Algebraic properties on a collision-heavy corpus (tiny alphabet):
+    every output doc's tokens are an order-preserving subsequence of its
+    input; every duplicated 5-gram still appears at least once in the
+    rebuilt corpus (the kept canonical copy survives intact); docs whose
+    grams are all corpus-unique rebuild unchanged."""
+    import random
+
+    import ray.data
+
+    from mhtml_to_html_ray.functions.textstats import _lm_tokens
+
+    rng = random.Random(42)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c"])
+                 for _ in range(rng.randint(1, 24)))
+        for _ in range(30)
+    ] + ["q w e r t y u i o p"]  # an all-unique doc
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = {r["doc_id"]: r for r in
+           dedup.substring_scrub(ray.data.from_arrow(tbl), k=5).take_all()}
+
+    # reference gram census
+    from collections import Counter
+    gram_count: Counter = Counter()
+    doc_tokens = {}
+    for i, text in enumerate(texts):
+        toks = _lm_tokens(text)
+        doc_tokens[i] = toks
+        for j in range(max(len(toks) - 4, 0)):
+            gram_count[" ".join(toks[j:j+5])] += 1
+    dup_grams = {g for g, n in gram_count.items() if n >= 2}
+
+    rebuilt_all = " \x00 ".join(out[i]["text_out"] for i in sorted(out))
+    for doc_id, toks in doc_tokens.items():
+        row = out[doc_id]
+        kept = row["text_out"].split() if row["text_out"] else []
+        # subsequence check
+        it = iter(toks)
+        assert all(any(t == k for t in it) for k in kept), \
+            f"doc {doc_id}: output is not a subsequence"
+        assert row["n_kept"] == len(kept) and row["n_tokens"] == len(toks)
+        # untouched docs rebuild identically
+        grams = {" ".join(toks[j:j+5]) for j in range(max(len(toks)-4, 0))}
+        if not (grams & dup_grams):
+            assert kept == toks
+    for gram in dup_grams:
+        assert gram in rebuilt_all, f"duplicated gram vanished: {gram!r}"
