@@ -136,3 +136,51 @@ def discover(body: bytes, base_url: str | None, mode: str,
     if mode == "both":
         return discover_subresources(body, base_url) + discover_hyperlinks(body, base_url)
     return DISCOVERY_MODES[mode](body, base_url)
+
+
+def discover_anchor_texts(body: bytes,
+                          base_url: str | None = None) -> list[tuple[str, str]]:
+    """(resolved href, anchor text) pairs for every a/area with an href, in
+    the same breadth-first walk order as ``discover_hyperlinks`` — the raw
+    relation an anchor-text corpus (link-graph training data, anchor-based
+    retrieval labels) aggregates. Anchor text is the element's direct text
+    content (the common plain-text-anchor case; nested markup anchors keep
+    only their top-level text nodes)."""
+    from ..kernel.urlutil import resolve_path
+
+    try:
+        mhtml = parse(body)
+        index = mhtml.index
+        if index is None:
+            first = next(iter(mhtml.resources.values()), None)
+            index = first.id if first is not None else None
+        resource = mhtml.resources.get(index) if index is not None else None
+        if resource is None:
+            return []
+        from ..kernel.mime import get_resource_dom
+
+        content_type = resource.content_type.split(";")[0] if resource.content_type else None
+        dom = get_resource_dom(resource, content_type)
+    except Exception:
+        return []
+    base = base_url or (index if isinstance(index, str) else None)
+    out: list[tuple[str, str]] = []
+    nodes = [dom.document]
+    cursor = 0
+    while cursor < len(nodes):
+        node = nodes[cursor]
+        cursor += 1
+        if node.child_nodes is None:
+            continue
+        for child in node.child_nodes:
+            if isinstance(child, Element):
+                if child.tag_name in ("a", "area"):
+                    href = child.get_attribute("href")
+                    if href:
+                        resolved = resolve_path(href, base)
+                        if resolved.startswith(("http:", "https:")):
+                            out.append((resolved, child.text_content))
+                if child.content is not None:
+                    nodes.append(child.content)
+            nodes.append(child)
+    return out

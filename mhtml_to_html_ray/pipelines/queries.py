@@ -2539,6 +2539,76 @@ def q_bpe_train_merges(sf_dir: str):
     return textstats.bpe_train(ds, n_merges=8)
 
 
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text corpus off the REAL MIME+DOM walk: each document
+    synthesizes into an MHTML page carrying two deterministic hyperlinks
+    (next: doc_id+1; hub: (doc_id*7+3) mod 1000); the engine parses every
+    archive with the production kernel (frontier/discovery.py
+    discover_anchor_texts — the same walk crawl discovery uses), flattens
+    (target, anchor) pairs and folds them per target with an ordered join.
+    The oracle predicts the link relation arithmetically — a hash match
+    proves archive synthesis, MIME parse, DOM walk, href extraction and
+    text-node capture all round-trip."""
+    import ray.data
+
+    from ..frontier.discovery import discover_anchor_texts
+    from .flagship import PAGE_URL_PREFIX
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        from .flagship import _BOUNDARY
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        pages = []
+        for d in doc_ids:
+            nxt, hub = d + 1, (d * 7 + 3) % 1000
+            body = (
+                f"<html><head><title>doc-{d}</title></head><body>"
+                f'<p><a href="{PAGE_URL_PREFIX}{nxt}">next doc-{nxt}</a></p>'
+                f'<p><a href="{PAGE_URL_PREFIX}{hub}">hub doc-{hub}</a></p>'
+                f"</body></html>"
+            )
+            pages.append((
+                f"MIME-Version: 1.0\r\n"
+                f'Content-Type: multipart/related; boundary="{_BOUNDARY}"\r\n\r\n'
+                f"--{_BOUNDARY}\r\n"
+                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"Content-Transfer-Encoding: 8bit\r\n"
+                f"Content-Location: {PAGE_URL_PREFIX}{d}\r\n\r\n"
+                f"{body}\r\n"
+                f"--{_BOUNDARY}--\r\n"
+            ).encode("utf-8"))
+        return pa.table({"html": pa.array(pages, pa.binary())})
+
+    def links(batch: pa.Table) -> pa.Table:
+        targets, anchors = [], []
+        for body in batch.column("html").to_pylist():
+            for href, text in discover_anchor_texts(body):
+                targets.append(href)
+                anchors.append(text)
+        return pa.table({"target_url": pa.array(targets, pa.string()),
+                         "anchor": pa.array(anchors, pa.string())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        anchors = sorted(group.column("anchor").to_pylist())
+        return pa.table(
+            {
+                "target_url": group.column("target_url")[:1],
+                "n_anchors": pa.array([len(anchors)], pa.int64()),
+                "anchors": pa.array(["|".join(anchors)], pa.string()),
+            }
+        )
+
+    out = (
+        ds.map_batches(synthesize, batch_format="pyarrow")
+        .map_batches(links, batch_format="pyarrow")
+        .groupby("target_url")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return _sorted_table(out, ["target_url"])
+
+
 def q_curation_prep(sf_dir: str):
     """Composed round-4 curation pipeline, fully oracled end to end:
     CCNet perplexity gate (drop the tail third of each language) →
@@ -2636,6 +2706,7 @@ QUERIES = {
     "hash_classifier": q_hash_classifier,
     "substring_scrub": q_substring_scrub,
     "curation_prep": q_curation_prep,
+    "anchor_texts": q_anchor_texts,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
@@ -2649,7 +2720,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_topk": q_embedding_topk,
-    "media_decode": q_media_decode,
     "extract_text": q_extract_text,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
     "extract_charset_title": q_extract_charset_title,
@@ -2659,6 +2729,7 @@ QUERIES = {
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "token_count": q_token_count,
+    "media_decode": q_media_decode,
     "lang_distribution": q_lang_distribution,
     "embedding_label_stats": q_embedding_label_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -3862,6 +3933,22 @@ ORACLE_SQL = {
                     WHEN s.lm_score <= th.t2 THEN 'middle'
                     ELSE 'head' END AS bucket
         FROM scores s JOIN th USING (lang) ORDER BY s.doc_id
+    """,
+    "anchor_texts": """
+        WITH links AS (
+            SELECT 'https://docs.fixture.invalid/'
+                       || CAST(doc_id + 1 AS VARCHAR) AS target_url,
+                   'next doc-' || CAST(doc_id + 1 AS VARCHAR) AS anchor
+            FROM documents
+            UNION ALL
+            SELECT 'https://docs.fixture.invalid/'
+                       || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR),
+                   'hub doc-' || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR)
+            FROM documents
+        )
+        SELECT target_url, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               string_agg(anchor, '|' ORDER BY anchor) AS anchors
+        FROM links GROUP BY target_url ORDER BY target_url
     """,
     "curation_prep": """
         WITH tokens AS (

@@ -1216,3 +1216,38 @@ def test_sitemap_seed_over_cap_processes_first_batch(ray_session):
     # cap larger than the list: everything processed
     out_all = _sitemap_seed_urls(transport, [f"{origin}/"], max_sitemaps=64)
     assert out_all == [f"{origin}/p{i}" for i in range(5)]
+
+
+def test_discover_anchor_texts_pairs_and_filtering():
+    """(href, anchor text) pairs through the real MIME+DOM walk: plain and
+    nested anchors, area support, relative resolution against the archive's
+    Content-Location, and non-http(s) schemes filtered — same contract as
+    discover_hyperlinks plus the text capture."""
+    from mhtml_to_html_ray.frontier.discovery import (discover_anchor_texts,
+                                                      discover_hyperlinks)
+
+    body = (
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/related; boundary="B"\r\n\r\n'
+        b"--B\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Location: https://site.example/dir/page\r\n\r\n"
+        b'<html><body>'
+        b'<a href="https://site.example/x">plain text</a>'
+        b'<a href="rel">nested <b>bold</b> tail</a>'
+        b'<a href="mailto:a@b.invalid">mail</a>'
+        b'<area href="/top">area label</area>'
+        b'<a>no href</a>'
+        b"</body></html>\r\n"
+        b"--B--\r\n"
+    )
+    pairs = discover_anchor_texts(body)
+    assert pairs == [
+        ("https://site.example/x", "plain text"),
+        # direct text nodes only: the <b> child's text is not captured
+        ("https://site.example/dir/rel", "nested  tail"),
+        # <area> is a void element — "area label" parses as a SIBLING text
+        # node, so its anchor text is empty (spec-correct)
+        ("https://site.example/top", ""),
+    ]
+    assert [p[0] for p in pairs] == discover_hyperlinks(body)
