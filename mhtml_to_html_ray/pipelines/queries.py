@@ -2590,23 +2590,28 @@ def q_anchor_texts(sf_dir: str):
         return pa.table({"target_url": pa.array(targets, pa.string()),
                          "anchor": pa.array(anchors, pa.string())})
 
-    def fold(group: pa.Table) -> pa.Table:
-        anchors = sorted(group.column("anchor").to_pylist())
-        return pa.table(
-            {
-                "target_url": group.column("target_url")[:1],
-                "n_anchors": pa.array([len(anchors)], pa.int64()),
-                "anchors": pa.array(["|".join(anchors)], pa.string()),
-            }
-        )
-
     out = (
         ds.map_batches(synthesize, batch_format="pyarrow")
         .map_batches(links, batch_format="pyarrow")
         .groupby("target_url")
-        .map_groups(fold, batch_format="pyarrow")
+        .map_groups(_fold_anchor_group, batch_format="pyarrow")
     )
     return _sorted_table(out, ["target_url"])
+
+
+def _fold_anchor_group(group: pa.Table, cap: int = 64) -> pa.Table:
+    """Per-target anchor fold: n_anchors counts every inlink; the joined
+    sample keeps the first ``cap`` in anchor order — web-scale hubs have
+    millions of inlinks and an uncapped join column would be row-sized in
+    them (the oracle restates the cap with ROW_NUMBER() <= 64)."""
+    anchors = sorted(group.column("anchor").to_pylist())
+    return pa.table(
+        {
+            "target_url": group.column("target_url")[:1],
+            "n_anchors": pa.array([len(anchors)], pa.int64()),
+            "anchors": pa.array(["|".join(anchors[:cap])], pa.string()),
+        }
+    )
 
 
 def q_curation_prep(sf_dir: str):
@@ -3946,9 +3951,16 @@ ORACLE_SQL = {
                    'hub doc-' || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR)
             FROM documents
         )
+        , ranked AS (
+            SELECT target_url, anchor,
+                   ROW_NUMBER() OVER (PARTITION BY target_url
+                                      ORDER BY anchor) AS rn
+            FROM links
+        )
         SELECT target_url, CAST(COUNT(*) AS BIGINT) AS n_anchors,
-               string_agg(anchor, '|' ORDER BY anchor) AS anchors
-        FROM links GROUP BY target_url ORDER BY target_url
+               string_agg(anchor, '|' ORDER BY anchor)
+                   FILTER (WHERE rn <= 64) AS anchors
+        FROM ranked GROUP BY target_url ORDER BY target_url
     """,
     "curation_prep": """
         WITH tokens AS (

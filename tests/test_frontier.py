@@ -1251,3 +1251,42 @@ def test_discover_anchor_texts_pairs_and_filtering():
         ("https://site.example/top", ""),
     ]
     assert [p[0] for p in pairs] == discover_hyperlinks(body)
+
+
+def test_anchor_texts_query_caps_hub_joins(ray_session):
+    """The anchor_texts fold counts every inlink but joins only the first
+    64 anchors in sorted order — the web-scale-hub bound — and the oracle's
+    ROW_NUMBER restatement agrees at the boundary (100-inlink hub)."""
+    import duckdb
+    import pyarrow as pa
+
+    from mhtml_to_html_ray.pipelines.queries import _fold_anchor_group
+
+    group = pa.table({
+        "target_url": pa.array(["https://hub.example/"] * 100, pa.string()),
+        "anchor": pa.array([f"anchor-{i:03d}" for i in range(100)][::-1],
+                           pa.string()),
+    })
+    folded = _fold_anchor_group(group)
+    anchors_sorted = sorted(group.column("anchor").to_pylist())
+    assert folded.column("n_anchors")[0].as_py() == 100
+    assert folded.column("anchors")[0].as_py() == "|".join(anchors_sorted[:64])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE links AS SELECT 'https://hub.example/' AS target_url, "
+        "'anchor-' || lpad(CAST(i AS VARCHAR), 3, '0') AS anchor "
+        "FROM generate_series(0, 99) t(i)")
+    got = con.execute("""
+        WITH ranked AS (
+            SELECT target_url, anchor,
+                   ROW_NUMBER() OVER (PARTITION BY target_url
+                                      ORDER BY anchor) AS rn
+            FROM links)
+        SELECT CAST(COUNT(*) AS BIGINT),
+               string_agg(anchor, '|' ORDER BY anchor)
+                   FILTER (WHERE rn <= 64)
+        FROM ranked GROUP BY target_url
+    """).fetchone()
+    assert got[0] == folded.column("n_anchors")[0].as_py()
+    assert got[1] == folded.column("anchors")[0].as_py()
