@@ -53,45 +53,9 @@ def discover_subresources(body: bytes, base_url: str | None = None) -> list[str]
 
 def discover_hyperlinks(body: bytes, base_url: str | None = None) -> list[str]:
     """a/area hrefs in breadth-first walk order (the convert walk's order),
-    absolute http/https only, document-order deterministic."""
-    from ..kernel.urlutil import resolve_path
-
-    try:
-        mhtml = parse(body)
-        index = mhtml.index
-        if index is None:
-            first = next(iter(mhtml.resources.values()), None)
-            index = first.id if first is not None else None
-        resource = mhtml.resources.get(index) if index is not None else None
-        if resource is None:
-            return []
-        from ..kernel.mime import get_resource_dom
-
-        content_type = resource.content_type.split(";")[0] if resource.content_type else None
-        dom = get_resource_dom(resource, content_type)
-    except Exception:
-        return []
-    base = base_url or (index if isinstance(index, str) else None)
-    out: list[str] = []
-    nodes = [dom.document]
-    cursor = 0
-    while cursor < len(nodes):
-        node = nodes[cursor]
-        cursor += 1
-        if node.child_nodes is None:
-            continue
-        for child in node.child_nodes:
-            if isinstance(child, Element):
-                if child.tag_name in ("a", "area"):
-                    href = child.get_attribute("href")
-                    if href:
-                        resolved = resolve_path(href, base)
-                        if resolved.startswith(("http:", "https:")):
-                            out.append(resolved)
-                if child.content is not None:
-                    nodes.append(child.content)
-            nodes.append(child)
-    return out
+    absolute http/https only, document-order deterministic. One walk shared
+    with ``discover_anchor_texts`` so the two can never diverge."""
+    return [href for href, _ in discover_anchor_texts(body, base_url)]
 
 
 def discover_css_references(body: bytes, base_url: str | None) -> list[str]:

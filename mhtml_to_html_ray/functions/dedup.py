@@ -1594,6 +1594,13 @@ def substring_scrub(documents_ds, k: int = 5, hashed: bool = False):
     63-bit md5 gram keys (8 bytes/row) instead of the gram text — a
     vanishing collision probability for a ~k× smaller shuffle;
     equivalence-tested against exact string keys.
+
+    NOTE: ``documents_ds`` is consumed TWICE (gram census + doc rebuild);
+    Ray re-executes lazy lineage per consumer, so pass a materialized
+    dataset when the upstream is more than a parquet read (a plain re-read
+    is usually cheaper than materializing the corpus into the object
+    store — the composed ``curation_prep`` materializes its gated
+    survivors for exactly this reason).
     """
     from .textstats import _lm_tokens
 

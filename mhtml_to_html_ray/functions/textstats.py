@@ -660,7 +660,10 @@ def ccnet_bucket_scores(documents_ds, strategy: str = "auto"):
        (4 scalar columns per doc — bounded), broadcast back (n_langs × 2
        floats), vectorized CASE bucket assign.
 
-    Tokenless documents are absent (the oracle's join semantics). Higher
+    Tokenless documents are absent (the oracle's join semantics), and so
+    are NULL-lang documents — SQL's equijoin on lang never matches NULL, and
+    filtering them up front keeps the broadcast and join plans identical
+    instead of one crashing and the other silently dropping. Higher
     mean log-prob = lower perplexity, so ``head`` is the
     above-2/3-quantile stratum, ``tail`` the at-or-below-1/3 one.
     """
@@ -669,6 +672,11 @@ def ccnet_bucket_scores(documents_ds, strategy: str = "auto"):
 
     from .quantiles import exact_quantiles_by
 
+    def _drop_null_lang(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("lang")))
+
+    documents_ds = documents_ds.map_batches(_drop_null_lang,
+                                            batch_format="pyarrow")
     if strategy == "auto":
         strategy = "join" if documents_ds.count() > 200_000 else "broadcast"
     if strategy == "join":

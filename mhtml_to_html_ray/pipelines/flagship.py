@@ -23,6 +23,22 @@ PAGE_URL_PREFIX = "https://docs.fixture.invalid/"
 _BOUNDARY = "----=_EngineDoc"
 
 
+def wrap_mhtml(doc_id: int, body_html: str) -> bytes:
+    """The shared single-resource MHTML envelope every synthetic page uses
+    (flagship extraction, anchor-text corpus): one text/html part at
+    Content-Location PAGE_URL_PREFIX/<doc_id>."""
+    return (
+        f"MIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/related; boundary="{_BOUNDARY}"\r\n\r\n'
+        f"--{_BOUNDARY}\r\n"
+        f"Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Transfer-Encoding: 8bit\r\n"
+        f"Content-Location: {PAGE_URL_PREFIX}{doc_id}\r\n\r\n"
+        f"{body_html}\r\n"
+        f"--{_BOUNDARY}--\r\n"
+    ).encode("utf-8")
+
+
 def synthesize_page(doc_id: int, text: str, lang: str) -> bytes:
     """One deterministic MHTML archive per document row. The converted page's
     extracted text round-trips to ``text`` exactly (pre-escaped into a
@@ -32,16 +48,7 @@ def synthesize_page(doc_id: int, text: str, lang: str) -> bytes:
         f"<html><head><title>doc-{doc_id}</title></head>"
         f"<body><pre>{escaped}</pre></body></html>"
     )
-    return (
-        f"MIME-Version: 1.0\r\n"
-        f'Content-Type: multipart/related; boundary="{_BOUNDARY}"\r\n\r\n'
-        f"--{_BOUNDARY}\r\n"
-        f"Content-Type: text/html; charset=utf-8\r\n"
-        f"Content-Transfer-Encoding: 8bit\r\n"
-        f"Content-Location: {PAGE_URL_PREFIX}{doc_id}\r\n\r\n"
-        f"{body}\r\n"
-        f"--{_BOUNDARY}--\r\n"
-    ).encode("utf-8")
+    return wrap_mhtml(doc_id, body)
 
 
 def synthesize_pages_batch(batch: pa.Table) -> pa.Table:

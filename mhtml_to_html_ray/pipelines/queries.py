@@ -2549,16 +2549,12 @@ def q_anchor_texts(sf_dir: str):
     The oracle predicts the link relation arithmetically — a hash match
     proves archive synthesis, MIME parse, DOM walk, href extraction and
     text-node capture all round-trip."""
-    import ray.data
-
     from ..frontier.discovery import discover_anchor_texts
-    from .flagship import PAGE_URL_PREFIX
+    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def synthesize(batch: pa.Table) -> pa.Table:
-        from .flagship import _BOUNDARY
-
         doc_ids = batch.column("doc_id").to_pylist()
         pages = []
         for d in doc_ids:
@@ -2569,16 +2565,7 @@ def q_anchor_texts(sf_dir: str):
                 f'<p><a href="{PAGE_URL_PREFIX}{hub}">hub doc-{hub}</a></p>'
                 f"</body></html>"
             )
-            pages.append((
-                f"MIME-Version: 1.0\r\n"
-                f'Content-Type: multipart/related; boundary="{_BOUNDARY}"\r\n\r\n'
-                f"--{_BOUNDARY}\r\n"
-                f"Content-Type: text/html; charset=utf-8\r\n"
-                f"Content-Transfer-Encoding: 8bit\r\n"
-                f"Content-Location: {PAGE_URL_PREFIX}{d}\r\n\r\n"
-                f"{body}\r\n"
-                f"--{_BOUNDARY}--\r\n"
-            ).encode("utf-8"))
+            pages.append(wrap_mhtml(d, body))
         return pa.table({"html": pa.array(pages, pa.binary())})
 
     def links(batch: pa.Table) -> pa.Table:
@@ -2630,7 +2617,10 @@ def q_curation_prep(sf_dir: str):
     docs1 = joins.hash_join(ds, keep1, key="doc_id", how="semi")
     cls = textstats.hashed_bigram_classifier(docs1)
     keep2 = cls.filter(expr="keep == True").select_columns(["doc_id"])
-    docs2 = joins.hash_join(docs1, keep2, key="doc_id", how="semi")
+    # substring_scrub consumes its input twice (gram census + doc rebuild);
+    # materialize the survivors so the gate lineage — ccnet scoring, the
+    # classifier, two hash joins — executes once, not twice
+    docs2 = joins.hash_join(docs1, keep2, key="doc_id", how="semi").materialize()
     return _sorted_table(dedup.substring_scrub(docs2, k=5), ["doc_id"])
 
 

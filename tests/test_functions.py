@@ -1696,3 +1696,20 @@ def test_ccnet_join_never_builds_broadcast_map(ray_session):
         rows = out.take_all()
     assert len(rows) == 4
     assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+
+
+def test_ccnet_null_lang_rows_dropped_by_both_strategies(ray_session):
+    """NULL-lang documents are absent from ccnet output under BOTH plans —
+    SQL's equijoin on lang never matches NULL; previously the broadcast
+    scorer crashed on them while the join scorer silently dropped them."""
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", None, "en", "en"], pa.string()),
+        "text": pa.array(["a b", "x y", "a c", "b c"], pa.string()),
+    })
+    docs = ray.data.from_arrow(tbl)
+    for strategy in ("broadcast", "join"):
+        rows = textstats.ccnet_bucket_scores(docs, strategy=strategy).take_all()
+        assert sorted(r["doc_id"] for r in rows) == [0, 2, 3], strategy
