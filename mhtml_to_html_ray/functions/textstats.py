@@ -1125,3 +1125,75 @@ def bpe_train(documents_ds, n_merges: int = 8):
             "n": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+def bpe_encode(documents_ds, merges, n_merges: int | None = None):
+    """Apply a trained BPE merge table (the output of ``bpe_train``) to the
+    corpus — the encode half of the tokenizer story. Each document's words
+    re-run the merges in rank order; the output is the per-document
+    BPE token count plus the whitespace word count (the compression the
+    learned vocabulary buys).
+
+    The merge table is broadcast once via ray.put (k rules — bytes, not a
+    vocabulary). Words are factorized per batch so each DISTINCT word is
+    encoded once per batch and its token count gathered back — Zipf makes
+    this ~10× fewer encodes than naive per-occurrence encoding.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    if not isinstance(merges, pa.Table):
+        raise TypeError("merges must be the pa.Table returned by bpe_train")
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    if n_merges is not None:
+        rules = rules[:n_merges]
+    rules_ref = ray.put(rules)
+
+    def encode_word(word: str, rules) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right in rules:
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return len(syms)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rules = ray.get(rules_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        words: list[str] = []
+        bounds: list[tuple[int, int]] = []
+        for text in batch.column("text").to_pylist():
+            tokens = _lm_tokens(text)
+            bounds.append((len(words), len(tokens)))
+            words.extend(tokens)
+        if words:
+            codes, uniques = pd.factorize(pd.Series(words))
+            unique_len = np.fromiter(
+                (encode_word(u, rules) for u in uniques),
+                dtype=np.int64, count=len(uniques),
+            )
+            word_tokens = unique_len[codes]
+        else:
+            word_tokens = np.array([], dtype=np.int64)
+        out_ids, out_words, out_bpe = [], [], []
+        for doc_id, (start, length) in zip(doc_ids, bounds):
+            out_ids.append(doc_id)
+            out_words.append(length)
+            out_bpe.append(int(word_tokens[start : start + length].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_words": pa.array(out_words, pa.int64()),
+                "n_bpe_tokens": pa.array(out_bpe, pa.int64()),
+            }
+        )
+
+    return documents_ds.map_batches(encode, batch_format="pyarrow")

@@ -2635,6 +2635,18 @@ def q_substring_scrub(sf_dir: str):
     return _sorted_table(dedup.substring_scrub(ds, k=5), ["doc_id"])
 
 
+def q_bpe_encode_counts(sf_dir: str):
+    """Train-then-encode tokenizer round trip: 8 BPE merges learned from the
+    corpus (functions/textstats.bpe_train), then applied back to it
+    (bpe_encode) — per-doc BPE token counts vs whitespace word counts, the
+    compression the learned vocabulary buys. Iterative training has no SQL
+    restatement (rows-only driver check); single-process encode parity is
+    pinned in tests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = textstats.bpe_train(ds, n_merges=8)
+    return _sorted_table(textstats.bpe_encode(ds, merges), ["doc_id"])
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet perplexity bucketing (functions/textstats.ccnet_bucket_scores):
     per-language unigram-LM scores, then head/middle/tail thirds by exact
@@ -2786,6 +2798,7 @@ QUERIES = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_counts": q_bpe_encode_counts,
 }
 
 

@@ -1713,3 +1713,51 @@ def test_ccnet_null_lang_rows_dropped_by_both_strategies(ray_session):
     for strategy in ("broadcast", "join"):
         rows = textstats.ccnet_bucket_scores(docs, strategy=strategy).take_all()
         assert sorted(r["doc_id"] for r in rows) == [0, 2, 3], strategy
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """Encoding with the trained merges reproduces a single-process
+    train-then-encode exactly: per-doc BPE token counts shrink as merges
+    apply, and words unseen at training time still encode (char fallback)."""
+    import ray.data
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide wide new",
+        "",  # tokenless doc: 0 words, 0 tokens
+    ]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    merges = textstats.bpe_train(docs, n_merges=6)
+    got = {r["doc_id"]: r for r in
+           textstats.bpe_encode(docs, merges).take_all()}
+
+    # single-process reference: replay the merge rules per distinct word
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+
+    def ref_encode(word):
+        syms = list(word) + ["</w>"]
+        for left, right in rules:
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return len(syms)
+
+    from mhtml_to_html_ray.functions.textstats import _lm_tokens
+    for doc_id, text in enumerate(texts):
+        toks = _lm_tokens(text)
+        assert got[doc_id]["n_words"] == len(toks)
+        assert got[doc_id]["n_bpe_tokens"] == sum(ref_encode(w) for w in toks)
+    # merges compress: "low" (3 chars + </w>) must encode in < 4 symbols
+    assert ref_encode("low") < 4
+    # unseen word still encodes via character fallback
+    docs2 = ray.data.from_arrow(_docs_table(["zzz unseen"]))
+    rows = textstats.bpe_encode(docs2, merges).take_all()
+    assert rows[0]["n_bpe_tokens"] == sum(ref_encode(w) for w in ("zzz", "unseen"))
