@@ -557,3 +557,135 @@ def index_stats(index_dir: str):
         .aggregate(Count(on="doc_id", alias_name="df"),
                    Sum("tf", alias_name="total_tf"))
     )
+
+
+def more_like_this(documents_ds, probe_ids, k: int = 10):
+    """Sparse tf-idf retrieval with DOCUMENTS as queries ("more like
+    this"): for each probe document, the top-k other documents ranked by
+    the tf-idf dot product over shared tokens — per-term contributions
+    rounded to integer micros (the bm25_topk convention) so per-pair sums
+    are shuffle-order-free and the DuckDB oracle is bit-equal.
+
+    Scale shape: the probe side is a handful of documents, so its postings
+    and their idfs are driver-small by construction — broadcast once via
+    ray.put, never a vocabulary. Three corpus passes: (1) probe postings
+    (filtered per batch, almost nothing emitted); (2) dfs for PROBE tokens
+    only (broadcast token set) + the n_docs sentinel, one groupby; (3)
+    contributions accumulate per (probe, other) inside each batch, fold in
+    one groupby, rank per probe. Nothing vocab- or corpus-sized lands on
+    the driver.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .rounding import round_half_away
+
+    probe_set = frozenset(int(p) for p in probe_ids)
+
+    def probe_postings(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.is_in(batch.column("doc_id"),
+                     value_set=pa.array(sorted(probe_set), pa.int64())))
+        doc_arr, tok_arr, tf_arr = _doc_token_tf(sub)
+        return pa.table(
+            {
+                "probe": pa.array([int(d) for d in doc_arr], pa.int64()),
+                "tok": pa.array(list(tok_arr), pa.string()),
+                "tf": pa.array([int(f) for f in tf_arr], pa.int64()),
+            }
+        )
+
+    # pass 1: probe postings — a handful of docs, driver-small by design
+    probe_tf: dict[str, list[tuple[int, int]]] = {}
+    for row in documents_ds.map_batches(
+            probe_postings, batch_format="pyarrow").take_all():
+        probe_tf.setdefault(row["tok"], []).append((row["probe"], row["tf"]))
+    probe_toks_ref = ray.put(frozenset(probe_tf))
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        # df partials ONLY for probe tokens (broadcast set), plus the
+        # n_docs sentinel — nothing vocab-sized ever shuffles or collects
+        wanted = ray.get(probe_toks_ref)
+        doc_arr, tok_arr, _ = _doc_token_tf(batch)
+        toks: list = [""]
+        dfs = [len(np.unique(doc_arr))]
+        for t in tok_arr:
+            if t in wanted:
+                toks.append(t)
+                dfs.append(1)
+        return pa.table({"tok": pa.array(toks, pa.string()),
+                         "df": pa.array(dfs, pa.int64())})
+
+    # pass 2: probe-token dfs + n_docs — n_probe_tokens rows on the driver
+    n_docs = 0
+    df_by_tok: dict[str, int] = {}
+    for row in (documents_ds.map_batches(df_partials, batch_format="pyarrow")
+                .groupby("tok")
+                .aggregate(Sum("df", alias_name="df"))
+                .take_all()):
+        if row["tok"] == "":
+            n_docs = row["df"]
+        else:
+            df_by_tok[row["tok"]] = row["df"]
+    # idf^2 per probe token with the same LN both sides use
+    weights = {
+        tok: [(p, math.log(n_docs / df_by_tok[tok])
+               * math.log(n_docs / df_by_tok[tok]) * tf_p)
+              for p, tf_p in plist]
+        for tok, plist in probe_tf.items()
+    }
+    weights_ref = ray.put(weights)
+
+    def contributions(batch: pa.Table) -> pa.Table:
+        table = ray.get(weights_ref)
+        doc_arr, tok_arr, tf_arr = _doc_token_tf(batch)
+        acc: dict[tuple[int, int], int] = {}
+        for d, t, f in zip(doc_arr, tok_arr, tf_arr):
+            plist = table.get(t)
+            if plist is None:
+                continue
+            other = int(d)
+            for p, w in plist:
+                if p == other:
+                    continue
+                m = int(round_half_away(w * int(f) * 1_000_000.0, 0))
+                key = (p, other)
+                acc[key] = acc.get(key, 0) + m
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                "probe_doc": pa.array([a for a, _ in keys], pa.int64()),
+                "doc_id": pa.array([b for _, b in keys], pa.int64()),
+                "score_micros": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    def rank_probe(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("score_micros", "descending"),
+                              ("doc_id", "ascending")])
+        top = group.take(order[:k])
+        n = top.num_rows
+        return pa.table(
+            {
+                "probe_doc": top.column("probe_doc"),
+                "doc_id": top.column("doc_id"),
+                "score_micros": top.column("score_micros"),
+                "score": pc.divide(
+                    pc.cast(top.column("score_micros"), pa.float64()),
+                    pa.scalar(1_000_000.0)),
+                "rank": pa.array(range(1, n + 1), pa.int64()),
+            }
+        )
+
+    return (
+        documents_ds.map_batches(contributions, batch_format="pyarrow")
+        .groupby(["probe_doc", "doc_id"])
+        .aggregate(Sum("score_micros", alias_name="score_micros"))
+        .groupby("probe_doc")
+        .map_groups(rank_probe, batch_format="pyarrow")
+    )

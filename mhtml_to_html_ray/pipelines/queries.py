@@ -1919,6 +1919,17 @@ def q_langid(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_more_like_this(sf_dir: str):
+    """Sparse tf-idf retrieval with documents as queries
+    (functions/corpusstats.more_like_this): for probes {0, 100, 250}, the
+    top-10 other docs by the tf-idf dot product over shared tokens —
+    integer-micros per-term contributions (bm25 convention) so sums are
+    order-free and the oracle's ROW_NUMBER ranking is bit-equal."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = corpusstats.more_like_this(ds, probe_ids=[0, 100, 250], k=10)
+    return _sorted_table(out, ["probe_doc", "rank"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -2747,7 +2758,6 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_exact": q_dedup_exact,
-    "embedding_topk": q_embedding_topk,
     "extract_text": q_extract_text,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
     "extract_charset_title": q_extract_charset_title,
@@ -2755,9 +2765,11 @@ QUERIES = {
     "canonicalize_urls": q_canonicalize_urls,
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
+    "more_like_this": q_more_like_this,
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "token_count": q_token_count,
+    "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "media_decode": q_media_decode,
     "lang_distribution": q_lang_distribution,
@@ -3964,6 +3976,42 @@ ORACLE_SQL = {
                     WHEN s.lm_score <= th.t2 THEN 'middle'
                     ELSE 'head' END AS bucket
         FROM scores s JOIN th USING (lang) ORDER BY s.doc_id
+    """,
+    "more_like_this": """
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        probes(p) AS (VALUES (0), (100), (250)),
+        contrib AS (
+            SELECT tp.doc_id AS probe_doc, t2.doc_id AS doc_id,
+                   CAST(ROUND(
+                       LN(CAST(n.n AS DOUBLE) / df.df)
+                       * LN(CAST(n.n AS DOUBLE) / df.df)
+                       * tp.tf * t2.tf * 1000000.0, 0) AS BIGINT) AS m
+            FROM tf tp
+            JOIN probes ON tp.doc_id = probes.p
+            JOIN tf t2 ON t2.tok = tp.tok AND t2.doc_id != tp.doc_id
+            JOIN df ON df.tok = tp.tok
+            CROSS JOIN n
+        ),
+        scored AS (
+            SELECT probe_doc, doc_id, CAST(SUM(m) AS BIGINT) AS score_micros
+            FROM contrib GROUP BY probe_doc, doc_id
+        )
+        SELECT probe_doc, doc_id, score_micros,
+               score_micros / 1000000.0 AS score, rank
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY probe_doc
+                ORDER BY score_micros DESC, doc_id
+            ) AS BIGINT) AS rank FROM scored
+        ) WHERE rank <= 10 ORDER BY probe_doc, rank
     """,
     "anchor_texts": """
         WITH links AS (

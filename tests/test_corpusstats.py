@@ -298,3 +298,27 @@ def test_document_frequencies_ds_matches_dict(ray_session):
     got = {row["tok"]: row["df"] for row in df_ds.take_all()}
     want_map, want_n = corpusstats.document_frequencies(_docs_ds(TEXTS))
     assert got == want_map and n_docs == want_n
+
+
+def test_more_like_this_ranks_shared_rare_tokens(ray_session):
+    """Doc similarity by tf-idf dot product: the probe prefers the doc
+    sharing its RARE token over the doc sharing only a common one; the
+    probe itself is excluded; k bounds each group."""
+    rows = corpusstats.more_like_this(
+        _docs_ds([
+            "zebra common common",      # 0: probe
+            "zebra common",             # 1: shares rare 'zebra' + common
+            "common common common",     # 2: shares only 'common'
+            "unrelated words here",     # 3: no overlap
+        ]),
+        probe_ids=[0], k=2,
+    ).take_all()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert all(r["probe_doc"] == 0 for r in rows)
+    assert rows[0]["score_micros"] > rows[1]["score_micros"] >= 0
+    # idf('common') = ln(4/3) enters squared, times tf on both sides
+    import math
+    idf_z, idf_c = math.log(4 / 2), math.log(4 / 3)
+    exp_doc1 = round(idf_z * idf_z * 1 * 1 * 1e6) + round(idf_c * idf_c * 2 * 1 * 1e6)
+    assert rows[0]["score_micros"] == exp_doc1
