@@ -604,21 +604,28 @@ def more_like_this(documents_ds, probe_ids, k: int = 10):
     for row in documents_ds.map_batches(
             probe_postings, batch_format="pyarrow").take_all():
         probe_tf.setdefault(row["tok"], []).append((row["probe"], row["tf"]))
-    probe_toks_ref = ray.put(frozenset(probe_tf))
+    # a sorted LIST, not a set: np.isin compares elementwise against a set
+    # OBJECT instead of its members, silently matching nothing
+    probe_toks_ref = ray.put(sorted(probe_tf))
 
     def df_partials(batch: pa.Table) -> pa.Table:
-        # df partials ONLY for probe tokens (broadcast set), plus the
-        # n_docs sentinel — nothing vocab-sized ever shuffles or collects
+        # df partials ONLY for probe tokens (broadcast set), folded to at
+        # most n_probe_tokens rows per batch, plus the n_docs sentinel —
+        # nothing vocab-sized ever shuffles or collects
+        import pandas as pd
+
         wanted = ray.get(probe_toks_ref)
         doc_arr, tok_arr, _ = _doc_token_tf(batch)
-        toks: list = [""]
-        dfs = [len(np.unique(doc_arr))]
-        for t in tok_arr:
-            if t in wanted:
-                toks.append(t)
-                dfs.append(1)
-        return pa.table({"tok": pa.array(toks, pa.string()),
-                         "df": pa.array(dfs, pa.int64())})
+        mask = np.isin(tok_arr, wanted)
+        counts = pd.Series(tok_arr[mask]).value_counts()
+        return pa.table(
+            {
+                "tok": pa.array([""] + list(counts.index), pa.string()),
+                "df": pa.array(
+                    [len(np.unique(doc_arr))]
+                    + [int(v) for v in counts.to_numpy()], pa.int64()),
+            }
+        )
 
     # pass 2: probe-token dfs + n_docs — n_probe_tokens rows on the driver
     n_docs = 0
@@ -643,13 +650,14 @@ def more_like_this(documents_ds, probe_ids, k: int = 10):
     def contributions(batch: pa.Table) -> pa.Table:
         table = ray.get(weights_ref)
         doc_arr, tok_arr, tf_arr = _doc_token_tf(batch)
+        # vectorized prefilter: almost no corpus token is a probe token, so
+        # drop non-matches with one np.isin before the Python scoring loop
+        # (the bm25 term_micros discipline)
+        mask = np.isin(tok_arr, sorted(table))
         acc: dict[tuple[int, int], int] = {}
-        for d, t, f in zip(doc_arr, tok_arr, tf_arr):
-            plist = table.get(t)
-            if plist is None:
-                continue
+        for d, t, f in zip(doc_arr[mask], tok_arr[mask], tf_arr[mask]):
             other = int(d)
-            for p, w in plist:
+            for p, w in table[t]:
                 if p == other:
                     continue
                 m = int(round_half_away(w * int(f) * 1_000_000.0, 0))

@@ -990,6 +990,22 @@ def hashed_bigram_classifier(documents_ds, n_buckets: int = 64):
     return documents_ds.map_batches(score, batch_format="pyarrow")
 
 
+def _apply_bpe_merge(syms: list, left: str, right: str) -> list:
+    """One BPE merge rule applied left-to-right over a symbol sequence —
+    THE merge semantics, shared by training (bpe_train's per-round rewrite)
+    and encoding (bpe_encode's replay) so the two can never drift."""
+    merged = left + right
+    i, new = 0, []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            new.append(merged)
+            i += 2
+        else:
+            new.append(syms[i])
+            i += 1
+    return new
+
+
 def bpe_train(documents_ds, n_merges: int = 8):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the
     iterative merge loop, run over the corpus's DISTINCT-WORD working set.
@@ -1089,23 +1105,12 @@ def bpe_train(documents_ds, n_merges: int = 8):
         best = min(candidates, key=lambda r: (-r["n"], r["left"], r["right"]))
         left, right = best["left"], best["right"]
         merges.append((rank, left, right, int(best["n"])))
-        merged_sym = left + right
 
-        def apply_merge(batch: pa.Table, left=left, right=right,
-                        merged_sym=merged_sym) -> pa.Table:
-            out: list[list[str]] = []
-            for syms in batch.column("syms").to_pylist():
-                i = 0
-                new: list[str] = []
-                while i < len(syms):
-                    if (i + 1 < len(syms) and syms[i] == left
-                            and syms[i + 1] == right):
-                        new.append(merged_sym)
-                        i += 2
-                    else:
-                        new.append(syms[i])
-                        i += 1
-                out.append(new)
+        def apply_merge(batch: pa.Table, left=left, right=right) -> pa.Table:
+            out = [
+                _apply_bpe_merge(syms, left, right)
+                for syms in batch.column("syms").to_pylist()
+            ]
             return pa.table(
                 {
                     "syms": pa.array(out, pa.list_(pa.string())),
@@ -1154,15 +1159,7 @@ def bpe_encode(documents_ds, merges, n_merges: int | None = None):
     def encode_word(word: str, rules) -> int:
         syms = list(word) + ["</w>"]
         for left, right in rules:
-            i, new = 0, []
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    new.append(left + right)
-                    i += 2
-                else:
-                    new.append(syms[i])
-                    i += 1
-            syms = new
+            syms = _apply_bpe_merge(syms, left, right)
         return len(syms)
 
     def encode(batch: pa.Table) -> pa.Table:

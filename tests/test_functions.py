@@ -1761,3 +1761,25 @@ def test_bpe_encode_matches_reference(ray_session):
     docs2 = ray.data.from_arrow(_docs_table(["zzz unseen"]))
     rows = textstats.bpe_encode(docs2, merges).take_all()
     assert rows[0]["n_bpe_tokens"] == sum(ref_encode(w) for w in ("zzz", "unseen"))
+
+
+def test_bpe_encode_hand_computed_fixed_rules(ray_session):
+    """Independent pin of the merge-replay semantics (not a clone of the
+    implementation): a FIXED hand-written merge table with hand-computed
+    expected token counts, including a word-final </w> merge."""
+    import ray.data
+
+    merges = pa.table({
+        "rank": pa.array([0, 1, 2], pa.int64()),
+        "left": pa.array(["l", "lo", "low"], pa.string()),
+        "right": pa.array(["o", "w", "</w>"], pa.string()),
+        "n": pa.array([9, 9, 9], pa.int64()),
+    })
+    docs = ray.data.from_arrow(_docs_table(["low lower lot ox"]))
+    rows = textstats.bpe_encode(docs, merges).take_all()
+    # "low"   → l o w </w> → lo w </w> → low </w> → low</w>      = 1
+    # "lower" → l o w e r </w> → lo w e r </w> → low e r </w>    = 4
+    # "lot"   → l o t </w> → lo t </w> (no further rule)         = 3
+    # "ox"    → o x </w> (no rule matches)                       = 3
+    assert rows[0]["n_words"] == 4
+    assert rows[0]["n_bpe_tokens"] == 1 + 4 + 3 + 3
