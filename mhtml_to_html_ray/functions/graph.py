@@ -28,6 +28,165 @@ import numpy as np
 import pyarrow as pa
 
 
+def hits_units(edges_ds, n_iter: int = 2, src: str = "src",
+               dst: str = "dst"):
+    """Integer fixed-point HITS (Kleinberg 1999) hubs-and-authorities over
+    an edge Dataset, under the same determinism contract as
+    :func:`pagerank_units` — all arithmetic is exact integers, so the
+    iterative result is bit-identical across any shuffle order and a SQL
+    engine restates it verbatim.
+
+    Per full iteration t (classic HITS with sum-normalization instead of
+    L2, which keeps the arithmetic integral):
+
+    * a_t(v)  = Σ_{u→v} h_{t-1}(u)           (authority from hub mass)
+    * a'_t    = (a_t * T) // Σ_v a_t(v)      (rescale to total mass T)
+    * h_t(u)  = Σ_{u→v} a'_t(v)              (hub from authority mass)
+    * h'_t    = (h_t * T) // Σ_u h_t(u)
+
+    with T = 10**12 and h'_0 = T // N for every node. Parallel edges count
+    with multiplicity (a multigraph contract, same as the reference
+    scheduler counting repeated links per wave). The a*T products exceed
+    int64, so the node-sized rescale step runs in Python big-int space
+    (the oracle's CAST(.. AS HUGEINT) is the same widening); everything
+    edge-sized stays int64 numpy.
+
+    Each superstep is two distributed equijoins (edges ⋈ scores) + two
+    node-keyed groupbys; the only driver-resident values are the two scalar
+    mass sums per iteration. Returns a Dataset of
+    (node, auth_units, hub_units), one row per endpoint node.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    unit = 10 ** 12
+
+    def normalize_edges(batch: pa.Table) -> pa.Table:
+        if batch.column(src).null_count or batch.column(dst).null_count:
+            raise ValueError("hits_units: null edge endpoint")
+        return pa.table({
+            "src": batch.column(src).cast(pa.int64()),
+            "dst": batch.column(dst).cast(pa.int64()),
+        })
+
+    # materialized once: re-read every superstep (2 joins each)
+    edges = (
+        edges_ds.select_columns([src, dst])
+        .map_batches(normalize_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def endpoint_nodes(batch: pa.Table) -> pa.Table:
+        both = np.unique(np.concatenate([
+            batch.column("src").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"node": pa.array(both, pa.int64()),
+                         "one": pa.array(np.zeros(len(both), np.int64))})
+
+    nodes = (
+        edges.map_batches(endpoint_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("one", alias_name="_z"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "auth_units": pa.array([], pa.int64()),
+                          "hub_units": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    h0 = unit // n_nodes
+
+    def init_hubs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "score": pa.array(np.full(batch.num_rows, h0, np.int64)),
+        })
+
+    hubs = nodes.map_batches(init_hubs, batch_format="pyarrow").materialize()
+
+    def zero_scores(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "raw": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    zeros = nodes.map_batches(zero_scores, batch_format="pyarrow")
+
+    def propagate(score_ds, edge_key: str, out_key: str):
+        """Σ over edges of the neighbor's score: join edges to scores on
+        ``edge_key``, group the carried score by ``out_key``. Every node
+        appears via the zeros union (no-in-edge nodes score 0)."""
+        joined = hash_join(
+            edges.map_batches(
+                lambda b: pa.table({"node": b.column(edge_key),
+                                    "peer": b.column(out_key)}),
+                batch_format="pyarrow"),
+            score_ds, key="node")
+
+        def carried(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "raw": pa.array([], pa.int64())})
+            return pa.table({"node": batch.column("peer"),
+                             "raw": batch.column("score")})
+
+        return (
+            joined.map_batches(carried, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("node")
+            .aggregate(Sum("raw", alias_name="raw"))
+        )
+
+    def rescale(raw_ds):
+        """(raw * T) // Σraw per node. Python big-int per row — the table
+        is node-sized and the product exceeds int64 by design."""
+        total = raw_ds.sum("raw")
+        if not total:
+            # degenerate all-zero mass (no edges contributed)
+            return raw_ds.map_batches(
+                lambda b: pa.table({"node": b.column("node"),
+                                    "score": b.column("raw")}),
+                batch_format="pyarrow").materialize()
+
+        def scale(batch: pa.Table) -> pa.Table:
+            raws = batch.column("raw").to_pylist()
+            return pa.table({
+                "node": batch.column("node"),
+                "score": pa.array([(r * unit) // total for r in raws],
+                                  pa.int64()),
+            })
+
+        return raw_ds.map_batches(scale, batch_format="pyarrow").materialize()
+
+    auths = None
+    for _ in range(n_iter):
+        auths = rescale(propagate(hubs, "src", "dst"))
+        hubs = rescale(propagate(auths, "dst", "src"))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "auth_units": batch.column("score"),
+            "hub_units": batch.column("score_hub"),
+        })
+
+    paired = hash_join(
+        auths,
+        hubs.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "score_hub": b.column("score")}),
+            batch_format="pyarrow"),
+        key="node")
+    return paired.map_batches(merge, batch_format="pyarrow")
+
+
 def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
                    dst: str = "dst"):
     """Fixed-point PageRank (see module docstring). Returns a Dataset of

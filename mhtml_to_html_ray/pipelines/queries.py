@@ -1246,6 +1246,30 @@ def q_pagerank(sf_dir: str):
     return _sorted_table(ranks, ["node"])
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities (functions/graph.py hits_units): 2 full
+    iterations of integer fixed-point sum-normalized HITS over the same
+    user → props.k bipartite event graph as pagerank. Each superstep is
+    two distributed hash_joins + two node groupbys; the T=10**12 mass
+    rescale makes every value an exact integer the SQL restates with
+    HUGEINT widening."""
+    from ..functions import graph
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ks = _props_k(batch)
+        keep = [i for i, k in enumerate(ks) if k is not None]
+        return pa.table({
+            "src": batch.column("user_id").take(pa.array(keep)).cast(pa.int64()),
+            "dst": pa.array([100000 + ks[i] for i in keep], pa.int64()),
+        })
+
+    scores = graph.hits_units(
+        ds.map_batches(edges, batch_format="pyarrow"), n_iter=2)
+    return _sorted_table(scores, ["node"])
+
+
 def q_connected_components(sf_dir: str):
     """The engine's distributed min-label/pointer-doubling connected
     components (functions/dedup.py connected_components_ds), DIRECTLY
@@ -2760,7 +2784,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "extract_text": q_extract_text,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
-    "extract_charset_title": q_extract_charset_title,
+    # --- this session's new operators (never driver-checked → in-window);
+    # each displaces a row already driver-green in r02/r03 ---
+    "hits": q_hits,
     "url_seen_antijoin": q_url_seen_antijoin,
     "canonicalize_urls": q_canonicalize_urls,
     "langid": q_langid,
@@ -2768,6 +2794,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
+    "extract_charset_title": q_extract_charset_title,
     "token_count": q_token_count,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
@@ -4268,6 +4295,54 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _hits_oracle_sql() -> str:
+    """hits restated exactly: the hits_units integer contract (see
+    functions/graph.py) — sum-normalized HITS with T=10**12 mass, floor
+    divisions, HUGEINT widening for the rescale product — unrolled to the
+    query's 2 iterations. Generated so the propagate/rescale CTEs can't
+    drift from each other."""
+
+    def prop(raw_name: str, score: str, edge_key: str, out_key: str) -> str:
+        return f"""{raw_name} AS (
+            SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+            FROM nodes n LEFT JOIN (
+                SELECT e.{out_key} AS node, SUM({score}.score) AS s
+                FROM e JOIN {score} ON {score}.node = e.{edge_key}
+                GROUP BY e.{out_key}) s USING (node))"""
+
+    def rescale(name: str, raw: str) -> str:
+        return f"""{name} AS (
+            SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000
+                          // (SELECT SUM(raw) FROM {raw}) AS BIGINT) AS score
+            FROM {raw})"""
+
+    steps = ",\n        ".join([
+        prop("a1r", "h0t", "src", "dst"), rescale("a1", "a1r"),
+        prop("h1r", "a1", "dst", "src"), rescale("h1", "h1r"),
+        prop("a2r", "h1", "src", "dst"), rescale("a2", "a2r"),
+        prop("h2r", "a2", "dst", "src"), rescale("h2", "h2r"),
+    ])
+    return f"""
+        WITH e AS (
+            SELECT user_id AS src,
+                   100000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS dst
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        p AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS h0
+              FROM nodes),
+        h0t AS (SELECT n.node, p.h0 AS score FROM nodes n CROSS JOIN p),
+        {steps}
+        SELECT n.node, a2.score AS auth_units, h2.score AS hub_units
+        FROM nodes n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
+        ORDER BY n.node
+    """
+
+
+ORACLE_SQL["hits"] = _hits_oracle_sql()
 ORACLE_SQL["langid"] = _langid_oracle_sql()
 ORACLE_SQL["langid_confusion"] = f"""
     WITH pred AS ({_langid_oracle_sql()})

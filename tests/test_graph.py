@@ -100,3 +100,92 @@ def test_pagerank_empty_edges(ray_session):
 
     out = graph.pagerank_units(_edges_ds(ray, []), n_iter=2)
     assert out.take_all() == []
+
+
+def _hits_reference(pairs, n_iter):
+    """Single-process restatement of the hits_units integer contract."""
+    unit = 10 ** 12
+    nodes = set()
+    for a, b in pairs:
+        nodes.update((a, b))
+    hubs = {v: unit // len(nodes) for v in nodes}
+
+    def prop(score, forward):
+        out = {v: 0 for v in nodes}
+        for a, b in pairs:
+            if forward:
+                out[b] += score[a]
+            else:
+                out[a] += score[b]
+        return out
+
+    def rescale(raw):
+        s = sum(raw.values())
+        return dict(raw) if not s else {v: (r * unit) // s
+                                        for v, r in raw.items()}
+
+    auths = {}
+    for _ in range(n_iter):
+        auths = rescale(prop(hubs, True))
+        hubs = rescale(prop(auths, False))
+    return auths, hubs
+
+
+def test_hits_matches_reference(ray_session):
+    import ray
+
+    auths, hubs = _hits_reference(PAIRS, 2)
+    got = graph.hits_units(_edges_ds(ray, PAIRS), n_iter=2).take_all()
+    assert {r["node"]: r["auth_units"] for r in got} == auths
+    assert {r["node"]: r["hub_units"] for r in got} == hubs
+
+
+def test_hits_layout_independent_bit_exact(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    pairs = [(int(a), int(100 + b)) for a, b in
+             zip(rng.integers(0, 40, 500), rng.integers(0, 25, 500))]
+    key = lambda r: r["node"]
+    a = sorted(graph.hits_units(_edges_ds(ray, pairs), n_iter=2).take_all(),
+               key=key)
+    b = sorted(graph.hits_units(_edges_ds(ray, pairs, parts=9),
+                                n_iter=2).take_all(), key=key)
+    assert a == b
+    auths, hubs = _hits_reference(pairs, 2)
+    assert a == sorted(({"node": k, "auth_units": v, "hub_units": hubs[k]}
+                        for k, v in auths.items()), key=key)
+
+
+def test_hits_pure_hub_and_pure_authority(ray_session):
+    import ray
+
+    # star 1→{2,3}: node 1 is the only hub (auth 0), nodes 2/3 are pure
+    # authorities (hub 0); multiplicity doubles node 2's authority share
+    out = {r["node"]: r for r in graph.hits_units(
+        _edges_ds(ray, [(1, 2), (1, 2), (1, 3)]), n_iter=1).take_all()}
+    unit = 10 ** 12
+    assert out[1]["auth_units"] == 0
+    assert out[2]["hub_units"] == 0 and out[3]["hub_units"] == 0
+    # raw a1: node2 = 2*h0, node3 = h0 → rescaled to 2/3 and 1/3 of mass
+    assert out[2]["auth_units"] == (2 * (unit // 3) * unit) // (3 * (unit // 3))
+    assert out[3]["auth_units"] == ((unit // 3) * unit) // (3 * (unit // 3))
+    # hub of 1 carries the whole authority mass back → rescales to ~unit
+    assert out[1]["hub_units"] > 0
+
+
+def test_hits_null_endpoint_raises(ray_session):
+    import ray
+
+    t = pa.table({"src": pa.array([1, None], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())})
+    with pytest.raises(Exception, match="null edge endpoint"):
+        graph.hits_units(ray.data.from_arrow(t)).take_all()
+
+
+def test_hits_empty_edges_and_n_iter(ray_session):
+    import ray
+
+    assert graph.hits_units(_edges_ds(ray, []), n_iter=1).take_all() == []
+    with pytest.raises(ValueError, match="n_iter"):
+        graph.hits_units(_edges_ds(ray, PAIRS), n_iter=0)
