@@ -2723,6 +2723,20 @@ def q_hash_classifier(sf_dir: str):
     return _sorted_table(textstats.hashed_bigram_classifier(ds), ["doc_id"])
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (functions/dsir.py, Xie et al. 2023):
+    hashed-bigram bag models for target (lang='en') vs raw corpus, add-1
+    smoothed log-ratio quantized to integer micros, per-doc integer weight,
+    top-50 by (weight desc, doc_id). Two corpus passes; the learned state
+    is 64 int64 ratios broadcast via ray.put. The oracle recomputes the
+    identical md5-bucket + FLOOR(1e6·LN-ratio) arithmetic in SQL."""
+    from ..functions import dsir
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir.dsir_select(ds, n_buckets=64, top_k=50,
+                            target_col="lang", target_value="en").to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2787,14 +2801,15 @@ QUERIES = {
     # --- this session's new operators (never driver-checked → in-window);
     # each displaces a row already driver-green in r02/r03 ---
     "hits": q_hits,
+    "dsir_select": q_dsir_select,
     "url_seen_antijoin": q_url_seen_antijoin,
-    "canonicalize_urls": q_canonicalize_urls,
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
     "more_like_this": q_more_like_this,
     # --- below the 50-entry window: every entry here was hash-green in an
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "extract_charset_title": q_extract_charset_title,
+    "canonicalize_urls": q_canonicalize_urls,
     "token_count": q_token_count,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
@@ -4246,6 +4261,56 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_bigrams, score_sum, score_sum > 0 AS keep
         FROM scored ORDER BY doc_id
+    """,
+    "dsir_select": """
+        WITH arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST([a[i] || ' ' || a[i+1]
+                           FOR i IN generate_series(1, len(a)-1)]) AS bg
+            FROM arr WHERE len(a) >= 2
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(bg), 1, 8)) AS BIGINT) % 64
+                       AS b
+            FROM bg
+        ),
+        raw AS (SELECT b, COUNT(*) AS rc FROM f GROUP BY b),
+        tgt AS (
+            SELECT f.b, COUNT(*) AS tc
+            FROM f JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en' GROUP BY f.b
+        ),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM f) AS rt,
+                   (SELECT COUNT(*) FROM f JOIN documents d USING (doc_id)
+                    WHERE d.lang = 'en') AS tt
+        ),
+        ratio AS (
+            SELECT gs.b,
+                   CAST(FLOOR(1000000 * (
+                        LN((COALESCE(tc, 0) + 1) / (tt + 64))
+                      - LN((COALESCE(rc, 0) + 1) / (rt + 64))))
+                       AS BIGINT) AS r
+            FROM (SELECT UNNEST(generate_series(0, 63)) AS b) gs
+            LEFT JOIN raw ON raw.b = gs.b
+            LEFT JOIN tgt ON tgt.b = gs.b
+            CROSS JOIN tot
+        ),
+        w AS (
+            SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(ratio.r) AS BIGINT) AS weight
+            FROM f JOIN ratio ON ratio.b = f.b
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_bigrams, weight
+        FROM w ORDER BY weight DESC, doc_id LIMIT 50
     """,
 }
 
