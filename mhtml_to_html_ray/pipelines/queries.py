@@ -2723,6 +2723,53 @@ def q_hash_classifier(sf_dir: str):
     return _sorted_table(textstats.hashed_bigram_classifier(ds), ["doc_id"])
 
 
+_BLOCK_SUFFIXES = ("ads.example", "tracker.net")
+_BLOCK_WORDS = ("the", "le", "der")
+
+
+def q_url_blocklist(sf_dir: str):
+    """Host-suffix blocklist gate (functions/blocklist.py
+    host_blocklist_gate) over messy synthesized URLs: the engine runs the
+    real WHATWG canonicalizer then the suffix walk; the oracle reconstructs
+    the canonical host per key and restates the suffix rule with LIKE —
+    agreement requires both the parse and the match to be right."""
+    from ..functions import blocklist
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    domains = ["good.org", "news.example.com", "ads.example",
+               "cdn.ads.example", "tracker.net"]
+
+    def urls(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "url": pa.array(
+                [f"HTTPS://Sub{k}.{domains[k % 5]}:443/p/{k}" for k in keys],
+                pa.string()),
+        })
+
+    gated = blocklist.host_blocklist_gate(
+        ds.map_batches(urls, batch_format="pyarrow"), _BLOCK_SUFFIXES)
+    return _sorted_table(
+        gated.select_columns(["c_custkey", "host", "blocked"]),
+        ["c_custkey"])
+
+
+def q_word_blocklist(sf_dir: str):
+    """Blocked-token fraction gate (functions/blocklist.py
+    word_blocklist_gate): case-insensitive exact-token matches over the
+    shared _lm_tokens contract, keep iff the rounded fraction ≤ 0.1.
+    Zero shuffle; the word set broadcasts once."""
+    from ..functions import blocklist
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    gated = blocklist.word_blocklist_gate(ds, _BLOCK_WORDS, max_frac=0.1)
+    return _sorted_table(
+        gated.select_columns(
+            ["doc_id", "n_tokens", "n_blocked", "blocked_frac", "keep"]),
+        ["doc_id"])
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR importance resampling (functions/dsir.py, Xie et al. 2023):
     hashed-bigram bag models for target (lang='en') vs raw corpus, add-1
@@ -2796,13 +2843,13 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_exact": q_dedup_exact,
-    "extract_text": q_extract_text,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
     # --- this session's new operators (never driver-checked → in-window);
     # each displaces a row already driver-green in r02/r03 ---
     "hits": q_hits,
     "dsir_select": q_dsir_select,
-    "url_seen_antijoin": q_url_seen_antijoin,
+    "url_blocklist": q_url_blocklist,
+    "word_blocklist": q_word_blocklist,
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
     "more_like_this": q_more_like_this,
@@ -2810,6 +2857,8 @@ QUERIES = {
     # earlier round's CORRECTNESS artifact or is pinned by tests ---
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "extract_text": q_extract_text,
     "token_count": q_token_count,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
@@ -4311,6 +4360,45 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_bigrams, weight
         FROM w ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+    "url_blocklist": """
+        WITH hosts AS (
+            SELECT c_custkey,
+                   'sub' || CAST(c_custkey AS VARCHAR) || '.' ||
+                   CASE c_custkey % 5
+                       WHEN 0 THEN 'good.org'
+                       WHEN 1 THEN 'news.example.com'
+                       WHEN 2 THEN 'ads.example'
+                       WHEN 3 THEN 'cdn.ads.example'
+                       ELSE 'tracker.net'
+                   END AS host
+            FROM customer)
+        SELECT c_custkey, host,
+               (host = 'ads.example' OR host LIKE '%.ads.example'
+                OR host = 'tracker.net' OR host LIKE '%.tracker.net')
+                   AS blocked
+        FROM hosts ORDER BY c_custkey
+    """,
+    "word_blocklist": """
+        WITH arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(
+                        a, x -> LOWER(x) IN ('the', 'le', 'der')))
+                       AS BIGINT) AS n_blocked
+            FROM arr)
+        SELECT doc_id, n_tokens, n_blocked,
+               ROUND(CASE WHEN n_tokens > 0
+                          THEN n_blocked / n_tokens ELSE 0 END, 6)
+                   AS blocked_frac,
+               ROUND(CASE WHEN n_tokens > 0
+                          THEN n_blocked / n_tokens ELSE 0 END, 6) <= 0.1
+                   AS keep
+        FROM s ORDER BY doc_id
     """,
 }
 
