@@ -2723,6 +2723,47 @@ def q_hash_classifier(sf_dir: str):
     return _sorted_table(textstats.hashed_bigram_classifier(ds), ["doc_id"])
 
 
+def q_boilerplate(sf_dir: str):
+    """Boilerplate removal (functions/boilerplate.py): each document
+    synthesizes into an MHTML page whose <pre> article sits between a
+    link-dense nav and footer; the engine runs the production MIME+convert
+    kernel then the leaf-block link-density walk. The oracle predicts the
+    outcome from the construction — nav (density 0.9) and footer (0.92)
+    drop, the article keeps iff the document has non-whitespace text — so
+    a hash match proves segmentation, density arithmetic and the text
+    round-trip all at once."""
+    import html as _html
+
+    from ..functions import boilerplate
+    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pages, urls = [], []
+        for d, t in zip(doc_ids, texts):
+            esc = _html.escape(t, quote=False)
+            body = (
+                f"<html><head><title>doc-{d}</title></head><body>"
+                f'<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+                f"<article><pre>{esc}</pre></article>"
+                f'<footer><a href="/c">Contact</a> <a href="/d">Terms</a>'
+                f"</footer></body></html>"
+            )
+            pages.append(wrap_mhtml(d, body))
+            urls.append(f"{PAGE_URL_PREFIX}{d}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(pages, pa.binary())})
+
+    out = boilerplate.extract_main_content(
+        ds.map_batches(synthesize, batch_format="pyarrow"))
+    return _sorted_table(
+        out.select_columns(["url", "n_blocks", "n_kept", "main_text"]),
+        ["url"])
+
+
 _BLOCK_SUFFIXES = ("ads.example", "tracker.net")
 _BLOCK_WORDS = ("the", "le", "der")
 
@@ -2842,7 +2883,6 @@ QUERIES = {
     # plans, Arrow wave selection) ---
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
-    "dedup_exact": q_dedup_exact,
     "crawl_bfs_wave1": q_crawl_bfs_wave1,
     # --- this session's new operators (never driver-checked → in-window);
     # each displaces a row already driver-green in r02/r03 ---
@@ -2850,6 +2890,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "url_blocklist": q_url_blocklist,
     "word_blocklist": q_word_blocklist,
+    "boilerplate": q_boilerplate,
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
     "more_like_this": q_more_like_this,
@@ -2859,6 +2900,7 @@ QUERIES = {
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
     "extract_text": q_extract_text,
+    "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
@@ -4360,6 +4402,16 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_bigrams, weight
         FROM w ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+    "boilerplate": """
+        SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               CAST(3 AS BIGINT) AS n_blocks,
+               CAST(CASE WHEN regexp_matches(text, '\\S') THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_kept,
+               CASE WHEN regexp_matches(text, '\\S') THEN text ELSE '' END
+                   AS main_text
+        FROM documents ORDER BY url
     """,
     "url_blocklist": """
         WITH hosts AS (
