@@ -2764,6 +2764,81 @@ def q_boilerplate(sf_dir: str):
         ["url"])
 
 
+def q_web_curation(sf_dir: str):
+    """Composed web-curation pipeline — this session's three operators
+    chained end to end, every stage the production kernel:
+
+    1. documents → MHTML pages (nav/article/footer) → MIME+convert+DOM →
+       leaf-block link-density boilerplate removal (main_text);
+    2. word-blocklist gate over the recovered main text (≤10% blocked
+       tokens);
+    3. DSIR importance resampling over the SURVIVING corpus (target
+       lang='en', ratios fit on the filtered docs), top-20.
+
+    The lang column rejoins by doc_id through the engine hash_join (it
+    does not survive the page round-trip). The oracle restates the whole
+    composition in one statement: the boilerplate outcome is predicted
+    from the construction, the gate and the DSIR arithmetic are recomputed
+    over the same filtered base — a hash match pins every stage AND the
+    stage boundaries."""
+    from ..functions import blocklist, boilerplate, dsir
+    from ..functions.joins import hash_join
+    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
+
+    import html as _html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pages, urls = [], []
+        for d, t in zip(doc_ids, texts):
+            esc = _html.escape(t, quote=False)
+            body = (
+                f"<html><head><title>doc-{d}</title></head><body>"
+                f'<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+                f"<article><pre>{esc}</pre></article>"
+                f'<footer><a href="/c">Contact</a> <a href="/d">Terms</a>'
+                f"</footer></body></html>"
+            )
+            pages.append(wrap_mhtml(d, body))
+            urls.append(f"{PAGE_URL_PREFIX}{d}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(pages, pa.binary())})
+
+    extracted = boilerplate.extract_main_content(
+        ds.map_batches(synthesize, batch_format="pyarrow"))
+
+    def recover(batch: pa.Table) -> pa.Table:
+        # url suffix → doc_id; drop pages whose article didn't survive
+        import pyarrow.compute as _pc
+
+        ids = _pc.utf8_slice_codeunits(
+            batch.column("url"), len(PAGE_URL_PREFIX), 1 << 30)
+        keep = _pc.greater(batch.column("n_kept"), 0)
+        return pa.table({
+            "doc_id": _pc.cast(ids, pa.int64()),
+            "text": batch.column("main_text"),
+        }).filter(keep)
+
+    curated = extracted.map_batches(recover, batch_format="pyarrow")
+    gated = blocklist.word_blocklist_gate(curated, _BLOCK_WORDS,
+                                          max_frac=0.1)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(batch.column("keep"))
+        return pa.table({"doc_id": kept.column("doc_id"),
+                         "text": kept.column("text")})
+
+    survivors = gated.map_batches(keep_only, batch_format="pyarrow")
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    with_lang = hash_join(survivors, langs, key="doc_id", num_buckets=32)
+    return dsir.dsir_select(with_lang, n_buckets=64, top_k=20,
+                            target_col="lang",
+                            target_value="en").to_pandas()
+
+
 _BLOCK_SUFFIXES = ("ads.example", "tracker.net")
 _BLOCK_WORDS = ("the", "le", "der")
 
@@ -2864,7 +2939,9 @@ QUERIES = {
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
     "compression_ratio": q_compression_ratio,
     "neardup_incremental": q_neardup_incremental,
-    "embedding_kmeans": q_embedding_kmeans,
+    # (embedding_kmeans yielded its window slot to web_curation: its code
+    # path already gets an exact in-window check via embedding_kmeans_assign)
+    "web_curation": q_web_curation,
     # --- round-4 additions (never driver-checked, so inside the window):
     # new operators with exact oracles, incl. the pixel/audio/video media
     # suite built this round ---
@@ -2918,6 +2995,7 @@ QUERIES = {
     # driver-checked green in an earlier round (CORRECTNESS_r01-03);
     # local re-verification stays in scripts/check_correctness.py. ---
     "pagerank": q_pagerank,
+    "embedding_kmeans": q_embedding_kmeans,
     "dedup_simhash": q_dedup_simhash,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -4412,6 +4490,77 @@ ORACLE_SQL = {
                CASE WHEN regexp_matches(text, '\\S') THEN text ELSE '' END
                    AS main_text
         FROM documents ORDER BY url
+    """,
+    "web_curation": """
+        WITH base AS (
+            SELECT doc_id, text, lang FROM documents
+            WHERE regexp_matches(text, '\\S')
+        ),
+        barr AS (
+            SELECT doc_id, text, lang,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM base
+        ),
+        gate AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       CAST(len(a) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(
+                            a, x -> LOWER(x) IN ('the', 'le', 'der')))
+                           AS BIGINT) AS n_blocked
+                FROM barr)
+            WHERE ROUND(CASE WHEN n_tokens > 0
+                             THEN n_blocked / n_tokens ELSE 0 END, 6) <= 0.1
+        ),
+        arr AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM gate
+        ),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST([a[i] || ' ' || a[i+1]
+                           FOR i IN generate_series(1, len(a)-1)]) AS bg
+            FROM arr WHERE len(a) >= 2
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(bg), 1, 8)) AS BIGINT) % 64
+                       AS b
+            FROM bg
+        ),
+        raw AS (SELECT b, COUNT(*) AS rc FROM f GROUP BY b),
+        tgt AS (
+            SELECT f.b, COUNT(*) AS tc
+            FROM f JOIN gate g USING (doc_id)
+            WHERE g.lang = 'en' GROUP BY f.b
+        ),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM f) AS rt,
+                   (SELECT COUNT(*) FROM f JOIN gate g USING (doc_id)
+                    WHERE g.lang = 'en') AS tt
+        ),
+        ratio AS (
+            SELECT gs.b,
+                   CAST(FLOOR(1000000 * (
+                        LN((COALESCE(tc, 0) + 1) / (tt + 64))
+                      - LN((COALESCE(rc, 0) + 1) / (rt + 64))))
+                       AS BIGINT) AS r
+            FROM (SELECT UNNEST(generate_series(0, 63)) AS b) gs
+            LEFT JOIN raw ON raw.b = gs.b
+            LEFT JOIN tgt ON tgt.b = gs.b
+            CROSS JOIN tot
+        ),
+        w AS (
+            SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(ratio.r) AS BIGINT) AS weight
+            FROM f JOIN ratio ON ratio.b = f.b
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_bigrams, weight
+        FROM w ORDER BY weight DESC, doc_id LIMIT 20
     """,
     "url_blocklist": """
         WITH hosts AS (

@@ -124,3 +124,24 @@ def test_empty_corpus(ray_session):
     out = dsir.dsir_select(_docs_ds(ray, [(1, "", "en")]), n_buckets=8,
                            top_k=5)
     assert out.take_all() == []
+
+
+def test_web_curation_composition_matches_oracle(ray_session):
+    """The composed boilerplate → blocklist → DSIR pipeline equals its
+    DuckDB restatement on the real sf0.001 table — the stage BOUNDARIES
+    (ratio fitting over the FILTERED corpus, lang rejoin) are what this
+    pins; the per-stage kernels have their own oracles."""
+    import duckdb
+
+    from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["web_curation"](sf)
+    got = got.sort_values(["weight", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(ORACLE_SQL["web_curation"]).fetchdf()
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
