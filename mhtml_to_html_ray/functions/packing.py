@@ -282,3 +282,71 @@ def pack_sequences(ds, key: str, count_col: str, seq_len: int,
         })
 
     return offsets.map_batches(seqs, batch_format="pyarrow")
+
+
+def shard_manifest(ds, key: str, count_col: str, shard_size: int,
+                   n_buckets: int = 256):
+    """Deterministic size-balanced output sharding — the planning step of
+    resumable partitioned writes (SURVEY.md §4 / run.py's part_ dirs):
+    concatenate rows in ``key`` order and open a new shard every
+    ``shard_size`` counted units (shard = start_offset // shard_size, the
+    running-total rule, so assignment is layout-independent and a rerun
+    reproduces the same manifest bit-for-bit).
+
+    Returns one row per shard: (shard, n_rows, total_<count_col>,
+    first_<key>, last_<key>) — the manifest a writer consults to skip
+    already-written shards on resume. Rows wider than ``shard_size`` get a
+    shard of their own (next-fit semantics; no row is split).
+
+    Scale shape: the two-level range-bucketed scan (prefix_offsets) plus
+    ONE shard-keyed groupby of per-block combiner partials; the manifest is
+    output-sized (corpus_bytes / shard_size rows), never corpus-sized.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    out_schema = pa.schema([
+        ("shard", pa.int64()), ("n_rows", pa.int64()),
+        (f"total_{count_col}", pa.int64()),
+        (f"first_{key}", pa.int64()), (f"last_{key}", pa.int64()),
+    ])
+    offsets, is_empty = _prefix_offsets_impl(ds, key, count_col, n_buckets, 0)
+    if is_empty:
+        return _empty(out_schema)
+
+    def tag_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema([
+                ("shard", pa.int64()), (key, pa.int64()),
+                (count_col, pa.int64()),
+            ]).empty_table()
+        start = batch.column("start_offset").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "shard": pa.array(start // shard_size, pa.int64()),
+            key: batch.column(key),
+            count_col: batch.column(count_col),
+        })
+
+    agg = (
+        offsets.map_batches(tag_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum(count_col, alias_name=f"total_{count_col}"),
+            Min(key, alias_name=f"first_{key}"),
+            Max(key, alias_name=f"last_{key}"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": batch.column("shard"),
+            "n_rows": batch.column("n_rows").cast(pa.int64()),
+            f"total_{count_col}":
+                batch.column(f"total_{count_col}").cast(pa.int64()),
+            f"first_{key}": batch.column(f"first_{key}").cast(pa.int64()),
+            f"last_{key}": batch.column(f"last_{key}").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1814,6 +1814,21 @@ def q_pack_sequences(sf_dir: str):
     return _sorted_table(packed, ["doc_id"])
 
 
+def q_shard_manifest(sf_dir: str):
+    """Size-balanced output-shard planning (functions/packing.py
+    shard_manifest): docs concatenated in doc_id order open a new 16 KiB
+    shard whenever the running n_chars total crosses the boundary —
+    the manifest a resumable partitioned writer consults. Same two-level
+    scan as pack_sequences plus one shard-keyed groupby; the oracle
+    restates the running total with SUM() OVER."""
+    from ..functions import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    manifest = packing.shard_manifest(ds, "doc_id", "n_chars",
+                                      shard_size=16384, n_buckets=64)
+    return _sorted_table(manifest, ["shard"])
+
+
 def q_token_offsets(sf_dir: str):
     """The distributed prefix-sum scan by itself (functions/packing.py
     prefix_offsets, no separator): each doc's exclusive cumulative token
@@ -2937,7 +2952,9 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "semdedup": q_semdedup,
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
-    "compression_ratio": q_compression_ratio,
+    # (compression_ratio's rows-only slot yielded to the exact-oracled
+    # shard_manifest; it moves just below the window)
+    "shard_manifest": q_shard_manifest,
     "neardup_incremental": q_neardup_incremental,
     # (embedding_kmeans yielded its window slot to web_curation: its code
     # path already gets an exact in-window check via embedding_kmeans_assign)
@@ -2995,6 +3012,7 @@ QUERIES = {
     # driver-checked green in an earlier round (CORRECTNESS_r01-03);
     # local re-verification stays in scripts/check_correctness.py. ---
     "pagerank": q_pagerank,
+    "compression_ratio": q_compression_ratio,
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_simhash": q_dedup_simhash,
     "embedding_ann": q_embedding_ann,
@@ -4480,6 +4498,20 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_bigrams, weight
         FROM w ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+    "shard_manifest": """
+        WITH off AS (
+            SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS start
+            FROM documents)
+        SELECT CAST(start // 16384 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS total_n_chars,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM off GROUP BY shard ORDER BY shard
     """,
     "boilerplate": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR)

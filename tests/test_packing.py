@@ -209,3 +209,76 @@ def test_chunk_spans_validates_params(ray_session):
     with pytest.raises(ValueError, match="chunk_len"):
         packing.chunk_spans(_ds(ray, [0], [5]), "doc_id", "n_tokens",
                             chunk_len=0)
+
+
+def _reference_manifest(keys, counts, shard_size):
+    starts = _reference_offsets(keys, counts)
+    shards: dict = {}
+    for k in sorted(starts):
+        c = dict(zip(keys, counts))[k]
+        s = starts[k] // shard_size
+        row = shards.setdefault(s, {"n_rows": 0, "total": 0,
+                                    "first": k, "last": k})
+        row["n_rows"] += 1
+        row["total"] += c
+        row["last"] = k
+    return shards
+
+
+def test_shard_manifest_matches_reference(ray_session):
+    import ray
+
+    keys = [3, 1, 7, 2, 9, 5]
+    counts = [10, 25, 5, 30, 40, 12]
+    got = {r["shard"]: r for r in packing.shard_manifest(
+        _ds(ray, keys, counts), "doc_id", "n_tokens",
+        shard_size=32).take_all()}
+    want = _reference_manifest(keys, counts, 32)
+    assert set(got) == set(want)
+    for s, row in want.items():
+        assert got[s]["n_rows"] == row["n_rows"]
+        assert got[s]["total_n_tokens"] == row["total"]
+        assert got[s]["first_doc_id"] == row["first"]
+        assert got[s]["last_doc_id"] == row["last"]
+
+
+def test_shard_manifest_layout_independent(ray_session):
+    import ray
+
+    rng = np.random.default_rng(5)
+    keys = list(range(200))
+    counts = rng.integers(0, 50, 200).tolist()
+    a = sorted(packing.shard_manifest(_ds(ray, keys, counts), "doc_id",
+                                      "n_tokens", shard_size=100).take_all(),
+               key=lambda r: r["shard"])
+    b = sorted(packing.shard_manifest(_ds(ray, keys, counts, parts=9),
+                                      "doc_id", "n_tokens",
+                                      shard_size=100).take_all(),
+               key=lambda r: r["shard"])
+    assert a == b
+    # every row lands in exactly one shard; totals tile the corpus
+    assert sum(r["n_rows"] for r in a) == 200
+    assert sum(r["total_n_tokens"] for r in a) == sum(counts)
+
+
+def test_shard_manifest_wide_row_gets_own_shard(ray_session):
+    import ray
+
+    # row 2 (width 100 > shard_size 32) starts in shard 0 at offset 10 and
+    # pushes row 3 to shard 3 (offset 110 // 32)
+    got = {r["shard"]: r for r in packing.shard_manifest(
+        _ds(ray, [1, 2, 3], [10, 100, 5]), "doc_id", "n_tokens",
+        shard_size=32).take_all()}
+    assert got[0]["n_rows"] == 2 and got[0]["last_doc_id"] == 2
+    assert got[3]["n_rows"] == 1 and got[3]["first_doc_id"] == 3
+
+
+def test_shard_manifest_empty_and_validation(ray_session):
+    import ray
+
+    out = packing.shard_manifest(_ds(ray, [], []), "doc_id", "n_tokens",
+                                 shard_size=8)
+    assert out.take_all() == []
+    with pytest.raises(ValueError, match="shard_size"):
+        packing.shard_manifest(_ds(ray, [1], [1]), "doc_id", "n_tokens",
+                               shard_size=0)
