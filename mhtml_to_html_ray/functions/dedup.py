@@ -1048,6 +1048,59 @@ def line_dedup(documents_ds, text_col: str = "text", max_count: int = 1,
     return documents_ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def self_dedup_lines(documents_ds, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """WITHIN-document duplicate-line removal: keep the FIRST occurrence of
+    each line inside a document, drop later repeats, rebuild the text
+    (C4's intra-page cleanup step, the per-document complement of the
+    corpus-wide :func:`line_dedup`).
+
+    Pure per-batch work, zero shuffle, zero broadcast — the scrub is the
+    same vectorized split → mask → offsets-rebuild → binary_join shape as
+    line_dedup, with the keep mask computed by a first-occurrence
+    ``duplicated`` test on (row, line) instead of a corpus-frequency
+    lookup. A document always keeps its first line, so ``text_dedup`` is
+    never null (empty text splits to one empty line, which survives).
+    Returns (id_col, text_dedup, n_kept, n_removed).
+    """
+    import pandas as pd
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column(text_col), pattern="\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep_np = ~pd.DataFrame(
+            {"row": parents, "line": flat.to_pandas()}
+        ).duplicated(["row", "line"]).to_numpy()
+        n_docs = len(batch)
+        kept_counts = np.bincount(parents[keep_np], minlength=n_docs)
+        removed_counts = np.bincount(parents[~keep_np], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_values = pc.cast(
+            flat.filter(pa.array(keep_np)), pa.large_string())
+        if isinstance(kept_values, pa.ChunkedArray):
+            kept_values = kept_values.combine_chunks()
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_values
+        )
+        joined = pc.cast(
+            pc.binary_join(kept_lists, pa.scalar("\n", pa.large_string())),
+            pa.string())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text_dedup": joined,
+                "n_kept": pa.array(kept_counts, pa.int64()),
+                "n_removed": pa.array(removed_counts, pa.int64()),
+            }
+        )
+
+    return documents_ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Incremental exact dedup against a persisted corpus hash index
 

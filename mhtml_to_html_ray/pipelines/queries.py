@@ -2395,6 +2395,30 @@ def q_line_dedup(sf_dir: str):
     return _sorted_table(dedup.line_dedup(pages, max_count=1), ["doc_id"])
 
 
+def q_self_dedup_lines(sf_dir: str):
+    """Within-document duplicate-line removal (functions/dedup.py
+    self_dedup_lines — C4's intra-page cleanup, the per-document complement
+    of line_dedup): pages synthesized with an internal repeat of the nav
+    line and the whole body; the first occurrence of each line survives,
+    order preserved. Zero shuffle; the oracle restates keep-first with
+    MIN(pos) + ordered string_agg."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        n = len(batch)
+        nav = pc.binary_join_element_wise(
+            _lit("nav menu ", n), pc.cast(_mod(did, 5), pa.string()), "")
+        ref = pc.binary_join_element_wise(
+            _lit("ref ", n), pc.cast(did, pa.string()), "")
+        raw = pc.binary_join_element_wise(
+            nav, batch.column("text"), nav, ref, batch.column("text"), "\n")
+        return pa.table({"doc_id": did, "text": raw})
+
+    pages = ds.map_batches(synth, batch_format="pyarrow")
+    return _sorted_table(dedup.self_dedup_lines(pages), ["doc_id"])
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's over the full embeddings table (k partial rows per
     block per round; functions/clustering.py). Iterative float refit is not
@@ -2989,7 +3013,9 @@ QUERIES = {
     "langid_confusion": q_langid_confusion,
     "more_like_this": q_more_like_this,
     # --- below the 50-entry window: every entry here was hash-green in an
-    # earlier round's CORRECTNESS artifact or is pinned by tests ---
+    # earlier round's CORRECTNESS artifact or is pinned by tests (plus
+    # late oracled additions queued for the next rotation) ---
+    "self_dedup_lines": q_self_dedup_lines,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -4498,6 +4524,30 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_bigrams, weight
         FROM w ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+    "self_dedup_lines": """
+        WITH pages AS (
+            SELECT doc_id,
+                   'nav menu ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+                   text || chr(10) ||
+                   'nav menu ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+                   'ref ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+                       AS raw
+            FROM documents),
+        arr AS (SELECT doc_id, string_split(raw, chr(10)) AS a FROM pages),
+        l AS (SELECT doc_id, UNNEST(a) AS line,
+                     UNNEST(generate_series(1, len(a))) AS pos FROM arr),
+        k AS (SELECT doc_id, line, MIN(pos) AS pos
+              FROM l GROUP BY doc_id, line),
+        agg AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM k GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+                FROM l GROUP BY doc_id)
+        SELECT a.doc_id, a.text_dedup, a.n_kept,
+               t.n_total - a.n_kept AS n_removed
+        FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id
     """,
     "shard_manifest": """
         WITH off AS (

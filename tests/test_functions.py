@@ -1102,6 +1102,35 @@ def test_line_dedup_fully_scrubbed_doc_is_null(ray_session):
     assert rows[2]["text_dedup"] == "keep"
 
 
+def test_self_dedup_lines_keeps_first_in_order(ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table([
+        "nav\nalpha\nnav\nbeta\nalpha",
+        "one\ntwo",
+        "",
+    ]))
+    rows = {r["doc_id"]: r for r in dedup.self_dedup_lines(docs).take_all()}
+    assert rows[0]["text_dedup"] == "nav\nalpha\nbeta"
+    assert (rows[0]["n_kept"], rows[0]["n_removed"]) == (3, 2)
+    # no internal repeats → identity
+    assert rows[1]["text_dedup"] == "one\ntwo"
+    assert rows[1]["n_removed"] == 0
+    # empty text: the single empty line survives, never null
+    assert rows[2]["text_dedup"] == "" and rows[2]["n_kept"] == 1
+
+
+def test_self_dedup_lines_is_per_document(ray_session):
+    import ray.data
+
+    # the SAME line in two different docs survives in both (the corpus-wide
+    # frequency is line_dedup's job, not this one's)
+    docs = ray.data.from_arrow(_docs_table(["shared\nx", "shared\ny"]))
+    rows = {r["doc_id"]: r for r in dedup.self_dedup_lines(docs).take_all()}
+    assert rows[0]["text_dedup"] == "shared\nx"
+    assert rows[1]["text_dedup"] == "shared\ny"
+
+
 def test_line_dedup_no_duplicates_is_identity(ray_session):
     import ray.data
 
