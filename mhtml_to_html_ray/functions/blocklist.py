@@ -67,6 +67,13 @@ def host_blocklist_gate(ds, suffixes, url_col: str = "url"):
                     host = ""
                 hosts_u.append(host)
                 blocked_u.append(_suffix_blocked(host, self.suffixes))
+            # null URLs factorize to code -1, which would NEGATIVE-INDEX
+            # into the unique arrays (silently copying the last unique's
+            # verdict); append the null sentinel ('' host, not blocked)
+            # and route -1 there instead
+            hosts_u.append("")
+            blocked_u.append(False)
+            codes = np.where(codes < 0, len(hosts_u) - 1, codes)
             hosts = np.asarray(hosts_u, dtype=object)[codes]
             blocked = np.asarray(blocked_u, dtype=bool)[codes]
             return batch.append_column(
@@ -96,7 +103,9 @@ def word_blocklist_gate(documents_ds, words, max_frac: float = 0.1):
             tokens: list[str] = []
             lengths: list[int] = []
             for text in batch.column("text").to_pylist():
-                toks = _lm_tokens(text)
+                # null text gates like empty (0 tokens, kept) instead of
+                # aborting the whole task inside the regex split
+                toks = _lm_tokens(text) if text is not None else []
                 tokens.extend(toks)
                 lengths.append(len(toks))
             n_docs = batch.num_rows

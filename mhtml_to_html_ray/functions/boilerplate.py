@@ -36,10 +36,12 @@ BLOCK_TAGS = frozenset((
 ))
 
 
-def _block_stats(el) -> tuple[str, int]:
+def _block_stats(el, under_anchor: bool = False) -> tuple[str, int]:
     """(text, anchor_chars) for a leaf block: concatenated Text descendants
     with the textextract skip rules; anchor_chars counts those inside an
-    <a> ancestor."""
+    <a> — descendant OR ancestor (``under_anchor``: a link-card block like
+    <a><div>headline</div></a> is ALL anchor text, the exact pattern the
+    density rule exists to drop)."""
     parts: list[str] = []
     anchor_chars = 0
 
@@ -61,7 +63,7 @@ def _block_stats(el) -> tuple[str, int]:
             rec(child, in_anchor)
 
     for child in el.child_nodes:
-        rec(child, False)
+        rec(child, under_anchor)
     return "".join(parts), anchor_chars
 
 
@@ -72,29 +74,32 @@ def content_blocks(html: str) -> list[dict]:
     root = document.body if document.body is not None else document
     blocks: list = []
 
-    def walk(node) -> bool:
-        """Collect leaf blocks under ``node``; True iff the subtree
-        contains any block element."""
+    def walk(node, under_anchor: bool) -> bool:
+        """Collect (leaf block, has-anchor-ancestor) under ``node``; True
+        iff the subtree contains any block element."""
         if not isinstance(node, Element):
             contains = False
             for child in getattr(node, "child_nodes", ()) or ():
-                contains = walk(child) or contains
+                contains = walk(child, under_anchor) or contains
             return contains
         tag = node.tag_name.lower()
         if tag in _SKIPPED_TAGS:
             return False
+        under_anchor = under_anchor or tag == "a"
         child_has_block = False
         for child in node.child_nodes:
-            child_has_block = walk(child) or child_has_block
+            child_has_block = walk(child, under_anchor) or child_has_block
         if tag in BLOCK_TAGS and not child_has_block:
-            blocks.append(node)
+            # under_anchor here is pure ancestor state: "a" is never a
+            # block tag, so the OR above can't have set it for node itself
+            blocks.append((node, under_anchor))
             return True
         return child_has_block or tag in BLOCK_TAGS
 
-    walk(root)
+    walk(root, False)
     out = []
-    for el in blocks:
-        text, anchor_chars = _block_stats(el)
+    for el, under_anchor in blocks:
+        text, anchor_chars = _block_stats(el, under_anchor)
         out.append({
             "tag": el.tag_name.lower(),
             "text": text,

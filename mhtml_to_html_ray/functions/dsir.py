@@ -42,6 +42,16 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _bigram_buckets(uniques, n_buckets: int) -> np.ndarray:
+    """THE md5-hex-prefix bucket map — the single home of the hashing
+    contract both corpus passes and the SQL oracles restate
+    (int(md5(bigram)[:8], 16) % n_buckets)."""
+    return np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_buckets
+         for u in uniques),
+        dtype=np.int64, count=len(uniques))
+
+
 def _bucket_partials(n_buckets: int, target_col: str, target_value: str):
     """Per-batch combiner: (bucket, raw_n, tgt_n) counts, ≤ B rows out."""
 
@@ -56,17 +66,13 @@ def _bucket_partials(n_buckets: int, target_col: str, target_value: str):
         bigrams: list[str] = []
         spans: list[tuple[int, bool]] = []
         for text, is_tgt in zip(texts, flags):
-            tokens = _lm_tokens(text)
+            tokens = _lm_tokens(text) if text is not None else []
             pairs = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
             bigrams.extend(pairs)
             spans.append((len(pairs), is_tgt))
         if bigrams:
             codes, uniques = pd.factorize(pd.Series(bigrams))
-            unique_b = np.fromiter(
-                (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_buckets
-                 for u in uniques),
-                dtype=np.int64, count=len(uniques))
-            buckets = unique_b[codes]
+            buckets = _bigram_buckets(uniques, n_buckets)[codes]
             doc_tgt = np.repeat(
                 np.fromiter((t for _, t in spans), dtype=bool,
                             count=len(spans)),
@@ -144,7 +150,7 @@ def dsir_select(documents_ds, n_buckets: int = 64, top_k: int = 50,
             lengths: list[int] = []
             for doc_id, text in zip(doc_ids,
                                     batch.column("text").to_pylist()):
-                tokens = _lm_tokens(text)
+                tokens = _lm_tokens(text) if text is not None else []
                 pairs = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
                 if not pairs:
                     continue
@@ -158,11 +164,8 @@ def dsir_select(documents_ds, n_buckets: int = 64, top_k: int = 50,
                     "weight": pa.array([], pa.int64()),
                 })
             codes, uniques = pd.factorize(pd.Series(bigrams))
-            unique_b = np.fromiter(
-                (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_buckets
-                 for u in uniques),
-                dtype=np.int64, count=len(uniques))
-            w = self.ratios[unique_b[codes]].astype(np.float64)
+            w = self.ratios[
+                _bigram_buckets(uniques, n_buckets)[codes]].astype(np.float64)
             doc_idx = np.repeat(np.arange(len(out_ids)),
                                 np.asarray(lengths, dtype=np.int64))
             # integer-valued float64 partial sums stay exact (< 2^53)

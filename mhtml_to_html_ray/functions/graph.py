@@ -171,6 +171,10 @@ def hits_units(edges_ds, n_iter: int = 2, src: str = "src",
         hubs = rescale(propagate(auths, "dst", "src"))
 
     def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "auth_units": pa.array([], pa.int64()),
+                             "hub_units": pa.array([], pa.int64())})
         return pa.table({
             "node": batch.column("node"),
             "auth_units": batch.column("score"),

@@ -295,8 +295,11 @@ def shard_manifest(ds, key: str, count_col: str, shard_size: int,
 
     Returns one row per shard: (shard, n_rows, total_<count_col>,
     first_<key>, last_<key>) — the manifest a writer consults to skip
-    already-written shards on resume. Rows wider than ``shard_size`` get a
-    shard of their own (next-fit semantics; no row is split).
+    already-written shards on resume. No row is split: a row belongs to
+    the shard its START offset lands in, so a shard can exceed
+    ``shard_size`` by up to one row's width (running-total bucketing, not
+    next-fit) and a row wider than ``shard_size`` leaves the following
+    shard indices empty.
 
     Scale shape: the two-level range-bucketed scan (prefix_offsets) plus
     ONE shard-keyed groupby of per-block combiner partials; the manifest is

@@ -1237,7 +1237,10 @@ def q_pagerank(sf_dir: str):
         ks = _props_k(batch)
         keep = [i for i, k in enumerate(ks) if k is not None]
         return pa.table({
-            "src": batch.column("user_id").take(pa.array(keep)).cast(pa.int64()),
+            # typed index array: a bare [] is null-typed and array_take has
+            # no (int64, null) kernel — an all-null-props batch would crash
+            "src": batch.column("user_id").take(
+                pa.array(keep, pa.int64())).cast(pa.int64()),
             "dst": pa.array([100000 + ks[i] for i in keep], pa.int64()),
         })
 
@@ -1261,7 +1264,10 @@ def q_hits(sf_dir: str):
         ks = _props_k(batch)
         keep = [i for i, k in enumerate(ks) if k is not None]
         return pa.table({
-            "src": batch.column("user_id").take(pa.array(keep)).cast(pa.int64()),
+            # typed index array: a bare [] is null-typed and array_take has
+            # no (int64, null) kernel — an all-null-props batch would crash
+            "src": batch.column("user_id").take(
+                pa.array(keep, pa.int64())).cast(pa.int64()),
             "dst": pa.array([100000 + ks[i] for i in keep], pa.int64()),
         })
 
@@ -2762,42 +2768,48 @@ def q_hash_classifier(sf_dir: str):
     return _sorted_table(textstats.hashed_bigram_classifier(ds), ["doc_id"])
 
 
+def _curation_page_batch(batch: pa.Table) -> pa.Table:
+    """THE nav/article/footer MHTML page construction q_boilerplate and
+    q_web_curation share — their oracles both predict the boilerplate
+    outcome from exactly this layout (nav density 0.9, footer 0.92, the
+    escaped document text alone in the <pre> article), so the construction
+    must live in one place."""
+    import html as _html
+
+    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    pages, urls = [], []
+    for d, t in zip(doc_ids, texts):
+        esc = _html.escape(t, quote=False)
+        body = (
+            f"<html><head><title>doc-{d}</title></head><body>"
+            f'<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+            f"<article><pre>{esc}</pre></article>"
+            f'<footer><a href="/c">Contact</a> <a href="/d">Terms</a>'
+            f"</footer></body></html>"
+        )
+        pages.append(wrap_mhtml(d, body))
+        urls.append(f"{PAGE_URL_PREFIX}{d}")
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(pages, pa.binary())})
+
+
 def q_boilerplate(sf_dir: str):
     """Boilerplate removal (functions/boilerplate.py): each document
     synthesizes into an MHTML page whose <pre> article sits between a
-    link-dense nav and footer; the engine runs the production MIME+convert
-    kernel then the leaf-block link-density walk. The oracle predicts the
-    outcome from the construction — nav (density 0.9) and footer (0.92)
-    drop, the article keeps iff the document has non-whitespace text — so
-    a hash match proves segmentation, density arithmetic and the text
-    round-trip all at once."""
-    import html as _html
-
+    link-dense nav and footer (_curation_page_batch); the engine runs the
+    production MIME+convert kernel then the leaf-block link-density walk.
+    The oracle predicts the outcome from the construction — nav (density
+    0.9) and footer (0.92) drop, the article keeps iff the document has
+    non-whitespace text — so a hash match proves segmentation, density
+    arithmetic and the text round-trip all at once."""
     from ..functions import boilerplate
-    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def synthesize(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        pages, urls = [], []
-        for d, t in zip(doc_ids, texts):
-            esc = _html.escape(t, quote=False)
-            body = (
-                f"<html><head><title>doc-{d}</title></head><body>"
-                f'<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
-                f"<article><pre>{esc}</pre></article>"
-                f'<footer><a href="/c">Contact</a> <a href="/d">Terms</a>'
-                f"</footer></body></html>"
-            )
-            pages.append(wrap_mhtml(d, body))
-            urls.append(f"{PAGE_URL_PREFIX}{d}")
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "html": pa.array(pages, pa.binary())})
-
     out = boilerplate.extract_main_content(
-        ds.map_batches(synthesize, batch_format="pyarrow"))
+        ds.map_batches(_curation_page_batch, batch_format="pyarrow"))
     return _sorted_table(
         out.select_columns(["url", "n_blocks", "n_kept", "main_text"]),
         ["url"])
@@ -2822,32 +2834,11 @@ def q_web_curation(sf_dir: str):
     stage boundaries."""
     from ..functions import blocklist, boilerplate, dsir
     from ..functions.joins import hash_join
-    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
-
-    import html as _html
+    from .flagship import PAGE_URL_PREFIX
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def synthesize(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        pages, urls = [], []
-        for d, t in zip(doc_ids, texts):
-            esc = _html.escape(t, quote=False)
-            body = (
-                f"<html><head><title>doc-{d}</title></head><body>"
-                f'<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
-                f"<article><pre>{esc}</pre></article>"
-                f'<footer><a href="/c">Contact</a> <a href="/d">Terms</a>'
-                f"</footer></body></html>"
-            )
-            pages.append(wrap_mhtml(d, body))
-            urls.append(f"{PAGE_URL_PREFIX}{d}")
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "html": pa.array(pages, pa.binary())})
-
     extracted = boilerplate.extract_main_content(
-        ds.map_batches(synthesize, batch_format="pyarrow"))
+        ds.map_batches(_curation_page_batch, batch_format="pyarrow"))
 
     def recover(batch: pa.Table) -> pa.Table:
         # url suffix → doc_id; drop pages whose article didn't survive
@@ -2872,7 +2863,11 @@ def q_web_curation(sf_dir: str):
 
     survivors = gated.map_batches(keep_only, batch_format="pyarrow")
     langs = _read(sf_dir, "documents", ["doc_id", "lang"])
-    with_lang = hash_join(survivors, langs, key="doc_id", num_buckets=32)
+    # materialize: dsir_select consumes its input TWICE (ratio fit +
+    # scoring); without this the dominant MIME+convert+DOM lineage would
+    # re-execute end to end for each pass
+    with_lang = hash_join(survivors, langs, key="doc_id",
+                          num_buckets=32).materialize()
     return dsir.dsir_select(with_lang, n_buckets=64, top_k=20,
                             target_col="lang",
                             target_value="en").to_pandas()

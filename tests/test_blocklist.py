@@ -38,6 +38,29 @@ def test_host_gate_canonicalizes_then_matches(ray_session):
     assert out[urls[3]]["blocked"] is True
 
 
+def test_null_url_and_null_text_rows(ray_session):
+    import ray
+
+    # a null URL must get the '' host / not-blocked verdict, not a copy of
+    # another row's (factorize codes a null as -1, which would negative-index)
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([None, "https://ads.example/x"], pa.string())}))
+    out = blocklist.host_blocklist_gate(ds, SUFFIXES).take_all()
+    by_host = {r["host"]: r for r in out}
+    assert by_host[""]["blocked"] is False
+    assert by_host["ads.example"]["blocked"] is True
+
+    # a null text gates like empty instead of crashing the task
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the the", None], pa.string())}))
+    rows = {r["doc_id"]: r for r in
+            blocklist.word_blocklist_gate(docs, ("the",),
+                                          max_frac=0.4).take_all()}
+    assert rows[1]["keep"] is False
+    assert rows[2]["n_tokens"] == 0 and rows[2]["keep"] is True
+
+
 def test_word_gate_fractions(ray_session):
     import ray
 

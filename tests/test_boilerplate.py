@@ -42,6 +42,17 @@ def test_whitespace_only_and_script_blocks():
     assert main == "keep me" and n_blocks == 3 and n_kept == 1
 
 
+def test_anchor_wrapped_block_is_all_anchor_text():
+    # link-card markup: the <a> ANCESTOR makes the whole block anchor text
+    # (density 1.0 → dropped); a sibling prose block survives
+    html = ("<body><a href='/story'><div>Full story headline</div></a>"
+            "<p>actual prose</p></body>")
+    blocks = content_blocks(html)
+    assert [(b["tag"], b["anchor_chars"], b["text_chars"])
+            for b in blocks] == [("div", 19, 19), ("p", 0, 12)]
+    assert main_content(html) == ("actual prose", 2, 1)
+
+
 def test_table_cells_are_blocks():
     html = ("<body><table><tr><td>cell one</td>"
             "<td><a href='#'>linked</a></td></tr></table></body>")

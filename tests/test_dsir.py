@@ -126,6 +126,21 @@ def test_empty_corpus(ray_session):
     assert out.take_all() == []
 
 
+def test_null_text_rows_are_featureless(ray_session):
+    import ray
+    import pyarrow as _pa
+
+    t = _pa.table({
+        "doc_id": _pa.array([1, 2], _pa.int64()),
+        "text": _pa.array(["alpha beta gamma", None], _pa.string()),
+        "lang": _pa.array(["en", "en"], _pa.string()),
+    })
+    got = dsir.dsir_select(ray.data.from_arrow(t), n_buckets=8,
+                           top_k=5).take_all()
+    # the null-text doc contributes nothing and is absent; no task crash
+    assert [r["doc_id"] for r in got] == [1]
+
+
 def test_web_curation_composition_matches_oracle(ray_session):
     """The composed boilerplate → blocklist → DSIR pipeline equals its
     DuckDB restatement on the real sf0.001 table — the stage BOUNDARIES

@@ -261,15 +261,18 @@ def test_shard_manifest_layout_independent(ray_session):
     assert sum(r["total_n_tokens"] for r in a) == sum(counts)
 
 
-def test_shard_manifest_wide_row_gets_own_shard(ray_session):
+def test_shard_manifest_wide_row_running_total_semantics(ray_session):
     import ray
 
-    # row 2 (width 100 > shard_size 32) starts in shard 0 at offset 10 and
-    # pushes row 3 to shard 3 (offset 110 // 32)
+    # running-total bucketing, not next-fit: row 2 (width 100) STARTS at
+    # offset 10 → it joins shard 0 (which then totals 110 > shard_size)
+    # and pushes row 3 to shard 3 (offset 110 // 32); shards 1-2 are empty
     got = {r["shard"]: r for r in packing.shard_manifest(
         _ds(ray, [1, 2, 3], [10, 100, 5]), "doc_id", "n_tokens",
         shard_size=32).take_all()}
+    assert set(got) == {0, 3}
     assert got[0]["n_rows"] == 2 and got[0]["last_doc_id"] == 2
+    assert got[0]["total_n_tokens"] == 110
     assert got[3]["n_rows"] == 1 and got[3]["first_doc_id"] == 3
 
 
