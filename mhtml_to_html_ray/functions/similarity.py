@@ -510,3 +510,106 @@ def label_norm_stats(embeddings_ds):
     return partials.groupby("label").aggregate(
         Sum("norm_sum", alias_name="sum_norm"), Sum("n_partial", alias_name="n")
     )
+
+
+def pq_encode_codes(m: np.ndarray, codebooks: np.ndarray,
+                    digits: int = 4) -> np.ndarray:
+    """Product-quantization encode: (n, D) matrix → (n, m_sub) int64 codes.
+    ``codebooks`` is (m_sub, n_codes, d_sub) with m_sub·d_sub == D. Nearest
+    codeword per subspace by ROUNDED squared L2 (the kmeans_assign
+    determinism contract: round_half_away(·, digits), ties to the lower
+    codeword id — np.argmin on the rounded matrix picks the first
+    minimum)."""
+    from .rounding import round_half_away
+
+    m_sub, n_codes, d_sub = codebooks.shape
+    if m.shape[1] != m_sub * d_sub:
+        raise ValueError(
+            f"pq: dim {m.shape[1]} != {m_sub} subspaces x {d_sub}")
+    codes = np.empty((m.shape[0], m_sub), np.int64)
+    for j in range(m_sub):
+        sub = m[:, j * d_sub:(j + 1) * d_sub]
+        d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(round_half_away(d2, digits), axis=1)
+    return codes
+
+
+def pq_topk(embeddings_ds, query_vec, codebooks: np.ndarray, k: int = 10,
+            digits: int = 4):
+    """Product-quantization ANN (Jégou et al. 2011): encode every vector to
+    m_sub codebook ids, score with asymmetric distance computation — the
+    query's per-(subspace, codeword) distance table is built ONCE and each
+    vector costs m_sub table lookups instead of a D-dim multiply.
+
+    Scale shape: the codebooks and the m_sub×n_codes ADC table are tiny
+    fixed-size state (broadcast once via ray.put, loaded per actor);
+    the corpus pass is one map_batches with per-batch top-k, so the final
+    exchange is n_blocks×k rows. At 10^10 vectors the codes (m_sub bytes
+    per vector) are what you'd persist; re-ranking survivors with exact
+    distances is a second brute_force_topk over k' candidates.
+
+    Determinism contract (what makes an ANN variant fully SQL-oracled,
+    unlike the recall-pinned LSH/IVF paths): codebooks are FIXED (the
+    caller passes them — the query uses the vec_id<8 vectors), every
+    distance is rounded (round_half_away, ``digits``), argmin ties go to
+    the lower codeword id, and the ADC total re-rounds the j-ordered sum.
+    Returns (vec_id, code_0..code_{m-1}, approx_dist) sorted by
+    (approx_dist asc, vec_id asc), k rows.
+    """
+    import ray
+
+    from .rounding import round_half_away
+
+    query = np.asarray(query_vec, dtype=np.float64)
+    m_sub, n_codes, d_sub = codebooks.shape
+    # ADC table: t[j, c] = rounded squared L2 of (query subvector j,
+    # codeword c) — built once, driver-side, m_sub×n_codes doubles
+    table = np.empty((m_sub, n_codes), np.float64)
+    for j in range(m_sub):
+        qsub = query[j * d_sub:(j + 1) * d_sub]
+        table[j] = round_half_away(
+            ((codebooks[j] - qsub[None, :]) ** 2).sum(axis=1), digits)
+    state_ref = ray.put((codebooks, table))
+
+    code_names = [f"code_{j}" for j in range(m_sub)]
+
+    def empty() -> pa.Table:
+        cols = {"vec_id": pa.array([], pa.int64())}
+        cols.update({nm: pa.array([], pa.int64()) for nm in code_names})
+        cols["approx_dist"] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    class Score:
+        def __init__(self):
+            self.codebooks, self.table = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty()
+            ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+            codes = pq_encode_codes(_matrix(batch), self.codebooks, digits)
+            # j-ordered left-associated sum, then re-round: the oracle's
+            # SUM() over 4 rounded doubles can associate differently, but
+            # the values are identical and the final ROUND absorbs the
+            # last-ulp difference (the established rounded-contract risk)
+            dist = self.table[0][codes[:, 0]]
+            for j in range(1, codes.shape[1]):
+                dist = dist + self.table[j][codes[:, j]]
+            dist = round_half_away(dist, digits)
+            order = np.lexsort((ids, dist))[: min(k, len(ids))]
+            cols = {"vec_id": pa.array(ids[order], pa.int64())}
+            for j, nm in enumerate(code_names):
+                cols[nm] = pa.array(codes[order, j], pa.int64())
+            cols["approx_dist"] = pa.array(dist[order], pa.float64())
+            return pa.table(cols)
+
+    partials = embeddings_ds.map_batches(
+        Score, concurrency=(1, 8), batch_format="pyarrow").take_all()
+    partials.sort(key=lambda r: (r["approx_dist"], r["vec_id"]))
+    top = partials[:k]
+    cols = {"vec_id": pa.array([r["vec_id"] for r in top], pa.int64())}
+    for nm in code_names:
+        cols[nm] = pa.array([r[nm] for r in top], pa.int64())
+    cols["approx_dist"] = pa.array(
+        [r["approx_dist"] for r in top], pa.float64())
+    return pa.table(cols)

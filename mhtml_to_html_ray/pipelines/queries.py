@@ -2465,6 +2465,21 @@ def q_embedding_kmeans_assign(sf_dir: str):
     return _sorted_table(out, ["vec_id"])
 
 
+def q_embedding_pq_topk(sf_dir: str):
+    """Product-quantization ANN (functions/similarity.py pq_topk): 64-dim
+    embeddings split into 4×16-dim subspaces, codebooks = the FIXED
+    vec_id<8 subvectors, rounded-distance argmin codes, ADC top-10 against
+    the vec_id=0 query. Unlike the recall-pinned LSH/IVF paths this ANN
+    variant is FULLY oracled — every distance is rounded and ties are
+    deterministic, so the SQL recomputes codes, table and ranking
+    exactly."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = _fixed_centroids(ds)                     # (8, 64), cid order
+    codebooks = cents.reshape(8, 4, 16).transpose(1, 0, 2)
+    return similarity.pq_topk(ds, _first_embedding(sf_dir), codebooks,
+                              k=10, digits=4)
+
+
 def q_semdedup(sf_dir: str):
     """SemDedup (Abbas et al. 2023): nearest-centroid clustering against the
     FIXED vec_id<8 centroids (rounded-distance argmin, the oracle-comparable
@@ -3011,6 +3026,7 @@ QUERIES = {
     # earlier round's CORRECTNESS artifact or is pinned by tests (plus
     # late oracled additions queued for the next rotation) ---
     "self_dedup_lines": q_self_dedup_lines,
+    "embedding_pq_topk": q_embedding_pq_topk,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -4165,6 +4181,46 @@ ORACLE_SQL = {
         SELECT vec_id,
                (array_agg(cid ORDER BY dist, cid))[1] AS cluster_id
         FROM d GROUP BY vec_id ORDER BY vec_id
+    """,
+    "embedding_pq_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+        enc AS (
+            SELECT e.vec_id, s.j,
+                   (array_agg(c.cid ORDER BY
+                        ROUND(list_sum(list_transform(
+                            list_zip(
+                                list_slice(e.embedding, s.j*16 + 1,
+                                           (s.j + 1)*16),
+                                list_slice(c.cvec, s.j*16 + 1,
+                                           (s.j + 1)*16)),
+                            x -> (CAST(x[1] AS DOUBLE)
+                                  - CAST(x[2] AS DOUBLE)) ** 2)), 4),
+                        c.cid))[1] AS code
+            FROM embeddings e CROSS JOIN s CROSS JOIN c
+            GROUP BY e.vec_id, s.j),
+        tq AS (
+            SELECT s.j, c.cid,
+                   ROUND(list_sum(list_transform(
+                       list_zip(
+                           list_slice(q.qv, s.j*16 + 1, (s.j + 1)*16),
+                           list_slice(c.cvec, s.j*16 + 1, (s.j + 1)*16)),
+                       x -> (CAST(x[1] AS DOUBLE)
+                             - CAST(x[2] AS DOUBLE)) ** 2)), 4) AS d
+            FROM q CROSS JOIN s CROSS JOIN c),
+        dist AS (
+            SELECT enc.vec_id,
+                   MAX(CASE WHEN enc.j = 0 THEN enc.code END) AS code_0,
+                   MAX(CASE WHEN enc.j = 1 THEN enc.code END) AS code_1,
+                   MAX(CASE WHEN enc.j = 2 THEN enc.code END) AS code_2,
+                   MAX(CASE WHEN enc.j = 3 THEN enc.code END) AS code_3,
+                   ROUND(SUM(tq.d), 4) AS approx_dist
+            FROM enc JOIN tq ON tq.j = enc.j AND tq.cid = enc.code
+            GROUP BY enc.vec_id)
+        SELECT vec_id, code_0, code_1, code_2, code_3, approx_dist
+        FROM dist ORDER BY approx_dist, vec_id LIMIT 10
     """,
     "semdedup": """
         WITH c AS (SELECT vec_id AS cid, embedding AS cvec

@@ -278,6 +278,56 @@ def test_brute_force_topk_exact(embeddings_ds):
     assert cosines[0] == pytest.approx(1.0)
 
 
+def test_pq_topk_matches_single_process_reference(embeddings_ds):
+    from mhtml_to_html_ray.functions.rounding import round_half_away
+
+    rows = embeddings_ds.take(300)
+    vecs = np.array([r["embedding"] for r in rows], np.float64)
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    # 16-dim vectors → 4 subspaces × 4 dims; codebooks = vec_id<6 subvectors
+    codebooks = vecs[:6].reshape(6, 4, 4).transpose(1, 0, 2)
+    query = vecs[3]
+
+    # plain reference: encode + ADC, same rounding/tie contract
+    def d2(a, b):
+        return float(round_half_away(((a - b) ** 2).sum(), 4))
+
+    table = [[d2(query[j * 4:(j + 1) * 4], codebooks[j][c])
+              for c in range(6)] for j in range(4)]
+    dists = {}
+    for i, v in zip(ids, vecs):
+        total = 0.0
+        for j in range(4):
+            cds = [d2(v[j * 4:(j + 1) * 4], codebooks[j][c])
+                   for c in range(6)]
+            total = total + table[j][int(np.argmin(cds))]
+        dists[int(i)] = float(round_half_away(total, 4))
+    want = sorted(dists.items(), key=lambda p: (p[1], p[0]))[:10]
+
+    got = similarity.pq_topk(embeddings_ds, query, codebooks, k=10)
+    assert list(zip(got.column("vec_id").to_pylist(),
+                    got.column("approx_dist").to_pylist())) == want
+    # vec 3 is its own nearest code path: distance 0 at the top
+    assert got.column("vec_id")[0].as_py() == 3
+    assert got.column("approx_dist")[0].as_py() == 0.0
+
+
+def test_pq_topk_layout_independent(embeddings_ds):
+    rows = embeddings_ds.take(6)
+    vecs = np.array([r["embedding"] for r in rows], np.float64)
+    codebooks = vecs.reshape(6, 4, 4).transpose(1, 0, 2)
+    query = vecs[3]
+    a = similarity.pq_topk(embeddings_ds, query, codebooks, k=7)
+    b = similarity.pq_topk(embeddings_ds.repartition(9), query, codebooks,
+                           k=7)
+    assert a.equals(b)
+
+
+def test_pq_encode_validates_dim():
+    with pytest.raises(ValueError, match="dim"):
+        similarity.pq_encode_codes(np.zeros((2, 10)), np.zeros((4, 3, 4)))
+
+
 def test_lsh_ann_recall(embeddings_ds):
     query = embeddings_ds.take(4)[3]["embedding"]
     exact = set(similarity.brute_force_topk(embeddings_ds, query, k=10).column("vec_id").to_pylist())
