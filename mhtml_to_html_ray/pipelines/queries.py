@@ -2006,6 +2006,32 @@ def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_dedup(ds, threshold=0.8)
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Dedup audit: the cluster-size distribution of the minhash near-dup
+    clustering — the first thing an operator checks after a dedup run (a
+    giant component means the threshold or shingling is wrong). Two
+    count-groupbys over the (doc_id, cluster_id) Dataset; the oracle wraps
+    the dedup_minhash closure in the same double aggregation."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters = dedup.minhash_dedup(ds, threshold=0.8)
+
+    from ray.data.aggregate import Count
+
+    sizes = (
+        clusters.groupby("cluster_id").aggregate(Count(alias_name="size"))
+        .groupby("size").aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "size": batch.column("size").cast(pa.int64()),
+            "n_clusters": batch.column("n_clusters").cast(pa.int64()),
+        })
+
+    return _sorted_table(
+        sizes.map_batches(widen, batch_format="pyarrow"), ["size"])
+
+
 def q_dedup_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.simhash_pairs(ds, max_hamming=3)
@@ -3027,6 +3053,7 @@ QUERIES = {
     # late oracled additions queued for the next rotation) ---
     "self_dedup_lines": q_self_dedup_lines,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -4828,6 +4855,17 @@ def _hits_oracle_sql() -> str:
         ORDER BY n.node
     """
 
+
+# dedup audit: the same all-pairs-Jaccard + closure restatement, folded to
+# the cluster-size histogram — generated from the dedup_minhash entry so
+# the two clusterings can never drift apart
+ORACLE_SQL["dedup_cluster_sizes"] = f"""
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+        FROM ({ORACLE_SQL["dedup_minhash"]}) clusters
+        GROUP BY cluster_id)
+    GROUP BY size ORDER BY size
+"""
 
 ORACLE_SQL["hits"] = _hits_oracle_sql()
 ORACLE_SQL["langid"] = _langid_oracle_sql()
