@@ -1812,3 +1812,70 @@ def test_serialize_document_includes_doctype():
 )
 def test_formatting_marker_boundaries(source, expected):
     assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# select-in-table, form pointer, frameset-ok, SVG integration points —
+# the round-4 late-session probe set (spec 13.2.6.4.16 in-select-in-table,
+# 13.2.6.4.7 "form" / "frameset", 13.2.6.5 integration points)
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # a <table> start tag inside a select-in-table pops the select and
+        # reopens table parsing; the trailing text foster-parents BEFORE
+        # the inner table, inside the cell (13.2.6.4.16)
+        (
+            "<table><tr><td><select><option>a<table>x</table></table>",
+            "<body><table><tbody><tr><td><select><option>a</option>"
+            "</select>x<table></table></td></tr></tbody></table></body>",
+        ),
+        # optgroup/option implied end tags inside select
+        (
+            "<select><optgroup><option>1<optgroup><option>2</select>",
+            "<body><select><optgroup><option>1</option></optgroup>"
+            "<optgroup><option>2</option></optgroup></select></body>",
+        ),
+        # the form element pointer: a nested <form> start tag is ignored,
+        # its contents land in the OUTER form (13.2.6.4.7 "form")
+        (
+            "<form><div><form><input></form></div></form>",
+            "<body><form><div><input></div></form></body>",
+        ),
+        # frameset-ok stays true across whitespace-only body text ... (the
+        # frameset REPLACES the body — asserted on the whole document)
+        # ... but any non-whitespace character flips it off and the
+        # frameset start tag is ignored
+        (
+            "<body>x<frameset><frame>",
+            "<body>x</body>",
+        ),
+        # svg foreignObject is an HTML integration point: inner content
+        # parses with HTML rules (a real <p> element, implied end works);
+        # the reference serializer lowercases tag names on output
+        (
+            "<svg><foreignObject><p>hi<p>bye</foreignObject></svg>",
+            "<body><svg><foreignobject><p>hi</p><p>bye</p>"
+            "</foreignobject></svg></body>",
+        ),
+        # foreign content opened directly in a table foster-parents before
+        # the table like any non-table content
+        (
+            "<table><svg><circle></svg><tr><td>x</table>",
+            "<body><svg><circle></circle></svg><table><tbody><tr><td>x"
+            "</td></tr></tbody></table></body>",
+        ),
+    ],
+)
+def test_select_form_frameset_and_integration_points(source, expected):
+    assert body_html(source) == expected
+
+
+def test_whitespace_keeps_frameset_ok():
+    # spec 13.2.6.4.7: whitespace-only in-body text does not clear the
+    # frameset-ok flag, so the frameset replaces the body entirely
+    doc = parse_html("<body> <frameset><frame></frameset>")
+    assert doc.body is None
+    out = serialize(doc)
+    assert out == ("<html><head></head><frameset><frame></frameset></html>")
