@@ -1194,3 +1194,203 @@ def bpe_encode(documents_ds, merges, n_merges: int | None = None):
         )
 
     return documents_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bigram_lm_scores(documents_ds):
+    """Per-document mean CONDITIONAL bigram log-probability — the next LM
+    quality filter up from :func:`unigram_lm_scores`: for every adjacent
+    token pair, p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), Laplace-smoothed,
+    with c(w1·) the corpus count of w1 as a bigram CONTEXT and V the
+    corpus's distinct-token count. Low scores flag word-salad documents
+    that pass unigram filters (every token common, transitions absurd).
+
+    JOIN-ONLY plan: a bigram vocabulary is vocab²-bounded, so there is no
+    broadcastable table at web scale even with a cap — the counts stay
+    distributed end to end (the VERDICT r3 #3 discipline). Three hash
+    shuffles: (doc_id, bigram, k) rows union-equijoin the (bigram, n12)
+    counts (log-prob math.log'd per DISTINCT (doc, bigram) — the same libm
+    doubles DuckDB's LN produces), the result union-equijoins the
+    (w1, n1) context counts, and a final groupby(doc_id) folds
+    round(Σ k·logp / Σ k, 6). The only driver scalar is V. Bigram keys
+    join the two tokens on newline, provably absent from _lm_tokens output
+    (the ccnet_buckets collision lesson: NUL keys collide inside pandas'
+    C-string hash table).
+
+    Returns (doc_id, n_bigrams, bigram_lm_score); docs with fewer than two
+    tokens have no bigrams and are absent (SQL join semantics).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    SEP = "\n"
+
+    def doc_bigram_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, bigram-key, k) — distinct per doc with multiplicity."""
+        doc_ids = batch.column("doc_id").to_pylist()
+        keys: list[str] = []
+        owner: list[int] = []
+        for doc_id, text in zip(doc_ids, batch.column("text").to_pylist()):
+            tokens = _lm_tokens(text)
+            for a, b in zip(tokens, tokens[1:]):
+                keys.append(a + SEP + b)
+                owner.append(doc_id)
+        if not keys:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        grouped = (
+            pd.DataFrame({"doc_id": owner, "key": keys})
+            .groupby(["doc_id", "key"], sort=False)
+            .size()
+            .reset_index(name="k")
+        )
+        return pa.table({
+            "key": pa.array(grouped["key"], pa.string()),
+            "doc_id": pa.array(grouped["doc_id"], pa.int64()),
+            "k": pa.array(grouped["k"], pa.int64()),
+        })
+
+    doc_rows = documents_ds.map_batches(
+        doc_bigram_rows, batch_format="pyarrow").materialize()
+
+    # corpus bigram counts: fold the per-doc multiplicities (Σk)
+    c12 = (
+        doc_rows.groupby("key").aggregate(Sum("k", alias_name="n12"))
+    )
+
+    # context counts c(w1·) = Σ over bigrams starting with w1
+    def context_partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        ks = batch.column("k").to_numpy(zero_copy_only=False)
+        w1s = [key.split(SEP, 1)[0] for key in keys]
+        grouped = (
+            pd.DataFrame({"w1": w1s, "k": ks})
+            .groupby("w1", sort=False)["k"].sum().reset_index()
+        )
+        return pa.table({"w1": pa.array(grouped["w1"], pa.string()),
+                         "n1": pa.array(grouped["k"], pa.int64())})
+
+    c1 = (
+        doc_rows.map_batches(context_partials, batch_format="pyarrow")
+        .groupby("w1").aggregate(Sum("n1", alias_name="n1"))
+    )
+
+    # V: distinct tokens corpus-wide (one scalar to the driver)
+    def token_partials(batch: pa.Table) -> pa.Table:
+        toks = set()
+        for text in batch.column("text").to_pylist():
+            toks.update(_lm_tokens(text))
+        return pa.table({"tok": pa.array(sorted(toks), pa.string()),
+                         "one": pa.array(np.zeros(len(toks), np.int64))})
+
+    vocab = (
+        documents_ds.map_batches(token_partials, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("one", alias_name="_z"))
+        .count()
+    )
+
+    # join 1: attach n12 per bigram key
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("key"),
+            "doc_id": batch.column("doc_id"),
+            "k": batch.column("k"),
+            "n12": pa.nulls(n, pa.int64()),
+        })
+
+    def tag_c12(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("key"),
+            "doc_id": pa.nulls(n, pa.int64()),
+            "k": pa.nulls(n, pa.int64()),
+            "n12": batch.column("n12").cast(pa.int64()),
+        })
+
+    def attach_n12(group: pd.DataFrame) -> pa.Table:
+        counts = group[group["n12"].notna()]
+        docs = group[group["doc_id"].notna()]
+        if docs.empty or counts.empty:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "n12": pa.array([], pa.int64())})
+        n12 = int(counts["n12"].iloc[0])
+        w1 = str(group["key"].iloc[0]).split(SEP, 1)[0]
+        return pa.table({
+            "w1": pa.array([w1] * len(docs), pa.string()),
+            "doc_id": pa.array(docs["doc_id"].astype(np.int64)),
+            "k": pa.array(docs["k"].astype(np.int64)),
+            "n12": pa.array(np.full(len(docs), n12, np.int64)),
+        })
+
+    with_n12 = (
+        doc_rows.map_batches(tag_doc, batch_format="pyarrow")
+        .union(c12.map_batches(tag_c12, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(attach_n12, batch_format="pandas")
+    )
+
+    # join 2: attach n1 per context w1, compute k·logp per row
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "w1": batch.column("w1"),
+            "doc_id": batch.column("doc_id"),
+            "k": batch.column("k"),
+            "n12": batch.column("n12"),
+            "n1": pa.nulls(n, pa.int64()),
+        })
+
+    def tag_c1(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "w1": batch.column("w1"),
+            "doc_id": pa.nulls(n, pa.int64()),
+            "k": pa.nulls(n, pa.int64()),
+            "n12": pa.nulls(n, pa.int64()),
+            "n1": batch.column("n1").cast(pa.int64()),
+        })
+
+    def attach_logp(group: pd.DataFrame) -> pa.Table:
+        counts = group[group["n1"].notna()]
+        docs = group[group["doc_id"].notna()]
+        if docs.empty or counts.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "klp": pa.array([], pa.float64())})
+        n1 = int(counts["n1"].iloc[0])
+        klp = [
+            float(k) * math.log((int(n12) + 1) / (n1 + vocab))
+            for k, n12 in zip(docs["k"], docs["n12"])
+        ]
+        return pa.table({
+            "doc_id": pa.array(docs["doc_id"].astype(np.int64)),
+            "k": pa.array(docs["k"].astype(np.int64)),
+            "klp": pa.array(klp, pa.float64()),
+        })
+
+    scored = (
+        with_n12.map_batches(tag_rows, batch_format="pyarrow")
+        .union(c1.map_batches(tag_c1, batch_format="pyarrow"))
+        .groupby("w1")
+        .map_groups(attach_logp, batch_format="pandas")
+    )
+
+    def fold_doc(group: pd.DataFrame) -> pa.Table:
+        from .rounding import round_half_away
+
+        n = int(group["k"].sum())
+        score = float(round_half_away(group["klp"].sum() / n, 6))
+        return pa.table({
+            "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
+            "n_bigrams": pa.array([n], pa.int64()),
+            "bigram_lm_score": pa.array([score], pa.float64()),
+        })
+
+    return scored.groupby("doc_id").map_groups(fold_doc,
+                                               batch_format="pandas")

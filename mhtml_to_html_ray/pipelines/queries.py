@@ -1820,6 +1820,17 @@ def q_pack_sequences(sf_dir: str):
     return _sorted_table(packed, ["doc_id"])
 
 
+def q_bigram_lm_score(sf_dir: str):
+    """Conditional bigram-LM quality scoring (functions/textstats.py
+    bigram_lm_scores): Laplace-smoothed p(w2|w1) under the corpus's own
+    bigram counts, mean log-prob per doc. Join-only plan — a bigram
+    vocabulary is never broadcastable, so counts stay distributed through
+    two union-equijoins; only the distinct-token count V reaches the
+    driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _sorted_table(textstats.bigram_lm_scores(ds), ["doc_id"])
+
+
 def q_shard_manifest(sf_dir: str):
     """Size-balanced output-shard planning (functions/packing.py
     shard_manifest): docs concatenated in doc_id order open a new 16 KiB
@@ -3054,6 +3065,7 @@ QUERIES = {
     "self_dedup_lines": q_self_dedup_lines,
     "embedding_pq_topk": q_embedding_pq_topk,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "bigram_lm_score": q_bigram_lm_score,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -4602,6 +4614,36 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_bigrams, weight
         FROM w ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+    "bigram_lm_score": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS a
+            FROM documents),
+        v AS (SELECT COUNT(DISTINCT t) AS vsz
+              FROM (SELECT UNNEST(a) AS t FROM toks) u),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST([a[i] FOR i IN generate_series(1, len(a)-1)])
+                       AS w1,
+                   UNNEST([a[i+1] FOR i IN generate_series(1, len(a)-1)])
+                       AS w2
+            FROM toks WHERE len(a) >= 2),
+        dbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+                FROM bg GROUP BY doc_id, w1, w2),
+        c12 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS n12
+                FROM dbg GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS n1
+               FROM dbg GROUP BY w1),
+        scored AS (
+            SELECT dbg.doc_id, dbg.k,
+                   dbg.k * LN((c12.n12 + 1) / (c1.n1 + v.vsz)) AS klp
+            FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            CROSS JOIN v)
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(klp) / SUM(k), 6) AS bigram_lm_score
+        FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     "self_dedup_lines": """
         WITH pages AS (

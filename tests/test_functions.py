@@ -1088,6 +1088,42 @@ def test_unigram_lm_scores(ray_session):
     assert rows[0]["lm_score"] > rows[1]["lm_score"], "common tokens must score higher"
 
 
+def test_bigram_lm_scores_hand_computed(ray_session):
+    """Laplace-smoothed p(w2|w1) means: corpus 'a b a b' + 'a b c' + 'x' —
+    bigram counts (a,b)=3, (b,a)=1, (b,c)=1, contexts a·=3, b·=2, V=4."""
+    import math
+
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table(["a b a b", "a b c", "x"]))
+    rows = {r["doc_id"]: r for r in
+            textstats.bigram_lm_scores(docs).take_all()}
+    assert set(rows) == {0, 1}  # the single-token doc has no bigrams
+    lp_ab = math.log((3 + 1) / (3 + 4))
+    lp_ba = math.log((1 + 1) / (2 + 4))
+    lp_bc = math.log((1 + 1) / (2 + 4))
+    assert rows[0]["n_bigrams"] == 3
+    assert abs(rows[0]["bigram_lm_score"] - (2 * lp_ab + lp_ba) / 3) < 1e-6
+    assert rows[1]["n_bigrams"] == 2
+    assert abs(rows[1]["bigram_lm_score"] - (lp_ab + lp_bc) / 2) < 1e-6
+    # the common transition scores above the rare one
+    assert rows[0]["bigram_lm_score"] > rows[1]["bigram_lm_score"]
+
+
+def test_bigram_lm_scores_layout_independent(ray_session):
+    import ray.data
+
+    texts = [f"tok{i % 5} tok{(i + 2) % 7} tok{i % 3} tok{i % 2}"
+             for i in range(60)]
+    a = sorted(textstats.bigram_lm_scores(
+        ray.data.from_arrow(_docs_table(texts))).take_all(),
+        key=lambda r: r["doc_id"])
+    b = sorted(textstats.bigram_lm_scores(
+        ray.data.from_arrow(_docs_table(texts)).repartition(7)).take_all(),
+        key=lambda r: r["doc_id"])
+    assert a == b
+
+
 def test_unigram_lm_vocab_cap(ray_session):
     """vocab_cap >= vocab size is exactly the uncapped scorer; a tight cap
     pools rare tokens into UNK and still scores every doc."""
