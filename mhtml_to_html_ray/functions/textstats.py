@@ -240,6 +240,87 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def fineweb_stats_batch(batch: pa.Table) -> pa.Table:
+    """FineWeb-style LINE-SHAPE quality gate (Penedo et al. 2024) — the
+    line-based complement of the token-based C4/Gopher rules: a page whose
+    lines rarely end in terminal punctuation, are mostly short, or carry a
+    large fraction of their characters in within-page duplicated lines is
+    boilerplate/listing spam rather than prose.
+
+    Per document (lines = text split on ``\\n``):
+
+    * ``n_punct``  — lines whose last char is one of ``. ! ? " '``
+    * ``n_short``  — lines shorter than 30 codepoints
+    * ``dup_chars`` — total chars in lines occurring ≥2× WITHIN the page
+      (every occurrence counted, FineWeb's "fraction of characters in
+      duplicated lines")
+
+    Keep rule, evaluated first-failing in FineWeb's order and entirely in
+    INTEGER cross-multiplied form so both the engine and the DuckDB oracle
+    compare exact integers (no float ratio ever materializes):
+
+    * punct ratio ≥ 0.12 → ``100*n_punct >= 12*n_lines``  else 'punct'
+    * short ratio < 0.67 → ``100*n_short <  67*n_lines``  else 'short_lines'
+    * dup-char frac < 0.1 → ``10*dup_chars < total_chars`` else 'dup_lines'
+
+    Pure per-batch work, zero shuffle — the same split → flatten →
+    parent-index bincount shape as dedup.self_dedup_lines. Output:
+    (doc_id, n_lines, n_punct, n_short, dup_chars, total_chars, keep,
+    drop_reason).
+    """
+    import numpy as np
+    import pandas as pd
+
+    parts = pc.split_pattern(batch.column("text"), pattern="\n")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    n_docs = len(batch)
+
+    lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # RE2 on both sides: the oracle tests regexp_matches(line, '[.!?"'']$')
+    punct = pc.match_substring_regex(flat, r"""[.!?"']$""").to_numpy(
+        zero_copy_only=False)
+    short = lens < 30
+    # every occurrence of a line duplicated within its page (keep=False
+    # marks ALL copies, matching the oracle's HAVING COUNT(*) >= 2 group)
+    dup_mask = pd.DataFrame({"row": parents, "line": flat.to_pandas()}).duplicated(
+        ["row", "line"], keep=False).to_numpy()
+
+    n_lines = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    n_punct = np.bincount(parents[punct], minlength=n_docs).astype(np.int64)
+    n_short = np.bincount(parents[short], minlength=n_docs).astype(np.int64)
+    # float64 bincount sums are exact far beyond any per-page char total
+    total_chars = np.bincount(
+        parents, weights=lens, minlength=n_docs).astype(np.int64)
+    dup_chars = np.bincount(
+        parents[dup_mask], weights=lens[dup_mask], minlength=n_docs
+    ).astype(np.int64)
+
+    ok_punct = 100 * n_punct >= 12 * n_lines
+    ok_short = 100 * n_short < 67 * n_lines
+    ok_dup = 10 * dup_chars < total_chars
+    keep = ok_punct & ok_short & ok_dup
+    reasons = np.where(
+        ~ok_punct, "punct",
+        np.where(~ok_short, "short_lines", np.where(~ok_dup, "dup_lines", "")),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_short": pa.array(n_short, pa.int64()),
+            "dup_chars": pa.array(dup_chars, pa.int64()),
+            "total_chars": pa.array(total_chars, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+            "drop_reason": pa.array(
+                [r if r else None for r in reasons.tolist()], pa.string()),
+        }
+    )
+
+
 def bpe_pair_count_partials(batch: pa.Table) -> pa.Table:
     """Per-block partial counts of ADJACENT CHARACTER PAIRS inside words —
     the first merge-candidate census of BPE tokenizer training. Fully

@@ -2462,6 +2462,49 @@ def q_self_dedup_lines(sf_dir: str):
     return _sorted_table(dedup.self_dedup_lines(pages), ["doc_id"])
 
 
+def q_fineweb_filter(sf_dir: str):
+    """FineWeb line-shape quality gate (functions/textstats.fineweb_stats_batch
+    — Penedo et al. 2024): terminal-punctuation line ratio + short-line ratio
+    + within-page duplicated-line char fraction, first-failing-rule drop
+    reasons, all comparisons in integer cross-multiplied form so the DuckDB
+    oracle hash-matches exactly. Pages synthesized deterministically from
+    doc_id: a headline (punctuated except doc_id%5==4), the body, a nav
+    line, a promo slot that duplicates the body (doc_id%7==0 → dup_lines
+    drops) or degenerates to 'OK' (doc_id%7==1 → short_lines drops), and a
+    footer. One map_batches pass, zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        n = len(batch)
+        did_s = pc.cast(did, pa.string())
+        m5 = _mod(did, 5)
+        m7 = _mod(did, 7)
+        head = pc.binary_join_element_wise(
+            _lit("Welcome to page ", n), did_s,
+            pc.if_else(pc.equal(m5, 4), _lit("", n), _lit(".", n)), "")
+        nav = pc.binary_join_element_wise(
+            _lit("nav menu ", n), pc.cast(m5, pa.string()), "")
+        promo = pc.if_else(
+            pc.equal(m7, 0), batch.column("text"),
+            pc.if_else(
+                pc.equal(m7, 1), _lit("OK", n),
+                pc.binary_join_element_wise(
+                    _lit("Read the full article about topic ", n),
+                    pc.cast(m7, pa.string()), _lit(".", n), "")))
+        tail = pc.if_else(pc.equal(_mod(did, 4), 0),
+                          _lit("Buy now", n), _lit("All rights reserved.", n))
+        raw = pc.binary_join_element_wise(
+            head, batch.column("text"), nav, promo, tail, "\n")
+        return pa.table({"doc_id": did, "text": raw})
+
+    pages = ds.map_batches(synth, batch_format="pyarrow")
+    return _sorted_table(
+        pages.map_batches(textstats.fineweb_stats_batch, batch_format="pyarrow"),
+        ["doc_id"],
+    )
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's over the full embeddings table (k partial rows per
     block per round; functions/clustering.py). Iterative float refit is not
@@ -3066,6 +3109,7 @@ QUERIES = {
     "embedding_pq_topk": q_embedding_pq_topk,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "bigram_lm_score": q_bigram_lm_score,
+    "fineweb_filter": q_fineweb_filter,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -4668,6 +4712,51 @@ ORACLE_SQL = {
         SELECT a.doc_id, a.text_dedup, a.n_kept,
                t.n_total - a.n_kept AS n_removed
         FROM agg a JOIN tot t USING (doc_id) ORDER BY a.doc_id
+    """,
+    "fineweb_filter": """
+        WITH pages AS (
+            SELECT doc_id,
+                   'Welcome to page ' || CAST(doc_id AS VARCHAR) ||
+                       CASE WHEN doc_id % 5 = 4 THEN '' ELSE '.' END
+                   || chr(10) || text
+                   || chr(10) || 'nav menu ' || CAST(doc_id % 5 AS VARCHAR)
+                   || chr(10) ||
+                   CASE WHEN doc_id % 7 = 0 THEN text
+                        WHEN doc_id % 7 = 1 THEN 'OK'
+                        ELSE 'Read the full article about topic ' ||
+                             CAST(doc_id % 7 AS VARCHAR) || '.' END
+                   || chr(10) ||
+                   CASE WHEN doc_id % 4 = 0 THEN 'Buy now'
+                        ELSE 'All rights reserved.' END AS raw
+            FROM documents),
+        l AS (SELECT doc_id, UNNEST(string_split(raw, chr(10))) AS line
+              FROM pages),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN regexp_matches(line, '[.!?"'']$')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
+                   CAST(SUM(CASE WHEN length(line) < 30 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_short,
+                   CAST(SUM(length(line)) AS BIGINT) AS total_chars
+            FROM l GROUP BY doc_id),
+        dup AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * len
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS dup_chars
+            FROM (SELECT doc_id, COUNT(*) AS c, length(line) AS len
+                  FROM l GROUP BY doc_id, line) g
+            GROUP BY doc_id)
+        SELECT p.doc_id, n_lines, n_punct, n_short, dup_chars, total_chars,
+               (100 * n_punct >= 12 * n_lines AND
+                100 * n_short < 67 * n_lines AND
+                10 * dup_chars < total_chars) AS keep,
+               CASE WHEN 100 * n_punct < 12 * n_lines THEN 'punct'
+                    WHEN 100 * n_short >= 67 * n_lines THEN 'short_lines'
+                    WHEN 10 * dup_chars >= total_chars THEN 'dup_lines'
+                    END AS drop_reason
+        FROM per_doc p JOIN dup USING (doc_id) ORDER BY p.doc_id
     """,
     "shard_manifest": """
         WITH off AS (

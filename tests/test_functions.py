@@ -48,6 +48,42 @@ def test_gopher_stats_rules_and_reason_precedence():
     assert ell["symbol_ratio"].to_pylist()[0] == pytest.approx(2 / 3)
 
 
+def test_fineweb_stats_rules_and_reason_precedence():
+    """FineWeb line-shape gate: every rule fires, reasons resolve in
+    punct → short_lines → dup_lines order, and dup_chars counts EVERY
+    occurrence of a within-page duplicated line."""
+    dup_line = "This duplicated line is long enough to dominate chars."
+    docs = [
+        # keep: 2/3 punct-ending, 1/3 short, no dups
+        "Hello there, this is a fine long prose line.\n"
+        "Another long and thoughtful sentence about the web.\nshort",
+        # punct: zero of three lines ends in terminal punctuation
+        "this line just ends with a word and keeps going on\n"
+        "a second line that also trails off without any stop\n"
+        "third line likewise ending plain",
+        # short_lines: all punct-ending but 3/3 short (≥ 0.67)
+        "Hi.\nNo!\nOk?",
+        # dup_lines: punct+short pass, duplicated line carries most chars
+        f"{dup_line}\n{dup_line}\nUnique closing line, also fairly long.",
+        # precedence: fails punct AND short_lines → first rule wins
+        "no punct here but quite a long line overall yes\ntiny\nmini",
+        # empty text → one empty line: fails punct, never divides by zero
+        "",
+    ]
+    out = textstats.fineweb_stats_batch(_docs_table(docs))
+    assert out["keep"].to_pylist() == [True, False, False, False, False, False]
+    assert out["drop_reason"].to_pylist() == [
+        None, "punct", "short_lines", "dup_lines", "punct", "punct",
+    ]
+    assert out["n_lines"].to_pylist() == [3, 3, 3, 3, 3, 1]
+    assert out["n_punct"].to_pylist() == [2, 0, 3, 3, 0, 0]
+    assert out["n_short"].to_pylist() == [1, 0, 3, 0, 2, 1]
+    # both copies of the duplicated line count, nothing else
+    assert out["dup_chars"].to_pylist()[3] == 2 * len(dup_line)
+    assert out["dup_chars"].to_pylist()[:3] == [0, 0, 0]
+    assert out["total_chars"].to_pylist()[5] == 0
+
+
 def test_bpe_pair_count_partials():
     """Adjacent-pair census: pairs never cross word or document boundaries,
     counts fold per block, astral codepoints survive the utf-32 packing."""
