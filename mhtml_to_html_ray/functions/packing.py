@@ -353,3 +353,91 @@ def shard_manifest(ds, key: str, count_col: str, shard_size: int,
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def epoch_shuffle(ds, key: str = "doc_id", epoch: int = 0,
+                  n_shards: int = 8, salt: str = ""):
+    """Deterministic EPOCH SHUFFLE — the training-order step between
+    curation and the data loader: give every row a pseudo-random but fully
+    reproducible position inside one of ``n_shards`` loader shards, so the
+    same (epoch, salt) always yields the same byte-identical order on any
+    cluster, any block layout, any retry (no RNG, no seed state to ship —
+    the md5 of ``epoch:<epoch>:<salt>:<key>`` IS the permutation).
+
+    Output: one row per input row — (key, shard, pos, shuffle_key) with
+    ``pos`` the 0-based rank of the row inside its shard ordered by
+    (shuffle_key, key).
+
+    Scale shape (the reason this isn't ``random_shuffle()``): ranking
+    within a shard is a global sort, which at corpus scale must not funnel
+    a shard's rows into one task. The shuffle key is a 32-hex md5, so its
+    FIRST 3 HEX CHARS are an order-preserving range bucket (hex strings of
+    equal length sort lexicographically == numerically): per-(shard,
+    bucket) counts fold through one combiner-bounded groupby
+    (≤ n_shards·4096 rows reach the driver — bounded, never corpus-sized,
+    the same contract as prefix_offsets), the driver exclusive-scans each
+    shard's bucket counts, and one ``groupby(shard, bucket).map_groups``
+    pass sorts each ~1/4096-of-a-shard slice locally and adds its bucket
+    base. The shard id comes from the full first-8-hex value mod n_shards
+    (for power-of-two n_shards that is the LOW bits — independent of the
+    bucket's top 12 bits, so shard×bucket groups stay balanced). The
+    stamped projection is materialized once so the md5 pass runs once
+    across the two consumers.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    prefix = f"epoch:{epoch}:{salt}:"
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key).to_pylist()
+        full = [
+            hashlib.md5((prefix + str(v)).encode("utf-8")).hexdigest()
+            for v in vals
+        ]
+        shard = (
+            np.array([int(h[:8], 16) for h in full], dtype=np.int64)
+            % n_shards
+        )
+        bucket = np.array([int(h[:3], 16) for h in full], dtype=np.int64)
+        return pa.table({
+            key: batch.column(key),
+            "shuffle_key": pa.array(full, pa.string()),
+            "shard": pa.array(shard, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        })
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow").materialize()
+    count_rows = (
+        stamped.groupby(["shard", "bucket"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    count_rows.sort(key=lambda r: (r["shard"], r["bucket"]))
+    offsets: dict = {}
+    running: dict = {}
+    for r in count_rows:
+        s = r["shard"]
+        offsets[(s, r["bucket"])] = running.get(s, 0)
+        running[s] = running.get(s, 0) + r["n"]
+    offsets_ref = ray.put(offsets)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(offsets_ref)[
+            (int(df["shard"].iloc[0]), int(df["bucket"].iloc[0]))
+        ]
+        df = df.sort_values(["shuffle_key", key]).reset_index(drop=True)
+        return pd.DataFrame({
+            key: df[key],
+            "shard": df["shard"],
+            "pos": base + np.arange(len(df), dtype=np.int64),
+            "shuffle_key": df["shuffle_key"],
+        })
+
+    return stamped.groupby(["shard", "bucket"]).map_groups(
+        rank, batch_format="pandas")

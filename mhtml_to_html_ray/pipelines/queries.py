@@ -2505,6 +2505,21 @@ def q_fineweb_filter(sf_dir: str):
     )
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle (functions/packing.epoch_shuffle):
+    md5('epoch:0::' || doc_id) is the permutation — shard = first-8-hex mod 8,
+    pos = rank within the shard by (shuffle_key, doc_id). Reproducible on any
+    layout with no RNG; the within-shard rank runs through order-preserving
+    3-hex-prefix range buckets (≤ n_shards·4096 driver rows), never a
+    whole-shard sort in one task. The oracle restates the same md5 arithmetic
+    with ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key)."""
+    from ..functions import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = packing.epoch_shuffle(ds, key="doc_id", epoch=0, n_shards=8)
+    return _sorted_table(out, ["shard", "pos"])
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's over the full embeddings table (k partial rows per
     block per round; functions/clustering.py). Iterative float refit is not
@@ -3110,6 +3125,7 @@ QUERIES = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "bigram_lm_score": q_bigram_lm_score,
     "fineweb_filter": q_fineweb_filter,
+    "epoch_shuffle": q_epoch_shuffle,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -4757,6 +4773,24 @@ ORACLE_SQL = {
                     WHEN 10 * dup_chars >= total_chars THEN 'dup_lines'
                     END AS drop_reason
         FROM per_doc p JOIN dup USING (doc_id) ORDER BY p.doc_id
+    """,
+    "epoch_shuffle": """
+        WITH k AS (
+            SELECT doc_id,
+                   md5('epoch:0::' || CAST(doc_id AS VARCHAR))
+                       AS shuffle_key
+            FROM documents),
+        s AS (
+            SELECT doc_id, shuffle_key,
+                   CAST(CAST(concat('0x', substr(shuffle_key, 1, 8))
+                             AS BIGINT) % 8 AS BIGINT) AS shard
+            FROM k)
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY shuffle_key, doc_id) - 1
+                    AS BIGINT) AS pos,
+               shuffle_key
+        FROM s ORDER BY shard, pos
     """,
     "shard_manifest": """
         WITH off AS (

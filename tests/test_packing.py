@@ -285,3 +285,70 @@ def test_shard_manifest_empty_and_validation(ray_session):
     with pytest.raises(ValueError, match="shard_size"):
         packing.shard_manifest(_ds(ray, [1], [1]), "doc_id", "n_tokens",
                                shard_size=0)
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle
+
+
+def _shuffle_rows(out):
+    rows = out.take_all()
+    return sorted((r["doc_id"], r["shard"], r["pos"], r["shuffle_key"])
+                  for r in rows)
+
+
+def _ids_ds(ray, ids, parts=1):
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def test_epoch_shuffle_matches_md5_reference(ray_session):
+    """Every row's shard/pos equals the single-process md5-sort reference:
+    shard = int(md5[:8], 16) % n_shards, pos = rank within the shard by
+    (full md5 hex, doc_id)."""
+    import hashlib
+
+    import ray
+
+    ids = list(range(200))
+    got = _shuffle_rows(packing.epoch_shuffle(
+        _ids_ds(ray, ids, parts=7), epoch=3, n_shards=4, salt="s"))
+    full = {i: hashlib.md5(f"epoch:3:s:{i}".encode()).hexdigest()
+            for i in ids}
+    expect = []
+    for shard in range(4):
+        members = sorted(
+            (full[i], i) for i in ids
+            if int(full[i][:8], 16) % 4 == shard)
+        expect += [(i, shard, pos, h)
+                   for pos, (h, i) in enumerate(members)]
+    assert got == sorted(expect)
+
+
+def test_epoch_shuffle_layout_independent_and_deterministic(ray_session):
+    """Same (epoch, salt) → identical output whatever the block layout;
+    changing the epoch produces a different permutation of the same rows."""
+    import ray
+
+    ids = list(range(300))
+    a = _shuffle_rows(packing.epoch_shuffle(_ids_ds(ray, ids, parts=1)))
+    b = _shuffle_rows(packing.epoch_shuffle(_ids_ds(ray, ids, parts=11)))
+    assert a == b
+    c = _shuffle_rows(packing.epoch_shuffle(
+        _ids_ds(ray, ids, parts=3), epoch=1))
+    assert c != a
+    # both epochs are permutations: every shard's positions are 0..n-1
+    for rows in (a, c):
+        by_shard = {}
+        for _, shard, pos, _ in rows:
+            by_shard.setdefault(shard, []).append(pos)
+        assert {i for _, i, _, _ in rows} == set(by_shard)
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+
+
+def test_epoch_shuffle_validates_n_shards(ray_session):
+    import ray
+
+    with pytest.raises(ValueError):
+        packing.epoch_shuffle(_ids_ds(ray, [1, 2]), n_shards=0)
