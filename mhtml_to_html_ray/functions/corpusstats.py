@@ -697,3 +697,194 @@ def more_like_this(documents_ds, probe_ids, k: int = 10):
         .groupby("probe_doc")
         .map_groups(rank_probe, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+
+
+def phrase_search(documents_ds, phrase):
+    """Exact token-phrase occurrence counts per document — the grep-style
+    positional query, WITHOUT building a positional index.
+
+    Anchor decomposition: a hit of phrase token ``i`` at (1-based) position
+    ``p`` votes for anchor ``p - i``; the phrase occurs at anchor ``a`` iff
+    all ``m`` slots voted for ``a``. Votes are unique by construction — one
+    position holds one token, so ``(doc_id, anchor, slot)`` pins
+    ``pos = anchor + slot`` — which makes ``COUNT(*) == m`` equivalent to
+    "all m slots matched". Overlapping matches count separately (phrase
+    "b b" in "b b b" matches at anchors 1 AND 2), same as the SQL oracle.
+
+    Scale shape: the phrase is a handful of broadcast strings; web text is
+    overwhelmingly non-matching, so each batch emits only hit-sized rows
+    (vectorized ``np.isin`` prefilter) and both groupbys shuffle
+    match-sized, never corpus-sized, data. No driver materialization.
+
+    Output: (doc_id, n_matches, first_pos), docs with ≥1 match only.
+    Tokenization is the shared whitespace contract (textstats._lm_tokens,
+    == the oracle's ``regexp_extract_all(text, '\\S+')``); positions are
+    1-based to match ``generate_subscripts``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    terms = list(phrase)
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+    # slot lists per distinct term: duplicate phrase tokens ("b b") emit one
+    # vote per slot from a single scan of the matches
+    slots_by_term: dict[str, list[int]] = {}
+    for i, tok in enumerate(terms):
+        slots_by_term.setdefault(tok, []).append(i)
+    term_list = sorted(slots_by_term)
+
+    hit_schema = pa.schema([("doc_id", pa.int64()), ("anchor", pa.int64()),
+                            ("slot", pa.int64())])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        doc_ids, all_tokens, bounds = _flatten_batch(batch)
+        if not all_tokens:
+            return hit_schema.empty_table()
+        tok_arr = np.asarray(all_tokens, dtype=object)
+        lengths = np.fromiter((length for _, length in bounds),
+                              dtype=np.int64, count=len(bounds))
+        starts = np.fromiter((start for start, _ in bounds),
+                             dtype=np.int64, count=len(bounds))
+        pos = np.arange(len(tok_arr), dtype=np.int64) \
+            - np.repeat(starts, lengths) + 1
+        doc_rep = np.repeat(
+            np.fromiter((int(d) for d in doc_ids), dtype=np.int64,
+                        count=len(doc_ids)),
+            lengths)
+        out_doc: list[np.ndarray] = []
+        out_anchor: list[np.ndarray] = []
+        out_slot: list[np.ndarray] = []
+        mask_any = np.isin(tok_arr, term_list)
+        if not mask_any.any():
+            return hit_schema.empty_table()
+        tok_hit, pos_hit, doc_hit = tok_arr[mask_any], pos[mask_any], doc_rep[mask_any]
+        for tok in term_list:
+            mask = tok_hit == tok
+            if not mask.any():
+                continue
+            for slot in slots_by_term[tok]:
+                out_doc.append(doc_hit[mask])
+                out_anchor.append(pos_hit[mask] - slot)
+                out_slot.append(np.full(int(mask.sum()), slot, dtype=np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "anchor": pa.array(np.concatenate(out_anchor), pa.int64()),
+                "slot": pa.array(np.concatenate(out_slot), pa.int64()),
+            }
+        )
+
+    anchors = (
+        documents_ds.map_batches(hits, batch_format="pyarrow")
+        .groupby(["doc_id", "anchor"])
+        .aggregate(Count(on="slot", alias_name="n_slots"))
+    )
+
+    def full_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_slots" not in batch.column_names:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("anchor", pa.int64())]).empty_table()
+        keep = batch.filter(pc.equal(batch.column("n_slots"), pa.scalar(m)))
+        return keep.select(["doc_id", "anchor"])
+
+    return (
+        anchors.map_batches(full_only, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(on="anchor", alias_name="n_matches"),
+                   Min("anchor", alias_name="first_pos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (WiMBD-style corpus analysis)
+
+
+def ngram_novelty(documents_ds, n: int = 3):
+    """Per-document n-gram novelty: of the document's DISTINCT word
+    n-grams, the fraction that occur in NO other document (corpus-wide
+    document frequency == 1) — the WiMBD-style "how much of this page is
+    new text" signal (Elazar et al. 2024 analyze corpora with exactly these
+    uniqueness counts; the reference has no analogue — engine-new).
+
+    Plan (all hash-sized exchanges, nothing driver-side):
+      1. per batch: DISTINCT (gram, doc_id) rows — a doc's text is one Arrow
+         row, so within-batch dedup IS within-doc dedup;
+      2. ``groupby(gram)`` Count → (gram, df) — vectorized hash aggregate,
+         never per-group Python;
+      3. engine ``hash_join`` rows × dfs on gram (bucketed Acero — the same
+         reason dedup avoids Dataset.join);
+      4. ``groupby(doc_id)``: n_grams = count, n_unique = Σ(df == 1),
+         novelty rounded half-away-from-zero to 6 (== DuckDB ROUND).
+
+    At 100 TB the gram strings dominate the shuffle; callers can pre-hash
+    grams to 8-byte keys upstream (the substring_dedup ``hashed=True``
+    discipline) at the cost of the exact-oracle property. Docs with fewer
+    than ``n`` tokens emit no grams and are absent from the output, same as
+    the oracle's ``WHERE len(l) >= n``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_join
+
+    gram_schema = pa.schema([("gram", pa.string()), ("doc_id", pa.int64())])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, all_tokens, bounds = _flatten_batch(batch)
+        grams: list[str] = []
+        docs: list[int] = []
+        for doc_id, (start, length) in zip(doc_ids, bounds):
+            if length < n:
+                continue
+            toks = all_tokens[start:start + length]
+            distinct = {" ".join(toks[j:j + n]) for j in range(length - n + 1)}
+            grams.extend(distinct)
+            docs.extend([int(doc_id)] * len(distinct))
+        if not grams:
+            return gram_schema.empty_table()
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    rows = documents_ds.map_batches(gram_rows, batch_format="pyarrow")
+    dfs = rows.groupby("gram").aggregate(Count(on="doc_id", alias_name="df"))
+    joined = hash_join(rows, dfs, key="gram")
+
+    def indicate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "df" not in batch.column_names:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("uniq", pa.int64())]).empty_table()
+        uniq = pc.cast(pc.equal(batch.column("df"), pa.scalar(1)), pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "uniq": uniq})
+
+    stats = (
+        joined.map_batches(indicate, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(on="uniq", alias_name="n_grams"),
+                   Sum("uniq", alias_name="n_unique"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from .rounding import round_half_away
+
+        n_grams = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        n_unique = batch.column("n_unique").to_numpy(zero_copy_only=False)
+        novelty = round_half_away(
+            n_unique.astype(np.float64) / n_grams.astype(np.float64), 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pc.cast(batch.column("n_grams"), pa.int64()),
+                "n_unique": pc.cast(batch.column("n_unique"), pa.int64()),
+                "novelty": pa.array(novelty, pa.float64()),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")

@@ -1986,6 +1986,27 @@ def q_more_like_this(sf_dir: str):
     return _sorted_table(out, ["probe_doc", "rank"])
 
 
+def q_phrase_search(sf_dir: str):
+    """Positional phrase query (functions/corpusstats.phrase_search): exact
+    occurrence counts of the token phrase "batch batch" per document via
+    anchor-vote decomposition — overlapping matches count, hit-sized
+    shuffles only. The duplicated token exercises the multi-slot vote path
+    (one scan emits both slots' anchors)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = corpusstats.phrase_search(ds, ["batch", "batch"])
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_ngram_novelty(sf_dir: str):
+    """WiMBD-style per-document 3-gram novelty
+    (functions/corpusstats.ngram_novelty): fraction of each doc's distinct
+    word 3-grams that appear in no other document. Distinct gram rows →
+    vectorized df aggregate → bucketed hash_join → per-doc fold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = corpusstats.ngram_novelty(ds, n=3)
+    return _sorted_table(out, ["doc_id"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3058,7 +3079,6 @@ QUERIES = {
     # exercising this round's refactors (dedup/tfidf/lm join plans). ---
     "pack_sequences": q_pack_sequences,
     "train_prep": q_train_prep,
-    "token_offsets": q_token_offsets,
     "chunk_spans": q_chunk_spans,
     "source_quality_filter": q_source_quality_filter,
     "c4_filter": q_c4_filter,
@@ -3066,9 +3086,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "tfidf_topk": q_tfidf_topk,
     "inverted_index_stats": q_inverted_index_stats,
-    "token_postings": q_token_postings,
     "bm25_topk": q_bm25_topk,
-    "sample_docs": q_sample_docs,
     "sample_stratified": q_sample_stratified,
     "mixture_sample": q_mixture_sample,
     "pii_redact": q_pii_redact,
@@ -3084,7 +3102,6 @@ QUERIES = {
     # (compression_ratio's rows-only slot yielded to the exact-oracled
     # shard_manifest; it moves just below the window)
     "shard_manifest": q_shard_manifest,
-    "neardup_incremental": q_neardup_incremental,
     # (embedding_kmeans yielded its window slot to web_curation: its code
     # path already gets an exact in-window check via embedding_kmeans_assign)
     "web_curation": q_web_curation,
@@ -3106,7 +3123,6 @@ QUERIES = {
     # plans, Arrow wave selection) ---
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
-    "crawl_bfs_wave1": q_crawl_bfs_wave1,
     # --- this session's new operators (never driver-checked → in-window);
     # each displaces a row already driver-green in r02/r03 ---
     "hits": q_hits,
@@ -3114,18 +3130,36 @@ QUERIES = {
     "url_blocklist": q_url_blocklist,
     "word_blocklist": q_word_blocklist,
     "boilerplate": q_boilerplate,
-    "langid": q_langid,
     "langid_confusion": q_langid_confusion,
     "more_like_this": q_more_like_this,
-    # --- below the 50-entry window: every entry here was hash-green in an
-    # earlier round's CORRECTNESS artifact or is pinned by tests (plus
-    # late oracled additions queued for the next rotation) ---
+    # --- late round-4 oracled operators, never driver-checked, rotated
+    # into the window. Six slots were freed by (a) crawl_bfs_wave1
+    # (exact-green in r01+r02+r03), (b) neardup_incremental (rows-only —
+    # weaker evidence than an exact oracle), (c) langid (its oracle is
+    # wrapped verbatim by in-window langid_confusion), and (d)
+    # token_postings / token_offsets / sample_docs, whose machinery is
+    # exercised by in-window siblings (inverted_index_stats+bm25_topk,
+    # chunk_spans+pack_sequences, sample_stratified+mixture_sample). The
+    # displaced six are first in line for round 5's rotation. ---
     "self_dedup_lines": q_self_dedup_lines,
     "embedding_pq_topk": q_embedding_pq_topk,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "bigram_lm_score": q_bigram_lm_score,
     "fineweb_filter": q_fineweb_filter,
     "epoch_shuffle": q_epoch_shuffle,
+    # --- below the 50-entry window: displaced-this-rotation entries first
+    # (queued for round 5's window), then entries hash-green in an earlier
+    # round's CORRECTNESS artifact or pinned by tests ---
+    "token_offsets": q_token_offsets,
+    "token_postings": q_token_postings,
+    "sample_docs": q_sample_docs,
+    "langid": q_langid,
+    "neardup_incremental": q_neardup_incremental,
+    "crawl_bfs_wave1": q_crawl_bfs_wave1,
+    # --- operators built after the final round-4 rotation (oracled; local
+    # gate + tests only until round 5's window) ---
+    "phrase_search": q_phrase_search,
+    "ngram_novelty": q_ngram_novelty,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3203,6 +3237,40 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "phrase_search": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+            FROM documents),
+        flat AS (
+            SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+            FROM toks),
+        phrase(slot, ptok) AS (SELECT * FROM (VALUES (0, 'batch'), (1, 'batch'))),
+        anchors AS (
+            SELECT f.doc_id, f.pos - p.slot AS anchor
+            FROM flat f JOIN phrase p ON f.tok = p.ptok
+            GROUP BY f.doc_id, f.pos - p.slot
+            HAVING COUNT(*) = 2)
+        SELECT doc_id, COUNT(*) AS n_matches, MIN(anchor) AS first_pos
+        FROM anchors GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ngram_novelty": r"""
+        WITH arr AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+            FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest([array_to_string(l[i:i+2], ' ')
+                           FOR i IN generate_series(1, len(l)-2)]) AS gram
+            FROM arr WHERE len(l) >= 3),
+        dfs AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM grams g JOIN dfs d USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
     "extract_text": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
                'doc-' || CAST(doc_id AS VARCHAR) AS title,

@@ -322,3 +322,70 @@ def test_more_like_this_ranks_shared_rare_tokens(ray_session):
     idf_z, idf_c = math.log(4 / 2), math.log(4 / 3)
     exp_doc1 = round(idf_z * idf_z * 1 * 1 * 1e6) + round(idf_c * idf_c * 2 * 1 * 1e6)
     assert rows[0]["score_micros"] == exp_doc1
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+
+
+def test_phrase_search_overlaps_and_first_pos(ray_session):
+    """Anchor-vote semantics: overlapping matches count separately,
+    positions are 1-based, non-matching docs are absent."""
+    out = corpusstats.phrase_search(
+        _docs_ds(["b b b", "a b", "", "x b b y"]), ["b", "b"]
+    ).take_all()
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in out}
+    # doc 0 "b b b": anchors 1 and 2 (overlap); doc 3: anchor 2 only
+    assert got == {0: (2, 1), 3: (1, 2)}
+
+
+def test_phrase_search_multi_token(ray_session):
+    out = corpusstats.phrase_search(
+        _docs_ds([
+            "the quick brown fox jumps quick brown fox",  # matches at 2, 6
+            "quick brown cat",                            # partial: no match
+            "quick fox brown",                            # reordered: no match
+        ]),
+        ["quick", "brown", "fox"],
+    ).take_all()
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in out}
+    assert got == {0: (2, 2)}
+
+
+def test_phrase_search_single_token_and_empty(ray_session):
+    out = corpusstats.phrase_search(
+        _docs_ds(["a b a", "c"]), ["a"]).take_all()
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in out}
+    assert got == {0: (2, 1)}
+    with pytest.raises(ValueError):
+        corpusstats.phrase_search(_docs_ds(["a"]), [])
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+
+
+def test_ngram_novelty_hand_computed(ray_session):
+    """Bigram novelty over 4 docs: 'a b' is shared (df=2), everything else
+    unique; within-doc duplicate grams count once; docs shorter than n are
+    absent."""
+    out = corpusstats.ngram_novelty(
+        _docs_ds(["a b c", "a b d", "x", "e f e f"]), n=2
+    ).take_all()
+    got = {r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty"])
+           for r in out}
+    assert got == {
+        0: (2, 1, 0.5),       # {'a b' df=2, 'b c' df=1}
+        1: (2, 1, 0.5),       # {'a b', 'b d'}
+        3: (2, 2, 1.0),       # {'e f', 'f e'} — 'e f' deduped within doc
+    }
+
+
+def test_ngram_novelty_rounding_matches_duckdb(ray_session):
+    """1/3 rounds half-away to 6 places exactly like DuckDB ROUND."""
+    out = corpusstats.ngram_novelty(
+        _docs_ds(["p q r s", "q r t", "r s u"]), n=2).take_all()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 0 grams: 'p q'(1), 'q r'(2), 'r s'(2) → 1/3 unique
+    assert by_doc[0]["n_grams"] == 3 and by_doc[0]["n_unique"] == 1
+    assert by_doc[0]["novelty"] == 0.333333
