@@ -60,3 +60,43 @@ def unwrap_urn(url: str) -> str:
     """``urn:<nid>:<url>`` unwraps before fetching (convert.js:167-171)."""
     m = re.match(r"^urn:[^:]+:(.+)$", url)
     return m.group(1) if m else url
+
+
+_SURT_AUTH_RE = re.compile(
+    r"^[a-z][a-z0-9+.\-]*://(?:[^/@]*@)?([^/?#]*)([^#]*)", re.IGNORECASE)
+
+
+def surt_key(url: str, base: str | None = None) -> str:
+    """Simplified SURT (Sort-friendly URI Reordering Transform) — the
+    web-archive capture-index key: canonical host labels reversed and
+    comma-joined, then ``)`` + path[?query].
+
+        https://news.example.com/a/b?q=1  →  com,example,news)/a/b?q=1
+
+    Built on the shared WHATWG canonicalizer (host lowercased, default port
+    dropped), then: userinfo and fragment drop, one trailing host dot
+    strips (FQDN form, the url_blocklist discipline), a non-default port
+    stays after the reversed host (``com,example:8080)``), IPv6 literals
+    are not reversed. Documented SUBSET of pywb's SURT: no query-param
+    sorting or session-id stripping. Returns "" for non-absolute or
+    hostless inputs.
+    """
+    canon = canonicalize(url, base).canon_url
+    m = _SURT_AUTH_RE.match(canon)
+    if not m:
+        return ""
+    authority, rest = m.group(1), m.group(2)
+    if authority.startswith("["):
+        end = authority.find("]")
+        if end < 0:
+            return ""
+        key_host, port = authority[:end + 1], authority[end + 1:]
+    else:
+        host, _, port_digits = authority.partition(":")
+        port = f":{port_digits}" if port_digits else ""
+        host = host.rstrip(".")
+        if not host:
+            return ""
+        key_host = ",".join(reversed(host.split(".")))
+    path = rest if rest.startswith("/") else "/" + rest
+    return f"{key_host}{port}){path}"

@@ -2007,6 +2007,37 @@ def q_ngram_novelty(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_cdx_index(sf_dir: str):
+    """CDX capture index (sources/warc.cdx_index): SURT key via the real
+    WHATWG canonicalizer + host reversal (frontier/canon.surt_key), MD5
+    payload digest, byte length, globally sorted by (surt, ts). URLs and
+    timestamps are synthesized deterministically from doc_id/source/lang,
+    so the oracle predicts the SURT from the page construction — the
+    generative-oracle style of boilerplate/extract_text."""
+    from ..sources.warc import cdx_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        urls = [f"https://{s}.{l}.example.org/doc/{d}?v=1"
+                for d, l, s in zip(doc_ids, langs, sources)]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts": pa.array([1700000000 + int(d) for d in doc_ids],
+                               pa.int64()),
+                "html": batch.column("text"),
+            }
+        )
+
+    out = cdx_index(ds.map_batches(pages, batch_format="pyarrow"),
+                    url_col="url", ts_col="ts", payload_col="html")
+    return _sorted_table(out, ["surt", "ts"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3160,6 +3191,7 @@ QUERIES = {
     # gate + tests only until round 5's window) ---
     "phrase_search": q_phrase_search,
     "ngram_novelty": q_ngram_novelty,
+    "cdx_index": q_cdx_index,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3270,6 +3302,16 @@ ORACLE_SQL = {
                      / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
         FROM grams g JOIN dfs d USING (gram)
         GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    "cdx_index": """
+        SELECT 'org,example,' || lang || ',' || source || ')/doc/'
+                   || CAST(doc_id AS VARCHAR) || '?v=1' AS surt,
+               1700000000 + doc_id AS ts,
+               'https://' || source || '.' || lang || '.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) || '?v=1' AS url,
+               md5(text) AS digest,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents ORDER BY surt, ts
     """,
     "extract_text": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,

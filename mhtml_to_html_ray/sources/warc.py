@@ -282,3 +282,72 @@ def write_wet(extracted_ds, output_dir: str, url_col: str = "url",
 
     counts = extracted_ds.map_batches(write_block, batch_format="pyarrow")
     return sum(row["n"] for row in counts.take_all())
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index
+
+
+def cdx_index(pages_ds, url_col: str = "url", ts_col: str | None = None,
+              payload_col: str = "html"):
+    """Build a CDX-style capture index over a pages table: one row per
+    capture with the SURT key (frontier.canon.surt_key — reversed-host
+    sort-friendly form), capture timestamp, original URL, an MD5 payload
+    digest and the payload byte length, globally sorted by (surt, ts) —
+    the lookup layout every web-archive replay/dedup system binary-searches
+    (OpenWayback/pywb publish exactly this shape for Common Crawl).
+
+    Scale shape: the digest/SURT pass is one map_batches (per-row URL
+    parsing is intrinsic, like extraction); the only exchange is the final
+    ``Dataset.sort`` — Ray's range-partitioned distributed sort, the same
+    wide op epoch_shuffle documents — and the output is written/consumed in
+    sorted ranges, so a 100-TB index shards into binary-searchable files.
+    Hostless/invalid URLs keep surt = "" and sort first rather than being
+    dropped (an index must account for every capture).
+
+    ``ts_col`` = None derives a deterministic timestamp of 0 for every row
+    (callers with real capture times pass their column). Payloads may be
+    string or binary; digests are over the UTF-8 bytes either way,
+    matching DuckDB's ``md5()`` on VARCHAR.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    from ..frontier.canon import surt_key
+
+    out_schema = pa.schema(
+        [("surt", pa.string()), ("ts", pa.int64()), ("url", pa.string()),
+         ("digest", pa.string()), ("n_bytes", pa.int64())]
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        if ts_col is not None:
+            ts = [int(v) for v in batch.column(ts_col).to_pylist()]
+        else:
+            ts = [0] * len(urls)
+        payloads = batch.column(payload_col).to_pylist()
+        surts: list[str] = []
+        digests: list[str] = []
+        lengths: list[int] = []
+        for url, payload in zip(urls, payloads):
+            surts.append(surt_key(url) if url else "")
+            data = (payload or "").encode("utf-8") \
+                if isinstance(payload, str) or payload is None else payload
+            digests.append(hashlib.md5(data).hexdigest())
+            lengths.append(len(data))
+        return pa.table(
+            {
+                "surt": pa.array(surts, pa.string()),
+                "ts": pa.array(ts, pa.int64()),
+                "url": pa.array([u or "" for u in urls], pa.string()),
+                "digest": pa.array(digests, pa.string()),
+                "n_bytes": pa.array(lengths, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return pages_ds.map_batches(rows, batch_format="pyarrow").sort(
+        ["surt", "ts"]
+    )

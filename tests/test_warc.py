@@ -233,3 +233,52 @@ def test_write_wet_ts_col_utc_and_mandatory_headers(ray_session, tmp_path, monke
     finally:
         monkeypatch.delenv("TZ", raising=False)
         time.tzset()
+
+
+# ---------------------------------------------------------------------------
+# SURT + CDX capture index
+
+
+def test_surt_key_forms():
+    from mhtml_to_html_ray.frontier.canon import surt_key
+
+    assert surt_key("https://news.example.com/a/b?q=1#frag") == \
+        "com,example,news)/a/b?q=1"          # host reversed, fragment drops
+    assert surt_key("http://EXAMPLE.com./x") == "com,example)/x"  # case+FQDN dot
+    assert surt_key("https://example.com") == "com,example)/"     # bare host
+    assert surt_key("https://example.com:8080/p") == "com,example:8080)/p"
+    assert surt_key("https://example.com:443/x") == "com,example)/x"  # default port
+    assert surt_key("https://user:pw@example.com/z") == "com,example)/z"
+    assert surt_key("http://[2001:db8::1]:8080/v6") == "[2001:db8::1]:8080)/v6"
+    assert surt_key("not a url") == ""
+    assert surt_key("b.html", base="https://example.com/a/") == \
+        "com,example)/a/b.html"              # relative resolution via base
+
+
+def test_cdx_index_sorted_digests(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import cdx_index
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": ["https://b.test/x", "https://a.test/y", "https://a.test/y",
+                "", "https://a.test/z"],
+        "ts": pa.array([5, 2, 1, 0, 3], pa.int64()),
+        "html": ["xx", "yy", "yy", "", "é"],  # é: 2 utf-8 bytes
+    }))
+    rows = cdx_index(pages, ts_col="ts").take_all()
+    # globally sorted by (surt, ts); hostless row first with surt=""
+    assert [(r["surt"], r["ts"]) for r in rows] == [
+        ("", 0),
+        ("test,a)/y", 1), ("test,a)/y", 2), ("test,a)/z", 3),
+        ("test,b)/x", 5),
+    ]
+    by = {(r["surt"], r["ts"]): r for r in rows}
+    assert by[("test,a)/y", 1)]["digest"] == hashlib.md5(b"yy").hexdigest()
+    # same payload → same digest (the replay-dedup property)
+    assert by[("test,a)/y", 1)]["digest"] == by[("test,a)/y", 2)]["digest"]
+    assert by[("test,a)/z", 3)]["n_bytes"] == 2  # utf-8 bytes, not chars
+    assert by[("", 0)]["n_bytes"] == 0
