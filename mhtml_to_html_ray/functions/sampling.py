@@ -305,3 +305,50 @@ def group_mean_filter(ds, group_col: str, micros_col: str,
         ).append_column("keep", pa.array(mean >= threshold, pa.bool_()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment (train / validation / test)
+
+
+def split_assign(ds, key: str = "doc_id", fractions=None, salt: str = "split"):
+    """Assign every row to a named split by hash fraction — the
+    train/val/test partition step between curation and the data loader.
+
+    ``fractions`` is an ordered (name, fraction) list summing to ≤ 1 (the
+    last split absorbs any remainder): md5(salt || key)'s first 8 hex chars
+    as an integer land in cumulative integer thresholds
+    ``floor(cum_frac · 16^8)`` — the bernoulli_sample discipline, so the
+    assignment is identical on every run/retry/engine and any SQL that can
+    evaluate md5. Membership is a pure function of (salt, key): adding or
+    removing OTHER rows never reassigns a row, so splits stay stable as the
+    corpus grows (the property shuffling-based splitters lack). Zero
+    shuffle: one vectorizable hash per row inside map_batches.
+
+    Output: the input columns + ``split`` (string).
+    """
+    if fractions is None:
+        fractions = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    names = [n for n, _ in fractions]
+    total = sum(f for _, f in fractions)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    cum = 0.0
+    bounds: list[int] = []
+    for _, frac in fractions[:-1]:
+        cum += frac
+        bounds.append(int(cum * _HASH_SPACE))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        values = batch.column(key).to_pylist()
+        splits = []
+        for v in values:
+            hv = int(hashlib.md5(
+                (salt + str(v)).encode("utf-8")).hexdigest()[:8], 16)
+            idx = 0
+            while idx < len(bounds) and hv >= bounds[idx]:
+                idx += 1
+            splits.append(names[idx])
+        return batch.append_column("split", pa.array(splits, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -2038,6 +2038,56 @@ def q_cdx_index(sf_dir: str):
     return _sorted_table(out, ["surt", "ts"])
 
 
+def q_data_split(sf_dir: str):
+    """Deterministic train/val/test assignment
+    (functions/sampling.split_assign): md5(salt || doc_id) fraction lands
+    in cumulative 80/10/10 thresholds — stable under corpus growth, zero
+    shuffle. The oracle recomputes the identical integer thresholds
+    (3435973836 / 3865470566 = floor(0.8·16^8) / floor(0.9·16^8))."""
+    from ..functions import sampling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = sampling.split_assign(
+        ds, key="doc_id",
+        fractions=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        salt="split1")
+    return _sorted_table(out.select_columns(["doc_id", "split"]), ["doc_id"])
+
+
+def q_capture_dedup(sf_dir: str):
+    """Capture-dedup audit (sources/warc.cdx_dedup_stats) over a CDX index
+    built by cdx_index: two synthesized captures per document (the second
+    100 s later, with changed payload for doc_id % 3 == 0) → per-SURT
+    capture count, DISTINCT payload versions and latest timestamp —
+    aggregate-only, no per-group Python."""
+    from ..sources.warc import cdx_dedup_stats, cdx_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def captures(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, ts, payloads = [], [], []
+        for d, l, s, t in zip(doc_ids, langs, sources, texts):
+            url = f"https://{s}.{l}.example.org/doc/{d}?v=1"
+            urls += [url, url]
+            ts += [1700000000 + int(d), 1700000000 + int(d) + 100]
+            payloads += [t, t + " v2" if int(d) % 3 == 0 else t]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts": pa.array(ts, pa.int64()),
+                "html": pa.array(payloads, pa.string()),
+            }
+        )
+
+    cdx = cdx_index(ds.map_batches(captures, batch_format="pyarrow"),
+                    url_col="url", ts_col="ts", payload_col="html")
+    return _sorted_table(cdx_dedup_stats(cdx), ["surt"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3192,6 +3242,8 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "ngram_novelty": q_ngram_novelty,
     "cdx_index": q_cdx_index,
+    "data_split": q_data_split,
+    "capture_dedup": q_capture_dedup,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3312,6 +3364,35 @@ ORACLE_SQL = {
                md5(text) AS digest,
                octet_length(encode(text)) AS n_bytes
         FROM documents ORDER BY surt, ts
+    """,
+    "data_split": """
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('split1'
+                       || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN hv < 3435973836 THEN 'train'
+                    WHEN hv < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h ORDER BY doc_id
+    """,
+    "capture_dedup": """
+        WITH caps AS (
+            SELECT 'org,example,' || lang || ',' || source || ')/doc/'
+                       || CAST(doc_id AS VARCHAR) || '?v=1' AS surt,
+                   1700000000 + doc_id AS ts, md5(text) AS digest
+            FROM documents
+            UNION ALL
+            SELECT 'org,example,' || lang || ',' || source || ')/doc/'
+                       || CAST(doc_id AS VARCHAR) || '?v=1' AS surt,
+                   1700000000 + doc_id + 100 AS ts,
+                   md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                            ELSE text END) AS digest
+            FROM documents)
+        SELECT surt, COUNT(*) AS n_captures,
+               COUNT(DISTINCT digest) AS n_versions, MAX(ts) AS last_ts
+        FROM caps GROUP BY surt ORDER BY surt
     """,
     "extract_text": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,

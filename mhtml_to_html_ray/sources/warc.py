@@ -351,3 +351,39 @@ def cdx_index(pages_ds, url_col: str = "url", ts_col: str | None = None,
     return pages_ds.map_batches(rows, batch_format="pyarrow").sort(
         ["surt", "ts"]
     )
+
+
+def cdx_dedup_stats(cdx_ds):
+    """Capture-dedup audit over a CDX index: per SURT key, how many
+    captures exist, how many DISTINCT payload versions (digest — the
+    revisit/dedup signal web archives store instead of duplicate payloads)
+    and the latest capture timestamp.
+
+    Aggregate-only plan (no per-group Python — SURT groups number in the
+    billions at archive scale): one vectorized groupby for
+    (n_captures, last_ts); distinct versions via local batch dedup →
+    groupby(surt, digest) → groupby(surt) Count; the two small results meet
+    in the engine ``hash_join``. All exchanges are key-sized.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max
+
+    from ..functions.joins import hash_join
+
+    caps = cdx_ds.groupby("surt").aggregate(
+        Count(on="ts", alias_name="n_captures"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        sub = batch.select(["surt", "digest"])
+        return sub.group_by(["surt", "digest"]).aggregate([])
+
+    versions = (
+        cdx_ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["surt", "digest"])
+        .aggregate(Count(on="digest", alias_name="_n"))
+        .groupby("surt")
+        .aggregate(Count(on="digest", alias_name="n_versions"))
+    )
+    return hash_join(caps, versions, key="surt")

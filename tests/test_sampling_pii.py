@@ -257,3 +257,57 @@ def test_group_mean_filter_rejects_float_signal(ray_session):
     with pytest.raises(Exception, match="integer micros"):
         sampling.group_mean_filter(ds, "source", "alpha_micros",
                                    threshold=0.5).take_all()
+
+
+# ---------------------------------------------------------------------------
+# split_assign
+
+
+def test_split_assign_stable_under_growth(ray_session):
+    """Membership is a pure function of (salt, key): a row keeps its split
+    when other rows are added — the property shuffle-splitters lack."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sampling import split_assign
+
+    small = ray.data.range(50)
+    big = ray.data.range(500)
+    frac = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    assign_small = {r["id"]: r["split"]
+                    for r in split_assign(small, key="id", fractions=frac,
+                                          salt="s").take_all()}
+    assign_big = {r["id"]: r["split"]
+                  for r in split_assign(big, key="id", fractions=frac,
+                                        salt="s").take_all()}
+    assert all(assign_big[k] == v for k, v in assign_small.items())
+    # every named split non-empty at 500 rows, remainder absorbs correctly
+    assert set(assign_big.values()) == {"train", "val", "test"}
+
+
+def test_split_assign_matches_hash_thresholds(ray_session):
+    """Exact md5-threshold semantics: recompute the assignment by hand."""
+    import hashlib
+
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sampling import split_assign
+
+    rows = split_assign(ray.data.range(64), key="id",
+                        fractions=[("a", 0.25), ("b", 0.5), ("c", 0.25)],
+                        salt="z").take_all()
+    t1, t2 = int(0.25 * 16 ** 8), int(0.75 * 16 ** 8)
+    for r in rows:
+        hv = int(hashlib.md5(f"z{r['id']}".encode()).hexdigest()[:8], 16)
+        want = "a" if hv < t1 else ("b" if hv < t2 else "c")
+        assert r["split"] == want
+
+
+def test_split_assign_rejects_oversum(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sampling import split_assign
+
+    with _pytest.raises(ValueError):
+        split_assign(ray.data.range(1), key="id",
+                     fractions=[("a", 0.8), ("b", 0.4)])

@@ -282,3 +282,19 @@ def test_cdx_index_sorted_digests(ray_session):
     assert by[("test,a)/y", 1)]["digest"] == by[("test,a)/y", 2)]["digest"]
     assert by[("test,a)/z", 3)]["n_bytes"] == 2  # utf-8 bytes, not chars
     assert by[("", 0)]["n_bytes"] == 0
+
+
+def test_cdx_dedup_stats(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import cdx_dedup_stats
+
+    cdx = ray.data.from_arrow(pa.table({
+        "surt": ["a)/", "a)/", "a)/", "b)/"],
+        "ts": pa.array([1, 2, 3, 9], pa.int64()),
+        "digest": ["d1", "d1", "d2", "d3"],  # a)/ has 2 distinct versions
+    }))
+    rows = sorted(cdx_dedup_stats(cdx).take_all(), key=lambda r: r["surt"])
+    assert [(r["surt"], r["n_captures"], r["n_versions"], r["last_ts"])
+            for r in rows] == [("a)/", 3, 2, 3), ("b)/", 1, 1, 9)]
