@@ -168,3 +168,62 @@ class RobotsCache:
         if 500 <= status < 600:
             return RobotsRules(disallow_all=True)  # RFC 9309 server error
         return RobotsRules()  # 4xx/unparseable: allows everything
+
+
+def robots_gate(pages_ds, robots_texts: dict, url_col: str = "url",
+                user_agent: str = "engine-crawler"):
+    """Batch robots gate: evaluate every URL against its host's robots.txt
+    (the same RFC 9309 + Google-semantics matcher the crawl scheduler
+    uses) WITHOUT a crawl — the offline compliance audit / pre-filter a
+    pipeline runs over an already-collected URL table.
+
+    ``robots_texts`` maps host → robots.txt text (a per-host table — small
+    relative to the URL corpus; at scale it ships once via the object
+    store like every broadcast side). Texts parse ONCE per actor per host
+    (lazy dict), rows evaluate vectorized-per-batch. Hosts absent from the
+    map allow everything (RFC 9309 4xx posture). Zero shuffle.
+
+    Output: input columns + host, path, allowed.
+    """
+    import pyarrow as pa
+    import ray
+
+    from .canon import _SURT_AUTH_RE, canonicalize
+
+    texts_ref = ray.put(dict(robots_texts))
+
+    class _Gate:
+        def __init__(self):
+            self._texts = ray.get(texts_ref)
+            self._rules: dict[str, RobotsRules] = {}
+
+        def _host_rules(self, host: str) -> RobotsRules:
+            rules = self._rules.get(host)
+            if rules is None:
+                text = self._texts.get(host)
+                rules = (parse_robots(text, user_agent)
+                         if text is not None else RobotsRules())
+                self._rules[host] = rules
+            return rules
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hosts, paths, allowed = [], [], []
+            for url in batch.column(url_col).to_pylist():
+                canon = canonicalize(url or "")
+                host = canon.host
+                # path?query sans fragment, port/userinfo-safe (the SURT
+                # authority split) — RFC 9309 matches on path + query
+                m = _SURT_AUTH_RE.match(canon.canon_url) if host else None
+                rest = m.group(2) if m else ""
+                path = rest if rest.startswith("/") else "/" + rest
+                hosts.append(host)
+                paths.append(path)
+                allowed.append(self._host_rules(host).allowed(path))
+            return (
+                batch.append_column("host", pa.array(hosts, pa.string()))
+                .append_column("path", pa.array(paths, pa.string()))
+                .append_column("allowed", pa.array(allowed, pa.bool_()))
+            )
+
+    return pages_ds.map_batches(_Gate, batch_format="pyarrow",
+                                concurrency=(1, 8))

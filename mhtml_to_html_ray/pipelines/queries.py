@@ -2088,6 +2088,45 @@ def q_capture_dedup(sf_dir: str):
     return _sorted_table(cdx_dedup_stats(cdx), ["surt"])
 
 
+def q_robots_gate(sf_dir: str):
+    """Offline robots-compliance audit (frontier/robots.robots_gate): the
+    production RFC 9309 + Google-semantics matcher evaluates synthesized
+    URLs against per-host robots.txt — longest-match precedence, Allow on
+    ties, group selection past a decoy user-agent group. Rules are kept
+    prefix-only so the oracle can restate precedence with LIKE prefixes."""
+    from ..frontier.robots import robots_gate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    paths = ["/private/x", "/private/ok/x", "/tmp", "/pub/x"]
+    robots = (
+        "User-agent: decoy-bot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+        "Disallow: /tmp\n"
+    )
+
+    def pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        urls = [
+            f"https://{s}.{l}.example.org{paths[int(d) % 4]}{d}"
+            for d, l, s in zip(doc_ids, langs, sources)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    # per-host robots map from the corpus's own (source, lang) dimension —
+    # ~100 hosts, the small broadcast side every robots cache is
+    host_rows = (ds.select_columns(["source", "lang"])
+                 .groupby(["source", "lang"]).count().take_all())
+    hosts = {f"{r['source']}.{r['lang']}.example.org" for r in host_rows}
+    out = robots_gate(ds.map_batches(pages, batch_format="pyarrow"),
+                      {h: robots for h in hosts})
+    return _sorted_table(out.select_columns(["doc_id", "url", "allowed"]),
+                         ["doc_id"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3244,6 +3283,7 @@ QUERIES = {
     "cdx_index": q_cdx_index,
     "data_split": q_data_split,
     "capture_dedup": q_capture_dedup,
+    "robots_gate": q_robots_gate,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3393,6 +3433,23 @@ ORACLE_SQL = {
         SELECT surt, COUNT(*) AS n_captures,
                COUNT(DISTINCT digest) AS n_versions, MAX(ts) AS last_ts
         FROM caps GROUP BY surt ORDER BY surt
+    """,
+    "robots_gate": """
+        WITH pages AS (
+            SELECT doc_id,
+                   'https://' || source || '.' || lang || '.example.org'
+                       AS origin,
+                   CASE doc_id % 4
+                        WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok/x'
+                        WHEN 2 THEN '/tmp' ELSE '/pub/x' END
+                       || CAST(doc_id AS VARCHAR) AS path
+            FROM documents)
+        SELECT doc_id, origin || path AS url,
+               CASE WHEN path LIKE '/private/ok/%' THEN TRUE
+                    WHEN path LIKE '/private/%' THEN FALSE
+                    WHEN path LIKE '/tmp%' THEN FALSE
+                    ELSE TRUE END AS allowed
+        FROM pages ORDER BY doc_id
     """,
     "extract_text": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,

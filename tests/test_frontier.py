@@ -1290,3 +1290,31 @@ def test_anchor_texts_query_caps_hub_joins(ray_session):
     """).fetchone()
     assert got[0] == folded.column("n_anchors")[0].as_py()
     assert got[1] == folded.column("anchors")[0].as_py()
+
+
+def test_robots_gate_batch(ray_session):
+    """Offline robots audit: per-host rules, longest-match precedence,
+    ports/query handled, unknown hosts allow (4xx posture)."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.frontier.robots import robots_gate
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": [
+            "https://a.test/private/x",       # blocked
+            "https://a.test/private/ok/x",    # longer Allow wins
+            "https://a.test/pub?page=2",      # query kept in match input
+            "https://a.test:8080/private/y",  # port must not corrupt path
+            "https://other.test/private/x",   # no rules → allowed
+        ],
+    }))
+    robots = ("User-agent: decoy\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n")
+    rows = robots_gate(pages, {"a.test": robots}).take_all()
+    got = {r["url"]: (r["allowed"], r["path"]) for r in rows}
+    assert got["https://a.test/private/x"] == (False, "/private/x")
+    assert got["https://a.test/private/ok/x"] == (True, "/private/ok/x")
+    assert got["https://a.test/pub?page=2"] == (True, "/pub?page=2")
+    assert got["https://a.test:8080/private/y"] == (False, "/private/y")
+    assert got["https://other.test/private/x"][0] is True
