@@ -2127,6 +2127,39 @@ def q_robots_gate(sf_dir: str):
                          ["doc_id"])
 
 
+def q_dom_stats(sf_dir: str):
+    """DOM tree-shape stats (functions/domstats.dom_tree_stats) computed by
+    the production HTML5 tree builder over generatively-constructed pages:
+    doc_id % 4 + 1 nav links, doc_id % 3 nested divs, the document text in
+    one <pre>. The oracle predicts element count / depth / link count from
+    the construction and pre_chars from LENGTH(text) (minus the HTML5
+    pre-leading-newline drop) — parser bugs break the prediction."""
+    import html as _html
+
+    from ..functions.domstats import dom_tree_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        out_ids, htmls = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            k = int(d) % 4 + 1
+            e = int(d) % 3
+            links = "".join(f'<a href="/l{i}">l</a>' for i in range(k))
+            nested = "<div>" * e + "<span>x</span>" + "</div>" * e
+            htmls.append(
+                f"<html><head><title>doc-{d}</title></head><body>"
+                f"<nav>{links}</nav>{nested}"
+                f"<pre>{_html.escape(t, quote=False)}</pre></body></html>")
+            out_ids.append(int(d))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "html": pa.array(htmls, pa.string())})
+
+    out = dom_tree_stats(ds.map_batches(pages, batch_format="pyarrow"))
+    return _sorted_table(out, ["doc_id"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3284,6 +3317,7 @@ QUERIES = {
     "data_split": q_data_split,
     "capture_dedup": q_capture_dedup,
     "robots_gate": q_robots_gate,
+    "dom_stats": q_dom_stats,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3450,6 +3484,16 @@ ORACLE_SQL = {
                     WHEN path LIKE '/tmp%' THEN FALSE
                     ELSE TRUE END AS allowed
         FROM pages ORDER BY doc_id
+    """,
+    "dom_stats": """
+        SELECT doc_id,
+               7 + (doc_id % 4 + 1) + (doc_id % 3) AS n_elements,
+               GREATEST(4, 3 + doc_id % 3) AS max_depth,
+               doc_id % 4 + 1 AS n_links,
+               LENGTH(text)
+                   - CASE WHEN text LIKE chr(10) || '%' THEN 1 ELSE 0 END
+                   AS pre_chars
+        FROM documents ORDER BY doc_id
     """,
     "extract_text": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
