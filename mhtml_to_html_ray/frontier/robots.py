@@ -177,10 +177,12 @@ def robots_gate(pages_ds, robots_texts: dict, url_col: str = "url",
     uses) WITHOUT a crawl — the offline compliance audit / pre-filter a
     pipeline runs over an already-collected URL table.
 
-    ``robots_texts`` maps host → robots.txt text (a per-host table — small
-    relative to the URL corpus; at scale it ships once via the object
-    store like every broadcast side). Texts parse ONCE per actor per host
-    (lazy dict), rows evaluate vectorized-per-batch. Hosts absent from the
+    ``robots_texts`` maps ORIGIN (``scheme://host[:port]``) → robots.txt
+    text — the RobotsCache keying above: a site on :8080 is not the site
+    on :443, and http and https may serve different rules. The table is
+    small relative to the URL corpus; at scale it ships once via the
+    object store like every broadcast side. Texts parse ONCE per actor per
+    origin (lazy dict), rows evaluate per batch. Origins absent from the
     map allow everything (RFC 9309 4xx posture). Zero shuffle.
 
     Output: input columns + host, path, allowed.
@@ -197,13 +199,13 @@ def robots_gate(pages_ds, robots_texts: dict, url_col: str = "url",
             self._texts = ray.get(texts_ref)
             self._rules: dict[str, RobotsRules] = {}
 
-        def _host_rules(self, host: str) -> RobotsRules:
-            rules = self._rules.get(host)
+        def _origin_rules(self, origin: str) -> RobotsRules:
+            rules = self._rules.get(origin)
             if rules is None:
-                text = self._texts.get(host)
+                text = self._texts.get(origin)
                 rules = (parse_robots(text, user_agent)
                          if text is not None else RobotsRules())
-                self._rules[host] = rules
+                self._rules[origin] = rules
             return rules
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -212,13 +214,16 @@ def robots_gate(pages_ds, robots_texts: dict, url_col: str = "url",
                 canon = canonicalize(url or "")
                 host = canon.host
                 # path?query sans fragment, port/userinfo-safe (the SURT
-                # authority split) — RFC 9309 matches on path + query
+                # authority split) — RFC 9309 matches on path + query;
+                # group(1) is the full authority incl. port, sans userinfo
                 m = _SURT_AUTH_RE.match(canon.canon_url) if host else None
                 rest = m.group(2) if m else ""
                 path = rest if rest.startswith("/") else "/" + rest
+                origin = (f"{canon.canon_url.split(':', 1)[0]}://{m.group(1)}"
+                          if m else "")
                 hosts.append(host)
                 paths.append(path)
-                allowed.append(self._host_rules(host).allowed(path))
+                allowed.append(self._origin_rules(origin).allowed(path))
             return (
                 batch.append_column("host", pa.array(hosts, pa.string()))
                 .append_column("path", pa.array(paths, pa.string()))

@@ -853,7 +853,10 @@ def ngram_novelty(documents_ds, n: int = 3):
         return pa.table({"gram": pa.array(grams, pa.string()),
                          "doc_id": pa.array(docs, pa.int64())})
 
-    rows = documents_ds.map_batches(gram_rows, batch_format="pyarrow")
+    # rows feeds BOTH the df aggregate and the join's left side: pin the
+    # blocks so tokenize+gram-build (the dominant stage) runs once
+    rows = documents_ds.map_batches(
+        gram_rows, batch_format="pyarrow").materialize()
     dfs = rows.groupby("gram").aggregate(Count(on="doc_id", alias_name="df"))
     joined = hash_join(rows, dfs, key="gram")
 

@@ -56,8 +56,10 @@ def dom_tree_stats(pages_ds, html_col: str = "html", id_col: str = "doc_id"):
         ids = batch.column(id_col)
         n_el, depth, links, prec = [], [], [], []
         for raw in batch.column(html_col).to_pylist():
-            source = raw.decode("utf-8") if isinstance(raw, bytes) \
-                else (raw or "")
+            # errors="replace": one mislabeled-charset page must not kill
+            # the batch (the kernel/charsets decode posture)
+            source = raw.decode("utf-8", errors="replace") \
+                if isinstance(raw, bytes) else (raw or "")
             e, d, a, p = _tree_stats(parse_html(source))
             n_el.append(e)
             depth.append(d)

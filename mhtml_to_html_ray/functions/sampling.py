@@ -327,24 +327,28 @@ def split_assign(ds, key: str = "doc_id", fractions=None, salt: str = "split"):
 
     Output: the input columns + ``split`` (string).
     """
+    from fractions import Fraction
+
     if fractions is None:
         fractions = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     names = [n for n, _ in fractions]
-    total = sum(f for _, f in fractions)
-    if total > 1.0 + 1e-9:
-        raise ValueError(f"fractions sum to {total} > 1")
-    cum = 0.0
+    # exact decimal accumulation: float += drifts (0.1 summed nine times is
+    # 0.8999999999999999, one BELOW floor(0.9·16^8)) and would silently
+    # disagree with any SQL restating the documented thresholds
+    total = sum(Fraction(str(f)) for _, f in fractions)
+    if total > 1:
+        raise ValueError(f"fractions sum to {float(total)} > 1")
+    cum = Fraction(0)
     bounds: list[int] = []
     for _, frac in fractions[:-1]:
-        cum += frac
+        cum += Fraction(str(frac))
         bounds.append(int(cum * _HASH_SPACE))
 
     def tag(batch: pa.Table) -> pa.Table:
         values = batch.column(key).to_pylist()
         splits = []
-        for v in values:
-            hv = int(hashlib.md5(
-                (salt + str(v)).encode("utf-8")).hexdigest()[:8], 16)
+        for h in _key_hex(values, salt):  # one hash contract, see top
+            hv = int(h, 16)
             idx = 0
             while idx < len(bounds) and hv >= bounds[idx]:
                 idx += 1

@@ -2116,11 +2116,12 @@ def q_robots_gate(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "url": pa.array(urls, pa.string())})
 
-    # per-host robots map from the corpus's own (source, lang) dimension —
-    # ~100 hosts, the small broadcast side every robots cache is
+    # per-origin robots map from the corpus's own (source, lang) dimension
+    # — ~100 origins, the small broadcast side every robots cache is
     host_rows = (ds.select_columns(["source", "lang"])
                  .groupby(["source", "lang"]).count().take_all())
-    hosts = {f"{r['source']}.{r['lang']}.example.org" for r in host_rows}
+    hosts = {f"https://{r['source']}.{r['lang']}.example.org"
+             for r in host_rows}
     out = robots_gate(ds.map_batches(pages, batch_format="pyarrow"),
                       {h: robots for h in hosts})
     return _sorted_table(out.select_columns(["doc_id", "url", "allowed"]),

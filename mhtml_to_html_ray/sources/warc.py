@@ -324,7 +324,9 @@ def cdx_index(pages_ds, url_col: str = "url", ts_col: str | None = None,
     def rows(batch: pa.Table) -> pa.Table:
         urls = batch.column(url_col).to_pylist()
         if ts_col is not None:
-            ts = [int(v) for v in batch.column(ts_col).to_pylist()]
+            # null ts → 0, not a crash: an index accounts for every capture
+            ts = [int(v) if v is not None else 0
+                  for v in batch.column(ts_col).to_pylist()]
         else:
             ts = [0] * len(urls)
         payloads = batch.column(payload_col).to_pylist()
@@ -370,6 +372,9 @@ def cdx_dedup_stats(cdx_ds):
 
     from ..functions.joins import hash_join
 
+    # consumed twice (caps + versions): pin the blocks so the upstream
+    # cdx_index sort/digest pass runs once, not per consumer
+    cdx_ds = cdx_ds.materialize()
     caps = cdx_ds.groupby("surt").aggregate(
         Count(on="ts", alias_name="n_captures"),
         Max("ts", alias_name="last_ts"),

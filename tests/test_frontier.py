@@ -1293,8 +1293,9 @@ def test_anchor_texts_query_caps_hub_joins(ray_session):
 
 
 def test_robots_gate_batch(ray_session):
-    """Offline robots audit: per-host rules, longest-match precedence,
-    ports/query handled, unknown hosts allow (4xx posture)."""
+    """Offline robots audit: per-ORIGIN rules (a :8080 site is not the
+    :443 site), longest-match precedence, query kept in the match input,
+    unknown origins allow (4xx posture)."""
     import pyarrow as pa
     import ray.data
 
@@ -1311,10 +1312,15 @@ def test_robots_gate_batch(ray_session):
     }))
     robots = ("User-agent: decoy\nDisallow: /\n\n"
               "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n")
-    rows = robots_gate(pages, {"a.test": robots}).take_all()
+    rows = robots_gate(pages, {
+        "https://a.test": robots,
+        # the :8080 origin serves DIFFERENT rules — must not be conflated
+        "https://a.test:8080": "User-agent: *\nDisallow: /blocked\n",
+    }).take_all()
     got = {r["url"]: (r["allowed"], r["path"]) for r in rows}
     assert got["https://a.test/private/x"] == (False, "/private/x")
     assert got["https://a.test/private/ok/x"] == (True, "/private/ok/x")
     assert got["https://a.test/pub?page=2"] == (True, "/pub?page=2")
-    assert got["https://a.test:8080/private/y"] == (False, "/private/y")
+    # judged by the :8080 origin's own robots, not a.test:443's
+    assert got["https://a.test:8080/private/y"] == (True, "/private/y")
     assert got["https://other.test/private/x"][0] is True

@@ -311,3 +311,23 @@ def test_split_assign_rejects_oversum(ray_session):
     with _pytest.raises(ValueError):
         split_assign(ray.data.range(1), key="id",
                      fractions=[("a", 0.8), ("b", 0.4)])
+
+
+def test_split_assign_exact_thresholds_many_splits(ray_session):
+    """Cumulative thresholds accumulate exactly: ten 0.1 fractions give
+    floor(k/10 · 16^8) boundaries, not float-drifted ones."""
+    from fractions import Fraction
+
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sampling import split_assign
+
+    frac = [(f"s{i}", 0.1) for i in range(10)]
+    rows = split_assign(ray.data.range(256), key="id", fractions=frac,
+                        salt="q").take_all()
+    bounds = [int(Fraction(k, 10) * 16 ** 8) for k in range(1, 10)]
+    import hashlib
+    for r in rows:
+        hv = int(hashlib.md5(f"q{r['id']}".encode()).hexdigest()[:8], 16)
+        idx = sum(1 for b in bounds if hv >= b)
+        assert r["split"] == f"s{idx}"
