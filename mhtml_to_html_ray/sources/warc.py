@@ -392,3 +392,67 @@ def cdx_dedup_stats(cdx_ds):
         .aggregate(Count(on="digest", alias_name="n_versions"))
     )
     return hash_join(caps, versions, key="surt")
+
+
+def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
+    """Write a (surt, ts, url, digest, n_bytes) capture index as CDXJ text
+    shards: one ``<surt> <ts-14-digit> <json>`` line per capture, plus a
+    ``_index.json`` secondary index mapping each shard to its
+    (first_key, last_key, n) — the two-level layout replay systems
+    binary-search (shard via the secondary index, line via bisection
+    within the shard).
+
+    Sink disciplines shared with write_jsonl/write_wet: shard files are
+    named by the content hash of their bytes, so re-runs and retried tasks
+    re-derive the same name and skip the write (rerun-idempotent, no
+    manifest needed for safety); blocks write themselves inside
+    map_batches and only one summary row per shard reaches the driver.
+    Feed this the output of ``cdx_index`` — its sort makes every shard a
+    contiguous key range. Returns the secondary index (sorted by
+    first_key).
+    """
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"shard": pa.array([], pa.string()),
+                          "first_key": pa.array([], pa.string()),
+                          "last_key": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lines = []
+        for row in batch.to_pylist():
+            meta = json.dumps(
+                {"url": row["url"], "digest": row["digest"],
+                 "length": int(row["n_bytes"])},
+                ensure_ascii=False, separators=(",", ":"))
+            lines.append(f"{row['surt']} {int(row['ts']):014d} {meta}")
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        name = hashlib.sha1(blob).hexdigest()[:16] + ".cdxj"
+        path = os.path.join(output_dir, name)
+        if not os.path.exists(path):  # rerun-idempotent
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as handle:
+                handle.write(blob)
+            os.replace(tmp, path)
+        return pa.table({"shard": pa.array([name], pa.string()),
+                         "first_key": pa.array([lines[0].split(" ", 1)[0]],
+                                               pa.string()),
+                         "last_key": pa.array([lines[-1].split(" ", 1)[0]],
+                                              pa.string()),
+                         "n": pa.array([len(lines)], pa.int64())})
+
+    summary = sorted(
+        (row for row in cdx_ds.map_batches(
+            write_block, batch_format="pyarrow").take_all()),
+        key=lambda r: (r["first_key"], r["shard"]),
+    )
+    with open(os.path.join(output_dir, "_index.json"), "w") as handle:
+        json.dump(summary, handle, ensure_ascii=False)
+    return summary

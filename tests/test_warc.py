@@ -298,3 +298,40 @@ def test_cdx_dedup_stats(ray_session):
     rows = sorted(cdx_dedup_stats(cdx).take_all(), key=lambda r: r["surt"])
     assert [(r["surt"], r["n_captures"], r["n_versions"], r["last_ts"])
             for r in rows] == [("a)/", 3, 2, 3), ("b)/", 1, 1, 9)]
+
+
+def test_write_cdx_two_level_index_and_idempotence(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import cdx_index, write_cdx
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": [f"https://h{i % 3}.test/p{i}" for i in range(30)],
+        "ts": pa.array(list(range(30)), pa.int64()),
+        "html": [f"body{i}" for i in range(30)],
+    }))
+    out = str(tmp_path / "cdx")
+    index = write_cdx(cdx_index(pages, ts_col="ts"), out)
+    # secondary index covers every capture, in key order
+    assert sum(s["n"] for s in index) == 30
+    firsts = [s["first_key"] for s in index]
+    assert firsts == sorted(firsts)
+    # shards: lines sorted within each shard, ts zero-padded to 14
+    shard_files = [f for f in os.listdir(out) if f.endswith(".cdxj")]
+    assert set(shard_files) == {s["shard"] for s in index}
+    for shard in index:
+        with open(os.path.join(out, shard["shard"])) as fh:
+            lines = fh.read().splitlines()
+        assert lines == sorted(lines)
+        assert len(lines) == shard["n"]
+        key, ts14, meta = lines[0].split(" ", 2)
+        assert key == shard["first_key"] and len(ts14) == 14
+        assert set(json.loads(meta)) == {"url", "digest", "length"}
+    # rerun-idempotent: same shards, no duplicates, same secondary index
+    again = write_cdx(cdx_index(pages, ts_col="ts"), out)
+    assert again == index
+    assert sorted(os.listdir(out)) == sorted(shard_files + ["_index.json"])
