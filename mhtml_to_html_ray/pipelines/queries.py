@@ -2161,6 +2161,32 @@ def q_dom_stats(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_warc_extract(sf_dir: str):
+    """WARC round trip through the archive format itself: synthesized MHTML
+    pages → write_warc response shards (gzip members, deterministic
+    record ids) → read_warc → the full extraction stage. The oracle is the
+    extract_text contract (url/title/text byte round trip), so a hash
+    match pins the WARC writer, the record walk, the HTTP envelope strip
+    AND extraction end to end."""
+    import glob
+    import hashlib
+    import shutil
+
+    from ..sources.warc import read_warc, write_warc
+    from .flagship import extract_pages, pages_from_documents
+
+    out_dir = "/tmp/mhtml_ray_gate_warc_" + hashlib.sha1(
+        sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = pages_from_documents(f"{sf_dir}/documents.parquet")
+    write_warc(pages, out_dir, ts_col="warc_ts",
+               content_type="multipart/related")
+    archive = read_warc(sorted(glob.glob(f"{out_dir}/*.warc.gz")))
+    out = extract_pages(archive, keep_html=False).select_columns(
+        ["url", "title", "text_out"])
+    return _sorted_table(out, ["url"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3319,6 +3345,7 @@ QUERIES = {
     "capture_dedup": q_capture_dedup,
     "robots_gate": q_robots_gate,
     "dom_stats": q_dom_stats,
+    "warc_extract": q_warc_extract,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3495,6 +3522,12 @@ ORACLE_SQL = {
                    - CASE WHEN text LIKE chr(10) || '%' THEN 1 ELSE 0 END
                    AS pre_chars
         FROM documents ORDER BY doc_id
+    """,
+    "warc_extract": """
+        SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
+               'doc-' || CAST(doc_id AS VARCHAR) AS title,
+               text AS text_out
+        FROM documents ORDER BY url
     """,
     "extract_text": """
         SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,

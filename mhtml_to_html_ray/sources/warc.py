@@ -456,3 +456,91 @@ def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
     with open(os.path.join(output_dir, "_index.json"), "w") as handle:
         json.dump(summary, handle, ensure_ascii=False)
     return summary
+
+
+def _response_record(url: str, ts_us: int | None, body: bytes,
+                     content_type: str = "text/html") -> bytes:
+    """One WARC 'response' record wrapping ``body`` in a minimal HTTP/1.1
+    200 envelope — the inverse of ``_http_body``. Same deterministic
+    WARC-Record-ID / Block-Digest discipline as ``_wet_record``."""
+    import base64
+    import hashlib
+    import uuid
+
+    if ts_us is None:
+        date = "1970-01-01T00:00:00Z"
+    else:
+        date = datetime.fromtimestamp(
+            ts_us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    http = (
+        "HTTP/1.1 200 OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    payload_sha1 = hashlib.sha1(http)
+    record_id = uuid.uuid5(
+        uuid.NAMESPACE_URL, f"{url}\n{date}\n{payload_sha1.hexdigest()}"
+    )
+    digest = base64.b32encode(payload_sha1.digest()).decode()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        f"WARC-Block-Digest: sha1:{digest}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(pages_ds, output_dir: str, url_col: str = "url",
+               payload_col: str = "html", ts_col: str | None = None,
+               content_type: str = "text/html", compress: bool = True) -> int:
+    """Pages → WARC response shards (the archive format Common Crawl
+    publishes raw captures in) — the write half of ``read_warc``: payloads
+    wrap in an HTTP/1.1 200 envelope inside ISO 28500 response records;
+    each input block writes ONE shard named by the content hash of its
+    record bytes (deterministic, rerun-idempotent, no driver
+    accumulation). ``compress`` gzips each record as its own member (the
+    .warc.gz convention). Returns the number of records written.
+    ``read_warc(write_warc(ds))`` round-trips url/warc_ts/payload exactly
+    (test-pinned)."""
+    import gzip
+    import hashlib
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        records = []
+        urls = batch.column(url_col).to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        stamps = batch.column(ts_col).to_pylist() if ts_col else [None] * len(urls)
+        for url, payload, stamp in zip(urls, payloads, stamps):
+            if payload is None:
+                continue
+            if stamp is not None and not isinstance(stamp, int):
+                if stamp.tzinfo is None:  # naive Arrow ts stores UTC
+                    stamp = stamp.replace(tzinfo=timezone.utc)
+                stamp = int(stamp.timestamp() * 1_000_000)
+            body = payload.encode("utf-8") if isinstance(payload, str) \
+                else bytes(payload)
+            record = _response_record(url, stamp, body, content_type)
+            records.append(gzip.compress(record, mtime=0) if compress else record)
+        if not records:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        blob = b"".join(records)
+        name = hashlib.sha1(blob).hexdigest()[:16] + suffix
+        path = os.path.join(output_dir, name)
+        if not os.path.exists(path):  # rerun-idempotent
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as handle:
+                handle.write(blob)
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(records)], pa.int64())})
+
+    counts = pages_ds.map_batches(write_block, batch_format="pyarrow")
+    return sum(row["n"] for row in counts.take_all())

@@ -335,3 +335,43 @@ def test_write_cdx_two_level_index_and_idempotence(ray_session, tmp_path):
     again = write_cdx(cdx_index(pages, ts_col="ts"), out)
     assert again == index
     assert sorted(os.listdir(out)) == sorted(shard_files + ["_index.json"])
+
+
+def test_write_warc_read_warc_roundtrip(ray_session, tmp_path):
+    """The write half inverts the read half: url, warc_ts and payload
+    bytes round-trip through gzip-member response records; re-running the
+    writer adds no duplicate shards."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import read_warc, write_warc
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": [f"https://rt.test/p{i}" for i in range(5)],
+        "warc_ts": pa.array([1_700_000_000_000_000 + i for i in range(5)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": [f"<html><body>b{i}</body></html>".encode() for i in range(5)],
+    }))
+    out = str(tmp_path / "warc")
+    assert write_warc(pages, out, ts_col="warc_ts") == 5
+    shards = sorted(os.listdir(out))
+    rows = sorted(read_warc([os.path.join(out, s) for s in shards])
+                  .take_all(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == [f"https://rt.test/p{i}"
+                                        for i in range(5)]
+    assert [bytes(r["html"]) for r in rows] == \
+        [f"<html><body>b{i}</body></html>".encode() for i in range(5)]
+    import datetime
+    for i, r in enumerate(rows):
+        ts = r["warc_ts"]
+        if isinstance(ts, datetime.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            ts = int(ts.timestamp() * 1_000_000)
+        # WARC-Date has second precision: µs truncate to the second
+        assert ts == (1_700_000_000_000_000 + i) // 1_000_000 * 1_000_000
+    # rerun-idempotent
+    assert write_warc(pages, out, ts_col="warc_ts") == 5
+    assert sorted(os.listdir(out)) == shards
