@@ -2175,8 +2175,13 @@ def q_warc_extract(sf_dir: str):
     from ..sources.warc import read_warc, write_warc
     from .flagship import extract_pages, pages_from_documents
 
+    import os
+
+    # pid in the path: concurrent gate processes must not rmtree each
+    # other's shards mid-read (the result Dataset is lazy — files must
+    # outlive this function)
     out_dir = "/tmp/mhtml_ray_gate_warc_" + hashlib.sha1(
-        sf_dir.encode()).hexdigest()[:12]
+        f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     shutil.rmtree(out_dir, ignore_errors=True)
     pages = pages_from_documents(f"{sf_dir}/documents.parquet")
     write_warc(pages, out_dir, ts_col="warc_ts",
