@@ -7,9 +7,10 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
   synthetic MHTML pages (input_hint shape) → fused MIME+DOM extraction.
 * ``queries()`` — one entry per implemented operator/pipeline from
   SURVEY.md §2 + the engine-new training-data ops.
-* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
-  heuristic/approximate ops (langid, minhash/simhash/embedding dedup, ANN)
-  are deliberately oracle-free and covered by tests/ instead.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry
+  (119 of 134, incl. exact restatements of langid and the minhash family);
+  the rest (simhash/embedding dedup, LSH/IVF ANN, sketches, BPE training)
+  are approximate/iterative and covered by tests/ instead.
 """
 
 from __future__ import annotations
