@@ -100,3 +100,31 @@ def surt_key(url: str, base: str | None = None) -> str:
         key_host = ",".join(reversed(host.split(".")))
     path = rest if rest.startswith("/") else "/" + rest
     return f"{key_host}{port}){path}"
+
+
+# the tracking/click-id query parameters every crawl canonicalizer strips
+# before seen-set dedup (two captures differing only in ad-click ids are the
+# same page); list kept small + documented — a gate, not a registry
+TRACKING_PARAMS = frozenset({
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "yclid", "mc_eid", "igshid", "ref_src",
+})
+
+
+def strip_tracking(url: str) -> str:
+    """Canonicalize, then drop tracking query parameters (TRACKING_PARAMS,
+    case-insensitive names) preserving the order of the rest; a query left
+    empty drops its ``?``. Fragments and non-absolute URLs pass through
+    canonicalization unchanged. Dedup discipline: URLs differing only in
+    click ids collapse to one seen-set key."""
+    canon = canonicalize(url).canon_url
+    head, sep, tail = canon.partition("?")
+    if not sep:
+        return canon
+    query, hash_sep, fragment = tail.partition("#")
+    kept = [
+        pair for pair in query.split("&")
+        if pair.partition("=")[0].lower() not in TRACKING_PARAMS
+    ]
+    rebuilt = head + ("?" + "&".join(kept) if kept else "")
+    return rebuilt + (hash_sep + fragment if hash_sep else "")

@@ -2192,6 +2192,37 @@ def q_warc_extract(sf_dir: str):
     return _sorted_table(out, ["url"])
 
 
+def q_url_strip_tracking(sf_dir: str):
+    """Tracking-parameter stripping (frontier/canon.strip_tracking): the
+    crawl-dedup canonicalization that collapses URLs differing only in
+    utm_*/click ids. Even doc_ids carry two tracking params around a real
+    one; doc_id % 4 == 1 rows are ALL-tracking (the '?' must drop); the
+    rest have a clean query that must survive untouched."""
+    from ..frontier.canon import strip_tracking
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            d = int(d)
+            if d % 4 == 0:
+                urls.append(f"https://t.example.org/p/{d}"
+                            f"?utm_source=news&page={d}&gclid=g{d}")
+            elif d % 4 == 1:
+                urls.append(f"https://t.example.org/p/{d}?fbclid=f{d}")
+            else:
+                urls.append(f"https://t.example.org/p/{d}?page={d}")
+        out = [strip_tracking(u) for u in urls]
+        return pa.table({"doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "canon": pa.array(out, pa.string())})
+
+    return _sorted_table(ds.map_batches(rows, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3351,6 +3382,7 @@ QUERIES = {
     "robots_gate": q_robots_gate,
     "dom_stats": q_dom_stats,
     "warc_extract": q_warc_extract,
+    "url_strip_tracking": q_url_strip_tracking,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3526,6 +3558,24 @@ ORACLE_SQL = {
                LENGTH(text)
                    - CASE WHEN text LIKE chr(10) || '%' THEN 1 ELSE 0 END
                    AS pre_chars
+        FROM documents ORDER BY doc_id
+    """,
+    "url_strip_tracking": """
+        SELECT doc_id,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'https://t.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        || '?utm_source=news&page=' || CAST(doc_id AS VARCHAR)
+                        || '&gclid=g' || CAST(doc_id AS VARCHAR)
+                    WHEN 1 THEN 'https://t.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        || '?fbclid=f' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://t.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        || '?page=' || CAST(doc_id AS VARCHAR) END AS url,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'https://t.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        || '?page=' || CAST(doc_id AS VARCHAR)
+                    WHEN 1 THEN 'https://t.example.org/p/' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://t.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        || '?page=' || CAST(doc_id AS VARCHAR) END AS canon
         FROM documents ORDER BY doc_id
     """,
     "warc_extract": """

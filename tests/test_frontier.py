@@ -1324,3 +1324,23 @@ def test_robots_gate_batch(ray_session):
     # judged by the :8080 origin's own robots, not a.test:443's
     assert got["https://a.test:8080/private/y"] == (True, "/private/y")
     assert got["https://other.test/private/x"][0] is True
+
+
+def test_strip_tracking_params():
+    from mhtml_to_html_ray.frontier.canon import strip_tracking
+
+    assert strip_tracking(
+        "https://a.test/p?utm_source=x&page=2&gclid=z") == \
+        "https://a.test/p?page=2"
+    # all params tracking → the '?' drops too
+    assert strip_tracking("https://a.test/p?UTM_Source=x&fbclid=1") == \
+        "https://a.test/p"
+    # order of survivors preserved; fragment survives
+    assert strip_tracking(
+        "https://a.test/p?b=2&utm_term=t&a=1#frag") == \
+        "https://a.test/p?b=2&a=1#frag"
+    # no query: canonicalization only
+    assert strip_tracking("HTTPS://A.test/x") == "https://a.test/x"
+    # a bare tracking key without '=' still drops
+    assert strip_tracking("https://a.test/p?gclid&x=1") == \
+        "https://a.test/p?x=1"
