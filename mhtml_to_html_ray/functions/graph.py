@@ -303,3 +303,133 @@ def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
         ranks = hash_join(ranks_only, nodes, key="node").materialize()
 
     return ranks.select_columns(["node", "rank_units"])
+
+
+def personalized_pagerank_units(edges_ds, seeds, n_iter: int = 2,
+                                src: str = "src", dst: str = "dst"):
+    """Personalized PageRank under the same integer fixed-point contract as
+    :func:`pagerank_units`, with the restart mass concentrated on ``seeds``
+    instead of spread uniformly — the host-reputation / trust-propagation
+    operator (seed a handful of known-good nodes, rank everything by
+    random-walk-with-restart proximity to them).
+
+    Arithmetic (all int64, SQL-restatable exactly):
+
+    * r0 = 10**12 // n_seeds; r_init(v) = r0 if v ∈ seeds else 0
+    * base(v) = (15 * r0) // 100 if v ∈ seeds else 0
+    * r_{t+1}(v) = base(v) + (85 * Σ_{u→v} (r_t(u) // od(u))) // 100
+
+    ``seeds`` is a small Python iterable of node ids (trust lists are small
+    by nature) — broadcast inside closures, never a shuffle side. The
+    superstep shape is identical to pagerank_units: one hash_join + one
+    groupby per iteration, rank table materialized between supersteps.
+    Kept as a separate function so the uniform variant's oracled arithmetic
+    stays byte-for-byte untouched.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    seed_list = sorted({int(s) for s in seeds})
+    if not seed_list:
+        raise ValueError("personalized_pagerank_units: empty seed set")
+    unit = 10 ** 12
+    r0 = unit // len(seed_list)
+    seed_base = (15 * r0) // 100
+
+    def degree_partials(batch: pa.Table) -> pa.Table:
+        if batch.column(src).null_count or batch.column(dst).null_count:
+            raise ValueError("personalized_pagerank_units: null edge endpoint")
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        s_uniq, s_counts = np.unique(s, return_counts=True)
+        d_uniq = np.unique(d)
+        return pa.table({
+            "node": pa.array(np.concatenate([s_uniq, d_uniq]), pa.int64()),
+            "od_partial": pa.array(
+                np.concatenate([s_counts.astype(np.int64),
+                                np.zeros(len(d_uniq), np.int64)]),
+                pa.int64()),
+        })
+
+    nodes = (
+        edges_ds.select_columns([src, dst])
+        .map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("od_partial", alias_name="od"))
+        .materialize()
+    )
+    if nodes.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_units": pa.array([], pa.int64()),
+        }))
+    seed_arr = np.asarray(seed_list, dtype=np.int64)
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        is_seed = np.isin(node, seed_arr)
+        return pa.table({
+            "node": batch.column("node"),
+            "od": batch.column("od"),
+            "rank_units": pa.array(
+                np.where(is_seed, np.int64(r0), np.int64(0)), pa.int64()),
+        })
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    edges_nodes = edges_ds.select_columns([src, dst]).map_batches(
+        lambda b: pa.table({
+            "node": b.column(src).cast(pa.int64()),
+            "dst": b.column(dst).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def zero_contribs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": batch.column("node"),
+            "contrib": pa.array(np.zeros(batch.num_rows, np.int64),
+                                pa.int64()),
+        })
+
+    zeros = nodes.map_batches(zero_contribs, batch_format="pyarrow")
+
+    for _ in range(n_iter):
+        joined = hash_join(edges_nodes, ranks, key="node")
+
+        def contribs(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "contrib": pa.array([], pa.int64())})
+            r = batch.column("rank_units").to_numpy(zero_copy_only=False)
+            od = batch.column("od").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "dst": batch.column("dst"),
+                "contrib": pa.array(r // od, pa.int64()),
+            })
+
+        summed = (
+            joined.map_batches(contribs, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("dst")
+            .aggregate(Sum("contrib", alias_name="s"))
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            node = batch.column("dst").to_numpy(zero_copy_only=False)
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            base = np.where(np.isin(node, seed_arr),
+                            np.int64(seed_base), np.int64(0))
+            return pa.table({
+                "node": batch.column("dst"),
+                "rank_units": pa.array(base + (85 * s) // 100, pa.int64()),
+            })
+
+        ranks_only = summed.map_batches(fold, batch_format="pyarrow")
+        ranks = hash_join(ranks_only, nodes, key="node").materialize()
+
+    return ranks.select_columns(["node", "rank_units"])

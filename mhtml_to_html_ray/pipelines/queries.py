@@ -1249,6 +1249,41 @@ def q_pagerank(sf_dir: str):
     return _sorted_table(ranks, ["node"])
 
 
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (functions/graph.personalized_pagerank_units):
+    restart mass concentrated on a seed trust list (user ids divisible by
+    50 — driver-small, the shape of every real reputation seed list) over
+    the same user → props.k bipartite event graph as pagerank. Same
+    integer fixed-point contract, seed-aware base/init; the oracle unrolls
+    both supersteps with a seeds CTE."""
+    from ..functions import graph
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ks = _props_k(batch)
+        keep = [i for i, k in enumerate(ks) if k is not None]
+        return pa.table({
+            "src": batch.column("user_id").take(
+                pa.array(keep, pa.int64())).cast(pa.int64()),
+            "dst": pa.array([100000 + ks[i] for i in keep], pa.int64()),
+        })
+
+    def seed_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    seed_rows = (
+        ds.select_columns(["user_id"])
+        .map_batches(seed_filter, batch_format="pyarrow")
+        .groupby("user_id").count().take_all()
+    )
+    seeds = sorted(int(r["user_id"]) for r in seed_rows)
+    ranks = graph.personalized_pagerank_units(
+        ds.map_batches(edges, batch_format="pyarrow"), seeds, n_iter=2)
+    return _sorted_table(ranks, ["node"])
+
+
 def q_hits(sf_dir: str):
     """HITS hubs/authorities (functions/graph.py hits_units): 2 full
     iterations of integer fixed-point sum-normalized HITS over the same
@@ -3383,6 +3418,7 @@ QUERIES = {
     "dom_stats": q_dom_stats,
     "warc_extract": q_warc_extract,
     "url_strip_tracking": q_url_strip_tracking,
+    "pagerank_personalized": q_pagerank_personalized,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3863,6 +3899,52 @@ ORACLE_SQL = {
                    CAST(p.base + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
                        AS rank_units
             FROM nodes n CROSS JOIN p
+            LEFT JOIN (
+                SELECT e.dst, SUM(r1.rank_units // r1.od) AS s
+                FROM e JOIN r1 ON r1.node = e.src
+                GROUP BY e.dst) s ON s.dst = n.node)
+        SELECT node, rank_units FROM r2 ORDER BY node
+    """,
+    "pagerank_personalized": """
+        WITH e AS (
+            SELECT user_id AS src,
+                   100000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS dst
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        nodes AS (
+            SELECT node, CAST(SUM(od) AS BIGINT) AS od FROM (
+                SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src
+                UNION ALL
+                SELECT DISTINCT dst AS node, 0 AS od FROM e)
+            GROUP BY node),
+        seeds AS (
+            SELECT DISTINCT user_id AS node FROM events
+            WHERE user_id % 50 = 0),
+        p AS (SELECT (1000000000000 // COUNT(*)) AS r0,
+                     ((15 * (1000000000000 // COUNT(*))) // 100) AS base
+              FROM seeds),
+        r1 AS (
+            SELECT n.node, n.od,
+                   CAST(CASE WHEN sd.node IS NOT NULL THEN p.base ELSE 0 END
+                        + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+                       AS rank_units
+            FROM nodes n CROSS JOIN p
+            LEFT JOIN seeds sd ON sd.node = n.node
+            LEFT JOIN (
+                SELECT e.dst,
+                       SUM((CASE WHEN sd2.node IS NOT NULL THEN p.r0
+                                 ELSE 0 END) // n2.od) AS s
+                FROM e JOIN nodes n2 ON e.src = n2.node CROSS JOIN p
+                LEFT JOIN seeds sd2 ON sd2.node = e.src
+                GROUP BY e.dst) s ON s.dst = n.node),
+        r2 AS (
+            SELECT n.node,
+                   CAST(CASE WHEN sd.node IS NOT NULL THEN p.base ELSE 0 END
+                        + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+                       AS rank_units
+            FROM nodes n CROSS JOIN p
+            LEFT JOIN seeds sd ON sd.node = n.node
             LEFT JOIN (
                 SELECT e.dst, SUM(r1.rank_units // r1.od) AS s
                 FROM e JOIN r1 ON r1.node = e.src

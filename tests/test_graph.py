@@ -189,3 +189,45 @@ def test_hits_empty_edges_and_n_iter(ray_session):
     assert graph.hits_units(_edges_ds(ray, []), n_iter=1).take_all() == []
     with pytest.raises(ValueError, match="n_iter"):
         graph.hits_units(_edges_ds(ray, PAIRS), n_iter=0)
+
+
+def test_personalized_pagerank_hand_computed(ray_session):
+    """2 seeds, chain 1→2→3 plus 4→2: mass restarts at the seeds only;
+    non-seed sources contribute nothing at t=0."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.graph import personalized_pagerank_units
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2, 4], pa.int64()),
+        "dst": pa.array([2, 3, 2], pa.int64()),
+    }))
+    got = {r["node"]: r["rank_units"]
+           for r in personalized_pagerank_units(edges, [1, 4],
+                                                n_iter=1).take_all()}
+    unit = 10 ** 12
+    r0 = unit // 2
+    base = (15 * r0) // 100
+    # node 1: seed, no in-edges → base; node 4: same
+    # node 2: in from seeds 1 and 4 (od=1 each) → 85% of (r0 + r0)
+    # node 3: in from non-seed 2 (rank 0 at t=0) → 0
+    assert got == {
+        1: base,
+        4: base,
+        2: (85 * (r0 + r0)) // 100,
+        3: 0,
+    }
+
+
+def test_personalized_pagerank_rejects_empty_seeds(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from mhtml_to_html_ray.functions.graph import personalized_pagerank_units
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}))
+    with _pytest.raises(ValueError):
+        personalized_pagerank_units(edges, [])
