@@ -1879,3 +1879,73 @@ def test_whitespace_keeps_frameset_ok():
     assert doc.body is None
     out = serialize(doc)
     assert out == ("<html><head></head><frameset><frame></frameset></html>")
+
+
+# ---------------------------------------------------------------------------
+# probe-pass pins (round 4 final session): behaviors verified against the
+# spec by direct probing, now locked
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # text after the last row foster-parents BEFORE the table
+        ("<body><table><tr><td>cell</td></tr>x</table></body>",
+         "<body>x<table><tbody><tr><td>cell</td></tr></tbody></table></body>"),
+        # in QUIRKS mode (no doctype) <table> does NOT close an open <p> —
+        # the one quirks-dependent rule in the "in body" table branch
+        ("<body><p>1<table><td>2</table>3</body>",
+         "<body><p>1<table><tbody><tr><td>2</td></tr></tbody></table>3"
+         "</p></body>"),
+        # a second <a> inside an open one: adoption agency splits both
+        ("<body><a>1<p>2<a>3</body>",
+         "<body><a>1</a><p><a>2</a><a>3</a></p></body>"),
+        # caption sits before the synthesized tbody
+        ("<body><table><caption>c</caption><tr><td>d</body>",
+         "<body><table><caption>c</caption><tbody><tr><td>d</td></tr>"
+         "</tbody></table></body>"),
+        # colgroup auto-closes when a cell starts the implied row
+        ("<body><table><colgroup><col><td>x</body>",
+         "<body><table><colgroup><col></colgroup><tbody><tr><td>x</td></tr>"
+         "</tbody></table></body>"),
+        # svg <desc> is an HTML integration point
+        ("<body><svg><desc><div>html</div></desc></svg></body>",
+         "<body><svg><desc><div>html</div></desc></svg></body>"),
+        # math <mtext> likewise
+        ("<body><math><mtext><p>h</p></mtext></math></body>",
+         "<body><math><mtext><p>h</p></mtext></math></body>"),
+    ],
+)
+def test_probe_pins_structural(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # legacy named ref without ';' ('&amp' matches, 'x' follows);
+        # the serializer re-escapes the bare ampersand
+        ("<body>&ampx</body>", "<body>&amp;x</body>"),
+        # out-of-range and NUL numeric refs become U+FFFD
+        ("<body>&#x110000;</body>", "<body>\N{REPLACEMENT CHARACTER}</body>"),
+        ("<body>&#0;</body>", "<body>\N{REPLACEMENT CHARACTER}</body>"),
+        # longest legacy match: '&not' + 'it;' vs the full '&notin;'
+        ("<body>&notit;</body>", "<body>¬it;</body>"),
+        ("<body>&notin;</body>", "<body>∉</body>"),
+    ],
+)
+def test_probe_pins_entities(source, expected):
+    assert body_html(source) == expected
+
+
+def test_probe_pin_nested_form_ignored():
+    # a <form> while a form element pointer is set is ignored entirely
+    assert body_html("<body><form><div><form><input></body>") == \
+        "<body><form><div><input></div></form></body>"
+
+
+def test_probe_pin_table_closes_p_standards_mode_only():
+    # the same input WITH a doctype (standards mode): <table> closes <p>
+    out = doc_html("<!DOCTYPE html><body><p>1<table><td>2</table>3")
+    assert ("<body><p>1</p><table><tbody><tr><td>2</td></tr></tbody>"
+            "</table>3</body>") in out
