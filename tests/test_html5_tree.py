@@ -1949,3 +1949,31 @@ def test_probe_pin_table_closes_p_standards_mode_only():
     out = doc_html("<!DOCTYPE html><body><p>1<table><td>2</table>3")
     assert ("<body><p>1</p><table><tbody><tr><td>2</td></tr></tbody>"
             "</table>3</body>") in out
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # CDATA sections are literal text in foreign content; the
+        # serializer re-escapes on output
+        ("<body><svg><![CDATA[<b>&amp;]]></svg></body>",
+         "<body><svg>&lt;b&gt;&amp;amp;</svg></body>"),
+        # duplicate attribute: the FIRST occurrence wins
+        ("<body><div a='1' a='2'></div></body>",
+         '<body><div a="1"></div></body>'),
+        # a stray '/' before an attribute is dropped and parsing resumes
+        ("<body><div/ x=1></div></body>", '<body><div x="1"></div></body>'),
+        # svg <title> is an HTML integration point (next to desc and
+        # foreignObject)
+        ("<body><svg><title>t</title></svg></body>",
+         "<body><svg><title>t</title></svg></body>"),
+        # template INSIDE a table keeps its row content in the template
+        # fragment instead of foster-parenting it
+        ("<body><table><template><tr><td>x</td></tr></template></table>"
+         "</body>",
+         "<body><table><template><tr><td>x</td></tr></template></table>"
+         "</body>"),
+    ],
+)
+def test_probe_pins_tokenizer_and_foreign(source, expected):
+    assert body_html(source) == expected
