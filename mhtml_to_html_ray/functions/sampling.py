@@ -356,3 +356,63 @@ def split_assign(ds, key: str = "doc_id", fractions=None, salt: str = "split"):
         return batch.append_column("split", pa.array(splits, pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def token_budget_sample(ds, budget_tokens: int, key: str = "doc_id",
+                        strata_col: str = "source", text_col: str = "text",
+                        salt: str = "budget"):
+    """Token-budget mixture selection: per stratum, take documents in
+    deterministic md5(salt || key) order until ``budget_tokens`` is
+    reached — how real training mixtures are specified (tokens per source,
+    not documents per source). A document is kept iff the tokens BEFORE it
+    in hash order total < budget, so exactly the boundary-crossing doc is
+    the last one in; membership is reproducible on any layout/retry (no
+    RNG, no count-dependent rates).
+
+    Plan: one tokenize pass emits (stratum, order_hex, key, n_tokens) —
+    narrow rows, text never shuffles — then ONE groupby(stratum) computes
+    the running sum per group (the standard per-key window shape; if one
+    stratum outgrows a task, pre-bucket by order_hex prefix exactly like
+    epoch_shuffle's rank step). Output: key, stratum, n_tokens, cum_before,
+    keep.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .textstats import _flatten_batch
+
+    def rows(batch: pa.Table) -> pa.Table:
+        doc_ids, _, bounds = _flatten_batch(
+            batch.select([key, text_col]).rename_columns(["doc_id", "text"]))
+        strata = batch.column(strata_col).to_pylist()
+        n_tokens = [length for _, length in bounds]
+        order = _key_hex(doc_ids, salt)
+        return pa.table(
+            {
+                "stratum": pa.array(strata, pa.string()),
+                "order_hex": pa.array(order, pa.string()),
+                "key": pa.array([int(d) for d in doc_ids], pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+    def scan(group: pd.DataFrame) -> pa.Table:
+        frame = group.sort_values(["order_hex", "key"],
+                                  kind="mergesort").reset_index(drop=True)
+        n = frame["n_tokens"].to_numpy(dtype=np.int64)
+        cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {
+                "key": pa.array(frame["key"].astype("int64"), pa.int64()),
+                "stratum": pa.array(frame["stratum"], pa.string()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "cum_before": pa.array(cum_before, pa.int64()),
+                "keep": pa.array(cum_before < budget_tokens, pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("stratum")
+        .map_groups(scan, batch_format="pandas")
+    )

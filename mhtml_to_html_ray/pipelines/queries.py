@@ -2258,6 +2258,19 @@ def q_url_strip_tracking(sf_dir: str):
                          ["doc_id"])
 
 
+def q_token_budget_sample(sf_dir: str):
+    """Token-budget mixture selection (functions/sampling.
+    token_budget_sample): per source, documents admit in deterministic
+    md5 order until 20k tokens are reached — mixtures specified in tokens,
+    the way training runs actually consume them. The oracle restates the
+    running sum with a 1-PRECEDING window frame."""
+    from ..functions import sampling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = sampling.token_budget_sample(ds, budget_tokens=20000)
+    return _sorted_table(out, ["key"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3419,6 +3432,7 @@ QUERIES = {
     "warc_extract": q_warc_extract,
     "url_strip_tracking": q_url_strip_tracking,
     "pagerank_personalized": q_pagerank_personalized,
+    "token_budget_sample": q_token_budget_sample,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3595,6 +3609,25 @@ ORACLE_SQL = {
                    - CASE WHEN text LIKE chr(10) || '%' THEN 1 ELSE 0 END
                    AS pre_chars
         FROM documents ORDER BY doc_id
+    """,
+    "token_budget_sample": r"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   substr(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS order_hex
+            FROM documents)
+        SELECT doc_id AS key, source AS stratum,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY order_hex, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY order_hex, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   < 20000 AS keep
+        FROM t ORDER BY key
     """,
     "url_strip_tracking": """
         SELECT doc_id,

@@ -331,3 +331,37 @@ def test_split_assign_exact_thresholds_many_splits(ray_session):
         hv = int(hashlib.md5(f"q{r['id']}".encode()).hexdigest()[:8], 16)
         idx = sum(1 for b in bounds if hv >= b)
         assert r["split"] == f"s{idx}"
+
+
+def test_token_budget_sample_boundary_doc_included(ray_session):
+    """The doc that CROSSES the budget is the last one in (cum_before <
+    budget admits it); everything after is out; strata are independent."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.sampling import token_budget_sample
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": ["a b c", "d e", "f", "g h i j", "k", "l m"],
+        "source": ["s1", "s1", "s1", "s2", "s2", "s2"],
+    })
+    rows = token_budget_sample(ray.data.from_arrow(docs), budget_tokens=4,
+                               salt="z").take_all()
+    by_key = {r["key"]: r for r in rows}
+    # recompute the hash order per stratum by hand
+    for stratum, ids in (("s1", [0, 1, 2]), ("s2", [3, 4, 5])):
+        order = sorted(ids, key=lambda d: (
+            hashlib.md5(f"z{d}".encode()).hexdigest()[:8], d))
+        cum = 0
+        for d in order:
+            assert by_key[d]["cum_before"] == cum
+            assert by_key[d]["keep"] == (cum < 4)
+            cum += by_key[d]["n_tokens"]
+    # the kept token totals: each stratum admits docs while cum_before < 4
+    for stratum in ("s1", "s2"):
+        kept = [r for r in rows if r["stratum"] == stratum and r["keep"]]
+        assert kept, stratum
+        assert min(r["cum_before"] for r in kept) == 0
