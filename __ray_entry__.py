@@ -8,7 +8,7 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
 * ``queries()`` — one entry per implemented operator/pipeline from
   SURVEY.md §2 + the engine-new training-data ops.
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry
-  (119 of 134, incl. exact restatements of langid and the minhash family);
+  (122 of 137, incl. exact restatements of langid and the minhash family);
   the rest (simhash/embedding dedup, LSH/IVF ANN, sketches, BPE training)
   are approximate/iterative and covered by tests/ instead.
 """

@@ -118,10 +118,12 @@ def strip_tracking(url: str) -> str:
     canonicalization unchanged. Dedup discipline: URLs differing only in
     click ids collapse to one seen-set key."""
     canon = canonicalize(url).canon_url
-    head, sep, tail = canon.partition("?")
+    # fragment FIRST: WHATWG fragments legally contain '?' (SPA hash
+    # routes), so a '?'-first split would strip params out of the fragment
+    before_frag, hash_sep, fragment = canon.partition("#")
+    head, sep, query = before_frag.partition("?")
     if not sep:
         return canon
-    query, hash_sep, fragment = tail.partition("#")
     kept = [
         pair for pair in query.split("&")
         if pair.partition("=")[0].lower() not in TRACKING_PARAMS

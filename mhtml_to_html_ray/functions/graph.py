@@ -191,11 +191,18 @@ def hits_units(edges_ds, n_iter: int = 2, src: str = "src",
     return paired.map_batches(merge, batch_format="pyarrow")
 
 
-def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
-                   dst: str = "dst"):
-    """Fixed-point PageRank (see module docstring). Returns a Dataset of
-    (node, rank_units) — int64 — for every node appearing as a source or
-    destination of any edge. Null endpoints are rejected."""
+def _pagerank_core(edges_ds, n_iter, src, dst, init_units, fold_base,
+                   err_prefix):
+    """Shared fixed-point PageRank superstep machinery (uniform and
+    personalized variants differ ONLY in the restart arithmetic):
+
+    * ``init_units(node_array, n_nodes) -> int64 array`` — rank at t=0;
+    * ``fold_base(node_array, n_nodes) -> int64 array`` — the per-node
+      restart term added as ``base + (85 * Σ contribs) // 100``.
+
+    One hash_join + one groupby per superstep; the node-sized rank table is
+    materialized between supersteps (the production checkpoint unit).
+    """
     import ray
     from ray.data.aggregate import Sum
 
@@ -203,14 +210,13 @@ def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
 
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    unit = 10 ** 12
 
     # node set + out-degree via per-batch combiners: each batch emits one
     # (node, od_partial) row per distinct endpoint, so the groupby shuffles
     # node-sized partials, never edges
     def degree_partials(batch: pa.Table) -> pa.Table:
         if batch.column(src).null_count or batch.column(dst).null_count:
-            raise ValueError("pagerank_units: null edge endpoint")
+            raise ValueError(f"{err_prefix}: null edge endpoint")
         s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
         s_uniq, s_counts = np.unique(s, return_counts=True)
@@ -236,15 +242,13 @@ def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
             "node": pa.array([], pa.int64()),
             "rank_units": pa.array([], pa.int64()),
         }))
-    r0 = unit // n_nodes
-    base = (15 * r0) // 100
 
     def init_ranks(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
         return pa.table({
             "node": batch.column("node"),
             "od": batch.column("od"),
-            "rank_units": pa.array(
-                np.full(batch.num_rows, r0, np.int64), pa.int64()),
+            "rank_units": pa.array(init_units(node, n_nodes), pa.int64()),
         })
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
@@ -288,21 +292,42 @@ def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
             .groupby("dst")
             .aggregate(Sum("contrib", alias_name="s"))
         )
-        ranks_only = summed.map_batches(
-            lambda b: pa.table({
-                "node": b.column("dst"),
-                "rank_units": pa.array(
-                    base + (85 * b.column("s").to_numpy(
-                        zero_copy_only=False)) // 100,
-                    pa.int64()),
-            }),
-            batch_format="pyarrow",
-        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            node = batch.column("dst").to_numpy(zero_copy_only=False)
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            base = fold_base(node, n_nodes)
+            return pa.table({
+                "node": batch.column("dst"),
+                "rank_units": pa.array(base + (85 * s) // 100, pa.int64()),
+            })
+
+        ranks_only = summed.map_batches(fold, batch_format="pyarrow")
         # re-attach the static out-degree for the next superstep, then
         # materialize: the node-sized rank table is the superstep checkpoint
         ranks = hash_join(ranks_only, nodes, key="node").materialize()
 
     return ranks.select_columns(["node", "rank_units"])
+
+
+def pagerank_units(edges_ds, n_iter: int = 2, src: str = "src",
+                   dst: str = "dst"):
+    """Fixed-point PageRank (see module docstring). Returns a Dataset of
+    (node, rank_units) — int64 — for every node appearing as a source or
+    destination of any edge. Null endpoints are rejected.
+
+    Arithmetic (unchanged from the oracled contract): r0 = 10**12 // N
+    everywhere, base = (15 * r0) // 100 everywhere."""
+    unit = 10 ** 12
+
+    def init_units(node, n_nodes):
+        return np.full(len(node), unit // n_nodes, np.int64)
+
+    def fold_base(node, n_nodes):
+        return np.full(len(node), (15 * (unit // n_nodes)) // 100, np.int64)
+
+    return _pagerank_core(edges_ds, n_iter, src, dst, init_units, fold_base,
+                          err_prefix="pagerank_units")
 
 
 def personalized_pagerank_units(edges_ds, seeds, n_iter: int = 2,
@@ -320,116 +345,23 @@ def personalized_pagerank_units(edges_ds, seeds, n_iter: int = 2,
     * r_{t+1}(v) = base(v) + (85 * Σ_{u→v} (r_t(u) // od(u))) // 100
 
     ``seeds`` is a small Python iterable of node ids (trust lists are small
-    by nature) — broadcast inside closures, never a shuffle side. The
-    superstep shape is identical to pagerank_units: one hash_join + one
-    groupby per iteration, rank table materialized between supersteps.
-    Kept as a separate function so the uniform variant's oracled arithmetic
-    stays byte-for-byte untouched.
-    """
-    import ray
-    from ray.data.aggregate import Sum
-
-    from .joins import hash_join
-
-    if n_iter < 1:
-        raise ValueError("n_iter must be >= 1")
+    by nature) — broadcast inside closures, never a shuffle side. Shares
+    the superstep machinery with pagerank_units via _pagerank_core; only
+    the two restart callbacks differ."""
     seed_list = sorted({int(s) for s in seeds})
     if not seed_list:
         raise ValueError("personalized_pagerank_units: empty seed set")
     unit = 10 ** 12
     r0 = unit // len(seed_list)
     seed_base = (15 * r0) // 100
-
-    def degree_partials(batch: pa.Table) -> pa.Table:
-        if batch.column(src).null_count or batch.column(dst).null_count:
-            raise ValueError("personalized_pagerank_units: null edge endpoint")
-        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        s_uniq, s_counts = np.unique(s, return_counts=True)
-        d_uniq = np.unique(d)
-        return pa.table({
-            "node": pa.array(np.concatenate([s_uniq, d_uniq]), pa.int64()),
-            "od_partial": pa.array(
-                np.concatenate([s_counts.astype(np.int64),
-                                np.zeros(len(d_uniq), np.int64)]),
-                pa.int64()),
-        })
-
-    nodes = (
-        edges_ds.select_columns([src, dst])
-        .map_batches(degree_partials, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("od_partial", alias_name="od"))
-        .materialize()
-    )
-    if nodes.count() == 0:
-        return ray.data.from_arrow(pa.table({
-            "node": pa.array([], pa.int64()),
-            "rank_units": pa.array([], pa.int64()),
-        }))
     seed_arr = np.asarray(seed_list, dtype=np.int64)
 
-    def init_ranks(batch: pa.Table) -> pa.Table:
-        node = batch.column("node").to_numpy(zero_copy_only=False)
-        is_seed = np.isin(node, seed_arr)
-        return pa.table({
-            "node": batch.column("node"),
-            "od": batch.column("od"),
-            "rank_units": pa.array(
-                np.where(is_seed, np.int64(r0), np.int64(0)), pa.int64()),
-        })
+    def init_units(node, n_nodes):
+        return np.where(np.isin(node, seed_arr), np.int64(r0), np.int64(0))
 
-    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    def fold_base(node, n_nodes):
+        return np.where(np.isin(node, seed_arr), np.int64(seed_base),
+                        np.int64(0))
 
-    edges_nodes = edges_ds.select_columns([src, dst]).map_batches(
-        lambda b: pa.table({
-            "node": b.column(src).cast(pa.int64()),
-            "dst": b.column(dst).cast(pa.int64()),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
-
-    def zero_contribs(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "dst": batch.column("node"),
-            "contrib": pa.array(np.zeros(batch.num_rows, np.int64),
-                                pa.int64()),
-        })
-
-    zeros = nodes.map_batches(zero_contribs, batch_format="pyarrow")
-
-    for _ in range(n_iter):
-        joined = hash_join(edges_nodes, ranks, key="node")
-
-        def contribs(batch: pa.Table) -> pa.Table:
-            if batch.num_columns == 0 or batch.num_rows == 0:
-                return pa.table({"dst": pa.array([], pa.int64()),
-                                 "contrib": pa.array([], pa.int64())})
-            r = batch.column("rank_units").to_numpy(zero_copy_only=False)
-            od = batch.column("od").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "dst": batch.column("dst"),
-                "contrib": pa.array(r // od, pa.int64()),
-            })
-
-        summed = (
-            joined.map_batches(contribs, batch_format="pyarrow")
-            .union(zeros)
-            .groupby("dst")
-            .aggregate(Sum("contrib", alias_name="s"))
-        )
-
-        def fold(batch: pa.Table) -> pa.Table:
-            node = batch.column("dst").to_numpy(zero_copy_only=False)
-            s = batch.column("s").to_numpy(zero_copy_only=False)
-            base = np.where(np.isin(node, seed_arr),
-                            np.int64(seed_base), np.int64(0))
-            return pa.table({
-                "node": batch.column("dst"),
-                "rank_units": pa.array(base + (85 * s) // 100, pa.int64()),
-            })
-
-        ranks_only = summed.map_batches(fold, batch_format="pyarrow")
-        ranks = hash_join(ranks_only, nodes, key="node").materialize()
-
-    return ranks.select_columns(["node", "rank_units"])
+    return _pagerank_core(edges_ds, n_iter, src, dst, init_units, fold_base,
+                          err_prefix="personalized_pagerank_units")

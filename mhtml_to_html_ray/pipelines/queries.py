@@ -2222,9 +2222,11 @@ def q_warc_extract(sf_dir: str):
     write_warc(pages, out_dir, ts_col="warc_ts",
                content_type="multipart/related")
     archive = read_warc(sorted(glob.glob(f"{out_dir}/*.warc.gz")))
-    out = extract_pages(archive, keep_html=False).select_columns(
+    ds = extract_pages(archive, keep_html=False).select_columns(
         ["url", "title", "text_out"])
-    return _sorted_table(out, ["url"])
+    out = _sorted_table(ds, ["url"])  # eager (to_pandas) — shards now dead
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 def q_url_strip_tracking(sf_dir: str):

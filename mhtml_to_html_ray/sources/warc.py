@@ -396,7 +396,7 @@ def cdx_dedup_stats(cdx_ds):
 
 def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
     """Write a (surt, ts, url, digest, n_bytes) capture index as CDXJ text
-    shards: one ``<surt> <ts-14-digit> <json>`` line per capture, plus a
+    shards: one ``<surt> <ts-20-digit> <json>`` line per capture, plus a
     ``_index.json`` secondary index mapping each shard to its
     (first_key, last_key, n) — the two-level layout replay systems
     binary-search (shard via the secondary index, line via bisection
@@ -432,7 +432,11 @@ def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
                 {"url": row["url"], "digest": row["digest"],
                  "length": int(row["n_bytes"])},
                 ensure_ascii=False, separators=(",", ":"))
-            lines.append(f"{row['surt']} {int(row['ts']):014d} {meta}")
+            # 20 digits covers any int64 epoch-µs, so lexicographic line
+            # order == numeric (surt, ts) order (14 would under-pad modern
+            # microsecond stamps and break within-shard bisection);
+            # negative stamps clamp to 0 — CDX time keys are nonnegative
+            lines.append(f"{row['surt']} {max(int(row['ts']), 0):020d} {meta}")
         blob = ("\n".join(lines) + "\n").encode("utf-8")
         name = hashlib.sha1(blob).hexdigest()[:16] + ".cdxj"
         path = os.path.join(output_dir, name)
@@ -453,8 +457,13 @@ def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
             write_block, batch_format="pyarrow").take_all()),
         key=lambda r: (r["first_key"], r["shard"]),
     )
-    with open(os.path.join(output_dir, "_index.json"), "w") as handle:
+    # atomic like the shard writes: a killed/concurrent run must never
+    # leave a torn secondary index
+    index_path = os.path.join(output_dir, "_index.json")
+    tmp = index_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as handle:
         json.dump(summary, handle, ensure_ascii=False)
+    os.replace(tmp, index_path)
     return summary
 
 

@@ -1344,3 +1344,18 @@ def test_strip_tracking_params():
     # a bare tracking key without '=' still drops
     assert strip_tracking("https://a.test/p?gclid&x=1") == \
         "https://a.test/p?x=1"
+
+
+def test_strip_tracking_fragment_with_question_mark():
+    """WHATWG fragments legally contain '?' (SPA hash routes): the
+    fragment must pass through untouched, and a real query before it is
+    still stripped."""
+    from mhtml_to_html_ray.frontier.canon import strip_tracking
+
+    assert strip_tracking("https://a.test/p#x?gclid=1") == \
+        "https://a.test/p#x?gclid=1"
+    assert strip_tracking("https://a.test/p#/route?page=2&gclid=abc") == \
+        "https://a.test/p#/route?page=2&gclid=abc"
+    assert strip_tracking(
+        "https://a.test/p?utm_term=t&k=1#/route?gclid=abc") == \
+        "https://a.test/p?k=1#/route?gclid=abc"

@@ -328,8 +328,8 @@ def test_write_cdx_two_level_index_and_idempotence(ray_session, tmp_path):
             lines = fh.read().splitlines()
         assert lines == sorted(lines)
         assert len(lines) == shard["n"]
-        key, ts14, meta = lines[0].split(" ", 2)
-        assert key == shard["first_key"] and len(ts14) == 14
+        key, ts20, meta = lines[0].split(" ", 2)
+        assert key == shard["first_key"] and len(ts20) == 20
         assert set(json.loads(meta)) == {"url", "digest", "length"}
     # rerun-idempotent: same shards, no duplicates, same secondary index
     again = write_cdx(cdx_index(pages, ts_col="ts"), out)
@@ -375,3 +375,32 @@ def test_write_warc_read_warc_roundtrip(ray_session, tmp_path):
     # rerun-idempotent
     assert write_warc(pages, out, ts_col="warc_ts") == 5
     assert sorted(os.listdir(out)) == shards
+
+
+def test_write_cdx_wide_ts_keeps_lexicographic_order(ray_session, tmp_path):
+    """Timestamps spanning digit-count boundaries (15 vs 16 digits — real
+    epoch-µs capture times) must still sort lexicographically; negative
+    stamps clamp to zero."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import cdx_index, write_cdx
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": ["https://o.test/a"] * 3,
+        "ts": pa.array([-5, 999_999_999_999_999, 1_000_000_000_000_000],
+                       pa.int64()),
+        "html": ["x", "y", "z"],
+    }))
+    out = str(tmp_path / "cdx")
+    index = write_cdx(cdx_index(pages, ts_col="ts"), out)
+    lines = []
+    for shard in index:
+        with open(os.path.join(out, shard["shard"])) as fh:
+            lines += fh.read().splitlines()
+    assert lines == sorted(lines)
+    stamps = [line.split(" ", 2)[1] for line in sorted(lines)]
+    assert stamps == ["0" * 20, f"{999_999_999_999_999:020d}",
+                      f"{10 ** 15:020d}"]
