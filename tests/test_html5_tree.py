@@ -1977,3 +1977,40 @@ def test_probe_pin_table_closes_p_standards_mode_only():
 )
 def test_probe_pins_tokenizer_and_foreign(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source,inner",
+    [
+        # script-data ESCAPED state: '</script>' inside <!-- --> still
+        # closes the element (only double-escaped passes it through)
+        ("<body><script><!--</script>after", "<!--"),
+        # DOUBLE-escaped: '<script' seen inside the comment lets the inner
+        # '</script>' pass as content; the outer one closes
+        ("<body><script><!--<script>a</script>b--></script>c",
+         "<!--<script>a</script>b-->"),
+        # a split '</scr' + 'ipt>' is not an end tag
+        ("<body><script>var a = '</scr' + 'ipt>';</script>d",
+         "var a = '</scr' + 'ipt>';"),
+    ],
+)
+def test_probe_pins_script_data_states(source, inner):
+    from mhtml_to_html_ray.kernel.dom import parse_html
+
+    doc = parse_html(source)
+    script = doc.body.get_elements_by_tag_name("script")[0]
+    text = "".join(c.value for c in script.child_nodes)
+    assert text == inner
+
+
+def test_probe_pin_rawtext_and_rcdata():
+    from mhtml_to_html_ray.kernel.dom import parse_html
+
+    # style is RAWTEXT with NO escape states: a quoted '</style>' closes
+    doc = parse_html("<body><style>a { content: '</style>'; }</style>e")
+    style = doc.body.get_elements_by_tag_name("style")[0]
+    assert "".join(c.value for c in style.child_nodes) == "a { content: '"
+    # textarea is RCDATA: markup is text, entities decode
+    doc2 = parse_html("<body><textarea><!--&amp;</textarea>f")
+    ta = doc2.body.get_elements_by_tag_name("textarea")[0]
+    assert "".join(c.value for c in ta.child_nodes) == "<!--&"
