@@ -620,8 +620,14 @@ class SimHashBatch:
     @staticmethod
     def simhash(text: str) -> int:
         """Vectorized: one (n_tokens × 64) bit matrix per document instead of
-        a per-token np.unpackbits Python loop (round-1 hot spot)."""
-        tokens = text.split()
+        a per-token np.unpackbits Python loop (round-1 hot spot). Tokenizes
+        with the shared whitespace contract (textstats._lm_tokens — the
+        exact RE2 \\s class), so the simhash_blocks oracle's
+        regexp_extract_all('\\S+') agrees on EVERY input, not just ASCII
+        (str.split() would diverge on \\v and Unicode spaces)."""
+        from .textstats import _lm_tokens
+
+        tokens = _lm_tokens(text)
         if not tokens:
             return 0
         hashes = np.fromiter((_md5_u64(t) for t in tokens), dtype=np.uint64,

@@ -2273,6 +2273,33 @@ def q_token_budget_sample(sf_dir: str):
     return _sorted_table(out, ["key"])
 
 
+def q_simhash_blocks(sf_dir: str):
+    """SimHash values, exactly oracled (functions/dedup.SimHashBatch): the
+    64-bit signature emitted as its four 16-bit blocking quarters — the
+    first exact SQL pin of the simhash kernel (dedup_simhash's PAIR output
+    stays rows-only). The oracle rebuilds the little-endian md5 token
+    hash in HUGEINT, per-bit majority counts, the byte-internal bit
+    permutation, and the quarter packing."""
+    from ..functions.dedup import SimHashBatch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def blocks(batch: pa.Table) -> pa.Table:
+        out = SimHashBatch()(batch)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "block0": out.column("block0").cast(pa.int64()),
+                "block1": out.column("block1").cast(pa.int64()),
+                "block2": out.column("block2").cast(pa.int64()),
+                "block3": out.column("block3").cast(pa.int64()),
+            }
+        )
+
+    return _sorted_table(ds.map_batches(blocks, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation matrix: labeled lang × predicted lang counts —
     the standard agreement/confusion audit a curation pipeline runs before
@@ -3435,6 +3462,7 @@ QUERIES = {
     "url_strip_tracking": q_url_strip_tracking,
     "pagerank_personalized": q_pagerank_personalized,
     "token_budget_sample": q_token_budget_sample,
+    "simhash_blocks": q_simhash_blocks,
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -3611,6 +3639,56 @@ ORACLE_SQL = {
                    - CASE WHEN text LIKE chr(10) || '%' THEN 1 ELSE 0 END
                    AS pre_chars
         FROM documents ORDER BY doc_id
+    """,
+    # simhash restated exactly: token hash = little-endian u64 of
+    # md5(token)[:8] (byte k weighted 256^k, bytes 0 and 7 forced through
+    # HUGEINT so no term overflows BIGINT); per-bit majority count over ALL
+    # tokens (multiplicity kept); output bit j reads count at the
+    # byte-internal permutation 8*(j//8)+7-(j%8) (numpy unpackbits order);
+    # quarters pack 16 bits each. Tokenless docs are all-zero blocks.
+    "simhash_blocks": r"""
+        WITH RECURSIVE powers(i, w) AS (
+            SELECT 0, CAST(1 AS HUGEINT)
+            UNION ALL SELECT i + 1, w * 2 FROM powers WHERE i < 63),
+        toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+            FROM documents),
+        th AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT)
+                        AS HUGEINT)
+                 + CAST(concat('0x', substr(md5(tok), 3, 2)) AS BIGINT) * 256
+                 + CAST(concat('0x', substr(md5(tok), 5, 2)) AS BIGINT) * 65536
+                 + CAST(concat('0x', substr(md5(tok), 7, 2)) AS BIGINT) * 16777216
+                 + CAST(concat('0x', substr(md5(tok), 9, 2)) AS BIGINT) * 4294967296
+                 + CAST(concat('0x', substr(md5(tok), 11, 2)) AS BIGINT) * 1099511627776
+                 + CAST(concat('0x', substr(md5(tok), 13, 2)) AS BIGINT) * 281474976710656
+                 + CAST(CAST(concat('0x', substr(md5(tok), 15, 2)) AS BIGINT)
+                        AS HUGEINT) * 72057594037927936
+                   AS h
+            FROM toks),
+        cnts AS (
+            SELECT t.doc_id, p.i,
+                   SUM(2 * CAST((t.h // p.w) % 2 AS BIGINT) - 1) AS cnt
+            FROM th t CROSS JOIN powers p
+            GROUP BY t.doc_id, p.i),
+        outbits AS (
+            SELECT c.doc_id, j.j,
+                   CASE WHEN c.cnt > 0 THEN 1 ELSE 0 END AS bit
+            FROM (SELECT unnest(range(0, 64)) AS j) j
+            JOIN cnts c ON c.i = 8 * (j.j // 8) + 7 - (j.j % 8)),
+        blocks AS (
+            SELECT doc_id, j // 16 AS blk,
+                   CAST(SUM(bit * CAST(p.w AS BIGINT)) AS BIGINT) AS val
+            FROM outbits JOIN powers p ON p.i = j % 16
+            GROUP BY doc_id, j // 16)
+        SELECT d.doc_id,
+               COALESCE(MAX(CASE WHEN blk = 0 THEN val END), 0) AS block0,
+               COALESCE(MAX(CASE WHEN blk = 1 THEN val END), 0) AS block1,
+               COALESCE(MAX(CASE WHEN blk = 2 THEN val END), 0) AS block2,
+               COALESCE(MAX(CASE WHEN blk = 3 THEN val END), 0) AS block3
+        FROM documents d LEFT JOIN blocks b ON b.doc_id = d.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id
     """,
     "token_budget_sample": r"""
         WITH t AS (

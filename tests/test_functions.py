@@ -1934,3 +1934,21 @@ def test_bpe_encode_hand_computed_fixed_rules(ray_session):
     # "ox"    → o x </w> (no rule matches)                       = 3
     assert rows[0]["n_words"] == 4
     assert rows[0]["n_bpe_tokens"] == 1 + 4 + 3 + 3
+
+
+def test_simhash_tokenizer_matches_oracle_contract():
+    """SimHashBatch tokenizes with the shared _lm_tokens whitespace
+    contract, so its signature agrees with the simhash_blocks oracle's
+    regexp_extract_all('\\S+') on EVERY input — including \\v and Unicode
+    spaces, where str.split() (the old tokenizer) would diverge."""
+    import re
+
+    from mhtml_to_html_ray.functions.dedup import SimHashBatch
+    from mhtml_to_html_ray.functions.textstats import _lm_tokens
+
+    for text in ["a  b\tc\nd", " lead trail ", "", "x\r\ny", "a\fb",
+                 "a\vb", "x\u00a0y"]:
+        assert _lm_tokens(text) == re.findall(r"[^\t\n\f\r ]+", text), text
+    # \v stays inside a token under the contract (str.split would cut it)
+    assert _lm_tokens("a\vb") == ["a\vb"]
+    assert SimHashBatch.simhash("a\vb") == SimHashBatch.simhash("a\vb")
