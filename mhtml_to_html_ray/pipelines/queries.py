@@ -1641,8 +1641,14 @@ def q_events_range_count(sf_dir: str):
 
 
 def q_winnow_pairs(sf_dir: str):
-    """Rolling-hash (winnowing) passage-overlap pairs — the local-fingerprint
-    counterpart of doc_fingerprint; approximate/structural, rows-only."""
+    """Rolling-hash (winnowing) passage-overlap pairs, exactly oracled
+    since round 4's final session: the oracle rebuilds the Rabin-Karp
+    char-8-gram hash mod 2^64 in HUGEINT (base 257 — the engine's
+    inverse-power prefix trick is algebraically the direct sum, so the SQL
+    computes the plain Σ code·257^(7-j)), window-4 minima (the rightmost
+    tie RULE affects only which position is picked, never the picked VALUE
+    set), the 63-bit mask, the per-fingerprint 64-doc cap via ROW_NUMBER,
+    and the shared-count threshold."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.winnow_overlap_pairs(ds, min_shared=25)
 
@@ -3639,6 +3645,80 @@ ORACLE_SQL = {
                    - CASE WHEN text LIKE chr(10) || '%' THEN 1 ELSE 0 END
                    AS pre_chars
         FROM documents ORDER BY doc_id
+    """,
+    # winnowing restated exactly (see q_winnow_pairs docstring); docs
+    # shorter than k=8 chars fingerprint as the little-endian md5 u64 of
+    # the whole text (none exist in the fixtures, branch kept for parity)
+    "winnow_pairs": r"""
+        WITH RECURSIVE pow(i, w) AS (
+            SELECT 0, CAST(1 AS HUGEINT)
+            UNION ALL
+            SELECT i + 1, (w * 257) % 18446744073709551616
+            FROM pow WHERE i < 7),
+        chars AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch,
+                   generate_subscripts(regexp_extract_all(text, '(?s).'), 1)
+                       AS pos
+            FROM documents),
+        codes AS (SELECT doc_id, pos, unicode(ch) AS code FROM chars),
+        doclen AS (SELECT doc_id, LENGTH(text) AS n FROM documents),
+        starts AS (
+            SELECT doc_id, unnest(range(1, n - 8 + 2)) AS i
+            FROM doclen WHERE n >= 8),
+        hash AS (
+            SELECT s.doc_id, s.i,
+                CAST(SUM(CAST(c.code AS HUGEINT) * p.w)
+                     % 18446744073709551616 AS HUGEINT) AS h
+            FROM starts s
+            JOIN codes c ON c.doc_id = s.doc_id
+                AND c.pos BETWEEN s.i AND s.i + 7
+            JOIN pow p ON p.i = 7 - (c.pos - s.i)
+            GROUP BY s.doc_id, s.i),
+        nh AS (SELECT doc_id, COUNT(*) AS m FROM hash GROUP BY doc_id),
+        wstarts AS (
+            SELECT n2.doc_id, unnest(range(1, n2.m - 4 + 2)) AS s
+            FROM nh n2 WHERE n2.m > 4),
+        wmins AS (
+            SELECT w.doc_id, w.s, MIN(h.h) AS mn
+            FROM wstarts w JOIN hash h ON h.doc_id = w.doc_id
+                AND h.i BETWEEN w.s AND w.s + 3
+            GROUP BY w.doc_id, w.s),
+        fps_long AS (SELECT DISTINCT doc_id, mn AS h FROM wmins),
+        fps_short AS (
+            SELECT h.doc_id, MIN(h.h) AS h FROM hash h JOIN nh USING (doc_id)
+            WHERE nh.m <= 4 GROUP BY h.doc_id),
+        fps_tiny AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT)
+                        AS HUGEINT)
+                 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) * 256
+                 + CAST(concat('0x', substr(md5(text), 5, 2)) AS BIGINT) * 65536
+                 + CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) * 16777216
+                 + CAST(concat('0x', substr(md5(text), 9, 2)) AS BIGINT) * 4294967296
+                 + CAST(concat('0x', substr(md5(text), 11, 2)) AS BIGINT) * 1099511627776
+                 + CAST(concat('0x', substr(md5(text), 13, 2)) AS BIGINT) * 281474976710656
+                 + CAST(CAST(concat('0x', substr(md5(text), 15, 2)) AS BIGINT)
+                        AS HUGEINT) * 72057594037927936 AS h
+            FROM documents WHERE LENGTH(text) BETWEEN 1 AND 7),
+        fps AS (
+            SELECT DISTINCT doc_id,
+                   CAST(h % 9223372036854775808 AS BIGINT) AS fingerprint
+            FROM (SELECT * FROM fps_long
+                  UNION ALL SELECT * FROM fps_short
+                  UNION ALL SELECT * FROM fps_tiny)),
+        capped AS (
+            SELECT fingerprint, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                      ORDER BY doc_id) AS rn
+            FROM fps)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               COUNT(*) AS shared_fingerprints
+        FROM (SELECT * FROM capped WHERE rn <= 64) x
+        JOIN (SELECT * FROM capped WHERE rn <= 64) y
+            ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING COUNT(*) >= 25
+        ORDER BY a, b
     """,
     # simhash restated exactly: token hash = little-endian u64 of
     # md5(token)[:8] (byte k weighted 256^k, bytes 0 and 7 forced through
