@@ -687,13 +687,20 @@ def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple |
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = (
+        sub = (
             group[["doc_id", "simhash"]]
             .drop_duplicates("doc_id")
             .sort_values("doc_id")  # deterministic under shuffle order
             .head(bucket_cap)
-            .values.tolist()
         )
+        # NEVER .values on the mixed int64/uint64 frame: numpy promotes the
+        # pair to float64, silently corrupting the low bits of the 64-bit
+        # hash and mis-verifying hamming (caught by the dedup_simhash SQL
+        # oracle in round 4 — the rows-only check had hidden it since r1)
+        rows = list(zip(
+            sub["doc_id"].to_numpy(dtype=np.int64).tolist(),
+            sub["simhash"].to_numpy(dtype=np.uint64).tolist(),
+        ))
         out_a, out_b = [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):

@@ -3720,56 +3720,15 @@ ORACLE_SQL = {
         HAVING COUNT(*) >= 25
         ORDER BY a, b
     """,
-    # simhash restated exactly: token hash = little-endian u64 of
-    # md5(token)[:8] (byte k weighted 256^k, bytes 0 and 7 forced through
-    # HUGEINT so no term overflows BIGINT); per-bit majority count over ALL
-    # tokens (multiplicity kept); output bit j reads count at the
-    # byte-internal permutation 8*(j//8)+7-(j%8) (numpy unpackbits order);
-    # quarters pack 16 bits each. Tokenless docs are all-zero blocks.
-    "simhash_blocks": r"""
-        WITH RECURSIVE powers(i, w) AS (
-            SELECT 0, CAST(1 AS HUGEINT)
-            UNION ALL SELECT i + 1, w * 2 FROM powers WHERE i < 63),
-        toks AS (
-            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
-            FROM documents),
-        th AS (
-            SELECT doc_id,
-                   CAST(CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT)
-                        AS HUGEINT)
-                 + CAST(concat('0x', substr(md5(tok), 3, 2)) AS BIGINT) * 256
-                 + CAST(concat('0x', substr(md5(tok), 5, 2)) AS BIGINT) * 65536
-                 + CAST(concat('0x', substr(md5(tok), 7, 2)) AS BIGINT) * 16777216
-                 + CAST(concat('0x', substr(md5(tok), 9, 2)) AS BIGINT) * 4294967296
-                 + CAST(concat('0x', substr(md5(tok), 11, 2)) AS BIGINT) * 1099511627776
-                 + CAST(concat('0x', substr(md5(tok), 13, 2)) AS BIGINT) * 281474976710656
-                 + CAST(CAST(concat('0x', substr(md5(tok), 15, 2)) AS BIGINT)
-                        AS HUGEINT) * 72057594037927936
-                   AS h
-            FROM toks),
-        cnts AS (
-            SELECT t.doc_id, p.i,
-                   SUM(2 * CAST((t.h // p.w) % 2 AS BIGINT) - 1) AS cnt
-            FROM th t CROSS JOIN powers p
-            GROUP BY t.doc_id, p.i),
-        outbits AS (
-            SELECT c.doc_id, j.j,
-                   CASE WHEN c.cnt > 0 THEN 1 ELSE 0 END AS bit
-            FROM (SELECT unnest(range(0, 64)) AS j) j
-            JOIN cnts c ON c.i = 8 * (j.j // 8) + 7 - (j.j % 8)),
-        blocks AS (
-            SELECT doc_id, j // 16 AS blk,
-                   CAST(SUM(bit * CAST(p.w AS BIGINT)) AS BIGINT) AS val
-            FROM outbits JOIN powers p ON p.i = j % 16
-            GROUP BY doc_id, j // 16)
-        SELECT d.doc_id,
-               COALESCE(MAX(CASE WHEN blk = 0 THEN val END), 0) AS block0,
-               COALESCE(MAX(CASE WHEN blk = 1 THEN val END), 0) AS block1,
-               COALESCE(MAX(CASE WHEN blk = 2 THEN val END), 0) AS block2,
-               COALESCE(MAX(CASE WHEN blk = 3 THEN val END), 0) AS block3
-        FROM documents d LEFT JOIN blocks b ON b.doc_id = d.doc_id
-        GROUP BY d.doc_id ORDER BY d.doc_id
-    """,
+    # simhash restated exactly (shared CTE chain _SIMHASH_CTE below):
+    # token hash = little-endian u64 of md5(token)[:8] (byte k weighted
+    # 256^k, bytes 0 and 7 forced through HUGEINT so no term overflows
+    # BIGINT); per-bit majority count over ALL tokens (multiplicity kept);
+    # output bit j reads count at the byte-internal permutation
+    # 8*(j//8)+7-(j%8) (numpy unpackbits order); quarters pack 16 bits
+    # each. Tokenless docs are all-zero blocks. The entry strings are
+    # composed right after this dict literal.
+    "simhash_blocks": "",  # filled from _SIMHASH_CTE below
     "token_budget_sample": r"""
         WITH t AS (
             SELECT doc_id, source,
@@ -5583,6 +5542,88 @@ ORACLE_SQL = {
         FROM s ORDER BY doc_id
     """,
 }
+
+
+# Shared simhash CTE chain (WITH RECURSIVE must sit at statement top, so
+# both simhash oracles are composed from this prefix): yields per-doc
+# sb(doc_id, block0..block3).
+_SIMHASH_CTE = r"""
+    WITH RECURSIVE powers(i, w) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL SELECT i + 1, w * 2 FROM powers WHERE i < 63),
+    toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents),
+    th AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT)
+                    AS HUGEINT)
+             + CAST(concat('0x', substr(md5(tok), 3, 2)) AS BIGINT) * 256
+             + CAST(concat('0x', substr(md5(tok), 5, 2)) AS BIGINT) * 65536
+             + CAST(concat('0x', substr(md5(tok), 7, 2)) AS BIGINT) * 16777216
+             + CAST(concat('0x', substr(md5(tok), 9, 2)) AS BIGINT) * 4294967296
+             + CAST(concat('0x', substr(md5(tok), 11, 2)) AS BIGINT) * 1099511627776
+             + CAST(concat('0x', substr(md5(tok), 13, 2)) AS BIGINT) * 281474976710656
+             + CAST(CAST(concat('0x', substr(md5(tok), 15, 2)) AS BIGINT)
+                    AS HUGEINT) * 72057594037927936
+               AS h
+        FROM toks),
+    cnts AS (
+        SELECT t.doc_id, p.i,
+               SUM(2 * CAST((t.h // p.w) % 2 AS BIGINT) - 1) AS cnt
+        FROM th t CROSS JOIN powers p
+        GROUP BY t.doc_id, p.i),
+    outbits AS (
+        SELECT c.doc_id, j.j,
+               CASE WHEN c.cnt > 0 THEN 1 ELSE 0 END AS bit
+        FROM (SELECT unnest(range(0, 64)) AS j) j
+        JOIN cnts c ON c.i = 8 * (j.j // 8) + 7 - (j.j % 8)),
+    blocks AS (
+        SELECT doc_id, j // 16 AS blk,
+               CAST(SUM(bit * CAST(p.w AS BIGINT)) AS BIGINT) AS val
+        FROM outbits JOIN powers p ON p.i = j % 16
+        GROUP BY doc_id, j // 16),
+    sb AS (
+        SELECT d.doc_id,
+               COALESCE(MAX(CASE WHEN blk = 0 THEN val END), 0) AS block0,
+               COALESCE(MAX(CASE WHEN blk = 1 THEN val END), 0) AS block1,
+               COALESCE(MAX(CASE WHEN blk = 2 THEN val END), 0) AS block2,
+               COALESCE(MAX(CASE WHEN blk = 3 THEN val END), 0) AS block3
+        FROM documents d LEFT JOIN blocks b ON b.doc_id = d.doc_id
+        GROUP BY d.doc_id)
+"""
+
+ORACLE_SQL["simhash_blocks"] = _SIMHASH_CTE + """
+    SELECT doc_id, block0, block1, block2, block3 FROM sb ORDER BY doc_id
+"""
+
+# dedup_simhash pairs: candidates share any 16-bit quarter exactly (each
+# quarter bucket capped at its 512 smallest doc_ids, the engine's
+# bucket_cap), verified by hamming <= 3 over the full hash — the per-block
+# XOR popcounts sum to the 64-bit hamming distance because the quarters
+# partition the bits.
+ORACLE_SQL["dedup_simhash"] = _SIMHASH_CTE + """
+    , expl AS (
+        SELECT doc_id, bi.block_id,
+               CASE bi.block_id WHEN 0 THEN block0 WHEN 1 THEN block1
+                    WHEN 2 THEN block2 ELSE block3 END AS block_value,
+               block0, block1, block2, block3
+        FROM sb CROSS JOIN (SELECT unnest(range(0, 4)) AS block_id) bi),
+    capped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY block_id, block_value
+                                     ORDER BY doc_id) AS rn
+        FROM expl)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM (SELECT * FROM capped WHERE rn <= 512) x
+    JOIN (SELECT * FROM capped WHERE rn <= 512) y
+        ON x.block_id = y.block_id AND x.block_value = y.block_value
+        AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.block0, y.block0))
+        + bit_count(xor(x.block1, y.block1))
+        + bit_count(xor(x.block2, y.block2))
+        + bit_count(xor(x.block3, y.block3)) <= 3
+    ORDER BY a, b
+"""
 
 
 def _langid_oracle_sql() -> str:

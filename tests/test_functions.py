@@ -1952,3 +1952,45 @@ def test_simhash_tokenizer_matches_oracle_contract():
     # \v stays inside a token under the contract (str.split would cut it)
     assert _lm_tokens("a\vb") == ["a\vb"]
     assert SimHashBatch.simhash("a\vb") == SimHashBatch.simhash("a\vb")
+
+
+def test_simhash_pairs_uint64_not_float_corrupted(ray_session):
+    """Regression (round-4 oracle catch): hashes differing ONLY in low bits
+    must still pair — the old mixed-dtype .values path promoted uint64
+    hashes to float64, corrupting low bits and mis-verifying hamming."""
+    from unittest import mock
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions import dedup
+
+    # two docs whose simhashes differ in exactly the low 2 bits: force
+    # via a stubbed SimHashBatch so the test controls the bit pattern
+    h0 = (1 << 63) | (1 << 62) | 0b01    # float64 cannot hold these exactly
+    h1 = (1 << 63) | (1 << 62) | 0b10    # hamming(h0, h1) = 2
+
+    class _Stub:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, batch):
+            doc_ids = batch.column("doc_id").to_pylist()
+            hashes = [h0 if d == 0 else h1 for d in doc_ids]
+            arrays = [pa.array(doc_ids, pa.int64()),
+                      pa.array(hashes, pa.uint64())]
+            names = ["doc_id", "simhash"]
+            for block in range(4):
+                arrays.append(pa.array(
+                    [(h >> (block * 16)) & 0xFFFF for h in hashes],
+                    pa.int32()))
+                names.append(f"block{block}")
+            return pa.Table.from_arrays(arrays, names=names)
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a", "b"],
+    }))
+    with mock.patch.object(dedup, "SimHashBatch", _Stub):
+        pairs = dedup.simhash_pairs(docs, max_hamming=3).take_all()
+    assert [(r["a"], r["b"]) for r in pairs] == [(0, 1)]
