@@ -8,7 +8,7 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
 * ``queries()`` — one entry per implemented operator/pipeline from
   SURVEY.md §2 + the engine-new training-data ops.
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry
-  (126 of 138, incl. exact restatements of langid and the minhash family);
+  (125 of 138, incl. exact restatements of langid and the minhash family);
   the rest (embedding dedup, LSH/IVF ANN, sketches, BPE training)
   are approximate/iterative and covered by tests/ instead.
 """
