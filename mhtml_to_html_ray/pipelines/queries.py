@@ -29,6 +29,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rmtree(path: str) -> None:
+    """Best-effort cleanup of a query's scratch index dir (the gate runs
+    every entry repeatedly; leaked per-run dirs accumulate in /tmp).
+    Callers must be EAGER before calling this — a lazy Dataset still
+    referencing the files would break on consumption."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _sorted_table(ds_or_table, sort_keys: list[str]):
     if hasattr(ds_or_table, "to_pandas") and not isinstance(ds_or_table, pa.Table):
         df = ds_or_table.to_pandas()
@@ -2415,7 +2425,12 @@ def q_embedding_ivf_indexed(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     index_dir = tempfile.mkdtemp(prefix="ivf_index_")
     similarity.ivf_build(ds, index_dir, n_centroids=16)
-    return similarity.ivf_query(index_dir, _first_embedding(sf_dir), k=10, nprobe=4)
+    out = similarity.ivf_query(index_dir, _first_embedding(sf_dir), k=10,
+                               nprobe=4)
+    if hasattr(out, "to_pandas") and not isinstance(out, pa.Table):
+        out = out.to_pandas()  # eager before the index dir disappears
+    _rmtree(index_dir)
+    return out
 
 
 def q_embedding_label_stats(sf_dir: str):
@@ -2531,7 +2546,9 @@ def q_inverted_index_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     index_dir = tempfile.mkdtemp(prefix="inv_index_")
     corpusstats.build_inverted_index(ds, index_dir, n_partitions=8)
-    return _sorted_table(corpusstats.index_stats(index_dir), ["token"])
+    out = _sorted_table(corpusstats.index_stats(index_dir), ["token"])
+    _rmtree(index_dir)  # _sorted_table is eager for Datasets
+    return out
 
 
 def q_token_postings(sf_dir: str):
@@ -2543,8 +2560,10 @@ def q_token_postings(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     index_dir = tempfile.mkdtemp(prefix="inv_index_")
     corpusstats.build_inverted_index(ds, index_dir, n_partitions=8)
-    out = corpusstats.index_lookup(index_dir, ["table", "spark", "window"])
-    return _sorted_table(out, ["token", "doc_id"])
+    probe = corpusstats.index_lookup(index_dir, ["table", "spark", "window"])
+    out = _sorted_table(probe, ["token", "doc_id"])
+    _rmtree(index_dir)
+    return out
 
 
 def q_bm25_topk(sf_dir: str):
@@ -2560,7 +2579,9 @@ def q_bm25_topk(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     index_dir = tempfile.mkdtemp(prefix="inv_index_")
     corpusstats.build_inverted_index(ds, index_dir, n_partitions=8)
-    return corpusstats.bm25_topk(index_dir, ["table", "spark", "window"], k=10)
+    out = corpusstats.bm25_topk(index_dir, ["table", "spark", "window"], k=10)
+    _rmtree(index_dir)  # bm25_topk returns an eager pyarrow table
+    return out
 
 
 def q_sample_docs(sf_dir: str):
@@ -2938,7 +2959,9 @@ def q_dedup_incremental(sf_dir: str):
     )
     index_dir = tempfile.mkdtemp(prefix="hash_index_")
     dedup.build_hash_index(existing, index_dir, n_partitions=8)
-    return _sorted_table(dedup.dedup_against_index(new, index_dir), ["doc_id"])
+    out = _sorted_table(dedup.dedup_against_index(new, index_dir), ["doc_id"])
+    _rmtree(index_dir)
+    return out
 
 
 def q_substring_dedup(sf_dir: str):
@@ -2981,10 +3004,12 @@ def q_neardup_incremental(sf_dir: str):
     new = ds.map_batches(synth_new, batch_format="pyarrow")
     index_dir = tempfile.mkdtemp(prefix="mh_index_")
     dedup.build_minhash_index(ds, index_dir, n_partitions=8)
-    return _sorted_table(
+    out = _sorted_table(
         dedup.neardup_against_index(new, index_dir, threshold=0.8),
         ["new_doc_id", "match_doc_id"],
     )
+    _rmtree(index_dir)
+    return out
 
 
 def q_length_quantiles(sf_dir: str):
