@@ -2014,3 +2014,46 @@ def test_probe_pin_rawtext_and_rcdata():
     doc2 = parse_html("<body><textarea><!--&amp;</textarea>f")
     ta = doc2.body.get_elements_by_tag_name("textarea")[0]
     assert "".join(c.value for c in ta.child_nodes) == "<!--&"
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # a second <html> start tag merges only MISSING attributes
+        ("<html lang=en><body><html class=x lang=de>text",
+         '<html lang="en" class="x"><head></head><body>text</body></html>'),
+        # same rule for a second <body>
+        ("<body bgcolor=a>x<body bgcolor=b class=c>y",
+         '<html><head></head><body bgcolor="a" class="c">xy</body></html>'),
+        # text between </head> and <body> lands in body
+        ("<head><meta></head>stray<body>x",
+         "<html><head><meta></head><body>strayx</body></html>"),
+        # content after </body> reparents into body
+        ("<body>x</body><p>after",
+         "<html><head></head><body>x<p>after</p></body></html>"),
+        # a head-only element after </head> goes back INTO head
+        ("<head></head><title>late</title>",
+         "<html><head><title>late</title></head><body></body></html>"),
+        # a second doctype is ignored
+        ("<!DOCTYPE html><!DOCTYPE html><p>x",
+         "<!DOCTYPE html><html><head></head><body><p>x</p></body></html>"),
+        # text after </html> reparents into body
+        ("<html><head></head><body>a</html>b",
+         "<html><head></head><body>ab</body></html>"),
+        # input type=hidden inside a table is NOT fostered; any other
+        # input is
+        ("<body><table><input type=hidden name=x><td>y",
+         '<html><head></head><body><table><input type="hidden" name="x">'
+         "<tbody><tr><td>y</td></tr></tbody></table></body></html>"),
+        ("<body><table><input type=text><td>y",
+         '<html><head></head><body><input type="text"><table><tbody><tr>'
+         "<td>y</td></tr></tbody></table></body></html>"),
+        # "in select" ignores a <table> start tag (parse5 generation rule)
+        ("<body><select><table><td>x",
+         "<html><head></head><body><select>x</select></body></html>"),
+    ],
+)
+def test_probe_pins_document_modes(source, expected):
+    from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+
+    assert serialize(parse_html(source)) == expected
