@@ -2057,3 +2057,30 @@ def test_probe_pins_document_modes(source, expected):
     from mhtml_to_html_ray.kernel.dom import parse_html, serialize
 
     assert serialize(parse_html(source)) == expected
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # bogus comments: <? and <! become comments, </> drops
+        ("<body><?php echo ?>x", "<body><!--?php echo ?-->x</body>"),
+        ("<body><!x>y", "<body><!--x-->y</body>"),
+        ("<body></>z", "<body>z</body>"),
+        # ATTRIBUTE values: a legacy (semicolon-less) named ref followed by
+        # an alphanumeric or '=' must NOT expand — but expands in TEXT
+        ("<body><a href='a&notin'>t</a>",
+         '<body><a href="a&amp;notin">t</a></body>'),
+        ("<body><a href='a&not;b'>t</a>",
+         '<body><a href="a¬b">t</a></body>'),
+        ("<body><a href='x&amp=1'>t</a>",
+         '<body><a href="x&amp;amp=1">t</a></body>'),
+        ("<body>a&notx", "<body>a¬x</body>"),
+        # numeric refs expand in attributes
+        ("<body><div data-x='&#65;'>q", '<body><div data-x="A">q</div></body>'),
+        # empty and abruptly-closed comments
+        ("<body><!---->e", "<body><!---->e</body>"),
+        ("<body><!--->f", "<body><!---->f</body>"),
+    ],
+)
+def test_probe_pins_bogus_comments_and_attr_entities(source, expected):
+    assert body_html(source) == expected
