@@ -114,6 +114,41 @@ def canonical(label: str | None) -> str:
     return _resolve(label)
 
 
+# The WHATWG windows-125x / windows-874 index files map every 0x80-0x9F
+# position, falling back to the C1 control where Microsoft left the slot
+# undefined (e.g. windows-1252 0x81 → U+0081 — TextDecoder emits the
+# control, not U+FFFD). Python's cp125x codecs error on exactly those
+# slots, so a custom error handler supplies the C1 fallback; bytes OUTSIDE
+# 0x80-0x9F that fail (windows-1253 0xAA, windows-1255 0xD9…) are genuine
+# WHATWG decode errors and stay U+FFFD.
+_C1_FALLBACK_CODECS = frozenset(
+    ("cp874", "cp1250", "cp1251", "cp1252", "cp1253", "cp1254", "cp1255",
+     "cp1256", "cp1257", "cp1258"))
+
+
+# beyond the C1 range, the WHATWG indexes map one slot Python leaves
+# undefined in this family: windows-1255's 0xCA (HEBREW POINT HOLAM HASER
+# FOR VAV, U+05BA). The handler cannot see which codec failed
+# (err.encoding is just 'charmap'), but 0xCA decodes fine under every
+# OTHER _C1_FALLBACK codec, so keying by byte alone is unambiguous.
+_WHATWG_EXTRA = {0xCA: "ֺ"}
+
+
+def _whatwg_c1_handler(err: UnicodeError):
+    out = []
+    for byte in err.object[err.start:err.end]:
+        if 0x80 <= byte <= 0x9F:
+            out.append(chr(byte))
+        else:
+            out.append(_WHATWG_EXTRA.get(byte, "�"))
+    return "".join(out), err.end
+
+
+import codecs as _codecs  # noqa: E402  (handler registration at import)
+
+_codecs.register_error("whatwg_c1", _whatwg_c1_handler)
+
+
 def decode_string(data: bytes | bytearray | memoryview, charset: str | None = None) -> str:
     """Decode bytes like ``new TextDecoder(charset).decode(bytes)``:
     replacement on errors, BOM stripped when it matches the encoding,
@@ -132,8 +167,9 @@ def decode_string(data: bytes | bytearray | memoryview, charset: str | None = No
         data = data[2:]
     elif codec == "utf_16_be" and data[:2] == b"\xfe\xff":
         data = data[2:]
+    errors = "whatwg_c1" if codec in _C1_FALLBACK_CODECS else "replace"
     try:
-        return data.decode(codec, errors="replace")
+        return data.decode(codec, errors=errors)
     except LookupError:  # pragma: no cover - every mapped codec exists
         return data.decode("utf-8", errors="replace")
 
@@ -148,9 +184,11 @@ def encode_single_byte_charset(text: str, charset: str) -> bytes:
     reference's test helper (test/helpers/mhtml.js:41-58): fixtures and engine
     share one mapping by construction."""
     codec = _resolve(charset)
+    errors = "whatwg_c1" if codec in _C1_FALLBACK_CODECS else "replace"
     table: dict[str, int] = {}
     for byte in range(0x100):
-        table[bytes([byte]).decode(codec, errors="replace")] = byte
+        # the exact inverse of decode_string's mapping, C1 fallback included
+        table[bytes([byte]).decode(codec, errors=errors)] = byte
     out = bytearray()
     for character in text:
         byte = table.get(character)

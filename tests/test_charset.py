@@ -218,3 +218,28 @@ def test_unknown_charset_label_falls_back_to_utf8():
         f"<html><body><p>plain ascii</p></body></html>\r\n--{BOUNDARY}--\r\n",
     )
     assert "plain ascii" in convert(raw).data
+
+
+def test_whatwg_c1_fallback_matches_textdecoder():
+    """WHATWG windows-125x indexes map the Microsoft-undefined 0x80-0x9F
+    slots to C1 controls (TextDecoder emits the control, not U+FFFD);
+    genuine index holes outside that range stay errors; windows-1255's
+    0xCA is the one extra WHATWG mapping (U+05BA). The single-byte encoder
+    inverts all of it."""
+    from mhtml_to_html_ray.kernel.charsets import (
+        decode_string,
+        encode_single_byte_charset,
+    )
+
+    assert decode_string(b"\x80\x81\x8d\x8f\x90\x9d", "windows-1252") == \
+        "€\x81\x8d\x8f\x90\x9d"
+    assert decode_string(b"\x98", "windows-1250") == "\x98"
+    # real WHATWG decode errors remain U+FFFD
+    assert decode_string(b"\xaa", "windows-1253") == "�"
+    assert decode_string(b"\xff", "windows-1253") == "�"
+    # the 1255 extra mapping, and 0xCA untouched elsewhere
+    assert decode_string(b"\xca", "windows-1255") == "ֺ"
+    assert decode_string(b"\xca", "windows-1252") == "Ê"
+    # encoder round trip through the same mapping
+    assert encode_single_byte_charset("\x81", "windows-1252") == b"\x81"
+    assert encode_single_byte_charset("ֺ", "windows-1255") == b"\xca"
