@@ -3390,6 +3390,240 @@ def q_dsir_select(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# web-archive round trips + converter report surfaces (round 4 batch)
+
+
+def q_wet_extract(sf_dir: str):
+    """WET round trip (sources/warc.write_wet → read_wet): synthesized
+    pages → full extraction → WET conversion shards (gzip members,
+    deterministic record ids, ISO 28500 headers) → read back. The oracle is
+    the extract_text text contract plus the FIXED epoch stamp — warc_ts is
+    2026-01-01T00:00:00.00000<d>Z UTC, so after the format's whole-second
+    truncation every record must read back exactly 1767225600000000 µs; a
+    local-timezone reinterpretation anywhere in the write or read path
+    (ADVICE round 3) shifts it by hours and breaks the hash."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.warc import read_wet, write_wet
+    from .flagship import extract_pages, pages_from_documents
+
+    out_dir = "/tmp/mhtml_ray_gate_wet_" + hashlib.sha1(
+        f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = pages_from_documents(f"{sf_dir}/documents.parquet")
+    extracted = extract_pages(pages, keep_html=False)
+    write_wet(extracted, out_dir, ts_col="warc_ts")
+    wet = read_wet(sorted(glob.glob(f"{out_dir}/*.warc.wet.gz")))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "wet_ts_us": batch.column("wet_ts").cast(pa.int64()),
+            "text": batch.column("text"),
+        })
+
+    out = _sorted_table(
+        wet.map_batches(project, batch_format="pyarrow"), ["url"])
+    _rmtree(out_dir)  # eager (to_pandas) above — shards now dead
+    return out
+
+
+_CONVERT_URL_PREFIX = "https://convert.fixture.invalid/"
+
+
+def _convert_report_pages(batch: pa.Table) -> pa.Table:
+    """Per-doc MHTML archive exercising the CSS chain + favicon surfaces:
+    root links style{d}.css (present iff d%5!=0) which @imports
+    imp{d}.css (present iff d%3!=0) and url()-refs img{d}.png (present iff
+    d%2==0); the root also carries <link rel=icon href=fav{d}.png>
+    (resource present iff d%4!=0, payload chr(65+d%26) × (3+d%5)) with
+    sizes/type attributes on d%3==0 rows only."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    pages = []
+    for d in doc_ids:
+        d = int(d)
+        url = f"{_CONVERT_URL_PREFIX}{d}"
+        attrs = ' sizes="16x16" type="image/png"' if d % 3 == 0 else ""
+        root = (
+            f"<html><head><title>doc-{d}</title>"
+            f'<link rel="icon" href="fav{d}.png"{attrs}>'
+            f'<link rel="stylesheet" href="style{d}.css">'
+            f"</head><body><p>hi</p></body></html>"
+        )
+        parts = [
+            f"------=_B\r\nContent-Type: text/html\r\n"
+            f"Content-Location: {url}\r\n\r\n{root}\r\n"
+        ]
+        if d % 5 != 0:
+            css = f'@import "imp{d}.css";\nbody{{background:url("img{d}.png");}}'
+            parts.append(
+                f"------=_B\r\nContent-Type: text/css\r\n"
+                f"Content-Location: {_CONVERT_URL_PREFIX}style{d}.css\r\n\r\n{css}\r\n"
+            )
+        if d % 3 != 0:
+            parts.append(
+                f"------=_B\r\nContent-Type: text/css\r\n"
+                f"Content-Location: {_CONVERT_URL_PREFIX}imp{d}.css\r\n\r\n"
+                f"p{{color:red}}\r\n"
+            )
+        if d % 2 == 0:
+            parts.append(
+                f"------=_B\r\nContent-Type: image/png\r\n"
+                f"Content-Location: {_CONVERT_URL_PREFIX}img{d}.png\r\n\r\nPNG\r\n"
+            )
+        if d % 4 != 0:
+            fav = chr(65 + d % 26) * (3 + d % 5)
+            parts.append(
+                f"------=_B\r\nContent-Type: image/png\r\n"
+                f"Content-Location: {_CONVERT_URL_PREFIX}fav{d}.png\r\n\r\n{fav}\r\n"
+            )
+        archive = (
+            "MIME-Version: 1.0\r\n"
+            'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+            + "".join(parts) + "------=_B--\r\n"
+        ).encode()
+        pages.append(archive)
+    return pa.table({
+        "doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
+        "url": pa.array([f"{_CONVERT_URL_PREFIX}{d}" for d in doc_ids],
+                        pa.string()),
+        "html": pa.array(pages, pa.binary()),
+    })
+
+
+def q_unfound_report(sf_dir: str):
+    """Unfound-resource reporting (C14) through the FULL convert walk over
+    archives with a missing-resource lattice (stylesheet / @import chain /
+    css url() / favicon, each present on a different doc_id residue): the
+    engine returns the converter's canonical unfound URL list per page and
+    the archive's parsed resource count; the oracle reconstructs both
+    arithmetically. A hash match pins link-walk order, CSS @import+url()
+    descent (C9), resolver canonicalization (P22) and the unfound set."""
+    from ..stages.extract import ExtractBatch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pages = ds.map_batches(_convert_report_pages, batch_format="pyarrow")
+    extracted = pages.map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=128)
+
+    def report(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        unfound = batch.column("unfound_resources").to_pylist()
+        counts = batch.column("resources_count").to_pylist()
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_resources": pa.array([int(c) for c in counts], pa.int64()),
+            "n_unfound": pa.array([len(u) for u in unfound], pa.int64()),
+            "unfound": pa.array(["|".join(sorted(u)) for u in unfound],
+                                pa.string()),
+        })
+
+    out = extracted.map_batches(report, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_favicon_report(sf_dir: str):
+    """Favicon collection (C13) through the full convert walk: found icons
+    inline to data URIs (href = base64 of the deterministic payload,
+    originalHref = the canonical resource URL), missing icons keep their
+    canonical URL; sizes/type attributes round-trip verbatim on the rows
+    that carry them. The oracle rebuilds every field with to_base64 over
+    the same payload arithmetic."""
+    from ..stages.extract import ExtractBatch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pages = ds.map_batches(_convert_report_pages, batch_format="pyarrow")
+    extracted = pages.map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=128)
+
+    def report(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        favicons = batch.column("favicons").to_pylist()
+        doc_ids, hrefs, origs, sizes, types = [], [], [], [], []
+        for u, favs in zip(urls, favicons):
+            doc_ids.append(int(u.rsplit("/", 1)[1]))
+            fav = favs[0] if favs else {}
+            hrefs.append(fav.get("href"))
+            origs.append(fav.get("originalHref"))
+            sizes.append(fav.get("sizes"))
+            types.append(fav.get("type"))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "original_href": pa.array(origs, pa.string()),
+            "sizes": pa.array(sizes, pa.string()),
+            "icon_type": pa.array(types, pa.string()),
+        })
+
+    out = extracted.map_batches(report, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_host_graph(sf_dir: str):
+    """Host-level web graph (the Common Crawl webgraph product shape):
+    every doc becomes a page on host h{d%7} carrying two cross-host anchors
+    (to h{(d+1)%7} and h{(d*3+1)%7}); the engine walks each archive with the
+    production MIME+DOM hyperlink discovery, maps src/dst through the
+    shared canonicalizer's host extraction, and folds the edge list with
+    one groupby — the exact aggregation that turns a page-level crawl into
+    a host graph. The oracle predicts every edge count arithmetically."""
+    from ray.data.aggregate import Count
+
+    from ..frontier.canon import canonicalize as _canon, host_of
+    from ..frontier.discovery import discover_hyperlinks
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        pages = []
+        for d in doc_ids:
+            d = int(d)
+            src = f"https://h{d % 7}.fixture.invalid/{d}"
+            a = f"https://h{(d + 1) % 7}.fixture.invalid/x{d}"
+            b = f"https://h{(d * 3 + 1) % 7}.fixture.invalid/y{d}"
+            body = (
+                f"<html><body><a href=\"{a}\">a</a>"
+                f"<a href=\"{b}\">b</a></body></html>"
+            )
+            pages.append((
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                "------=_B\r\nContent-Type: text/html\r\n"
+                f"Content-Location: {src}\r\n\r\n{body}\r\n------=_B--\r\n"
+            ).encode())
+        return pa.table({"html": pa.array(pages, pa.binary())})
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src_hosts, dst_hosts = [], []
+        for blob in batch.column("html").to_pylist():
+            from ..kernel.mime import parse as _parse
+
+            mhtml = _parse(blob)
+            base = mhtml.index
+            src_host = host_of(_canon(base).canon_url) if base else ""
+            for href in discover_hyperlinks(blob, base):
+                src_hosts.append(src_host)
+                dst_hosts.append(host_of(_canon(href).canon_url))
+        return pa.table({
+            "src_host": pa.array(src_hosts, pa.string()),
+            "dst_host": pa.array(dst_hosts, pa.string()),
+        })
+
+    out = (
+        ds.map_batches(synthesize, batch_format="pyarrow")
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Count(alias_name="n_links"))
+    )
+    return _sorted_table(out, ["src_host", "dst_host"])
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3567,6 +3801,12 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_counts": q_bpe_encode_counts,
+    # --- round-4 continuation batch (below the window; round-5 rotation
+    # queue): WET round trip, converter report surfaces, host graph ---
+    "wet_extract": q_wet_extract,
+    "unfound_report": q_unfound_report,
+    "favicon_report": q_favicon_report,
+    "host_graph": q_host_graph,
 }
 
 
@@ -5761,4 +6001,84 @@ ORACLE_SQL["langid_confusion"] = f"""
     SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
     FROM documents d JOIN pred p USING (doc_id)
     GROUP BY d.lang, p.pred_lang ORDER BY d.lang, p.pred_lang
+"""
+
+ORACLE_SQL["wet_extract"] = """
+    SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(1767225600000000 AS BIGINT) AS wet_ts_us,
+           text
+    FROM documents ORDER BY url
+"""
+
+# the missing-resource lattice of _convert_report_pages restated: fav
+# unfound on d%4==0; a missing stylesheet (d%5==0) reports itself and
+# never descends; otherwise the @import (d%3==0) and css url() (d%2==1)
+# report individually. n_resources counts every parsed MIME part.
+ORACLE_SQL["unfound_report"] = """
+    WITH u AS (
+        SELECT doc_id,
+            list_sort(
+                (CASE WHEN doc_id % 4 = 0
+                      THEN ['https://convert.fixture.invalid/fav'
+                            || CAST(doc_id AS VARCHAR) || '.png']
+                      ELSE []::VARCHAR[] END)
+                ||
+                (CASE WHEN doc_id % 5 = 0
+                      THEN ['https://convert.fixture.invalid/style'
+                            || CAST(doc_id AS VARCHAR) || '.css']
+                      ELSE
+                        (CASE WHEN doc_id % 3 = 0
+                              THEN ['https://convert.fixture.invalid/imp'
+                                    || CAST(doc_id AS VARCHAR) || '.css']
+                              ELSE []::VARCHAR[] END)
+                        ||
+                        (CASE WHEN doc_id % 2 = 1
+                              THEN ['https://convert.fixture.invalid/img'
+                                    || CAST(doc_id AS VARCHAR) || '.png']
+                              ELSE []::VARCHAR[] END)
+                 END)) AS lst
+        FROM documents)
+    SELECT doc_id,
+           CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
+                  + CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                  + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS n_resources,
+           CAST(len(lst) AS BIGINT) AS n_unfound,
+           COALESCE(array_to_string(lst, '|'), '') AS unfound
+    FROM u ORDER BY doc_id
+"""
+
+ORACLE_SQL["favicon_report"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://convert.fixture.invalid/fav'
+                     || CAST(doc_id AS VARCHAR) || '.png'
+                ELSE 'data:image/png;base64,' || to_base64(encode(
+                     repeat(chr(CAST(65 + doc_id % 26 AS INTEGER)),
+                            3 + doc_id % 5)))
+           END AS href,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE 'https://convert.fixture.invalid/fav'
+                     || CAST(doc_id AS VARCHAR) || '.png'
+           END AS original_href,
+           CASE WHEN doc_id % 3 = 0 THEN '16x16' END AS sizes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png' END AS icon_type
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["host_graph"] = """
+    WITH e AS (
+        SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.fixture.invalid'
+                   AS src_host,
+               'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.fixture.invalid'
+                   AS dst_host
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.fixture.invalid',
+               'h' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                   || '.fixture.invalid'
+        FROM documents)
+    SELECT src_host, dst_host, COUNT(*) AS n_links
+    FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
 """

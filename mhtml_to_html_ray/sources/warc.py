@@ -284,6 +284,53 @@ def write_wet(extracted_ds, output_dir: str, url_col: str = "url",
     return sum(row["n"] for row in counts.take_all())
 
 
+_WET_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("wet_ts", pa.timestamp("us")),
+    ("text", pa.string()),
+])
+
+
+def wet_conversion_rows(data: bytes) -> list[dict]:
+    """conversion records of one WET file → (url, wet_ts, text) rows — the
+    inverse of ``write_wet``'s ``_wet_record`` and the subset of headers
+    every Common Crawl WET consumer reads. Non-conversion records
+    (warcinfo preambles) are skipped; the payload is the extracted text,
+    UTF-8 per the format."""
+    rows: list[dict] = []
+    for headers, payload in parse_warc_records(data):
+        if headers.get("warc-type", "") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        rows.append({
+            "url": url,
+            "wet_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "text": payload.decode("utf-8", "replace"),
+        })
+    return rows
+
+
+def read_wet(paths):
+    """WET shard(s) → Dataset (url, wet_ts, text). Same parallelism contract
+    as ``read_warc``: one block per shard file (WET is gzip-member-framed,
+    not splittable mid-record), which is exactly how Common Crawl ships
+    extracted-text archives."""
+    import ray.data
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        all_rows: list[dict] = []
+        for blob in batch.column("bytes").to_pylist():
+            all_rows.extend(wet_conversion_rows(blob))
+        if not all_rows:
+            return _WET_SCHEMA.empty_table()
+        return pa.Table.from_pylist(all_rows, schema=_WET_SCHEMA)
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(to_rows, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # CDX capture index
 

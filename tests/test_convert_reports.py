@@ -1,0 +1,167 @@
+"""Round-4 continuation batch: WET reader round trip, the converter report
+surfaces (unfound/favicon) and the host-graph fold — unit pins plus the
+committed oracle SQL run side-by-side at sf0.001 (the same comparison the
+driver's gate performs)."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# read_wet / wet_conversion_rows
+
+
+def test_wet_conversion_rows_roundtrip():
+    from mhtml_to_html_ray.sources.warc import (_wet_record,
+                                                wet_conversion_rows)
+
+    ts = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+    rec = _wet_record("https://a.example/1", ts, "hello wet\nline2")
+    rows = wet_conversion_rows(rec)
+    assert rows == [
+        {"url": "https://a.example/1", "wet_ts": ts, "text": "hello wet\nline2"}
+    ]
+
+
+def test_wet_conversion_rows_skips_warcinfo_and_replaces_bad_utf8():
+    from mhtml_to_html_ray.sources.warc import wet_conversion_rows
+
+    warcinfo = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 9\r\n\r\n"
+        b"robots: x\r\n\r\n"
+    )
+    bad_payload = b"ok \xff\xfe end"
+    conv = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://b.example/2\r\n"
+        b"WARC-Date: 1970-01-01T00:00:01Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(bad_payload)}\r\n\r\n".encode()
+        + bad_payload + b"\r\n\r\n"
+    )
+    rows = wet_conversion_rows(warcinfo + conv)
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://b.example/2"
+    assert rows[0]["wet_ts"] == 1_000_000
+    assert rows[0]["text"] == "ok �� end"
+
+
+def test_read_wet_reads_write_wet_shards(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from mhtml_to_html_ray.sources.warc import read_wet, write_wet
+
+    extracted = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://w.example/{i}" for i in range(6)]),
+        "text_out": pa.array([f"text-{i}" for i in range(6)]),
+        "warc_ts": pa.array([1_767_225_600_000_000 + i * 1_000_000
+                             for i in range(6)], pa.int64()).cast(
+                                 pa.timestamp("us")),
+    }))
+    out_dir = str(tmp_path / "wet")
+    n = write_wet(extracted, out_dir, ts_col="warc_ts")
+    assert n == 6
+    wet = read_wet(sorted(glob.glob(f"{out_dir}/*.warc.wet.gz")))
+    rows = sorted(wet.take_all(), key=lambda r: r["url"])
+    assert [r["text"] for r in rows] == [f"text-{i}" for i in range(6)]
+    # whole-second stamps round-trip exactly, pinned UTC
+    import datetime as _dt
+
+    assert rows[0]["wet_ts"] == _dt.datetime(2026, 1, 1, 0, 0, 0)
+    assert rows[5]["wet_ts"] == _dt.datetime(2026, 1, 1, 0, 0, 5)
+
+
+# ---------------------------------------------------------------------------
+# the missing-resource lattice (unfound/favicon report kernels, no oracle)
+
+
+def test_convert_report_lattice_kernel():
+    from mhtml_to_html_ray.pipelines.queries import _convert_report_pages
+    from mhtml_to_html_ray.stages.extract import ExtractBatch
+
+    batch = pa.table({"doc_id": pa.array([0, 1, 2, 3, 12], pa.int64())})
+    out = ExtractBatch(keep_html=False)(_convert_report_pages(batch))
+    by_id = {
+        int(out.column("url")[i].as_py().rsplit("/", 1)[1]): i
+        for i in range(out.num_rows)
+    }
+
+    def unfound(d):
+        return sorted(out.column("unfound_resources")[by_id[d]].as_py())
+
+    p = "https://convert.fixture.invalid/"
+    # d=0: fav missing (0%4), stylesheet missing (0%5) — children unreported
+    assert unfound(0) == [f"{p}fav0.png", f"{p}style0.css"]
+    # d=1: css url() target missing (odd), everything else present
+    assert unfound(1) == [f"{p}img1.png"]
+    # d=2: fully present
+    assert unfound(2) == []
+    # d=3: @import missing (3%3) AND url() missing (odd)
+    assert unfound(3) == [f"{p}img3.png", f"{p}imp3.css"]
+    # d=12: fav missing (12%4), @import missing (12%3)
+    assert unfound(12) == [f"{p}fav12.png", f"{p}imp12.css"]
+
+    # favicon surfaces: found → data URI + originalHref; missing → raw URL
+    fav1 = out.column("favicons")[by_id[1]].as_py()[0]
+    assert fav1["href"] == "data:image/png;base64,QkJCQg=="  # 'B'*4
+    assert fav1["originalHref"] == f"{p}fav1.png"
+    assert fav1["sizes"] is None and fav1["type"] is None
+    fav0 = out.column("favicons")[by_id[0]].as_py()[0]
+    assert fav0["href"] == f"{p}fav0.png"
+    assert fav0["originalHref"] is None
+    assert fav0["sizes"] == "16x16" and fav0["type"] == "image/png"
+
+    # resources_count counts every parsed MIME part incl. the root
+    res = {d: out.column("resources_count")[i].as_py() for d, i in by_id.items()}
+    assert res == {0: 2, 1: 4, 2: 5, 3: 3, 12: 3}
+
+
+# ---------------------------------------------------------------------------
+# committed oracle SQL side-by-side (the driver gate's comparison)
+
+
+@pytest.mark.parametrize(
+    "name", ["wet_extract", "unfound_report", "favicon_report", "host_graph"]
+)
+def test_report_queries_match_oracle_sql(ray_session, name):
+    from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    out = QUERIES[name](SF_DIR)
+    ray_df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sql_df = con.execute(ORACLE_SQL[name]).df()
+    cols = sorted(sql_df.columns)
+    assert sorted(ray_df.columns) == cols
+    ray_df = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    sql_df = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(ray_df) == len(sql_df) and len(ray_df) > 0
+    for col in cols:
+        assert ray_df[col].tolist() == sql_df[col].tolist(), col
+
+
+def test_host_graph_degree_conservation(ray_session):
+    """Every page emits exactly two edges — the folded graph must conserve
+    them (sum of counts == 2 × documents)."""
+    import pyarrow.parquet as pq
+
+    from mhtml_to_html_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["host_graph"](SF_DIR)
+    rows = (out.take_all() if hasattr(out, "take_all")
+            else out.to_dict("records"))
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert sum(r["n_links"] for r in rows) == 2 * n_docs
+    assert all(r["src_host"].endswith(".fixture.invalid") for r in rows)
