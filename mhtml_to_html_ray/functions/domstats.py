@@ -76,3 +76,67 @@ def dom_tree_stats(pages_ds, html_col: str = "html", id_col: str = "doc_id"):
         )
 
     return pages_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _head_meta(document) -> tuple[str | None, str | None, str | None, int]:
+    """(title, meta[name=description].content, meta[property=og:title]
+    .content, n_meta) from one parsed tree. Attribute values arrive
+    entity-DECODED from the tokenizer (the WHATWG attribute-value state),
+    so what a consumer reads here is what a browser's DOM reports."""
+    title: str | None = None
+    description: str | None = None
+    og_title: str | None = None
+    n_meta = 0
+    # reversed pushes keep the pop order = document order, so the
+    # first-wins captures match what a streaming consumer would read
+    stack = list(reversed(document.child_nodes))
+    while stack:
+        node = stack.pop()
+        if not isinstance(node, Element):
+            continue
+        tag = node.tag_name.lower()
+        if tag == "title" and title is None:
+            title = "".join(
+                c.value for c in node.child_nodes if isinstance(c, Text))
+        elif tag == "meta":
+            n_meta += 1
+            if (node.get_attribute("name") or "").lower() == "description" \
+                    and description is None:
+                description = node.get_attribute("content")
+            if (node.get_attribute("property") or "").lower() == "og:title" \
+                    and og_title is None:
+                og_title = node.get_attribute("content")
+        if node.content is not None:
+            stack.extend(reversed(node.content.child_nodes))
+        stack.extend(reversed(node.child_nodes))
+    return title, description, og_title, n_meta
+
+
+def head_meta(pages_ds, html_col: str = "html", id_col: str = "doc_id"):
+    """Per-page head metadata (title / description / og:title / meta count)
+    by the production HTML5 parser — the WAT-style metadata product next to
+    WET's text. Same scale shape as dom_tree_stats: stateless map_batches,
+    no shuffle."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        titles, descs, ogs, counts = [], [], [], []
+        for raw in batch.column(html_col).to_pylist():
+            source = raw.decode("utf-8", errors="replace") \
+                if isinstance(raw, bytes) else (raw or "")
+            t, d, o, n = _head_meta(parse_html(source))
+            titles.append(t)
+            descs.append(d)
+            ogs.append(o)
+            counts.append(n)
+        return pa.table(
+            {
+                id_col: ids,
+                "title": pa.array(titles, pa.string()),
+                "description": pa.array(descs, pa.string()),
+                "og_title": pa.array(ogs, pa.string()),
+                "n_meta": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return pages_ds.map_batches(extract, batch_format="pyarrow")

@@ -1475,3 +1475,42 @@ def bigram_lm_scores(documents_ds):
 
     return scored.groupby("doc_id").map_groups(fold_doc,
                                                batch_format="pandas")
+
+
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Character-distribution entropy quality signal (low entropy flags
+    keyword-stuffed / template / single-char-run junk that length and
+    repetition stats miss). Integer contract so the SQL oracle hash-matches
+    exactly: each DISTINCT character contributes
+    count × FLOOR(1e6 × −ln(count/n)) — the float log is quantized PER
+    DISTINCT CHARACTER before the (integer, order-free) sum, the same
+    trick dsir.py uses for its log-ratios, so shuffle order can never
+    perturb the result. entropy_units / (1e6 × n_chars) ≈ nats/char."""
+    import math
+
+    import numpy as np
+
+    ids = batch.column("doc_id")
+    n_chars, n_distinct, units = [], [], []
+    for text in batch.column("text").to_pylist():
+        text = text or ""
+        n = len(text)
+        if n == 0:
+            n_chars.append(0)
+            n_distinct.append(0)
+            units.append(0)
+            continue
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        _, counts = np.unique(codes, return_counts=True)
+        total = 0
+        for c in counts.tolist():
+            total += c * math.floor(1_000_000 * -math.log(c / n))
+        n_chars.append(n)
+        n_distinct.append(len(counts))
+        units.append(total)
+    return pa.table({
+        "doc_id": ids,
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "entropy_units": pa.array(units, pa.int64()),
+    })

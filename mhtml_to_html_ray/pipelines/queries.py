@@ -3623,6 +3623,179 @@ def q_host_graph(sf_dir: str):
     return _sorted_table(out, ["src_host", "dst_host"])
 
 
+def q_meta_extract(sf_dir: str):
+    """Head-metadata extraction (the WAT-style product) by the production
+    HTML5 parser (functions/domstats.head_meta): title text and
+    description/og:title meta content over generatively-constructed heads
+    carrying numeric (&#N;) and named (&amp;) entities — a hash match pins
+    tokenizer entity decoding in BOTH text and attribute-value states plus
+    head tree placement, all reconstructed by the oracle in SQL."""
+    from ..functions.domstats import head_meta
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        htmls = []
+        for d in ids:
+            og = (f'<meta property="og:title" content="OG doc-{d}">'
+                  if d % 2 == 0 else "")
+            htmls.append(
+                f'<html><head><meta charset="utf-8">'
+                f"<title>T&#{65 + d % 26};{d}</title>"
+                f'<meta name="description" content="Desc &amp; d{d}">{og}'
+                f"</head><body><p>x</p></body></html>")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.string())})
+
+    out = head_meta(ds.map_batches(pages, batch_format="pyarrow"))
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_script_gate_report(sf_dir: str):
+    """The --enable-scripts policy (S1) under the oracle gate: the same
+    archive converted BOTH ways in one kernel pass; scripts-off output
+    contains exactly one <script (the injected ld+json metadata block),
+    scripts-on keeps the page's d%3+1 inline scripts and its external
+    script tag too. Counting serialized occurrences pins strip-vs-keep,
+    the injection, and the serializer."""
+    from ..stages.extract import ExtractBatch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        htmls, urls = [], []
+        for d in ids:
+            inline = "".join(
+                f"<script>var v{i}={d};</script>" for i in range(d % 3 + 1))
+            url = f"https://script.fixture.invalid/{d}"
+            body = (
+                f"<html><head><title>doc-{d}</title></head>"
+                f'<body><p>x</p>{inline}<script src="s{d}.js"></script>'
+                f"</body></html>")
+            htmls.append((
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                "------=_B\r\nContent-Type: text/html\r\n"
+                f"Content-Location: {url}\r\n\r\n{body}\r\n------=_B--\r\n"
+            ).encode())
+            urls.append(url)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    kernel_off = ExtractBatch(enable_scripts=False, keep_html=True)
+    kernel_on = ExtractBatch(enable_scripts=True, keep_html=True)
+
+    def report(batch: pa.Table) -> pa.Table:
+        out_off = kernel_off(batch)
+        out_on = kernel_on(batch)
+        doc_ids = [int(u.rsplit("/", 1)[1])
+                   for u in batch.column("url").to_pylist()]
+        n_off = pc.count_substring(
+            out_off.column("html_out").cast(pa.large_string()), "<script")
+        n_on = pc.count_substring(
+            out_on.column("html_out").cast(pa.large_string()), "<script")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_script_off": n_off.cast(pa.int64()).combine_chunks(),
+            "n_script_on": n_on.cast(pa.int64()).combine_chunks(),
+        })
+
+    pages_ds = ds.map_batches(pages, batch_format="pyarrow")
+    out = pages_ds.map_batches(report, batch_format="pyarrow", batch_size=128)
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_srcset_report(sf_dir: str):
+    """srcset rewriting (C8, the WHATWG candidate parser) under the oracle
+    gate: an <img srcset="a 1x, b 2x" src="c"> whose three targets are
+    present on different doc_id residues; found candidates must inline to
+    data URIs, missing ones must resolve to canonical absolute URLs, and
+    the data-original-* attributes must preserve the raw values verbatim.
+    The converted img's attributes are read back by the production HTML5
+    parser and every field is rebuilt by the oracle."""
+    from ..kernel.dom import Element, parse_html
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://srcset.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        htmls, urls = [], []
+        for d in ids:
+            url = f"{prefix}{d}"
+            body = (
+                f"<html><head><title>doc-{d}</title></head><body>"
+                f'<img srcset="a{d}.png 1x, b{d}.png 2x" src="c{d}.png">'
+                f"</body></html>")
+            parts = [
+                f"------=_B\r\nContent-Type: text/html\r\n"
+                f"Content-Location: {url}\r\n\r\n{body}\r\n"
+            ]
+            for name, present in ((f"a{d}.png", d % 2 == 0),
+                                  (f"b{d}.png", d % 3 == 0),
+                                  (f"c{d}.png", d % 5 == 0)):
+                if present:
+                    parts.append(
+                        f"------=_B\r\nContent-Type: image/png\r\n"
+                        f"Content-Location: {prefix}{name}\r\n\r\n"
+                        f"P{name[0]}{d}\r\n")
+            htmls.append((
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                + "".join(parts) + "------=_B--\r\n").encode())
+            urls.append(url)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    kernel = ExtractBatch(keep_html=True)
+
+    def report(batch: pa.Table) -> pa.Table:
+        out = kernel(batch)
+        doc_ids, srcsets, srcs, origs = [], [], [], []
+        for u, html in zip(batch.column("url").to_pylist(),
+                           out.column("html_out").to_pylist()):
+            doc_ids.append(int(u.rsplit("/", 1)[1]))
+            img = None
+            stack = list(parse_html(html.decode("utf-8")).child_nodes)
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element):
+                    if node.tag_name.lower() == "img":
+                        img = node
+                        break
+                    stack.extend(node.child_nodes)
+            srcsets.append(img.get_attribute("srcset") if img else None)
+            srcs.append(img.get_attribute("src") if img else None)
+            origs.append(img.get_attribute("data-original-srcset")
+                         if img else None)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "srcset": pa.array(srcsets, pa.string()),
+            "src": pa.array(srcs, pa.string()),
+            "orig_srcset": pa.array(origs, pa.string()),
+        })
+
+    pages_ds = ds.map_batches(pages, batch_format="pyarrow")
+    out = pages_ds.map_batches(report, batch_format="pyarrow", batch_size=128)
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_char_entropy(sf_dir: str):
+    """Character-distribution entropy (functions/textstats.char_entropy_batch):
+    the integer-quantized contract (count × FLOOR(1e6 × −ln(count/n)) per
+    DISTINCT character, then an integer sum) makes a float-log quality
+    signal exactly SQL-restatable — the dsir log-ratio discipline applied
+    to an entropy score."""
+    from ..functions.textstats import char_entropy_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(char_entropy_batch, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3807,6 +3980,10 @@ QUERIES = {
     "unfound_report": q_unfound_report,
     "favicon_report": q_favicon_report,
     "host_graph": q_host_graph,
+    "meta_extract": q_meta_extract,
+    "script_gate_report": q_script_gate_report,
+    "srcset_report": q_srcset_report,
+    "char_entropy": q_char_entropy,
 }
 
 
@@ -6081,4 +6258,68 @@ ORACLE_SQL["host_graph"] = """
         FROM documents)
     SELECT src_host, dst_host, COUNT(*) AS n_links
     FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+"""
+
+ORACLE_SQL["meta_extract"] = """
+    SELECT doc_id,
+           'T' || chr(CAST(65 + doc_id % 26 AS INTEGER))
+               || CAST(doc_id AS VARCHAR) AS title,
+           'Desc & d' || CAST(doc_id AS VARCHAR) AS description,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'OG doc-' || CAST(doc_id AS VARCHAR) END AS og_title,
+           CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_meta
+    FROM documents ORDER BY doc_id
+"""
+
+# scripts-off keeps only the injected ld+json block; scripts-on adds the
+# page's d%3+1 inline scripts plus its external script tag
+ORACLE_SQL["script_gate_report"] = """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_script_off,
+           CAST(1 + (doc_id % 3 + 1) + 1 AS BIGINT) AS n_script_on
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["srcset_report"] = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN 'data:image/png;base64,' || to_base64(encode(
+                      'Pa' || CAST(doc_id AS VARCHAR)))
+                 ELSE 'https://srcset.fixture.invalid/a'
+                      || CAST(doc_id AS VARCHAR) || '.png' END)
+           || ' 1x, ' ||
+           (CASE WHEN doc_id % 3 = 0
+                 THEN 'data:image/png;base64,' || to_base64(encode(
+                      'Pb' || CAST(doc_id AS VARCHAR)))
+                 ELSE 'https://srcset.fixture.invalid/b'
+                      || CAST(doc_id AS VARCHAR) || '.png' END)
+           || ' 2x' AS srcset,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'data:image/png;base64,' || to_base64(encode(
+                     'Pc' || CAST(doc_id AS VARCHAR)))
+                ELSE 'https://srcset.fixture.invalid/c'
+                     || CAST(doc_id AS VARCHAR) || '.png' END AS src,
+           'a' || CAST(doc_id AS VARCHAR) || '.png 1x, b'
+               || CAST(doc_id AS VARCHAR) || '.png 2x' AS orig_srcset
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["char_entropy"] = """
+    WITH cnts AS (
+        SELECT doc_id, ch, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+              FROM documents)
+        GROUP BY doc_id, ch),
+    lens AS (SELECT doc_id, LENGTH(text) AS n FROM documents),
+    agg AS (
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c.c * CAST(FLOOR(1000000 * -LN(c.c * 1.0 / l.n))
+                                   AS BIGINT)) AS BIGINT) AS entropy_units
+        FROM cnts c JOIN lens l USING (doc_id) GROUP BY c.doc_id)
+    SELECT l.doc_id, CAST(l.n AS BIGINT) AS n_chars,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           COALESCE(a.entropy_units, 0) AS entropy_units
+    FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id
 """

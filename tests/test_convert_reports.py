@@ -130,7 +130,9 @@ def test_convert_report_lattice_kernel():
 
 
 @pytest.mark.parametrize(
-    "name", ["wet_extract", "unfound_report", "favicon_report", "host_graph"]
+    "name",
+    ["wet_extract", "unfound_report", "favicon_report", "host_graph",
+     "meta_extract", "script_gate_report", "srcset_report", "char_entropy"],
 )
 def test_report_queries_match_oracle_sql(ray_session, name):
     from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -165,3 +167,40 @@ def test_host_graph_degree_conservation(ray_session):
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     assert sum(r["n_links"] for r in rows) == 2 * n_docs
     assert all(r["src_host"].endswith(".fixture.invalid") for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# head_meta / char_entropy kernels
+
+
+def test_head_meta_first_wins_and_entity_states():
+    from mhtml_to_html_ray.functions.domstats import _head_meta
+    from mhtml_to_html_ray.kernel.dom import parse_html
+
+    doc = parse_html(
+        "<html><head><title>A&#66;C</title><title>second</title>"
+        '<meta name="description" content="D &amp; x">'
+        '<meta name="description" content="later">'
+        '<meta property="og:title" content="&ampx raw">'
+        "</head><body></body></html>")
+    title, desc, og, n = _head_meta(doc)
+    assert title == "ABC"          # numeric entity in text state
+    assert desc == "D & x"         # named entity in attribute-value state
+    # &ampx in an attribute must NOT expand (WHATWG legacy no-expand rule)
+    assert og == "&ampx raw"
+    assert n == 3
+
+
+def test_char_entropy_hand_computed():
+    import math
+
+    from mhtml_to_html_ray.functions.textstats import char_entropy_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["aab", "", "aaaa"]})
+    out = char_entropy_batch(t).to_pydict()
+    want_aab = 2 * math.floor(1e6 * -math.log(2 / 3)) \
+        + 1 * math.floor(1e6 * -math.log(1 / 3))
+    assert out["entropy_units"] == [want_aab, 0, 0]
+    assert out["n_chars"] == [3, 0, 4]
+    assert out["n_distinct"] == [2, 0, 1]
