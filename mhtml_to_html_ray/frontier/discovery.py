@@ -128,6 +128,15 @@ def discover_anchor_texts(body: bytes,
     except Exception:
         return []
     base = base_url or (index if isinstance(index, str) else None)
+    # honor the page's first <base href> exactly like the convert walk
+    # (kernel/convert.py base_elements handling) — browsers resolve every
+    # href against it, so crawl discovery must too or the frontier chases
+    # wrong URLs on base-bearing pages
+    base_elements = dom.document.get_elements_by_tag_name("base")
+    if base_elements:
+        href_attr = base_elements[0].get_attribute("href")
+        if href_attr:
+            base = resolve_path(href_attr, base)
     out: list[tuple[str, str]] = []
     nodes = [dom.document]
     cursor = 0

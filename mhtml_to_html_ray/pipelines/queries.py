@@ -3796,6 +3796,172 @@ def q_char_entropy(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_base_href_links(sf_dir: str):
+    """<base href> resolution (P23 + the convert walk's base handling, now
+    shared by crawl discovery): even doc_ids carry a <base> pointing at a
+    DIFFERENT origin, odd ones none — both the parent-hop (../) and the
+    root-absolute (/) reference must resolve against the right base. The
+    production MIME+DOM hyperlink discovery produces the URLs; the oracle
+    rebuilds RFC 3986 resolution arithmetically."""
+    from ..frontier.discovery import discover_hyperlinks
+
+    prefix = "https://links.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        out_ids, up_urls, root_urls = [], [], []
+        for d in ids:
+            base_tag = (f'<base href="https://base{d % 5}.example/sub/dir/">'
+                        if d % 2 == 0 else "")
+            body = (
+                f"<html><head>{base_tag}</head><body>"
+                f'<a href="../up{d}.html">u</a>'
+                f'<a href="/root{d}.html">r</a></body></html>')
+            blob = (
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                "------=_B\r\nContent-Type: text/html\r\n"
+                f"Content-Location: {prefix}{d}\r\n\r\n{body}\r\n"
+                "------=_B--\r\n").encode()
+            links = discover_hyperlinks(blob)
+            out_ids.append(d)
+            up_urls.append(links[0] if len(links) > 0 else None)
+            root_urls.append(links[1] if len(links) > 1 else None)
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "up_url": pa.array(up_urls, pa.string()),
+            "root_url": pa.array(root_urls, pa.string()),
+        })
+
+    out = ds.map_batches(rows, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_transfer_decode(sf_dir: str):
+    """Content-Transfer-Encoding decoders (P12 quoted-printable, P13
+    forgiving base64) in the gate: each document's page body ships
+    QP-encoded (odd doc_ids) or base64-encoded (even), and extraction must
+    return the extract_text contract byte-identically — titles and the full
+    pre-block text — through the decode + charset cascade."""
+    import base64 as _b64
+    import quopri as _quopri
+
+    import html as _html
+
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://td.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        urls, blobs = [], []
+        for d, t in zip(ids, texts):
+            escaped = _html.escape(t or "", quote=False)
+            doc = (f"<html><head><title>doc-{d}</title></head>"
+                   f"<body><pre>{escaped}</pre></body></html>").encode("utf-8")
+            if d % 2 == 1:
+                enc, body = b"quoted-printable", _quopri.encodestring(doc)
+            else:
+                enc, body = b"base64", _b64.encodebytes(doc)
+            blobs.append(
+                b"MIME-Version: 1.0\r\n"
+                b'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                b"------=_B\r\nContent-Type: text/html; charset=utf-8\r\n"
+                b"Content-Transfer-Encoding: " + enc + b"\r\n"
+                b"Content-Location: " + f"{prefix}{d}".encode() + b"\r\n\r\n"
+                + body + b"\r\n------=_B--\r\n")
+            urls.append(f"{prefix}{d}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(blobs, pa.binary())})
+
+    extracted = ds.map_batches(pages, batch_format="pyarrow").map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=128)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"),
+                         "title": batch.column("title"),
+                         "text_out": batch.column("text_out")})
+
+    return _sorted_table(
+        extracted.map_batches(project, batch_format="pyarrow"), ["url"])
+
+
+def q_frame_report(sf_dir: str):
+    """Frame recursion (C10) in the gate: each page embeds an iframe whose
+    child page exists on d%3!=0 rows. A found child must convert
+    RECURSIVELY and inline as srcdoc (carrying the child's own <title> —
+    the recursion proof), dropping src for data-original-src; a missing
+    child keeps the canonical absolute src and lands in unfound."""
+    from ..kernel.dom import Element, parse_html
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://frame.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        urls, blobs = [], []
+        for d in ids:
+            url = f"{prefix}{d}"
+            body = (f"<html><head><title>doc-{d}</title></head><body>"
+                    f'<iframe src="child{d}.html"></iframe></body></html>')
+            parts = [
+                f"------=_B\r\nContent-Type: text/html\r\n"
+                f"Content-Location: {url}\r\n\r\n{body}\r\n"
+            ]
+            if d % 3 != 0:
+                child = (f"<html><head><title>child-{d}</title></head>"
+                         f"<body>c</body></html>")
+                parts.append(
+                    f"------=_B\r\nContent-Type: text/html\r\n"
+                    f"Content-Location: {prefix}child{d}.html\r\n\r\n{child}\r\n")
+            blobs.append((
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                + "".join(parts) + "------=_B--\r\n").encode())
+            urls.append(url)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(blobs, pa.binary())})
+
+    kernel = ExtractBatch(keep_html=True)
+
+    def report(batch: pa.Table) -> pa.Table:
+        out = kernel(batch)
+        doc_ids, srcs, has_title, n_unfound = [], [], [], []
+        for u, html, unfound in zip(batch.column("url").to_pylist(),
+                                    out.column("html_out").to_pylist(),
+                                    out.column("unfound_resources").to_pylist()):
+            d = int(u.rsplit("/", 1)[1])
+            doc_ids.append(d)
+            n_unfound.append(len(unfound))
+            frame = None
+            stack = list(parse_html(html.decode("utf-8")).child_nodes)
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element):
+                    if node.tag_name.lower() == "iframe":
+                        frame = node
+                        break
+                    stack.extend(node.child_nodes)
+            srcs.append(frame.get_attribute("src") if frame else None)
+            srcdoc = frame.get_attribute("srcdoc") if frame else None
+            has_title.append(
+                bool(srcdoc) and f"<title>child-{d}</title>" in srcdoc)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "frame_src": pa.array(srcs, pa.string()),
+            "has_child_title": pa.array(has_title, pa.bool_()),
+            "n_unfound": pa.array(n_unfound, pa.int64()),
+        })
+
+    pages_ds = ds.map_batches(pages, batch_format="pyarrow")
+    out = pages_ds.map_batches(report, batch_format="pyarrow", batch_size=128)
+    return _sorted_table(out, ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3984,6 +4150,9 @@ QUERIES = {
     "script_gate_report": q_script_gate_report,
     "srcset_report": q_srcset_report,
     "char_entropy": q_char_entropy,
+    "base_href_links": q_base_href_links,
+    "transfer_decode": q_transfer_decode,
+    "frame_report": q_frame_report,
 }
 
 
@@ -6322,4 +6491,42 @@ ORACLE_SQL["char_entropy"] = """
            COALESCE(a.n_distinct, 0) AS n_distinct,
            COALESCE(a.entropy_units, 0) AS entropy_units
     FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id
+"""
+
+# RFC 3986 resolution restated: with a <base> (even doc_ids) ../ pops one
+# segment off /sub/dir/ and / jumps to the base origin's root; without,
+# both resolve against the archive's Content-Location
+ORACLE_SQL["base_href_links"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://base' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example/sub/up' || CAST(doc_id AS VARCHAR) || '.html'
+                ELSE 'https://links.fixture.invalid/up'
+                     || CAST(doc_id AS VARCHAR) || '.html'
+           END AS up_url,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://base' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example/root' || CAST(doc_id AS VARCHAR) || '.html'
+                ELSE 'https://links.fixture.invalid/root'
+                     || CAST(doc_id AS VARCHAR) || '.html'
+           END AS root_url
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["transfer_decode"] = """
+    SELECT 'https://td.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           text AS text_out
+    FROM documents ORDER BY url
+"""
+
+ORACLE_SQL["frame_report"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'https://frame.fixture.invalid/child'
+                     || CAST(doc_id AS VARCHAR) || '.html' END AS frame_src,
+           doc_id % 3 != 0 AS has_child_title,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_unfound
+    FROM documents ORDER BY doc_id
 """

@@ -132,7 +132,8 @@ def test_convert_report_lattice_kernel():
 @pytest.mark.parametrize(
     "name",
     ["wet_extract", "unfound_report", "favicon_report", "host_graph",
-     "meta_extract", "script_gate_report", "srcset_report", "char_entropy"],
+     "meta_extract", "script_gate_report", "srcset_report", "char_entropy",
+     "base_href_links", "transfer_decode", "frame_report"],
 )
 def test_report_queries_match_oracle_sql(ray_session, name):
     from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -204,3 +205,38 @@ def test_char_entropy_hand_computed():
     assert out["entropy_units"] == [want_aab, 0, 0]
     assert out["n_chars"] == [3, 0, 4]
     assert out["n_distinct"] == [2, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# base-aware hyperlink discovery (shared with the convert walk)
+
+
+def test_discover_hyperlinks_honors_base_href():
+    from mhtml_to_html_ray.frontier.discovery import discover_hyperlinks
+
+    root = ('<html><head><base href="https://b.example/sub/dir/"></head>'
+            '<body><a href="../up.html">1</a><a href="/root.html">2</a>'
+            '<a href="#f">3</a></body></html>')
+    blob = ("MIME-Version: 1.0\r\n"
+            'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+            "------=_B\r\nContent-Type: text/html\r\n"
+            "Content-Location: https://lh.fixture.invalid/1\r\n\r\n" + root +
+            "\r\n------=_B--\r\n").encode()
+    assert discover_hyperlinks(blob) == [
+        "https://b.example/sub/up.html",
+        "https://b.example/root.html",
+        # browsers resolve fragment-only hrefs against <base> too
+        "https://b.example/sub/dir/#f",
+    ]
+
+
+def test_discover_hyperlinks_without_base_uses_content_location():
+    from mhtml_to_html_ray.frontier.discovery import discover_hyperlinks
+
+    blob = ("MIME-Version: 1.0\r\n"
+            'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+            "------=_B\r\nContent-Type: text/html\r\n"
+            "Content-Location: https://lh.fixture.invalid/a/1\r\n\r\n"
+            '<html><body><a href="../up.html">1</a></body></html>'
+            "\r\n------=_B--\r\n").encode()
+    assert discover_hyperlinks(blob) == ["https://lh.fixture.invalid/up.html"]
