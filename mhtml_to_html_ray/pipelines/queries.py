@@ -3962,6 +3962,151 @@ def q_frame_report(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_synth_index(sf_dir: str):
+    """Synthesized-index conversion (C2 + the index-synthesized anomaly,
+    convert.js:663-679 parity): archives holding NO html page must render
+    the way a browser would — doc_id%3==0 rows ship only an image (the
+    synthesized page is one <img> whose src inlines to a data URI),
+    %3==1 rows only text/plain (one <pre>, extracted text round-trips),
+    %3==2 rows a normal page (control). Title, text, anomaly type and the
+    img data URI are all rebuilt by the oracle."""
+    from ..kernel.dom import Element, parse_html
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://synth.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        urls, blobs = [], []
+        for d in ids:
+            r = d % 3
+            if r == 0:
+                part = (f"------=_B\r\nContent-Type: image/png\r\n"
+                        f"Content-Location: {prefix}img{d}.png\r\n\r\nPi{d}\r\n")
+            elif r == 1:
+                part = (f"------=_B\r\nContent-Type: text/plain\r\n"
+                        f"Content-Location: {prefix}t{d}.txt\r\n\r\n"
+                        f"plain {d} x\r\n")
+            else:
+                part = (f"------=_B\r\nContent-Type: text/html\r\n"
+                        f"Content-Location: {prefix}{d}\r\n\r\n"
+                        f"<html><head><title>doc-{d}</title></head>"
+                        f"<body><pre>body {d}</pre></body></html>\r\n")
+            blobs.append((
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                + part + "------=_B--\r\n").encode())
+            urls.append(f"{prefix}{d}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(blobs, pa.binary())})
+
+    kernel = ExtractBatch(keep_html=True)
+
+    def report(batch: pa.Table) -> pa.Table:
+        out = kernel(batch)
+        doc_ids, titles, texts, anomaly_types, img_srcs = [], [], [], [], []
+        for u, title, text, anoms, html in zip(
+                batch.column("url").to_pylist(),
+                out.column("title").to_pylist(),
+                out.column("text_out").to_pylist(),
+                out.column("anomalies").to_pylist(),
+                out.column("html_out").to_pylist()):
+            doc_ids.append(int(u.rsplit("/", 1)[1]))
+            titles.append(title)
+            texts.append(text)
+            anomaly_types.append(anoms[0]["type"] if anoms else None)
+            img = None
+            stack = list(parse_html(html.decode("utf-8")).child_nodes)
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element):
+                    if node.tag_name.lower() == "img":
+                        img = node
+                        break
+                    stack.extend(node.child_nodes)
+            img_srcs.append(img.get_attribute("src") if img else None)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "title": pa.array(titles, pa.string()),
+            "text_out": pa.array(texts, pa.string()),
+            "anomaly_type": pa.array(anomaly_types, pa.string()),
+            "img_src": pa.array(img_srcs, pa.string()),
+        })
+
+    pages_ds = ds.map_batches(pages, batch_format="pyarrow")
+    out = pages_ds.map_batches(report, batch_format="pyarrow", batch_size=128)
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_mhtml_recursion(sf_dir: str):
+    """Embedded-MHTML recursion (P21): the outer archive's iframe points at
+    a multipart/related resource — ITSELF a complete MHTML archive — which
+    must parse and convert recursively so the inner page's title lands
+    inside the outer srcdoc. Present on d%4!=0 rows; missing nested
+    archives report unfound."""
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://nest.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        urls, blobs = [], []
+        for d in ids:
+            url = f"{prefix}{d}"
+            root = (f"<html><head><title>doc-{d}</title></head><body>"
+                    f'<iframe src="nested{d}.mht"></iframe></body></html>')
+            parts = [
+                f"------=_B\r\nContent-Type: text/html\r\n"
+                f"Content-Location: {url}\r\n\r\n{root}\r\n"
+            ]
+            if d % 4 != 0:
+                inner_page = (f"<html><head><title>inner-{d}</title></head>"
+                              f"<body>in</body></html>")
+                inner = (
+                    "MIME-Version: 1.0\r\n"
+                    'Content-Type: multipart/related; boundary="----=_I"\r\n'
+                    "\r\n------=_I\r\nContent-Type: text/html\r\n"
+                    f"Content-Location: https://inner.example/{d}\r\n\r\n"
+                    f"{inner_page}\r\n------=_I--\r\n")
+                parts.append(
+                    f"------=_B\r\nContent-Type: multipart/related\r\n"
+                    f"Content-Location: {prefix}nested{d}.mht\r\n\r\n"
+                    f"{inner}\r\n")
+            blobs.append((
+                "MIME-Version: 1.0\r\n"
+                'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                + "".join(parts) + "------=_B--\r\n").encode())
+            urls.append(url)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(blobs, pa.binary())})
+
+    kernel = ExtractBatch(keep_html=True)
+
+    def report(batch: pa.Table) -> pa.Table:
+        out = kernel(batch)
+        doc_ids, has_inner, n_unfound = [], [], []
+        for u, html, unfound in zip(batch.column("url").to_pylist(),
+                                    out.column("html_out").to_pylist(),
+                                    out.column("unfound_resources").to_pylist()):
+            d = int(u.rsplit("/", 1)[1])
+            doc_ids.append(d)
+            has_inner.append(f"&lt;title&gt;inner-{d}&lt;/title&gt;".encode()
+                             in html
+                             or f"<title>inner-{d}</title>".encode() in html)
+            n_unfound.append(len(unfound))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "has_inner_title": pa.array(has_inner, pa.bool_()),
+            "n_unfound": pa.array(n_unfound, pa.int64()),
+        })
+
+    pages_ds = ds.map_batches(pages, batch_format="pyarrow")
+    out = pages_ds.map_batches(report, batch_format="pyarrow", batch_size=128)
+    return _sorted_table(out, ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4153,6 +4298,8 @@ QUERIES = {
     "base_href_links": q_base_href_links,
     "transfer_decode": q_transfer_decode,
     "frame_report": q_frame_report,
+    "synth_index": q_synth_index,
+    "mhtml_recursion": q_mhtml_recursion,
 }
 
 
@@ -6527,6 +6674,30 @@ ORACLE_SQL["frame_report"] = """
                      || CAST(doc_id AS VARCHAR) || '.html' END AS frame_src,
            doc_id % 3 != 0 AS has_child_title,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_unfound
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["synth_index"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 2
+                THEN 'doc-' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE doc_id % 3
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'plain ' || CAST(doc_id AS VARCHAR) || ' x'
+                ELSE 'body ' || CAST(doc_id AS VARCHAR) END AS text_out,
+           CASE WHEN doc_id % 3 != 2
+                THEN 'index-synthesized' END AS anomaly_type,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'data:image/png;base64,' || to_base64(encode(
+                     'Pi' || CAST(doc_id AS VARCHAR))) END AS img_src
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["mhtml_recursion"] = """
+    SELECT doc_id,
+           doc_id % 4 != 0 AS has_inner_title,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS n_unfound
     FROM documents ORDER BY doc_id
 """
