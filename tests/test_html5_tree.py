@@ -2084,3 +2084,96 @@ def test_probe_pins_document_modes(source, expected):
 )
 def test_probe_pins_bogus_comments_and_attr_entities(source, expected):
     assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# round-4 probe pass 7: every behavior probed spec-correct, pinned here
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # xmp is RAWTEXT (no entity decode, no tags) AND on the literal-text
+        # serialization list (no re-escaping)
+        ("<body><xmp>a <b> &amp; c</xmp></body>",
+         "<body><xmp>a <b> &amp; c</xmp></body>"),
+        # marquee is special (own scope) but nests inside open formatting
+        ("<body><b>x<marquee>y</marquee>z</body>",
+         "<body><b>x<marquee>y</marquee>z</b></body>"),
+        # an <a> start tag with an open <a> runs the adoption agency
+        ("<body><a>1<a>2</a></body>", "<body><a>1</a><a>2</a></body>"),
+        # the form element pointer ignores a nested <form> start tag
+        ("<body><form><div><form><input></form></div></form></body>",
+         "<body><form><div><input></div></form></body>"),
+        # out-of-range / NUL / surrogate numeric refs all yield U+FFFD
+        ("<body>&#x110000; &#0; &#xD800;</body>",
+         "<body>\N{REPLACEMENT CHARACTER} \N{REPLACEMENT CHARACTER} "
+         "\N{REPLACEMENT CHARACTER}</body>"),
+        # the </br> end tag is re-tokenized as <br>
+        ("<body>a</br>b</body>", "<body>a<br>b</body>"),
+        # a <select> inside a select acts as </select>
+        ("<body><select><option>a<select><option>b</select></body>",
+         "<body><select><option>a</option></select><option>b</option></body>"),
+        # a <button> start tag with a button in scope implies </button>
+        ("<body><button><p>x<button>y</body>",
+         "<body><button><p>x</p></button><button>y</button></body>"),
+        # li scope: a nested list stays inside the open li
+        ("<body><li>a<li>b<ul><li>c</ul><li>d</body>",
+         "<body><li>a</li><li>b<ul><li>c</li></ul></li><li>d</li></body>"),
+        ("<body><dt>a<dd>b<dt>c</body>",
+         "<body><dt>a</dt><dd>b</dd><dt>c</dt></body>"),
+        # headings close an open p and never nest in each other
+        ("<body><p>x<h1>y</h1><h2>z</body>",
+         "<body><p>x</p><h1>y</h1><h2>z</h2></body>"),
+        # ruby: rb closed by rt, rt closed by rtc, rp legal inside rtc
+        ("<body><ruby>a<rb>b<rt>c<rtc>d<rp>e</ruby></body>",
+         "<body><ruby>a<rb>b</rb><rt>c</rt><rtc>d<rp>e</rp></rtc></ruby>"
+         "</body>"),
+        ("<body><table><tr><td>a<td>b<th>c</table></body>",
+         "<body><table><tbody><tr><td>a</td><td>b</td><th>c</th></tr>"
+         "</tbody></table></body>"),
+        # svg foreignObject is an HTML integration point; the serializer
+        # lowercases tag names (reference parity, dom.py _SVG_TAG_ADJUST
+        # comment) while the DOM keeps the camelCase adjusted name
+        ("<body><svg><foreignObject><p>h</p></foreignObject></svg></body>",
+         "<body><svg><foreignobject><p>h</p></foreignobject></svg></body>"),
+        # template inside tbody keeps row content inside its fragment
+        ("<body><table><tbody><template><tr><td>t</td></tr></template>"
+         "</tbody></table></body>",
+         "<body><table><tbody><template><tr><td>t</td></tr></template>"
+         "</tbody></table></body>"),
+        # textarea RCDATA: leading newline dropped, entities decode, tags
+        # stay text (and re-escape on serialization)
+        ("<body><textarea>\n&amp;<b></textarea></body>",
+         "<body><textarea>&amp;&lt;b&gt;</textarea></body>"),
+    ],
+)
+def test_probe_pins_pass7(source, expected):
+    assert body_html(source) == expected
+
+
+def test_probe_pins_pass7_head_noscript():
+    from mhtml_to_html_ray.kernel.dom import parse_html, serialize
+
+    assert serialize(parse_html('<head><noscript><link href="x"></noscript>'
+                                "</head>")) == (
+        '<html><head><noscript><link href="x"></noscript></head>'
+        "<body></body></html>")
+
+
+def test_probe_pins_pass7_svg_camelcase_dom_names():
+    """The DOM itself carries the ADJUSTED camelCase names (what a
+    tree-walking consumer sees) even though serialization lowercases."""
+    from mhtml_to_html_ray.kernel.dom import Element, parse_html
+
+    doc = parse_html("<body><svg><foreignObject></foreignObject>"
+                     "<textPath/><clipPath/><linearGradient/></svg></body>")
+    names = []
+    stack = list(doc.body.child_nodes)
+    while stack:
+        node = stack.pop()
+        if isinstance(node, Element):
+            names.append(node.tag_name)
+            stack.extend(node.child_nodes)
+    assert sorted(names) == ["clipPath", "foreignObject", "linearGradient",
+                             "svg", "textPath"]
