@@ -4107,6 +4107,59 @@ def q_mhtml_recursion(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_quality_ensemble(sf_dir: str):
+    """Stacked quality gate the way real curation pipelines run them
+    (FineWeb's own recipe stacks URL → line-shape → token-shape filters):
+    C4 rules, then Gopher rules, then the FineWeb line-shape rules over the
+    SAME raw text, first-failing STAGE:rule as the drop reason — computed
+    in ONE fused map_batches pass (each kernel is already independently
+    oracle-green; the ensemble pins the composition and precedence). Zero
+    shuffle; the oracle is generated from the committed c4/gopher SQL so
+    the stages can never drift."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        sw = textstats.stopword_stats_batch(batch)
+        rep = textstats.repetition_stats_batch(batch)
+        gop = textstats.gopher_stats_batch(batch)
+        fw = textstats.fineweb_stats_batch(batch)
+        n_chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False)
+        ratio = sw.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        dup = rep.column("dup_bigram_frac").to_numpy(zero_copy_only=False)
+        ok_length = (n_chars >= 150) & (n_chars <= 450)
+        ok_stop = ratio >= 0.03
+        ok_rep = dup <= 0.06
+        c4_keep = ok_length & ok_stop & ok_rep
+        c4_reason = np.where(
+            ~ok_length, "length",
+            np.where(~ok_stop, "stopwords",
+                     np.where(~ok_rep, "repetition", "")))
+        g_keep = gop.column("keep").to_numpy(zero_copy_only=False)
+        g_reason = gop.column("drop_reason").to_pylist()
+        f_keep = fw.column("keep").to_numpy(zero_copy_only=False)
+        f_reason = fw.column("drop_reason").to_pylist()
+        keep = c4_keep & g_keep & f_keep
+        reasons = []
+        for i in range(len(batch)):
+            if not c4_keep[i]:
+                reasons.append("c4:" + str(c4_reason[i]))
+            elif not g_keep[i]:
+                reasons.append("gopher:" + str(g_reason[i]))
+            elif not f_keep[i]:
+                reasons.append("fineweb:" + str(f_reason[i]))
+            else:
+                reasons.append(None)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "keep": pa.array(keep, pa.bool_()),
+            "drop_reason": pa.array(reasons, pa.string()),
+        })
+
+    return _sorted_table(
+        ds.map_batches(batch_fn, batch_format="pyarrow"), ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4300,6 +4353,7 @@ QUERIES = {
     "frame_report": q_frame_report,
     "synth_index": q_synth_index,
     "mhtml_recursion": q_mhtml_recursion,
+    "quality_ensemble": q_quality_ensemble,
 }
 
 
@@ -6700,4 +6754,48 @@ ORACLE_SQL["mhtml_recursion"] = """
            CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS n_unfound
     FROM documents ORDER BY doc_id
+"""
+
+# the composed gate: c4/gopher verdicts reused VERBATIM from their committed
+# oracles (they can't drift), the fineweb line rules restated over the raw
+# text (the filter entry's own oracle runs them over synthesized pages)
+ORACLE_SQL["quality_ensemble"] = f"""
+    WITH c4 AS ({ORACLE_SQL["c4_filter"]}),
+    g AS ({ORACLE_SQL["gopher_filter"]}),
+    l AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+          FROM documents),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN regexp_matches(line, '[.!?"'']$')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
+               CAST(SUM(CASE WHEN length(line) < 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short,
+               CAST(SUM(length(line)) AS BIGINT) AS total_chars
+        FROM l GROUP BY doc_id),
+    dup AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * len
+                                      ELSE 0 END), 0) AS BIGINT) AS dup_chars
+        FROM (SELECT doc_id, COUNT(*) AS c, length(line) AS len
+              FROM l GROUP BY doc_id, line) gd
+        GROUP BY doc_id),
+    fw AS (
+        SELECT p.doc_id,
+               (100 * n_punct >= 12 * n_lines AND
+                100 * n_short < 67 * n_lines AND
+                10 * dup_chars < total_chars) AS keep,
+               CASE WHEN 100 * n_punct < 12 * n_lines THEN 'punct'
+                    WHEN 100 * n_short >= 67 * n_lines THEN 'short_lines'
+                    WHEN 10 * dup_chars >= total_chars THEN 'dup_lines'
+                    END AS drop_reason
+        FROM per_doc p JOIN dup USING (doc_id))
+    SELECT doc_id,
+           (c4.keep AND g.keep AND fw.keep) AS keep,
+           CASE WHEN NOT c4.keep THEN 'c4:' || c4.drop_reason
+                WHEN NOT g.keep THEN 'gopher:' || g.drop_reason
+                WHEN NOT fw.keep THEN 'fineweb:' || fw.drop_reason
+                END AS drop_reason
+    FROM c4 JOIN g USING (doc_id) JOIN fw USING (doc_id)
+    ORDER BY doc_id
 """
