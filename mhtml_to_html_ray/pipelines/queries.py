@@ -4160,6 +4160,116 @@ def q_quality_ensemble(sf_dir: str):
         ds.map_batches(batch_fn, batch_format="pyarrow"), ["doc_id"])
 
 
+def q_sitemap_extract(sf_dir: str):
+    """robots.txt → Sitemap expansion (frontier/scheduler._sitemap_seed_urls
+    — RFC 9309 global Sitemap lines + sitemaps.org <loc>, one level of
+    <sitemapindex> indirection): ten fixture origins derived from the
+    documents table each serve a robots.txt and sitemap tree over a scripted
+    DictTransport; origins with k%3==0 publish a sitemapindex (two child
+    sitemaps), the rest a plain two-loc sitemap. Seed-list expansion is
+    DRIVER-SIDE BY DESIGN (bounded by seed-host count, the documented
+    shape); the per-URL output table is what the oracle rebuilds."""
+    from ..frontier.scheduler import _sitemap_seed_urls
+    from ..frontier.transports import DictTransport
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    residues = sorted({
+        int(r["doc_id"]) % 10
+        for r in ds.groupby("doc_id").count().take_all()
+    })
+
+    routes: dict = {}
+    seeds = []
+    for k in residues:
+        origin = f"https://s{k}.fixture.invalid"
+        seeds.append(f"{origin}/")
+        routes[f"{origin}/robots.txt"] = (
+            "text/plain",
+            f"User-agent: *\nAllow: /\nSitemap: {origin}/sitemap.xml\n")
+        if k % 3 == 0:
+            routes[f"{origin}/sitemap.xml"] = (
+                "application/xml",
+                "<sitemapindex>"
+                f"<sitemap><loc>{origin}/sm1.xml</loc></sitemap>"
+                f"<sitemap><loc>{origin}/sm2.xml</loc></sitemap>"
+                "</sitemapindex>")
+            routes[f"{origin}/sm1.xml"] = (
+                "application/xml",
+                f"<urlset><url><loc>{origin}/p{k}1</loc></url>"
+                f"<url><loc>{origin}/p{k}2</loc></url></urlset>")
+            routes[f"{origin}/sm2.xml"] = (
+                "application/xml",
+                f"<urlset><url><loc>{origin}/q{k}1</loc></url></urlset>")
+        else:
+            routes[f"{origin}/sitemap.xml"] = (
+                "application/xml",
+                f"<urlset><url><loc>{origin}/p{k}1</loc></url>"
+                f"<url><loc>{origin}/p{k}2</loc></url></urlset>")
+
+    urls = _sitemap_seed_urls(DictTransport(routes), seeds)
+    table = pa.table({"url": pa.array(sorted(urls), pa.string())})
+    return table
+
+
+def q_wat_roundtrip(sf_dir: str):
+    """WAT round trip (sources/warc.write_wat → read_wat — the metadata
+    member of the WARC/WET/WAT/CDX quartet): anchor-bearing pages → WAT
+    'metadata' records (production-parser head metadata + discovery-walk
+    outlinks as sorted-key JSON, deterministic record ids) → read back and
+    flatten. Title, link list (walk order), counts and the UTC stamp are
+    all rebuilt by the oracle."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.warc import read_wat, write_wat
+    from .flagship import PAGE_URL_PREFIX, wrap_mhtml
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        blobs, urls = [], []
+        for d in ids:
+            nxt, hub = d + 1, (d * 7 + 3) % 1000
+            body = (
+                f"<html><head><title>doc-{d}</title></head><body>"
+                f'<p><a href="{PAGE_URL_PREFIX}{nxt}">n</a></p>'
+                f'<p><a href="{PAGE_URL_PREFIX}{hub}">h</a></p>'
+                f"</body></html>")
+            blobs.append(wrap_mhtml(d, body))
+            urls.append(f"{PAGE_URL_PREFIX}{d}")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [1_767_225_600_000_000 + d for d in ids],
+                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(blobs, pa.binary()),
+        })
+
+    out_dir = "/tmp/mhtml_ray_gate_wat_" + hashlib.sha1(
+        f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_wat(ds.map_batches(pages, batch_format="pyarrow"), out_dir,
+              ts_col="warc_ts")
+    wat = read_wat(sorted(glob.glob(f"{out_dir}/*.warc.wat.gz")))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "wat_ts_us": batch.column("wat_ts").cast(pa.int64()),
+            "title": batch.column("title"),
+            "n_links": batch.column("n_links"),
+            "links": batch.column("links"),
+        })
+
+    out = _sorted_table(
+        wat.map_batches(project, batch_format="pyarrow"), ["url"])
+    _rmtree(out_dir)  # eager above — shards now dead
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4354,6 +4464,8 @@ QUERIES = {
     "synth_index": q_synth_index,
     "mhtml_recursion": q_mhtml_recursion,
     "quality_ensemble": q_quality_ensemble,
+    "sitemap_extract": q_sitemap_extract,
+    "wat_roundtrip": q_wat_roundtrip,
 }
 
 
@@ -6798,4 +6910,28 @@ ORACLE_SQL["quality_ensemble"] = f"""
                 END AS drop_reason
     FROM c4 JOIN g USING (doc_id) JOIN fw USING (doc_id)
     ORDER BY doc_id
+"""
+
+ORACLE_SQL["sitemap_extract"] = """
+    WITH ks AS (SELECT DISTINCT doc_id % 10 AS k FROM documents),
+    urls AS (
+        SELECT 'https://s' || CAST(k AS VARCHAR) || '.fixture.invalid/p'
+               || CAST(k AS VARCHAR) || CAST(i AS VARCHAR) AS url
+        FROM ks, UNNEST([1, 2]) AS t(i)
+        UNION ALL
+        SELECT 'https://s' || CAST(k AS VARCHAR) || '.fixture.invalid/q'
+               || CAST(k AS VARCHAR) || '1'
+        FROM ks WHERE k % 3 = 0)
+    SELECT url FROM urls ORDER BY url
+"""
+
+ORACLE_SQL["wat_roundtrip"] = """
+    SELECT 'https://docs.fixture.invalid/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(1767225600000000 AS BIGINT) AS wat_ts_us,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(2 AS BIGINT) AS n_links,
+           'https://docs.fixture.invalid/' || CAST(doc_id + 1 AS VARCHAR)
+               || '|' || 'https://docs.fixture.invalid/'
+               || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR) AS links
+    FROM documents ORDER BY url
 """

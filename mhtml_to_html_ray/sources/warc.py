@@ -332,6 +332,186 @@ def read_wet(paths):
 
 
 # ---------------------------------------------------------------------------
+# WAT metadata records (the third Common Crawl derived format, next to WET
+# and CDX): one 'metadata' record per page whose JSON payload carries the
+# head metadata and outlinks a link-graph consumer reads.
+
+
+def _wat_record(url: str, ts_us: int | None, meta_json: str) -> bytes:
+    """One WAT 'metadata' record: same deterministic WARC-Record-ID /
+    Block-Digest discipline as ``_wet_record`` (rerun-idempotent shards)."""
+    import base64
+    import hashlib
+    import uuid
+
+    payload = meta_json.encode("utf-8")
+    if ts_us is None:
+        date = "1970-01-01T00:00:00Z"
+    else:
+        date = datetime.fromtimestamp(
+            ts_us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    payload_sha1 = hashlib.sha1(payload)
+    record_id = uuid.uuid5(
+        uuid.NAMESPACE_URL, f"wat:{url}\n{date}\n{payload_sha1.hexdigest()}")
+    digest = base64.b32encode(payload_sha1.digest()).decode()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        f"WARC-Block-Digest: sha1:{digest}\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def page_wat_metadata(blob: bytes, url: str | None = None) -> str:
+    """The WAT JSON for one archived page: head metadata by the production
+    HTML5 parser (functions/domstats._head_meta through the MIME kernel)
+    plus the resolved outlinks of the production discovery walk — the
+    Envelope/Payload-Metadata nesting WAT consumers expect, serialized with
+    sorted keys so the payload (and therefore the content-hash shard name)
+    is deterministic."""
+    import json
+
+    from ..frontier.discovery import discover_anchor_texts
+    from ..functions.domstats import _head_meta
+    from ..kernel.mime import get_resource_dom, parse as _parse
+
+    title = None
+    n_meta = 0
+    try:
+        mhtml = _parse(blob)
+        index = mhtml.index
+        resource = mhtml.resources.get(index) if index is not None else None
+        if resource is not None:
+            content_type = (resource.content_type.split(";")[0]
+                            if resource.content_type else None)
+            dom = get_resource_dom(resource, content_type)
+            title, _, _, n_meta = _head_meta(dom.document)
+    except Exception:
+        pass
+    links = [{"text": text, "url": href}
+             for href, text in discover_anchor_texts(blob, url)]
+    meta = {
+        "Envelope": {
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Metas-Count": n_meta, "Title": title},
+                        "Links": links,
+                    }
+                }
+            },
+            "WARC-Header-Metadata": {"WARC-Target-URI": url},
+        }
+    }
+    return json.dumps(meta, sort_keys=True, ensure_ascii=False)
+
+
+def write_wat(pages_ds, output_dir: str, url_col: str = "url",
+              html_col: str = "html", ts_col: str | None = None,
+              compress: bool = True) -> int:
+    """Pages table → WAT metadata shards. Same scale contract as
+    ``write_wet``: one content-hash-named shard per input block (rerun-
+    idempotent, no driver accumulation), gzip member per record."""
+    import gzip
+    import hashlib
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    suffix = ".warc.wat.gz" if compress else ".warc.wat"
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        records = []
+        urls = batch.column(url_col).to_pylist()
+        blobs = batch.column(html_col).to_pylist()
+        stamps = batch.column(ts_col).to_pylist() if ts_col else [None] * len(urls)
+        for url, blob, stamp in zip(urls, blobs, stamps):
+            if blob is None:
+                continue
+            if stamp is not None and not isinstance(stamp, int):
+                if stamp.tzinfo is None:  # naive timestamp('us') stores UTC
+                    stamp = stamp.replace(tzinfo=timezone.utc)
+                stamp = int(stamp.timestamp() * 1_000_000)
+            meta_json = page_wat_metadata(bytes(blob), url)
+            record = _wat_record(url, stamp, meta_json)
+            records.append(gzip.compress(record, mtime=0) if compress else record)
+        if not records:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        blob_out = b"".join(records)
+        name = hashlib.sha1(blob_out).hexdigest()[:16] + suffix
+        path = os.path.join(output_dir, name)
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as handle:
+                handle.write(blob_out)
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(records)], pa.int64())})
+
+    counts = pages_ds.map_batches(write_block, batch_format="pyarrow")
+    return sum(row["n"] for row in counts.take_all())
+
+
+_WAT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("wat_ts", pa.timestamp("us")),
+    ("title", pa.string()),
+    ("n_meta", pa.int64()),
+    ("n_links", pa.int64()),
+    ("links", pa.string()),
+])
+
+
+def wat_metadata_rows(data: bytes) -> list[dict]:
+    """metadata records of one WAT file → flattened rows (url, wat_ts,
+    title, n_meta, n_links, links='|'-joined resolved URLs)."""
+    import json
+
+    rows: list[dict] = []
+    for headers, payload in parse_warc_records(data):
+        if headers.get("warc-type", "") != "metadata":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        try:
+            meta = json.loads(payload.decode("utf-8"))
+            html_meta = (meta["Envelope"]["Payload-Metadata"]
+                         ["HTTP-Response-Metadata"]["HTML-Metadata"])
+        except Exception:
+            continue
+        links = html_meta.get("Links", [])
+        rows.append({
+            "url": url,
+            "wat_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "title": html_meta.get("Head", {}).get("Title"),
+            "n_meta": int(html_meta.get("Head", {}).get("Metas-Count", 0)),
+            "n_links": len(links),
+            "links": "|".join(l.get("url", "") for l in links),
+        })
+    return rows
+
+
+def read_wat(paths):
+    """WAT shard(s) → Dataset; one block per shard file like read_warc."""
+    import ray.data
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        all_rows: list[dict] = []
+        for blob in batch.column("bytes").to_pylist():
+            all_rows.extend(wat_metadata_rows(blob))
+        if not all_rows:
+            return _WAT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(all_rows, schema=_WAT_SCHEMA)
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(to_rows, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # CDX capture index
 
 

@@ -134,7 +134,8 @@ def test_convert_report_lattice_kernel():
     ["wet_extract", "unfound_report", "favicon_report", "host_graph",
      "meta_extract", "script_gate_report", "srcset_report", "char_entropy",
      "base_href_links", "transfer_decode", "frame_report",
-     "synth_index", "mhtml_recursion", "quality_ensemble"],
+     "synth_index", "mhtml_recursion", "quality_ensemble",
+     "sitemap_extract", "wat_roundtrip"],
 )
 def test_report_queries_match_oracle_sql(ray_session, name):
     from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -241,3 +242,44 @@ def test_discover_hyperlinks_without_base_uses_content_location():
             '<html><body><a href="../up.html">1</a></body></html>'
             "\r\n------=_B--\r\n").encode()
     assert discover_hyperlinks(blob) == ["https://lh.fixture.invalid/up.html"]
+
+
+def test_wat_roundtrip_utc_and_idempotent(ray_session, tmp_path, monkeypatch):
+    """WAT shards: deterministic names (rerun-idempotent), UTC stamps even
+    on a non-UTC host (the write_wet ADVICE fix applies here too)."""
+    import glob
+    import os
+    import time
+
+    import ray.data
+
+    from mhtml_to_html_ray.pipelines.flagship import wrap_mhtml
+    from mhtml_to_html_ray.sources.warc import read_wat, write_wat
+
+    monkeypatch.setenv("TZ", "America/New_York")
+    time.tzset()
+    try:
+        body = ('<html><head><title>w</title></head><body>'
+                '<a href="https://t.example/x">x</a></body></html>')
+        pages = ray.data.from_arrow(pa.table({
+            "url": pa.array(["https://docs.fixture.invalid/3"]),
+            "warc_ts": pa.array([1_767_225_600_000_000], pa.int64()).cast(
+                pa.timestamp("us")),
+            "html": pa.array([wrap_mhtml(3, body)], pa.binary()),
+        }))
+        out_dir = str(tmp_path / "wat")
+        assert write_wat(pages, out_dir, ts_col="warc_ts") == 1
+        first = sorted(os.listdir(out_dir))
+        assert write_wat(pages, out_dir, ts_col="warc_ts") == 1
+        assert sorted(os.listdir(out_dir)) == first  # same content-hash name
+
+        rows = read_wat(sorted(glob.glob(f"{out_dir}/*.warc.wat.gz"))).take_all()
+        assert len(rows) == 1
+        import datetime as _dt
+
+        assert rows[0]["wat_ts"] == _dt.datetime(2026, 1, 1, 0, 0, 0)
+        assert rows[0]["title"] == "w"
+        assert rows[0]["links"] == "https://t.example/x"
+    finally:
+        monkeypatch.delenv("TZ", raising=False)
+        time.tzset()
