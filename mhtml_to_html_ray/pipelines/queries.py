@@ -4270,6 +4270,61 @@ def q_wat_roundtrip(sf_dir: str):
     return out
 
 
+def q_cdx_lookup(sf_dir: str):
+    """The CDX READ path (sources/warc.cdx_lookup): build the capture index
+    over the same synthesized captures as cdx_index, write it as CDXJ
+    shards + secondary index, then point-look-up every doc_id%97==0 key
+    through the two-level binary search. A hash match proves the sink's
+    20-digit stamp framing, shard ranges and bisection all round-trip; the
+    oracle is GENERATED from the committed cdx_index SQL filtered to the
+    probed keys (ts encodes doc_id)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..frontier.canon import surt_key
+    from ..sources.warc import cdx_index, cdx_lookup, write_cdx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        urls = [f"https://{s}.{l}.example.org/doc/{d}?v=1"
+                for d, l, s in zip(doc_ids, langs, sources)]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array([1700000000 + int(d) for d in doc_ids], pa.int64()),
+            "html": batch.column("text"),
+        })
+
+    out_dir = "/tmp/mhtml_ray_gate_cdxl_" + hashlib.sha1(
+        f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cdx = cdx_index(ds.map_batches(pages, batch_format="pyarrow"),
+                    url_col="url", ts_col="ts", payload_col="html")
+    write_cdx(cdx, out_dir)
+
+    probes = (
+        ds.select_columns(["doc_id", "lang", "source"])
+        .map_batches(
+            lambda b: b.filter(pa.array(
+                (b.column("doc_id").to_numpy(zero_copy_only=False) % 97) == 0)),
+            batch_format="pyarrow")
+        .take_all()
+    )
+    rows: list[dict] = []
+    for probe in probes:
+        url = (f"https://{probe['source']}.{probe['lang']}.example.org/doc/"
+               f"{probe['doc_id']}?v=1")
+        rows.extend(cdx_lookup(out_dir, surt_key(url)))
+    _rmtree(out_dir)
+    table = pa.Table.from_pylist(rows) if rows else pa.table(
+        {"surt": pa.array([], pa.string())})
+    return table.sort_by([("surt", "ascending"), ("ts", "ascending")])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4466,6 +4521,7 @@ QUERIES = {
     "quality_ensemble": q_quality_ensemble,
     "sitemap_extract": q_sitemap_extract,
     "wat_roundtrip": q_wat_roundtrip,
+    "cdx_lookup": q_cdx_lookup,
 }
 
 
@@ -6934,4 +6990,12 @@ ORACLE_SQL["wat_roundtrip"] = """
                || '|' || 'https://docs.fixture.invalid/'
                || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR) AS links
     FROM documents ORDER BY url
+"""
+
+# the committed cdx_index restatement, filtered to the probed keys
+# (ts = 1700000000 + doc_id encodes the doc residue)
+ORACLE_SQL["cdx_lookup"] = f"""
+    SELECT * FROM ({ORACLE_SQL["cdx_index"]}) idx
+    WHERE (ts - 1700000000) % 97 = 0
+    ORDER BY surt, ts
 """

@@ -694,6 +694,43 @@ def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
     return summary
 
 
+def cdx_lookup(output_dir: str, surt: str) -> list[dict]:
+    """Point lookup into a ``write_cdx`` directory — the replay/dedup read
+    path: the secondary index narrows to the shard(s) whose
+    [first_key, last_key] range covers the key (driver reads ONE small
+    JSON), then bisection inside each candidate shard finds the capture
+    lines without scanning. O(log n) per shard, no Ray needed — a lookup
+    is a point query by design. Returns (surt, ts, url, digest, n_bytes)
+    rows in (surt, ts) order."""
+    import bisect
+    import json
+    import os
+
+    with open(os.path.join(output_dir, "_index.json")) as handle:
+        shards = json.load(handle)
+    rows: list[dict] = []
+    for entry in shards:
+        if not (entry["first_key"] <= surt <= entry["last_key"]):
+            continue
+        with open(os.path.join(output_dir, entry["shard"]), "rb") as handle:
+            lines = handle.read().decode("utf-8").splitlines()
+        keys = [line.split(" ", 1)[0] for line in lines]
+        lo = bisect.bisect_left(keys, surt)
+        hi = bisect.bisect_right(keys, surt)
+        for line in lines[lo:hi]:
+            key, ts, meta = line.split(" ", 2)
+            parsed = json.loads(meta)
+            rows.append({
+                "surt": key,
+                "ts": int(ts),
+                "url": parsed["url"],
+                "digest": parsed["digest"],
+                "n_bytes": int(parsed["length"]),
+            })
+    rows.sort(key=lambda r: (r["surt"], r["ts"]))
+    return rows
+
+
 def _response_record(url: str, ts_us: int | None, body: bytes,
                      content_type: str = "text/html") -> bytes:
     """One WARC 'response' record wrapping ``body`` in a minimal HTTP/1.1
