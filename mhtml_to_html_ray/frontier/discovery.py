@@ -102,43 +102,25 @@ def discover(body: bytes, base_url: str | None, mode: str,
     return DISCOVERY_MODES[mode](body, base_url)
 
 
-def discover_anchor_texts(body: bytes,
-                          base_url: str | None = None) -> list[tuple[str, str]]:
-    """(resolved href, anchor text) pairs for every a/area with an href, in
-    the same breadth-first walk order as ``discover_hyperlinks`` — the raw
-    relation an anchor-text corpus (link-graph training data, anchor-based
-    retrieval labels) aggregates. Anchor text is the element's direct text
-    content (the common plain-text-anchor case; nested markup anchors keep
-    only their top-level text nodes)."""
+def anchor_texts_from_document(document,
+                               base: str | None) -> list[tuple[str, str]]:
+    """The anchor walk over an ALREADY-PARSED document — factored out so
+    consumers that built the DOM for other reasons (write_wat's metadata
+    pass) never parse the page twice. Honors the page's FIRST <base>
+    element exactly like the convert walk: convert.js:265-269 takes
+    getElementsByTagName("base")[0] even when it carries no href (a
+    href-less first base leaves the document base unchanged — WHATWG would
+    take the first base WITH an href; the deviation is deliberate
+    reference parity, shared by both walks)."""
     from ..kernel.urlutil import resolve_path
 
-    try:
-        mhtml = parse(body)
-        index = mhtml.index
-        if index is None:
-            first = next(iter(mhtml.resources.values()), None)
-            index = first.id if first is not None else None
-        resource = mhtml.resources.get(index) if index is not None else None
-        if resource is None:
-            return []
-        from ..kernel.mime import get_resource_dom
-
-        content_type = resource.content_type.split(";")[0] if resource.content_type else None
-        dom = get_resource_dom(resource, content_type)
-    except Exception:
-        return []
-    base = base_url or (index if isinstance(index, str) else None)
-    # honor the page's first <base href> exactly like the convert walk
-    # (kernel/convert.py base_elements handling) — browsers resolve every
-    # href against it, so crawl discovery must too or the frontier chases
-    # wrong URLs on base-bearing pages
-    base_elements = dom.document.get_elements_by_tag_name("base")
+    base_elements = document.get_elements_by_tag_name("base")
     if base_elements:
         href_attr = base_elements[0].get_attribute("href")
         if href_attr:
             base = resolve_path(href_attr, base)
     out: list[tuple[str, str]] = []
-    nodes = [dom.document]
+    nodes = [document]
     cursor = 0
     while cursor < len(nodes):
         node = nodes[cursor]
@@ -157,3 +139,30 @@ def discover_anchor_texts(body: bytes,
                     nodes.append(child.content)
             nodes.append(child)
     return out
+
+
+def discover_anchor_texts(body: bytes,
+                          base_url: str | None = None) -> list[tuple[str, str]]:
+    """(resolved href, anchor text) pairs for every a/area with an href, in
+    the same breadth-first walk order as ``discover_hyperlinks`` — the raw
+    relation an anchor-text corpus (link-graph training data, anchor-based
+    retrieval labels) aggregates. Anchor text is the element's direct text
+    content (the common plain-text-anchor case; nested markup anchors keep
+    only their top-level text nodes)."""
+    try:
+        mhtml = parse(body)
+        index = mhtml.index
+        if index is None:
+            first = next(iter(mhtml.resources.values()), None)
+            index = first.id if first is not None else None
+        resource = mhtml.resources.get(index) if index is not None else None
+        if resource is None:
+            return []
+        from ..kernel.mime import get_resource_dom
+
+        content_type = resource.content_type.split(";")[0] if resource.content_type else None
+        dom = get_resource_dom(resource, content_type)
+    except Exception:
+        return []
+    base = base_url or (index if isinstance(index, str) else None)
+    return anchor_texts_from_document(dom.document, base)

@@ -4173,9 +4173,20 @@ def q_sitemap_extract(sf_dir: str):
     from ..frontier.transports import DictTransport
 
     ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def residue(batch: pa.Table) -> pa.Table:
+        # project to ≤10 distinct values per block BEFORE anything moves —
+        # a groupby on raw doc_id would shuffle one row per document just
+        # to take % 10 on the driver
+        values = sorted(set(
+            (batch.column("doc_id").to_numpy(zero_copy_only=False)
+             % 10).tolist()))
+        return pa.table({"k": pa.array(values, pa.int64())})
+
     residues = sorted({
-        int(r["doc_id"]) % 10
-        for r in ds.groupby("doc_id").count().take_all()
+        int(r["k"])
+        for r in ds.map_batches(residue, batch_format="pyarrow")
+        .groupby("k").count().take_all()
     })
 
     routes: dict = {}

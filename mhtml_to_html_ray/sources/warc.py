@@ -198,18 +198,18 @@ def read_warc(paths):
     return files.map_batches(to_rows, batch_format="pyarrow")
 
 
-def _wet_record(url: str, ts_us: int | None, text: str) -> bytes:
-    """One WET 'conversion' record (the Common Crawl extracted-text format).
+def _derived_record(record_type: str, content_type: str, uuid_salt: str,
+                    url: str, ts_us: int | None, payload: bytes) -> bytes:
+    """One derived-format record (WET 'conversion' / WAT 'metadata').
 
     Carries the ISO 28500-mandatory WARC-Record-ID (ADVICE round 3) as a
-    DETERMINISTIC urn:uuid — UUIDv5 over (url, date, payload) — plus a
-    WARC-Block-Digest, so strict consumers (warcio validation) accept the
+    DETERMINISTIC urn:uuid — UUIDv5 over (salt, url, date, payload) — plus
+    a WARC-Block-Digest, so strict consumers (warcio validation) accept the
     output while shard naming stays content-addressed and rerun-idempotent."""
     import base64
     import hashlib
     import uuid
 
-    payload = text.encode("utf-8")
     if ts_us is None:
         date = "1970-01-01T00:00:00Z"
     else:
@@ -217,71 +217,102 @@ def _wet_record(url: str, ts_us: int | None, text: str) -> bytes:
             ts_us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     payload_sha1 = hashlib.sha1(payload)
     record_id = uuid.uuid5(
-        uuid.NAMESPACE_URL, f"{url}\n{date}\n{payload_sha1.hexdigest()}"
+        uuid.NAMESPACE_URL,
+        f"{uuid_salt}{url}\n{date}\n{payload_sha1.hexdigest()}"
     )
     digest = base64.b32encode(payload_sha1.digest()).decode()
     head = (
         "WARC/1.0\r\n"
-        "WARC-Type: conversion\r\n"
+        f"WARC-Type: {record_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
         f"WARC-Block-Digest: sha1:{digest}\r\n"
-        "Content-Type: text/plain\r\n"
+        f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode()
     return head + payload + b"\r\n\r\n"
 
 
-def write_wet(extracted_ds, output_dir: str, url_col: str = "url",
-              text_col: str = "text_out", ts_col: str | None = None,
-              compress: bool = True) -> int:
-    """Extraction output → WET shards (WARC 'conversion' records, the format
-    Common Crawl publishes extracted text in): each input block writes ONE
-    shard named by the content hash of its record bytes — deterministic,
-    rerun-idempotent (same block → same file), no driver accumulation.
-    Returns the number of records written. ``compress`` gzips each record
-    as its own member (the .warc.gz convention), so shards concatenate."""
+def _wet_record(url: str, ts_us: int | None, text: str) -> bytes:
+    """One WET 'conversion' record (the Common Crawl extracted-text
+    format)."""
+    return _derived_record("conversion", "text/plain", "", url, ts_us,
+                           text.encode("utf-8"))
+
+
+def _ts_to_us(stamp) -> int | None:
+    """Normalize a ts column value to epoch µs. Arrow timestamp('us')
+    round-trips as a tz-NAIVE datetime that stores UTC (the reader's own
+    warc_ts convention); naive .timestamp() would reinterpret it in the
+    machine's local timezone and shift WARC-Date by the UTC offset on any
+    non-UTC host (ADVICE round 3) — pin naive to UTC. Shared by every
+    record sink so the fix can never drift between them."""
+    if stamp is None or isinstance(stamp, int):
+        return stamp
+    if stamp.tzinfo is None:
+        stamp = stamp.replace(tzinfo=timezone.utc)
+    return int(stamp.timestamp() * 1_000_000)
+
+
+def _write_record_shards(ds, output_dir: str, suffix: str, make_records,
+                         compress: bool) -> int:
+    """The shared record-shard sink (WET/WAT/WARC writers): each input
+    block's records become ONE shard named by the content hash of its
+    bytes — deterministic, rerun-idempotent (same block → same file, a
+    retried task re-derives the same name and skips the write), no driver
+    accumulation; one count row per shard reaches the driver.
+    ``make_records(batch) -> list[bytes]``; with ``compress`` each record
+    gzips as its own member (the .warc.gz convention), so shards
+    concatenate."""
     import gzip
     import hashlib
     import os
 
     os.makedirs(output_dir, exist_ok=True)
-    suffix = ".warc.wet.gz" if compress else ".warc.wet"
 
     def write_block(batch: pa.Table) -> pa.Table:
-        records = []
-        urls = batch.column(url_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        stamps = batch.column(ts_col).to_pylist() if ts_col else [None] * len(urls)
-        for url, text, stamp in zip(urls, texts, stamps):
-            if text is None:
-                continue
-            if stamp is not None and not isinstance(stamp, int):
-                # Arrow timestamp('us') round-trips as a tz-NAIVE datetime
-                # that stores UTC (the reader's own warc_ts convention);
-                # naive .timestamp() would reinterpret it in the machine's
-                # local timezone and shift WARC-Date by the UTC offset on
-                # any non-UTC host (ADVICE round 3) — pin naive to UTC
-                if stamp.tzinfo is None:
-                    stamp = stamp.replace(tzinfo=timezone.utc)
-                stamp = int(stamp.timestamp() * 1_000_000)
-            record = _wet_record(url, stamp, text)
-            records.append(gzip.compress(record, mtime=0) if compress else record)
+        raw = make_records(batch)
+        records = [gzip.compress(r, mtime=0) if compress else r for r in raw]
         if not records:
             return pa.table({"n": pa.array([0], pa.int64())})
         blob = b"".join(records)
         name = hashlib.sha1(blob).hexdigest()[:16] + suffix
         path = os.path.join(output_dir, name)
         if not os.path.exists(path):  # rerun-idempotent
-            tmp = path + ".tmp"
+            # pid-suffixed tmp: concurrent writers of the same shard must
+            # never tear each other's in-flight file
+            tmp = path + f".tmp.{os.getpid()}"
             with open(tmp, "wb") as handle:
                 handle.write(blob)
             os.replace(tmp, path)
         return pa.table({"n": pa.array([len(records)], pa.int64())})
 
-    counts = extracted_ds.map_batches(write_block, batch_format="pyarrow")
+    counts = ds.map_batches(write_block, batch_format="pyarrow")
     return sum(row["n"] for row in counts.take_all())
+
+
+def write_wet(extracted_ds, output_dir: str, url_col: str = "url",
+              text_col: str = "text_out", ts_col: str | None = None,
+              compress: bool = True) -> int:
+    """Extraction output → WET shards (WARC 'conversion' records, the format
+    Common Crawl publishes extracted text in). Shard naming / idempotence /
+    compression contract: ``_write_record_shards``. Returns the number of
+    records written."""
+
+    def make_records(batch: pa.Table) -> list[bytes]:
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        stamps = batch.column(ts_col).to_pylist() if ts_col else [None] * len(urls)
+        return [
+            _wet_record(url, _ts_to_us(stamp), text)
+            for url, text, stamp in zip(urls, texts, stamps)
+            if text is not None
+        ]
+
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+    return _write_record_shards(
+        extracted_ds, output_dir, suffix, make_records, compress)
 
 
 _WET_SCHEMA = pa.schema([
@@ -338,33 +369,10 @@ def read_wet(paths):
 
 
 def _wat_record(url: str, ts_us: int | None, meta_json: str) -> bytes:
-    """One WAT 'metadata' record: same deterministic WARC-Record-ID /
-    Block-Digest discipline as ``_wet_record`` (rerun-idempotent shards)."""
-    import base64
-    import hashlib
-    import uuid
-
-    payload = meta_json.encode("utf-8")
-    if ts_us is None:
-        date = "1970-01-01T00:00:00Z"
-    else:
-        date = datetime.fromtimestamp(
-            ts_us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
-    payload_sha1 = hashlib.sha1(payload)
-    record_id = uuid.uuid5(
-        uuid.NAMESPACE_URL, f"wat:{url}\n{date}\n{payload_sha1.hexdigest()}")
-    digest = base64.b32encode(payload_sha1.digest()).decode()
-    head = (
-        "WARC/1.0\r\n"
-        "WARC-Type: metadata\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        f"WARC-Date: {date}\r\n"
-        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
-        f"WARC-Block-Digest: sha1:{digest}\r\n"
-        "Content-Type: application/json\r\n"
-        f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode()
-    return head + payload + b"\r\n\r\n"
+    """One WAT 'metadata' record (same record discipline as WET; the salt
+    keeps WET/WAT record ids distinct for identical url+date+payload)."""
+    return _derived_record("metadata", "application/json", "wat:", url,
+                           ts_us, meta_json.encode("utf-8"))
 
 
 def page_wat_metadata(blob: bytes, url: str | None = None) -> str:
@@ -376,12 +384,14 @@ def page_wat_metadata(blob: bytes, url: str | None = None) -> str:
     is deterministic."""
     import json
 
-    from ..frontier.discovery import discover_anchor_texts
+    from ..frontier.discovery import (anchor_texts_from_document,
+                                      discover_anchor_texts)
     from ..functions.domstats import _head_meta
     from ..kernel.mime import get_resource_dom, parse as _parse
 
     title = None
     n_meta = 0
+    anchors = None
     try:
         mhtml = _parse(blob)
         index = mhtml.index
@@ -391,10 +401,15 @@ def page_wat_metadata(blob: bytes, url: str | None = None) -> str:
                             if resource.content_type else None)
             dom = get_resource_dom(resource, content_type)
             title, _, _, n_meta = _head_meta(dom.document)
+            # reuse the SAME parsed tree for the link walk — parsing the
+            # page twice would double the sink's per-record CPU
+            anchors = anchor_texts_from_document(
+                dom.document, url or (index if isinstance(index, str) else None))
     except Exception:
         pass
-    links = [{"text": text, "url": href}
-             for href, text in discover_anchor_texts(blob, url)]
+    if anchors is None:  # the head-meta parse failed — one fallback parse
+        anchors = discover_anchor_texts(blob, url)
+    links = [{"text": text, "url": href} for href, text in anchors]
     meta = {
         "Envelope": {
             "Payload-Metadata": {
@@ -414,45 +429,23 @@ def page_wat_metadata(blob: bytes, url: str | None = None) -> str:
 def write_wat(pages_ds, output_dir: str, url_col: str = "url",
               html_col: str = "html", ts_col: str | None = None,
               compress: bool = True) -> int:
-    """Pages table → WAT metadata shards. Same scale contract as
-    ``write_wet``: one content-hash-named shard per input block (rerun-
-    idempotent, no driver accumulation), gzip member per record."""
-    import gzip
-    import hashlib
-    import os
+    """Pages table → WAT metadata shards. Shard naming / idempotence /
+    compression contract: ``_write_record_shards`` (shared with WET)."""
 
-    os.makedirs(output_dir, exist_ok=True)
-    suffix = ".warc.wat.gz" if compress else ".warc.wat"
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        records = []
+    def make_records(batch: pa.Table) -> list[bytes]:
         urls = batch.column(url_col).to_pylist()
         blobs = batch.column(html_col).to_pylist()
         stamps = batch.column(ts_col).to_pylist() if ts_col else [None] * len(urls)
-        for url, blob, stamp in zip(urls, blobs, stamps):
-            if blob is None:
-                continue
-            if stamp is not None and not isinstance(stamp, int):
-                if stamp.tzinfo is None:  # naive timestamp('us') stores UTC
-                    stamp = stamp.replace(tzinfo=timezone.utc)
-                stamp = int(stamp.timestamp() * 1_000_000)
-            meta_json = page_wat_metadata(bytes(blob), url)
-            record = _wat_record(url, stamp, meta_json)
-            records.append(gzip.compress(record, mtime=0) if compress else record)
-        if not records:
-            return pa.table({"n": pa.array([0], pa.int64())})
-        blob_out = b"".join(records)
-        name = hashlib.sha1(blob_out).hexdigest()[:16] + suffix
-        path = os.path.join(output_dir, name)
-        if not os.path.exists(path):
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as handle:
-                handle.write(blob_out)
-            os.replace(tmp, path)
-        return pa.table({"n": pa.array([len(records)], pa.int64())})
+        return [
+            _wat_record(url, _ts_to_us(stamp),
+                        page_wat_metadata(bytes(blob), url))
+            for url, blob, stamp in zip(urls, blobs, stamps)
+            if blob is not None
+        ]
 
-    counts = pages_ds.map_batches(write_block, batch_format="pyarrow")
-    return sum(row["n"] for row in counts.take_all())
+    suffix = ".warc.wat.gz" if compress else ".warc.wat"
+    return _write_record_shards(
+        pages_ds, output_dir, suffix, make_records, compress)
 
 
 _WAT_SCHEMA = pa.schema([
@@ -694,34 +687,77 @@ def write_cdx(cdx_ds, output_dir: str) -> list[dict]:
     return summary
 
 
+def _shard_bisect_lines(path: str, surt: bytes) -> list[bytes]:
+    """Seek-based bisection inside one sorted CDXJ shard: binary-search on
+    BYTE OFFSETS (seek to mid, realign to the next line start, compare the
+    key) until the first line with key >= surt, then read forward while the
+    key matches. O(log filesize) seeks + O(matches) reads — never loads or
+    splits the shard."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as handle:
+
+        def first_line_at(offset: int) -> tuple[int, bytes | None]:
+            """(line_start, key) of the first COMPLETE line at/after
+            ``offset`` (offset 0 is always a line start)."""
+            if offset <= 0:
+                handle.seek(0)
+            else:
+                handle.seek(offset - 1)
+                handle.readline()  # consume the partial line / its newline
+            start = handle.tell()
+            if start >= size:
+                return size, None
+            line = handle.readline()
+            return start, line.split(b" ", 1)[0]
+
+        lo, hi = 0, size
+        while lo < hi:
+            mid = (lo + hi) // 2
+            _, key = first_line_at(mid)
+            if key is None or key >= surt:
+                hi = mid
+            else:
+                lo = mid + 1
+        start, key = first_line_at(lo)
+        out: list[bytes] = []
+        handle.seek(start)
+        while True:
+            line = handle.readline()
+            if not line:
+                break
+            line = line.rstrip(b"\n")
+            if line.split(b" ", 1)[0] != surt:
+                break
+            out.append(line)
+        return out
+
+
 def cdx_lookup(output_dir: str, surt: str) -> list[dict]:
     """Point lookup into a ``write_cdx`` directory — the replay/dedup read
     path: the secondary index narrows to the shard(s) whose
     [first_key, last_key] range covers the key (driver reads ONE small
-    JSON), then bisection inside each candidate shard finds the capture
-    lines without scanning. O(log n) per shard, no Ray needed — a lookup
-    is a point query by design. Returns (surt, ts, url, digest, n_bytes)
-    rows in (surt, ts) order."""
-    import bisect
+    JSON), then seek-based bisection inside each candidate shard finds the
+    capture lines without scanning (``_shard_bisect_lines``). O(log shard
+    bytes) per shard, no Ray needed — a lookup is a point query by design.
+    Returns (surt, ts, url, digest, n_bytes) rows in (surt, ts) order."""
     import json
     import os
 
     with open(os.path.join(output_dir, "_index.json")) as handle:
         shards = json.load(handle)
     rows: list[dict] = []
+    key = surt.encode("utf-8")
     for entry in shards:
         if not (entry["first_key"] <= surt <= entry["last_key"]):
             continue
-        with open(os.path.join(output_dir, entry["shard"]), "rb") as handle:
-            lines = handle.read().decode("utf-8").splitlines()
-        keys = [line.split(" ", 1)[0] for line in lines]
-        lo = bisect.bisect_left(keys, surt)
-        hi = bisect.bisect_right(keys, surt)
-        for line in lines[lo:hi]:
-            key, ts, meta = line.split(" ", 2)
+        path = os.path.join(output_dir, entry["shard"])
+        for line in _shard_bisect_lines(path, key):
+            surt_key_out, ts, meta = line.decode("utf-8").split(" ", 2)
             parsed = json.loads(meta)
             rows.append({
-                "surt": key,
+                "surt": surt_key_out,
                 "ts": int(ts),
                 "url": parsed["url"],
                 "digest": parsed["digest"],
@@ -779,15 +815,10 @@ def write_warc(pages_ds, output_dir: str, url_col: str = "url",
     accumulation). ``compress`` gzips each record as its own member (the
     .warc.gz convention). Returns the number of records written.
     ``read_warc(write_warc(ds))`` round-trips url/warc_ts/payload exactly
-    (test-pinned)."""
-    import gzip
-    import hashlib
-    import os
+    (test-pinned). Shard naming / idempotence / compression contract:
+    ``_write_record_shards`` (shared with WET/WAT)."""
 
-    os.makedirs(output_dir, exist_ok=True)
-    suffix = ".warc.gz" if compress else ".warc"
-
-    def write_block(batch: pa.Table) -> pa.Table:
+    def make_records(batch: pa.Table) -> list[bytes]:
         records = []
         urls = batch.column(url_col).to_pylist()
         payloads = batch.column(payload_col).to_pylist()
@@ -795,25 +826,12 @@ def write_warc(pages_ds, output_dir: str, url_col: str = "url",
         for url, payload, stamp in zip(urls, payloads, stamps):
             if payload is None:
                 continue
-            if stamp is not None and not isinstance(stamp, int):
-                if stamp.tzinfo is None:  # naive Arrow ts stores UTC
-                    stamp = stamp.replace(tzinfo=timezone.utc)
-                stamp = int(stamp.timestamp() * 1_000_000)
             body = payload.encode("utf-8") if isinstance(payload, str) \
                 else bytes(payload)
-            record = _response_record(url, stamp, body, content_type)
-            records.append(gzip.compress(record, mtime=0) if compress else record)
-        if not records:
-            return pa.table({"n": pa.array([0], pa.int64())})
-        blob = b"".join(records)
-        name = hashlib.sha1(blob).hexdigest()[:16] + suffix
-        path = os.path.join(output_dir, name)
-        if not os.path.exists(path):  # rerun-idempotent
-            tmp = path + f".tmp.{os.getpid()}"
-            with open(tmp, "wb") as handle:
-                handle.write(blob)
-            os.replace(tmp, path)
-        return pa.table({"n": pa.array([len(records)], pa.int64())})
+            records.append(
+                _response_record(url, _ts_to_us(stamp), body, content_type))
+        return records
 
-    counts = pages_ds.map_batches(write_block, batch_format="pyarrow")
-    return sum(row["n"] for row in counts.take_all())
+    suffix = ".warc.gz" if compress else ".warc"
+    return _write_record_shards(
+        pages_ds, output_dir, suffix, make_records, compress)

@@ -283,3 +283,45 @@ def test_wat_roundtrip_utc_and_idempotent(ray_session, tmp_path, monkeypatch):
     finally:
         monkeypatch.delenv("TZ", raising=False)
         time.tzset()
+
+
+def test_first_base_without_href_is_reference_parity():
+    """convert.js:265-269 takes getElementsByTagName('base')[0] even when
+    it has no href — a leading href-less <base> leaves the document base
+    unchanged (WHATWG would use the first base WITH an href; the deviation
+    is deliberate parity, shared by discovery and the convert walk)."""
+    from mhtml_to_html_ray.frontier.discovery import discover_hyperlinks
+
+    root = ('<html><head><base target="_b">'
+            '<base href="https://b.example/s/"></head>'
+            '<body><a href="x.html">x</a></body></html>')
+    blob = ("MIME-Version: 1.0\r\n"
+            'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+            "------=_B\r\nContent-Type: text/html\r\n"
+            "Content-Location: https://lh.fixture.invalid/a/1\r\n\r\n" + root +
+            "\r\n------=_B--\r\n").encode()
+    assert discover_hyperlinks(blob) == ["https://lh.fixture.invalid/a/x.html"]
+
+
+def test_cdx_shard_bisect_seeks_not_scans(tmp_path):
+    """_shard_bisect_lines: correct first/middle/last/absent lookups via
+    offset bisection over a multi-thousand-line shard."""
+    from mhtml_to_html_ray.sources.warc import _shard_bisect_lines
+
+    lines = []
+    for i in range(5000):
+        key = f"key{i:06d}"
+        reps = 3 if i % 1000 == 0 else 1  # some keys carry several captures
+        for j in range(reps):
+            lines.append(f"{key} {j:020d} {{\"url\":\"u{i}\"}}")
+    path = tmp_path / "shard.cdxj"
+    path.write_bytes(("\n".join(lines) + "\n").encode())
+
+    assert len(_shard_bisect_lines(str(path), b"key000000")) == 3
+    assert len(_shard_bisect_lines(str(path), b"key002500")) == 1
+    assert len(_shard_bisect_lines(str(path), b"key004999")) == 1
+    assert _shard_bisect_lines(str(path), b"key999999") == []
+    assert _shard_bisect_lines(str(path), b"aaa") == []
+    got = _shard_bisect_lines(str(path), b"key001000")
+    assert [g.split(b" ")[1] for g in got] == [
+        b"0" * 19 + b"0", b"0" * 19 + b"1", b"0" * 18 + b"02"]
