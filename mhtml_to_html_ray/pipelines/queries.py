@@ -4336,6 +4336,32 @@ def q_cdx_lookup(sf_dir: str):
     return table.sort_by([("surt", "ascending"), ("ts", "ascending")])
 
 
+def q_host_pagerank(sf_dir: str):
+    """PageRank over the HOST graph (the Common Crawl host-level ranking
+    product): the same deterministic host edges as host_graph (k → (k+1)%7
+    and k → (k*3+1)%7, one edge per page per link — multi-edges weight the
+    walk naturally) through functions/graph.pagerank_units' integer
+    fixed-point contract. The oracle is GENERATED from the committed
+    pagerank SQL with the events edge table swapped for the host edges, so
+    the superstep arithmetic can never drift between the two entries."""
+    from ..functions import graph
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        k = (d % 7).astype(np.int64)
+        src = np.concatenate([k, k])
+        dst = np.concatenate([((d + 1) % 7).astype(np.int64),
+                              ((d * 3 + 1) % 7).astype(np.int64)])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    ranks = graph.pagerank_units(
+        ds.map_batches(edges, batch_format="pyarrow"), n_iter=2)
+    return _sorted_table(ranks, ["node"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4533,6 +4559,7 @@ QUERIES = {
     "sitemap_extract": q_sitemap_extract,
     "wat_roundtrip": q_wat_roundtrip,
     "cdx_lookup": q_cdx_lookup,
+    "host_pagerank": q_host_pagerank,
 }
 
 
@@ -7010,3 +7037,19 @@ ORACLE_SQL["cdx_lookup"] = f"""
     WHERE (ts - 1700000000) % 97 = 0
     ORDER BY surt, ts
 """
+
+# host_pagerank: the committed pagerank restatement with the events edge
+# table swapped for the deterministic host edges (slice at the nodes CTE so
+# every superstep line is shared verbatim — the two entries cannot drift)
+_PR_SQL = ORACLE_SQL["pagerank"]
+_HOST_EDGES_SQL = """
+            SELECT doc_id % 7 AS src, (doc_id + 1) % 7 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 7, (doc_id * 3 + 1) % 7
+            FROM documents"""
+ORACLE_SQL["host_pagerank"] = (
+    _PR_SQL[:_PR_SQL.index("WITH e AS (") + len("WITH e AS (")]
+    + _HOST_EDGES_SQL
+    + _PR_SQL[_PR_SQL.index("),\n        nodes AS ("):]
+)
