@@ -4362,6 +4362,105 @@ def q_host_pagerank(sf_dir: str):
     return _sorted_table(ranks, ["node"])
 
 
+def q_extract_errors(sf_dir: str):
+    """Per-row error isolation (mod.js:67-74 parity, stages/extract.py
+    _error_row): doc_id%3==0 rows ship unconvertible bytes (no archive, no
+    markup) MIXED into batches with valid pages — the bad rows must land
+    with the exact 'Index page not found' error and empty outputs while
+    their batch neighbors extract normally; a task-level failure or an
+    error bleeding across rows breaks the hash."""
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://err.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        urls, blobs = [], []
+        for d in ids:
+            if d % 3 == 0:
+                # fixed \x00\xff prefix: never MIME, never sniffs as markup
+                # (a doc_id-derived first byte hit 0x3C='<' and turned one
+                # row into a valid sniffed page)
+                blob = b"\x00\xff not an archive " + str(d).encode()
+            else:
+                body = (f"<html><head><title>doc-{d}</title></head>"
+                        f"<body><pre>ok {d}</pre></body></html>")
+                blob = (
+                    "MIME-Version: 1.0\r\n"
+                    'Content-Type: multipart/related; boundary="----=_B"\r\n'
+                    "\r\n------=_B\r\nContent-Type: text/html\r\n"
+                    f"Content-Location: {prefix}{d}\r\n\r\n{body}\r\n"
+                    "------=_B--\r\n").encode()
+            urls.append(f"{prefix}{d}")
+            blobs.append(blob)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(blobs, pa.binary())})
+
+    extracted = ds.map_batches(pages, batch_format="pyarrow").map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=128)
+
+    def report(batch: pa.Table) -> pa.Table:
+        doc_ids = [int(u.rsplit("/", 1)[1])
+                   for u in batch.column("url").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "error": batch.column("error"),
+            "title": batch.column("title"),
+            "text_out": batch.column("text_out"),
+        })
+
+    out = extracted.map_batches(report, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
+def q_charset_bom_report(sf_dir: str):
+    """BOM precedence (P15: util.js BOM sniff outranks every declaration):
+    each page carries a WRONG meta charset (koi8-r) while the actual bytes
+    are UTF-16LE (even doc_ids, FF FE BOM) or UTF-8 (odd, EF BB BF BOM);
+    the non-ASCII title round-trips only if the BOM wins the cascade."""
+    from ..stages.extract import ExtractBatch
+
+    prefix = "https://bom.fixture.invalid/"
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pages(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        urls, blobs = [], []
+        for d in ids:
+            doc = (
+                '<html><head><meta http-equiv="Content-Type" '
+                'content="text/html; charset=koi8-r">'
+                f"<title>Бом-{d}</title></head><body><p>b</p></body></html>")
+            if d % 2 == 0:
+                payload = b"\xff\xfe" + doc.encode("utf-16-le")
+            else:
+                payload = b"\xef\xbb\xbf" + doc.encode("utf-8")
+            blobs.append(
+                b"MIME-Version: 1.0\r\n"
+                b'Content-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+                b"------=_B\r\nContent-Type: text/html\r\n"
+                b"Content-Location: " + f"{prefix}{d}".encode() + b"\r\n\r\n"
+                + payload + b"\r\n------=_B--\r\n")
+            urls.append(f"{prefix}{d}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(blobs, pa.binary())})
+
+    extracted = ds.map_batches(pages, batch_format="pyarrow").map_batches(
+        ExtractBatch(keep_html=False), batch_format="pyarrow", batch_size=128)
+
+    def report(batch: pa.Table) -> pa.Table:
+        doc_ids = [int(u.rsplit("/", 1)[1])
+                   for u in batch.column("url").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "title": batch.column("title"),
+        })
+
+    out = extracted.map_batches(report, batch_format="pyarrow")
+    return _sorted_table(out, ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4560,6 +4659,8 @@ QUERIES = {
     "wat_roundtrip": q_wat_roundtrip,
     "cdx_lookup": q_cdx_lookup,
     "host_pagerank": q_host_pagerank,
+    "extract_errors": q_extract_errors,
+    "charset_bom_report": q_charset_bom_report,
 }
 
 
@@ -7053,3 +7154,18 @@ ORACLE_SQL["host_pagerank"] = (
     + _HOST_EDGES_SQL
     + _PR_SQL[_PR_SQL.index("),\n        nodes AS ("):]
 )
+
+ORACLE_SQL["extract_errors"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'Index page not found' END AS error,
+           CASE WHEN doc_id % 3 != 0
+                THEN 'doc-' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 3 = 0 THEN ''
+                ELSE 'ok ' || CAST(doc_id AS VARCHAR) END AS text_out
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["charset_bom_report"] = """
+    SELECT doc_id, 'Бом-' || CAST(doc_id AS VARCHAR) AS title
+    FROM documents ORDER BY doc_id
+"""
