@@ -4461,6 +4461,78 @@ def q_charset_bom_report(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_sft_format(sf_dir: str):
+    """SFT example formatting — the last hop before a fine-tuning data
+    loader: each document renders into a prompt/completion template and the
+    loss-mask character offsets (loss applies to the completion only) are
+    emitted alongside. Pure per-batch string assembly, zero shuffle; every
+    byte and offset is rebuilt by the oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sft, starts, ends = [], [], []
+        for d, t, lang in zip(ids, texts, langs):
+            t = t or ""
+            prompt = f"Summarize document doc-{d}:\n{t}\n"
+            completion = f"Summary: lang={lang} chars={len(t)}"
+            sft.append(prompt + completion)
+            starts.append(len(prompt))
+            ends.append(len(prompt) + len(completion))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sft_text": pa.array(sft, pa.string()),
+            "loss_start": pa.array(starts, pa.int64()),
+            "loss_end": pa.array(ends, pa.int64()),
+        })
+
+    return _sorted_table(ds.map_batches(fmt, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
+def q_span_corruption(sf_dir: str):
+    """T5-style span-corruption mask selection, made deterministic the
+    engine way (no RNG: token i of doc d is masked iff the first md5 byte
+    of 'span1:<d>:<i>' < 38, ≈15%): per doc the mask positions, their
+    count and the number of CONTIGUOUS spans (adjacent masked tokens merge
+    into one sentinel at training time). The oracle recomputes the
+    identical md5-byte threshold and the run-starts window count."""
+    import hashlib
+
+    from ..functions.textstats import _lm_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        n_tok, n_masked, n_spans, positions = [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = _lm_tokens(t or "")  # RE2-parity whitespace contract
+            masked = [
+                i for i in range(1, len(toks) + 1)
+                if hashlib.md5(f"span1:{d}:{i}".encode()).digest()[0] < 38
+            ]
+            runs = sum(1 for j, p in enumerate(masked)
+                       if j == 0 or masked[j - 1] != p - 1)
+            n_tok.append(len(toks))
+            n_masked.append(len(masked))
+            n_spans.append(runs)
+            positions.append(",".join(str(p) for p in masked))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_masked": pa.array(n_masked, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "masked_positions": pa.array(positions, pa.string()),
+        })
+
+    return _sorted_table(ds.map_batches(spans, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4661,6 +4733,8 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "extract_errors": q_extract_errors,
     "charset_bom_report": q_charset_bom_report,
+    "sft_format": q_sft_format,
+    "span_corruption": q_span_corruption,
 }
 
 
@@ -7168,4 +7242,54 @@ ORACLE_SQL["extract_errors"] = """
 ORACLE_SQL["charset_bom_report"] = """
     SELECT doc_id, 'Бом-' || CAST(doc_id AS VARCHAR) AS title
     FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["sft_format"] = r"""
+    WITH parts AS (
+        SELECT doc_id,
+               'Summarize document doc-' || CAST(doc_id AS VARCHAR) || ':'
+                   || chr(10) || text || chr(10) AS prompt,
+               'Summary: lang=' || lang || ' chars='
+                   || CAST(LENGTH(text) AS VARCHAR) AS completion
+        FROM documents)
+    SELECT doc_id,
+           prompt || completion AS sft_text,
+           CAST(LENGTH(prompt) AS BIGINT) AS loss_start,
+           CAST(LENGTH(prompt) + LENGTH(completion) AS BIGINT) AS loss_end
+    FROM parts ORDER BY doc_id
+"""
+
+ORACLE_SQL["span_corruption"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
+    flat AS (
+        SELECT doc_id, UNNEST(generate_series(1, len(l))) AS i
+        FROM toks WHERE len(l) > 0),
+    m AS (
+        SELECT doc_id, i,
+               CAST(concat('0x', substr(md5('span1:'
+                   || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(i AS VARCHAR)), 1, 2)) AS INTEGER) < 38 AS masked
+        FROM flat),
+    runs AS (
+        SELECT doc_id, i, masked,
+               masked AND NOT COALESCE(
+                   LAG(masked) OVER (PARTITION BY doc_id ORDER BY i),
+                   FALSE) AS run_start
+        FROM m),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+               CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spans,
+               COALESCE(string_agg(
+                   CASE WHEN masked THEN CAST(i AS VARCHAR) END,
+                   ',' ORDER BY i), '') AS masked_positions
+        FROM runs GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_masked, 0) AS n_masked,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.masked_positions, '') AS masked_positions
+    FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """
