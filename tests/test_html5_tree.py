@@ -2177,3 +2177,43 @@ def test_probe_pins_pass7_svg_camelcase_dom_names():
             stack.extend(node.child_nodes)
     assert sorted(names) == ["clipPath", "foreignObject", "linearGradient",
                              "svg", "textPath"]
+
+
+@pytest.mark.parametrize(
+    "source,expected",
+    [
+        # svg script is a generic foreign element — content stays text
+        ("<body><svg><script>var x;</script></svg></body>",
+         "<body><svg><script>var x;</script></svg></body>"),
+        # "in table" form rule: inserted and immediately popped (form
+        # pointer set), NOT fostered; the hidden input stays in the table
+        ("<body><table><form><input type=hidden name=x><tr><td>c</table>"
+         "</body>",
+         '<body><table><form></form><input type="hidden" name="x">'
+         "<tbody><tr><td>c</td></tr></tbody></table></body>"),
+        # </optgroup> closes the open option first
+        ("<body><select><optgroup><option>a</optgroup><option>b</select>"
+         "</body>",
+         "<body><select><optgroup><option>a</option></optgroup>"
+         "<option>b</option></select></body>"),
+        # title is RCDATA wherever it appears — entities decode
+        ("<body><title>&notin;</title></body>",
+         "<body><title>∉</title></body>"),
+        # address closes an open p (implied end in button scope)
+        ("<body><p>x<address>y</address></body>",
+         "<body><p>x</p><address>y</address></body>"),
+        # EOF inside RAWTEXT keeps the accumulated text
+        ("<body><style>unterminated {",
+         "<body><style>unterminated {</style></body>"),
+        # an SVG <a> nests inside an open HTML <a> (no adoption in foreign)
+        ("<body><a href=o><svg><a href=i>y</a></svg></a></body>",
+         '<body><a href="o"><svg><a href="i">y</a></svg></a></body>'),
+        # template content keeps raw table parts (fragment context)
+        ("<body><template><tr><td>x</td></tr></template></body>",
+         "<body><template><tr><td>x</td></tr></template></body>"),
+        ("<body><math><mo>+</mo><mn>1</mn></math></body>",
+         "<body><math><mo>+</mo><mn>1</mn></math></body>"),
+    ],
+)
+def test_probe_pins_pass8(source, expected):
+    assert body_html(source) == expected
