@@ -4533,6 +4533,63 @@ def q_span_corruption(sf_dir: str):
                          ["doc_id"])
 
 
+def q_meta_robots_gate(sf_dir: str):
+    """Page-level robots directives (the crawl-side complement of
+    robots.txt): <meta name=robots> noindex/nofollow tokens and per-anchor
+    rel=nofollow, read by the production HTML5 parser — the gate an index
+    builder runs before adding a page, and the link filter a polite crawler
+    applies before expanding it. Residue lattice: d%4==0 noindex,nofollow;
+    1 noindex; 2 nofollow; 3 no directive. Every page carries one plain
+    link and one rel=nofollow link."""
+    from ..kernel.dom import Element, parse_html
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def report(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        indexable, followable = [], []
+        for d in ids:
+            directive = {0: "noindex, nofollow", 1: "noindex",
+                         2: "nofollow", 3: ""}[d % 4]
+            meta = (f'<meta name="robots" content="{directive}">'
+                    if directive else "")
+            html = (
+                f"<html><head>{meta}<title>doc-{d}</title></head><body>"
+                f'<a href="/plain{d}">p</a>'
+                f'<a href="/tracked{d}" rel="nofollow">t</a>'
+                f"</body></html>")
+            tokens: set[str] = set()
+            n_follow = 0
+            stack = list(parse_html(html).child_nodes)
+            while stack:
+                node = stack.pop()
+                if not isinstance(node, Element):
+                    continue
+                tag = node.tag_name.lower()
+                if tag == "meta" and \
+                        (node.get_attribute("name") or "").lower() == "robots":
+                    content = node.get_attribute("content") or ""
+                    tokens |= {t.strip().lower()
+                               for t in content.split(",") if t.strip()}
+                elif tag == "a" and node.get_attribute("href"):
+                    rels = (node.get_attribute("rel") or "").lower().split()
+                    if "nofollow" not in rels:
+                        n_follow += 1
+                stack.extend(node.child_nodes)
+            page_nofollow = "nofollow" in tokens or "none" in tokens
+            indexable.append(
+                not ("noindex" in tokens or "none" in tokens))
+            followable.append(0 if page_nofollow else n_follow)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "indexable": pa.array(indexable, pa.bool_()),
+            "n_followable_links": pa.array(followable, pa.int64()),
+        })
+
+    return _sorted_table(ds.map_batches(report, batch_format="pyarrow"),
+                         ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4735,6 +4792,7 @@ QUERIES = {
     "charset_bom_report": q_charset_bom_report,
     "sft_format": q_sft_format,
     "span_corruption": q_span_corruption,
+    "meta_robots_gate": q_meta_robots_gate,
 }
 
 
@@ -7292,4 +7350,12 @@ ORACLE_SQL["span_corruption"] = r"""
            COALESCE(a.n_spans, 0) AS n_spans,
            COALESCE(a.masked_positions, '') AS masked_positions
     FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+ORACLE_SQL["meta_robots_gate"] = """
+    SELECT doc_id,
+           doc_id % 4 NOT IN (0, 1) AS indexable,
+           CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 0 ELSE 1 END
+                AS BIGINT) AS n_followable_links
+    FROM documents ORDER BY doc_id
 """

@@ -136,7 +136,8 @@ def test_convert_report_lattice_kernel():
      "base_href_links", "transfer_decode", "frame_report",
      "synth_index", "mhtml_recursion", "quality_ensemble",
      "sitemap_extract", "wat_roundtrip", "cdx_lookup", "host_pagerank",
-     "extract_errors", "charset_bom_report", "sft_format", "span_corruption"],
+     "extract_errors", "charset_bom_report", "sft_format", "span_corruption",
+     "meta_robots_gate"],
 )
 def test_report_queries_match_oracle_sql(ray_session, name):
     from mhtml_to_html_ray.pipelines.queries import ORACLE_SQL, QUERIES
