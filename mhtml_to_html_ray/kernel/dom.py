@@ -967,10 +967,11 @@ def parse_html(source: str) -> Document:
             if stack and isinstance(stack[-1], Element) and stack[-1].tag_name == "tr":
                 stack.pop()
         elif tag in ("option", "optgroup") and top_tag == "option":
+            # spec "in body" option/optgroup: only an open <option> is
+            # popped — a second <optgroup> NESTS inside the first (the
+            # pop-optgroup-too rule belongs to "in select" and is applied
+            # at the select gate before this helper runs)
             stack.pop()
-            if (tag == "optgroup" and stack and isinstance(stack[-1], Element)
-                    and stack[-1].tag_name == "optgroup"):
-                stack.pop()
         elif tag == "button":
             # spec: a <button> with a button in scope closes it first —
             # buttons never nest
@@ -1554,10 +1555,11 @@ def parse_html(source: str) -> Document:
                     # spec "in select in table": these pop the select, then
                     # the token is processed by the table rules
                     pop_stack_to(select_el)
-                elif tag == "hr":
-                    # spec "in select" <hr>: pop an open option, then an
-                    # open optgroup — the rule lands <hr> as a child of the
-                    # select itself, never inside an option
+                elif tag == "hr" or tag == "optgroup":
+                    # spec "in select" <hr> / <optgroup>: pop an open
+                    # option, then an open optgroup — optgroups never nest
+                    # inside a select (unlike "in body", where a second
+                    # <optgroup> after </option> DOES nest)
                     if (stack and isinstance(stack[-1], Element)
                             and stack[-1].tag_name == "option"):
                         stack.pop()

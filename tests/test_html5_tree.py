@@ -823,10 +823,13 @@ def test_frameset_document_has_no_implied_body():
          "<body><ul><li><div>a</div></li><li>b</li></ul></body>"),
         # heading auto-close
         ("<h1>a<h2>b", "<body><h1>a</h1><h2>b</h2></body>"),
-        # optgroup/option auto-close outside select
+        # optgroup/option outside select: spec "in body" optgroup/option
+        # start tags pop ONLY an open <option> — the second <optgroup>
+        # NESTS inside the first (pop-the-optgroup-too is an "in select"
+        # rule; see test_select_optgroup_never_nests)
         ("<body><optgroup><option>a<optgroup><option>b",
-         "<body><optgroup><option>a</option></optgroup>"
-         "<optgroup><option>b</option></optgroup></body>"),
+         "<body><optgroup><option>a</option>"
+         "<optgroup><option>b</option></optgroup></optgroup></body>"),
         # duplicate attribute: first wins
         ('<div id="a" id="b"></div>', '<body><div id="a"></div></body>'),
         # <a> in <a> runs the adoption agency
@@ -2217,3 +2220,143 @@ def test_probe_pins_pass7_svg_camelcase_dom_names():
 )
 def test_probe_pins_pass8(source, expected):
     assert body_html(source) == expected
+
+
+# ---------------------------------------------------------------------------
+# probe pass 9: select/body optgroup split, form pointer, foreign attribute
+# adjustment, integration points, numeric-reference corners, serializer
+# reference-parity (document-level comments, unwritable attribute names)
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # spec "in select" <optgroup>: pop an open option, then an open
+        # optgroup — optgroups never nest inside a select
+        ("<body><select><optgroup><optgroup>x</select></body>",
+         "<body><select><optgroup></optgroup><optgroup>x</optgroup>"
+         "</select></body>"),
+        ("<body><select><optgroup><option>a<optgroup><option>b</select></body>",
+         "<body><select><optgroup><option>a</option></optgroup>"
+         "<optgroup><option>b</option></optgroup></select></body>"),
+        # spec "in body" optgroup/option: ONLY an open option is popped —
+        # outside a select a second <optgroup> nests inside the first
+        ("<body><optgroup><option>a<optgroup><option>b</body>",
+         "<body><optgroup><option>a</option>"
+         "<optgroup><option>b</option></optgroup></optgroup></body>"),
+        # <image> start tag is renamed to img (in body rule)
+        ("<body><p><image src=x></body>",
+         '<body><p><img src="x"></p></body>'),
+        # in table: <input type=hidden> is NOT foster-parented (spec
+        # exception); any other input is
+        ("<body><table><input type=hidden></table></body>",
+         '<body><table><input type="hidden"></table></body>'),
+        ("<body><table><input type=text></table></body>",
+         '<body><input type="text"><table></table></body>'),
+        # a second <form> is ignored while the form pointer is set
+        ("<body><form><div><form><input></div></form></body>",
+         "<body><form><div><input></div></form></body>"),
+        # foreign attribute adjustment: xml:/xlink: prefixes round-trip,
+        # ordinary attributes stay bare
+        ("<body><svg xml:lang=en xlink:href=x foo=1></svg></body>",
+         '<body><svg xml:lang="en" xlink:href="x" foo="1"></svg></body>'),
+        # MathML definitionURL case adjustment
+        ("<body><math definitionurl=x></math></body>",
+         '<body><math definitionURL="x"></math></body>'),
+        # annotation-xml: text/html and application/xhtml+xml are HTML
+        # integration points (div stays inside); anything else breaks out
+        ("<body><math><annotation-xml encoding='text/html'><div>x</div>"
+         "</annotation-xml></math></body>",
+         '<body><math><annotation-xml encoding="text/html"><div>x</div>'
+         "</annotation-xml></math></body>"),
+        ("<body><math><annotation-xml><div>x</div></annotation-xml></math>"
+         "</body>",
+         "<body><math><annotation-xml></annotation-xml></math>"
+         "<div>x</div></body>"),
+        # svg desc/title are HTML integration points
+        ("<body><svg><desc><div>x</div></desc></svg></body>",
+         "<body><svg><desc><div>x</div></desc></svg></body>"),
+        ("<body><svg><title><div>x</div></title></svg></body>",
+         "<body><svg><title><div>x</div></title></svg></body>"),
+        # numeric reference corners: out-of-range and NUL become U+FFFD,
+        # C1 controls remap through the windows-1252 table
+        ("<body>&#x110000;&#0;</body>", "<body>��</body>"),
+        ("<body>&#x80;&#x9F;</body>", "<body>€Ÿ</body>"),
+        # named references: longest-prefix match without a semicolon
+        ("<body>&notin; &not;x &nota</body>",
+         "<body>∉ ¬x ¬a</body>"),
+        ("<body>&AMP; &amp &LT;x</body>", "<body>&amp; &amp; &lt;x</body>"),
+        # listing skips a leading newline like pre
+        ("<body><listing>\nX</listing></body>",
+         "<body><listing>X</listing></body>"),
+        # a <button> start tag closes a button in scope (never nests)
+        ("<body><button>a<button>b</body>",
+         "<body><button>a</button><button>b</button></body>"),
+        # the cell marker keeps the outer <a> from reconstructing inside
+        # the cell; the inner <a> is its own formatting entry
+        ("<body><a href=1>x<table><tr><td><a href=2>y</table></body>",
+         '<body><a href="1">x<table><tbody><tr><td><a href="2">y</a>'
+         "</td></tr></tbody></table></a></body>"),
+        # solidus mid-tag restarts attribute parsing; duplicate attribute
+        # names keep the first value
+        ("<body><a/ b>x</body>", '<body><a b="">x</a></body>'),
+        ("<body><a b=1 b=2>x</body>", '<body><a b="1">x</a></body>'),
+        # unquoted attribute values may carry '='
+        ("<body><div a=b=c></div></body>", '<body><div a="b=c"></div></body>'),
+        # col outside a table/colgroup context is ignored
+        ("<body><col>x</body>", "<body>x</body>"),
+        ("<body><table><colgroup><col span=2><td>x</table></body>",
+         '<body><table><colgroup><col span="2"></colgroup>'
+         "<tbody><tr><td>x</td></tr></tbody></table></body>"),
+        # a <tr> token while a caption is open closes the caption (implied
+        # end tags + pop), a second <caption> likewise
+        ("<body><table><caption><div>x<tr><td>y</table></body>",
+         "<body><table><caption><div>x</div></caption>"
+         "<tbody><tr><td>y</td></tr></tbody></table></body>"),
+        ("<body><table><caption>x<caption>y</table></body>",
+         "<body><table><caption>x</caption><caption>y</caption>"
+         "</table></body>"),
+        # bogus comments (<! and <?) become real comment nodes in body
+        ("<body>x<!y>z</body>", "<body>x<!--y-->z</body>"),
+        # empty end tag is dropped
+        ("<body></>x</body>", "<body>x</body>"),
+        # CR and CRLF normalize to LF
+        ("<body>a\rb\r\nc</body>", "<body>a\nb\nc</body>"),
+        # form feed is tag whitespace
+        ("<body><div\fclass=x>y</div></body>", '<body><div class="x">y</div></body>'),
+    ],
+)
+def test_probe_pins_pass9(source, expected):
+    assert body_html(source) == expected
+
+
+def test_select_optgroup_never_nests():
+    # regression for the in-select/in-body optgroup split: before the fix
+    # the select plan nested sibling optgroups and the body plan split
+    # nested ones — each mode borrowed the other's rule
+    assert body_html("<body><select><optgroup>a<optgroup>b</select></body>") == (
+        "<body><select><optgroup>a</optgroup><optgroup>b</optgroup>"
+        "</select></body>"
+    )
+
+
+def test_document_level_comments_not_serialized():
+    # reference parity (util.js:325-332): serialize() writes the doctype
+    # plus documentElement.outerHTML — comments that are CHILDREN OF THE
+    # DOCUMENT (before <html>, or after </html> in after-after-body mode)
+    # never reach the output, while comments inside <html> do
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    assert parse_dom("<!--before--><html><body>x", "text/html").serialize() == (
+        "<html><head></head><body>x</body></html>"
+    )
+    assert "<!--in-->" in parse_dom("<html><body>x<!--in-->", "text/html").serialize()
+
+
+def test_unwritable_attribute_names_dropped():
+    # reference parity (dom-parser-node.js INVALID_TAG_NAME_REGEXP):
+    # attribute names carrying " ' > / or = cannot be re-serialized and
+    # are dropped; names with other oddities (e.g. '<') are kept verbatim
+    assert body_html("<body><div a\">x</body>") == "<body><div>x</div></body>"
+    assert body_html("<body><div =x>y</body>") == "<body><div>y</div></body>"
+    assert body_html("<body><div a<b>x</body>") == '<body><div a<b="">x</div></body>'
