@@ -2360,3 +2360,128 @@ def test_unwritable_attribute_names_dropped():
     assert body_html("<body><div a\">x</body>") == "<body><div>x</div></body>"
     assert body_html("<body><div =x>y</body>") == "<body><div>y</div></body>"
     assert body_html("<body><div a<b>x</body>") == '<body><div a<b="">x</div></body>'
+
+
+# ---------------------------------------------------------------------------
+# probe pass 10: Noah's Ark clause, MathML text integration points, RAWTEXT
+# coverage, doctype round-trips, table-section ordering
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # Noah's Ark clause: pushing a 4th identical <b> evicts the
+        # earliest entry, so the last <p> reconstructs only three
+        ("<body><p><b>1<p><b>2<p><b>3<p><b>4<p>x</body>",
+         "<body><p><b>1</b></p><p><b><b>2</b></b></p>"
+         "<p><b><b><b>3</b></b></b></p><p><b><b><b><b>4</b></b></b></b></p>"
+         "<p><b><b><b>x</b></b></b></p></body>"),
+        # mtext/ms are MathML text integration points: children parse as HTML
+        ("<body><math><mtext><p>x</p></mtext></math></body>",
+         "<body><math><mtext><p>x</p></mtext></math></body>"),
+        ("<body><math><ms><b>x</b></ms></math></body>",
+         "<body><math><ms><b>x</b></ms></math></body>"),
+        # basefont/bgsound are head-insertable voids
+        ("<basefont><bgsound><link>x",
+         "<basefont><bgsound><link>x"),
+        # table sections appear in token order (no reordering), each closed
+        # by the next section start
+        ("<body><table><tbody><tr><td>a<tfoot><tr><td>b<thead></table></body>",
+         "<body><table><tbody><tr><td>a</td></tr></tbody>"
+         "<tfoot><tr><td>b</td></tr></tfoot><thead></thead></table></body>"),
+        # stray end tags after </table> are ignored
+        ("<body><table><tr><td>a</table></td>x</body>",
+         "<body><table><tbody><tr><td>a</td></tr></tbody></table>x</body>"),
+        # an open <b> wraps a table and survives it (cell marker scopes the
+        # inner <b> to the cell)
+        ("<body><b>1<table><tr><td><b>2</table>3</body>",
+         "<body><b>1<table><tbody><tr><td><b>2</b></td></tr></tbody>"
+         "</table>3</b></body>"),
+        # EOF inside a comment keeps the accumulated data
+        ("<body>x<!--unterminated", "<body>x<!--unterminated--></body>"),
+        ("<body><wbr>x<keygen>y</body>", "<body><wbr>x<keygen>y</body>"),
+    ],
+)
+def test_probe_pins_pass10(source, expected):
+    # pass-10 cases where the whole serialization matters use parse_dom below
+    if source.startswith("<basefont"):
+        from mhtml_to_html_ray.kernel.dom import parse_dom
+        assert parse_dom(source, "text/html").serialize() == (
+            "<html><head><basefont><bgsound><link></head>"
+            "<body>x</body></html>"
+        )
+    else:
+        assert body_html(source) == expected
+
+
+def test_rawtext_elements_hold_single_text_node():
+    # noembed/iframe/noframes switch the tokenizer to RAWTEXT: markup
+    # inside them is literal text, not elements
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    for tag in ("noembed", "iframe", "noframes"):
+        doc = parse_dom(f"<{tag}><b>x</b></{tag}>", "text/html").document
+        el = doc.get_elements_by_tag_name(tag)[0]
+        kinds = [type(c).__name__ for c in el.child_nodes]
+        assert kinds == ["Text"], (tag, kinds)
+
+
+def test_doctype_public_system_roundtrip():
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    src = ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+           '"http://www.w3.org/TR/html4/strict.dtd"><html><body>x')
+    assert parse_dom(src, "text/html").serialize().startswith(
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+        '"http://www.w3.org/TR/html4/strict.dtd">\n<html>'
+    )
+    # reference parity (util.js serializeDocType): a SYSTEM-only doctype is
+    # written WITHOUT the SYSTEM keyword — the systemId is quoted bare
+    src = '<!DOCTYPE html SYSTEM "about:legacy-compat"><html><body>x'
+    assert parse_dom(src, "text/html").serialize().startswith(
+        '<!DOCTYPE html "about:legacy-compat">\n<html>'
+    )
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # adoption agency: formatting elements reconstructed after </b>
+        ("<body><b><em><i>x</b>y</body>",
+         "<body><b><em><i>x</i></em></b><em><i>y</i></em></body>"),
+        # a-in-a through b (html5lib adoption01 family)
+        ("<body><a><b><a>x</body>",
+         "<body><a><b></b></a><b><a>x</a></b></body>"),
+        # block-boundary adoption: the furthest block moves to the common
+        # ancestor and receives a clone of <b>; following text stays in it
+        ("<body><div><b><div>x</b>y</body>",
+         "<body><div><b></b><div><b>x</b>y</div></div></body>"),
+        # deep cite/i chain (adoption01.dat final case shape)
+        ("<body><cite><b><cite><i><cite><i><cite><i><div>x</b>y</body>",
+         "<body><cite><b><cite><i><cite><i><cite><i></i></cite></i>"
+         "</cite></i></cite></b><i><i><div><b>x</b>y</div></i></i>"
+         "</cite></body>"),
+        # </tbody> in a cell closes cell+row+section; trailing text fosters
+        ("<body><table><td></tbody>a</body>",
+         "<body>a<table><tbody><tr><td></td></tr></tbody></table></body>"),
+        ("<body><svg><g></g><g>y</svg></body>",
+         "<body><svg><g></g><g>y</g></svg></body>"),
+        # attribute entities decode at parse; serialization escapes only
+        # & / nbsp / quote (reference ATTRIBUTE_ESCAPE_REGEXP) — '<' raw
+        ('<body><input value="&lt;&amp;"></body>',
+         '<body><input value="<&amp;"></body>'),
+        ('<body><div title="a&#10;b"></div></body>',
+         '<body><div title="a\nb"></div></body>'),
+        ('<body><div title="a&nbsp;b"></div></body>',
+         '<body><div title="a&nbsp;b"></div></body>'),
+        ("<body><p>a&nbsp;b</p></body>", "<body><p>a&nbsp;b</p></body>"),
+        # script double-escaped state: <!-- <script> suspends the close tag;
+        # serializer writes </ as <\/ inside script (reference escapeTextNode)
+        ("<body><script><!-- <script> a </script> b</script></body>",
+         "<body><script><!-- <script> a <\\/script> b</script></body>"),
+        ("<body><script>a<!--b--></script></body>",
+         "<body><script>a<!--b--></script></body>"),
+    ],
+)
+def test_probe_pins_pass10_adoption_entities(source, expected):
+    assert body_html(source) == expected
