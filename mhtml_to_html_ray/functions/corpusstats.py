@@ -891,3 +891,125 @@ def ngram_novelty(documents_ds, n: int = 3):
         )
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def pmi_collocations(documents_ds, min_count: int = 5, k: int = 50):
+    """Pointwise-mutual-information collocations (Church & Hanks 1990): the
+    adjacent-bigram pairs whose co-occurrence most exceeds independence.
+
+    PMI is quantized per pair with the dsir/char_entropy integer contract —
+    pmi_q = FLOOR(1e6 × ln((c_ab · n_tok²) / (n_bi · c_a · c_b))), one
+    math.log (libm) call per SURVIVING pair so DuckDB's LN restates it
+    bit-exactly; numerator/denominator are exact int64 products (< 2^53 at
+    gate scale; a 100-TB run divides the counts by their GCD or moves to
+    log-space accumulation before this step).
+
+    Scale shape: per-batch Counter combiners (the shuffle moves (w1, w2, n)
+    partials, never token streams), min_count filter BEFORE the joins, the
+    corpus totals as O(1) scalar aggregates, and the two unigram lookups as
+    hash-partitioned equijoins (functions/joins.hash_join) — no
+    vocabulary-sized driver structure anywhere."""
+    import collections
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            toks = (text or "").split()
+            counts.update(zip(toks, toks[1:]))
+        pairs = list(counts.keys())
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "n": pa.array([counts[p] for p in pairs], pa.int64()),
+            }
+        )
+
+    def unigram_partials(batch: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update((text or "").split())
+        toks = list(counts.keys())
+        return pa.table(
+            {
+                "tok": pa.array(toks, pa.string()),
+                "n": pa.array([counts[t] for t in toks], pa.int64()),
+            }
+        )
+
+    bigrams = (
+        documents_ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n_pair"))
+    )
+    unigrams = (
+        documents_ds.map_batches(unigram_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n_tok"))
+    )
+    n_tokens = int(unigrams.sum("n_tok") or 0)
+    n_bigrams = int(bigrams.sum("n_pair") or 0)
+    if not n_bigrams:
+        return _empty_pmi_table()
+
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        threshold = int(min_count)
+        frequent = bigrams.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("n_pair"), threshold)),
+            batch_format="pyarrow",
+        )
+    else:
+        frequent = bigrams
+    joined = hash_join(
+        frequent,
+        unigrams.map_batches(
+            lambda t: t.rename_columns(["w1", "c1"]), batch_format="pyarrow"),
+        key="w1",
+    )
+    joined = hash_join(
+        joined,
+        unigrams.map_batches(
+            lambda t: t.rename_columns(["w2", "c2"]), batch_format="pyarrow"),
+        key="w2",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_pair = batch.column("n_pair").to_pylist()
+        c1 = batch.column("c1").to_pylist()
+        c2 = batch.column("c2").to_pylist()
+        # float() BEFORE the divide mirrors DuckDB's ::DOUBLE casts (exact
+        # int→double below 2^53, same rounding above it) so the FLOOR can
+        # never flip between the engine and the oracle
+        pmi_q = [
+            math.floor(1_000_000 * math.log(
+                float(ab * n_tokens * n_tokens) / float(n_bigrams * a * b)))
+            for ab, a, b in zip(n_pair, c1, c2)
+        ]
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_pair": pa.array(n_pair, pa.int64()),
+                "pmi_q": pa.array(pmi_q, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi_q", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
+
+
+def _empty_pmi_table():
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+         "n_pair": pa.array([], pa.int64()), "pmi_q": pa.array([], pa.int64())}))

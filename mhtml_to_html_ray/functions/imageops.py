@@ -421,3 +421,91 @@ def frame_sample(documents_ds, stride: int = 2, batch_size: int = 64, concurrenc
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImagePHashBatch:
+    """Decode → 8×8 nearest-neighbor downsample of channel 0 → average hash
+    (aHash): bit i = 1 iff pixel_i · 64 > Σ pixels (the integer form of
+    "above the mean", so the threshold is exact — no float division). The
+    64 bits are returned as two int64 halves (hash_lo = bits 0-31,
+    hash_hi = bits 32-63) so DuckDB's xor/bit_count can restate hamming
+    distance without unsigned-overflow games.
+
+    100-TB shape: one actor-pool map_batches, ~16 B of hash per image out;
+    near-dup search then runs over hashes only (phash_dedup below), never
+    re-reading pixels."""
+
+    GRID = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        grid = self.GRID
+        lo_col, hi_col, errors = [], [], []
+        weights_lo = (1 << np.arange(32, dtype=np.int64))
+        for payload in payloads:
+            try:
+                img = decode_png_pixels(payload)
+            except (ValueError, NotImplementedError) as exc:
+                lo_col.append(None)
+                hi_col.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
+                continue
+            height, width, _ = img.shape
+            ys = (np.arange(grid, dtype=np.int64) * height) // grid
+            xs = (np.arange(grid, dtype=np.int64) * width) // grid
+            cells = img[ys][:, xs, 0].astype(np.int64).ravel()  # row-major: idx = y*8+x
+            total = int(cells.sum())
+            bits = (cells * (grid * grid) > total).astype(np.int64)
+            lo_col.append(int((bits[:32] * weights_lo).sum()))
+            hi_col.append(int((bits[32:] * weights_lo).sum()))
+            errors.append(None)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "hash_lo": pa.array(lo_col, pa.int64()),
+                "hash_hi": pa.array(hi_col, pa.int64()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+def image_phash(documents_ds, batch_size: int = 32, concurrency=2):
+    """documents → synthesized gradient PNGs → decode + 64-bit average hash."""
+    media = documents_ds.map_batches(synthesize_png_pixel_batch, batch_format="pyarrow")
+    return media.map_batches(
+        ImagePHashBatch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def phash_dedup(documents_ds, batch_size: int = 32, concurrency=2):
+    """Perceptual-hash exact-duplicate clusters: hash every image, group by
+    the 64-bit hash, keep the minimum doc_id per cluster. The groupby
+    shuffles 16-byte hash rows (never pixels); at 100 TB the hash table is
+    ~0.02% of the corpus, and near-dup variants band the same hashes
+    (simhash_blocks machinery) instead of widening this exact groupby."""
+    import pyarrow.compute as pc
+
+    hashes = image_phash(documents_ds, batch_size=batch_size, concurrency=concurrency)
+    hashes = hashes.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("error"))).select(
+            ["doc_id", "hash_lo", "hash_hi"]),
+        batch_format="pyarrow",
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "hash_hi": group.column("hash_hi")[:1],
+                "hash_lo": group.column("hash_lo")[:1],
+                "n_docs": pa.array([len(ids)], pa.int64()),
+                "keeper_doc_id": pa.array([min(ids)], pa.int64()),
+            }
+        )
+
+    return hashes.groupby(["hash_hi", "hash_lo"]).map_groups(
+        per_group, batch_format="pyarrow")

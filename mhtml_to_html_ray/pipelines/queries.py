@@ -285,6 +285,42 @@ def q_frontier_topk(sf_dir: str):
     return top.to_pandas()
 
 
+def q_recrawl_schedule(sf_dir: str):
+    """Revisit scheduling (the re-crawl side of the frontier, cf. the
+    reference's fetch loop replaying stale archives): events replay as a
+    fetch log — url u<event_id%2000> on host h<user_id%32>, observed at ts —
+    and the schedule picks, per host, the 5 longest-unvisited URLs. Shape:
+    one (host, url) groupby for the last-fetch table (partial max inside
+    the shuffle), then a per-host top-k via the window machinery — the same
+    two-exchange plan a 10^10-URL revisit pass needs; the last-fetch table
+    is the only state and it is host-hash partitioned."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def fetch_log(batch: pa.Table) -> pa.Table:
+        event_id = batch.column("event_id")
+        user_id = batch.column("user_id")
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(_mod(user_id, 32), pa.string()), "")
+        url_id = _mod(event_id, 2000)
+        return pa.table({"host": host, "url_id": url_id, "ts_us": ts_us})
+
+    last = (
+        ds.map_batches(fetch_log, batch_format="pyarrow")
+        .groupby(["host", "url_id"])
+        .max("ts_us")
+    )
+
+    def per_host(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["max(ts_us)", "url_id"]).head(5)
+        group = group.reset_index(drop=True)
+        group["revisit_rank"] = group.index.astype("int64") + 1
+        return group.rename(columns={"max(ts_us)": "last_ts_us"})
+
+    out = last.groupby("host").map_groups(per_host, batch_format="pandas")
+    return _sorted_table(out, ["host", "revisit_rank"])
+
+
 def q_url_seen_antijoin(sf_dir: str):
     """URL-seen anti-join through the engine's real sharded seen set
     (frontier/seen.py): seen urls (every third order) are inserted into the
@@ -2048,6 +2084,19 @@ def q_phrase_search(sf_dir: str):
     return _sorted_table(out, ["doc_id"])
 
 
+def q_pmi_collocations(sf_dir: str):
+    """PMI collocations (functions/corpusstats.pmi_collocations): combiner
+    partials → two corpus groupbys → min_count filter → hash-partitioned
+    unigram equijoins → integer-quantized PMI, deterministic top-50. The
+    oracle restates the bigram/unigram exploding and the exact FLOOR(1e6·LN)
+    arithmetic."""
+    from ..functions.corpusstats import pmi_collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = pmi_collocations(ds, min_count=5, k=50)
+    return out.select_columns(["w1", "w2", "n_pair", "pmi_q"])
+
+
 def q_ngram_novelty(sf_dir: str):
     """WiMBD-style per-document 3-gram novelty
     (functions/corpusstats.ngram_novelty): fraction of each doc's distinct
@@ -2702,6 +2751,27 @@ def q_image_resize(sf_dir: str):
         ),
         ["doc_id"],
     )
+
+
+def q_image_phash(sf_dir: str):
+    """64-bit perceptual average-hash (aHash) over the gradient PNGs: real
+    decode → 8×8 nearest-neighbor downsample of channel 0 → bit i set iff
+    pixel_i·64 > Σ pixels (integer mean threshold, no float division). The
+    oracle rebuilds the whole hash from the synthesis arithmetic, so a hash
+    match proves decode → resize → threshold → bit packing end to end."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = imageops.image_phash(ds)
+    return _sorted_table(
+        out.select_columns(["doc_id", "hash_lo", "hash_hi"]), ["doc_id"])
+
+
+def q_phash_dedup(sf_dir: str):
+    """Perceptual-hash duplicate clusters: hash every image (q_image_phash's
+    kernel), groupby the 64-bit hash, keep MIN(doc_id) — the multimodal
+    counterpart of dedup_exact. The shuffle moves 16-byte hash rows only;
+    pixels never leave the hashing stage."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _sorted_table(imageops.phash_dedup(ds), ["hash_hi", "hash_lo"])
 
 
 def q_frame_sample(sf_dir: str):
@@ -4640,6 +4710,8 @@ QUERIES = {
     "anchor_texts": q_anchor_texts,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
+    "image_phash": q_image_phash,
+    "phash_dedup": q_phash_dedup,
     "frame_sample": q_frame_sample,
     "audio_features": q_audio_features,
     "video_meta": q_video_meta,
@@ -4685,6 +4757,7 @@ QUERIES = {
     # gate + tests only until round 5's window) ---
     "phrase_search": q_phrase_search,
     "ngram_novelty": q_ngram_novelty,
+    "pmi_collocations": q_pmi_collocations,
     "cdx_index": q_cdx_index,
     "data_split": q_data_split,
     "capture_dedup": q_capture_dedup,
@@ -4698,6 +4771,7 @@ QUERIES = {
     "extract_charset_title": q_extract_charset_title,
     "canonicalize_urls": q_canonicalize_urls,
     "url_seen_antijoin": q_url_seen_antijoin,
+    "recrawl_schedule": q_recrawl_schedule,
     "extract_text": q_extract_text,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
@@ -5971,6 +6045,100 @@ ORACLE_SQL = {
              LATERAL (SELECT UNNEST(generate_series(0, 5)) AS g) y
         GROUP BY p.doc_id, p.w, p.h
         ORDER BY p.doc_id
+    """,
+    # the aHash oracle rebuilds the hash from the gradient synthesis
+    # (pixel[y,x,0] = (doc_id + 3x + 7y) % 256, nearest-neighbor index
+    # (g·dim)//8) with the same integer mean threshold (v·64 > Σv)
+    "recrawl_schedule": """
+        WITH log AS (
+            SELECT 'h' || CAST(user_id % 32 AS VARCHAR) AS host,
+                   event_id % 2000 AS url_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events),
+        last AS (
+            SELECT host, url_id, MAX(ts_us) AS last_ts_us
+            FROM log GROUP BY host, url_id),
+        ranked AS (
+            SELECT host, url_id, last_ts_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY last_ts_us, url_id) AS revisit_rank
+            FROM last)
+        SELECT host, url_id, last_ts_us, revisit_rank
+        FROM ranked WHERE revisit_rank <= 5
+        ORDER BY host, revisit_rank
+    """,
+    "pmi_collocations": """
+        WITH toks AS (
+            SELECT regexp_extract_all(text, '\\S+') AS t FROM documents),
+        uni AS (
+            SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        big AS (
+            SELECT w1, w2, COUNT(*) AS n_pair FROM (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g)
+            GROUP BY w1, w2),
+        tot AS (SELECT (SELECT SUM(c) FROM uni) AS n_tok,
+                       (SELECT SUM(n_pair) FROM big) AS n_bi)
+        SELECT b.w1, b.w2, b.n_pair,
+               CAST(FLOOR(1e6 * LN(
+                   CAST(b.n_pair * t.n_tok * t.n_tok AS DOUBLE)
+                   / CAST(t.n_bi * u1.c * u2.c AS DOUBLE))) AS BIGINT) AS pmi_q
+        FROM big b
+        CROSS JOIN tot t
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        WHERE b.n_pair >= 5
+        ORDER BY pmi_q DESC, b.w1, b.w2 LIMIT 50
+    """,
+    "image_phash": """
+        WITH grid AS (
+            SELECT d.doc_id, dy.g AS dy, dx.g AS dx,
+                   ((d.doc_id + 3 * ((dx.g * (d.doc_id % 16 + 1)) // 8)
+                              + 7 * ((dy.g * (d.doc_id % 12 + 1)) // 8)) % 256) AS v
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) dy,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) dx),
+        totals AS (SELECT doc_id, SUM(v) AS total FROM grid GROUP BY doc_id),
+        bits AS (
+            SELECT g.doc_id, (g.dy * 8 + g.dx) AS idx,
+                   CASE WHEN g.v * 64 > t.total THEN 1 ELSE 0 END AS b
+            FROM grid g JOIN totals t USING (doc_id))
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN idx < 32
+                             THEN b * (CAST(1 AS BIGINT) << idx)
+                             ELSE 0 END) AS BIGINT) AS hash_lo,
+               CAST(SUM(CASE WHEN idx >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_hi
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    "phash_dedup": """
+        WITH grid AS (
+            SELECT d.doc_id, dy.g AS dy, dx.g AS dx,
+                   ((d.doc_id + 3 * ((dx.g * (d.doc_id % 16 + 1)) // 8)
+                              + 7 * ((dy.g * (d.doc_id % 12 + 1)) // 8)) % 256) AS v
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) dy,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) dx),
+        totals AS (SELECT doc_id, SUM(v) AS total FROM grid GROUP BY doc_id),
+        bits AS (
+            SELECT g.doc_id, (g.dy * 8 + g.dx) AS idx,
+                   CASE WHEN g.v * 64 > t.total THEN 1 ELSE 0 END AS b
+            FROM grid g JOIN totals t USING (doc_id)),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN idx < 32
+                                 THEN b * (CAST(1 AS BIGINT) << idx)
+                                 ELSE 0 END) AS BIGINT) AS hash_lo,
+                   CAST(SUM(CASE WHEN idx >= 32
+                                 THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                                 ELSE 0 END) AS BIGINT) AS hash_hi
+            FROM bits GROUP BY doc_id)
+        SELECT hash_hi, hash_lo, COUNT(*) AS n_docs,
+               MIN(doc_id) AS keeper_doc_id
+        FROM hashes GROUP BY hash_hi, hash_lo ORDER BY hash_hi, hash_lo
     """,
     "frame_sample": """
         SELECT d.doc_id, s.g AS frame_idx

@@ -389,3 +389,32 @@ def test_ngram_novelty_rounding_matches_duckdb(ray_session):
     # doc 0 grams: 'p q'(1), 'q r'(2), 'r s'(2) → 1/3 unique
     assert by_doc[0]["n_grams"] == 3 and by_doc[0]["n_unique"] == 1
     assert by_doc[0]["novelty"] == 0.333333
+
+
+def test_pmi_collocations_hand_corpus(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.corpusstats import pmi_collocations
+
+    docs = ["a b a b", "a b c", "c c"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = pmi_collocations(ds, min_count=2, k=10).to_pandas()
+    # tokens: a×3 b×3 c×3 (n_tok=9); bigrams: ab×3, ba×1, bc×1, cc×1 (n_bi=6)
+    assert list(out.itertuples(index=False, name=None))[0][:3] == ("a", "b", 3)
+    expected = math.floor(1e6 * math.log(float(3 * 9 * 9) / float(6 * 3 * 3)))
+    assert out.iloc[0]["pmi_q"] == expected
+    assert len(out) == 1  # only ab reaches min_count=2
+
+
+def test_pmi_min_count_filters_before_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mhtml_to_html_ray.functions.corpusstats import pmi_collocations
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["x y"] * 4 + ["p q"], pa.string())}))
+    out = pmi_collocations(ds, min_count=5, k=10).to_pandas()
+    assert out.empty  # x-y appears 4 times, p-q once — nothing survives
