@@ -509,3 +509,84 @@ def phash_dedup(documents_ds, batch_size: int = 32, concurrency=2):
 
     return hashes.groupby(["hash_hi", "hash_lo"]).map_groups(
         per_group, batch_format="pyarrow")
+
+
+def phash_neardup(documents_ds, max_hamming: int = 3,
+                  batch_size: int = 32, concurrency=2):
+    """Perceptual near-duplicate pairs: hamming distance ≤ ``max_hamming``
+    between DISTINCT 64-bit aHashes, reported between cluster keepers.
+
+    Plan: collapse to unique hashes first (phash_dedup — the mega-cluster
+    guard: a million byte-identical logos are ONE row here), then band each
+    hash into 4 disjoint 16-bit keys. By pigeonhole, two hashes within
+    hamming ≤ 3 agree on at least one whole band, so a per-band groupby
+    finds EVERY qualifying pair — banding is exact candidate generation,
+    not approximation. Within-band pair emission is vectorized XOR/popcount
+    over the band's hash matrix; a final (doc_a, doc_b) groupby dedups
+    pairs that met in several bands. Nothing pair-sized touches the driver."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4 x 16-bit bands guarantee exactness only to hamming 3")
+
+    uniq = phash_dedup(documents_ds, batch_size=batch_size,
+                       concurrency=concurrency)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch.column("hash_lo"), dtype=np.int64)
+        hi = np.asarray(batch.column("hash_hi"), dtype=np.int64)
+        keeper = np.asarray(batch.column("keeper_doc_id"), dtype=np.int64)
+        n = len(lo)
+        bands = np.stack([lo & 0xFFFF, (lo >> 16) & 0xFFFF,
+                          hi & 0xFFFF, (hi >> 16) & 0xFFFF])
+        return pa.table(
+            {
+                "band_idx": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "band_val": pa.array(bands.ravel()),
+                "hash_lo": pa.array(np.tile(lo, 4)),
+                "hash_hi": pa.array(np.tile(hi, 4)),
+                "keeper": pa.array(np.tile(keeper, 4)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        lo = np.asarray(group.column("hash_lo"), dtype=np.uint64)
+        hi = np.asarray(group.column("hash_hi"), dtype=np.uint64)
+        keeper = np.asarray(group.column("keeper"), dtype=np.int64)
+        n = len(lo)
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        xor_lo = lo[:, None] ^ lo[None, :]
+        xor_hi = hi[:, None] ^ hi[None, :]
+        ham = (_popcount64(xor_lo) + _popcount64(xor_hi)).astype(np.int64)
+        ia, ib = np.triu_indices(n, k=1)
+        ham_pairs = ham[ia, ib]
+        keep = ham_pairs <= max_hamming
+        ia, ib, ham_pairs = ia[keep], ib[keep], ham_pairs[keep]
+        if not len(ia):
+            return empty
+        a = np.minimum(keeper[ia], keeper[ib])
+        b = np.maximum(keeper[ia], keeper[ib])
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                         "hamming": pa.array(ham_pairs)})
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    candidates = (
+        uniq.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_idx", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return candidates.groupby(["doc_a", "doc_b"]).map_groups(
+        first_row, batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR, Hacker's Delight fig. 5-2)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

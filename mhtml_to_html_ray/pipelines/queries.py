@@ -2774,6 +2774,18 @@ def q_phash_dedup(sf_dir: str):
     return _sorted_table(imageops.phash_dedup(ds), ["hash_hi", "hash_lo"])
 
 
+def q_phash_neardup(sf_dir: str):
+    """Perceptual NEAR-duplicate pairs (hamming ≤ 3 between distinct
+    aHashes, reported between cluster keepers): unique hashes first (the
+    mega-cluster guard), then 4×16-bit banding — exact candidate generation
+    by pigeonhole at this threshold — with vectorized XOR/popcount verify
+    inside each band group. The oracle is the literal all-pairs
+    bit_count(xor) restatement over the arithmetically rebuilt hashes."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _sorted_table(imageops.phash_neardup(ds, max_hamming=3),
+                         ["doc_a", "doc_b"])
+
+
 def q_frame_sample(sf_dir: str):
     """Multi-frame GIF payloads (frames = doc_id%5+1, each the canonical
     minimal LZW unit) → block-walk frame count → every-2nd-frame sampling;
@@ -4712,6 +4724,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "image_phash": q_image_phash,
     "phash_dedup": q_phash_dedup,
+    "phash_neardup": q_phash_neardup,
     "frame_sample": q_frame_sample,
     "audio_features": q_audio_features,
     "video_meta": q_video_meta,
@@ -6139,6 +6152,41 @@ ORACLE_SQL = {
         SELECT hash_hi, hash_lo, COUNT(*) AS n_docs,
                MIN(doc_id) AS keeper_doc_id
         FROM hashes GROUP BY hash_hi, hash_lo ORDER BY hash_hi, hash_lo
+    """,
+    "phash_neardup": """
+        WITH grid AS (
+            SELECT d.doc_id, dy.g AS dy, dx.g AS dx,
+                   ((d.doc_id + 3 * ((dx.g * (d.doc_id % 16 + 1)) // 8)
+                              + 7 * ((dy.g * (d.doc_id % 12 + 1)) // 8)) % 256) AS v
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) dy,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS g) dx),
+        totals AS (SELECT doc_id, SUM(v) AS total FROM grid GROUP BY doc_id),
+        bits AS (
+            SELECT g.doc_id, (g.dy * 8 + g.dx) AS idx,
+                   CASE WHEN g.v * 64 > t.total THEN 1 ELSE 0 END AS b
+            FROM grid g JOIN totals t USING (doc_id)),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN idx < 32
+                                 THEN b * (CAST(1 AS BIGINT) << idx)
+                                 ELSE 0 END) AS BIGINT) AS hash_lo,
+                   CAST(SUM(CASE WHEN idx >= 32
+                                 THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                                 ELSE 0 END) AS BIGINT) AS hash_hi
+            FROM bits GROUP BY doc_id),
+        uniq AS (
+            SELECT hash_hi, hash_lo, MIN(doc_id) AS keeper
+            FROM hashes GROUP BY hash_hi, hash_lo)
+        SELECT LEAST(a.keeper, b.keeper) AS doc_a,
+               GREATEST(a.keeper, b.keeper) AS doc_b,
+               CAST(bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT)
+                   + CAST(bit_count(xor(a.hash_hi, b.hash_hi)) AS BIGINT) AS hamming
+        FROM uniq a JOIN uniq b
+          ON (a.hash_hi, a.hash_lo) < (b.hash_hi, b.hash_lo)
+        WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+                  + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3
+        ORDER BY doc_a, doc_b
     """,
     "frame_sample": """
         SELECT d.doc_id, s.g AS frame_idx

@@ -385,3 +385,34 @@ def test_phash_dedup_keeps_min_doc(ray_session):
     assert (rows.groupby(["hash_hi", "hash_lo"]).size() == 1).all()
     assert rows["n_docs"].sum() == 64
     assert (rows["keeper_doc_id"] >= 0).all()
+
+
+def test_phash_neardup_matches_all_pairs(ray_session):
+    # banding must find exactly the all-pairs hamming<=3 set (pigeonhole
+    # exactness), each pair once even when it agrees on several bands
+    import numpy as np
+    import ray.data
+
+    from mhtml_to_html_ray.functions.imageops import (
+        _popcount64, image_phash, phash_neardup)
+
+    ds = ray.data.range(200).map_batches(
+        lambda b: __import__("pyarrow").table({"doc_id": b["id"]}),
+        batch_format="numpy")
+    got = phash_neardup(ds, max_hamming=3).to_pandas()
+    got = set(map(tuple, got[["doc_a", "doc_b", "hamming"]].to_numpy()))
+
+    hashes = image_phash(ds).to_pandas()
+    uniq = hashes.groupby(["hash_hi", "hash_lo"], as_index=False)["doc_id"].min()
+    lo = uniq["hash_lo"].to_numpy(np.uint64)
+    hi = uniq["hash_hi"].to_numpy(np.uint64)
+    keeper = uniq["doc_id"].to_numpy(np.int64)
+    expect = set()
+    for i in range(len(lo)):
+        for j in range(i + 1, len(lo)):
+            ham = int(_popcount64(np.array([lo[i] ^ lo[j]], np.uint64))[0]
+                      + _popcount64(np.array([hi[i] ^ hi[j]], np.uint64))[0])
+            if ham <= 3:
+                a, b = sorted((int(keeper[i]), int(keeper[j])))
+                expect.add((a, b, ham))
+    assert got == expect and expect  # non-trivial fixture
