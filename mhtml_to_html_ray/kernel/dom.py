@@ -1340,8 +1340,35 @@ def parse_html(source: str) -> Document:
             if not is_ws:
                 frameset_ok = False
                 post_body = None  # non-ws text resumes in-body
-            if is_ws and html_el is None and not stack:
-                continue  # whitespace before <html> is dropped
+            if is_ws and not stack and body_el is None and head_el is None:
+                # "initial" / "before html" / "before head" all IGNORE
+                # whitespace — before a <head> exists, ws-only runs vanish
+                continue
+            head_is_target = (
+                body_el is None
+                and (not stack
+                     or (head_el is not None and stack[-1] is head_el))
+            )
+            if not is_ws and head_is_target:
+                # a mixed run straddles the mode switch: its leading
+                # whitespace still falls under the pre-body rules (ignored
+                # before <head>, inserted into an open <head>, a child of
+                # <html> between </head> and <body>), and only the
+                # remainder leaves "in head" (popping an explicitly open
+                # <head>, spec in-head anything-else) and opens the body
+                rest = text.lstrip(" \t\n\r\f")
+                prefix = text[: len(text) - len(rest)]
+                if prefix and head_el is not None:
+                    ws_parent = ensure_html() if head_closed else head_el
+                    last = (ws_parent.child_nodes[-1]
+                            if ws_parent.child_nodes else None)
+                    if isinstance(last, Text):
+                        last.value += prefix
+                    else:
+                        ws_parent.append_child(Text(prefix))
+                text = rest
+                if stack and head_el is not None and stack[-1] is head_el:
+                    stack.pop()
             parent = insertion_parent(for_text=True, ws=is_ws)
             if not is_ws and parent is head_el and not stack:
                 parent = ensure_body()

@@ -2485,3 +2485,33 @@ def test_doctype_public_system_roundtrip():
 )
 def test_probe_pins_pass10_adoption_entities(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # whitespace is IGNORED before a <head> exists (initial /
+        # before-html / before-head modes)
+        (" x", "<html><head></head><body>x</body></html>"),
+        ("<html> <head></head>x", "<html><head></head><body>x</body></html>"),
+        # between </head> and <body>, whitespace is a child of <html>
+        ("<head></head> x", "<html><head></head> <body>x</body></html>"),
+        ("<head></head>   ", "<html><head></head>   <body></body></html>"),
+        # inside an open <head>, whitespace stays in the head but the
+        # first non-whitespace character pops it and opens the body
+        ("<head> x", "<html><head> </head><body>x</body></html>"),
+        ("<head>x", "<html><head></head><body>x</body></html>"),
+        ("<head>x</head>y", "<html><head></head><body>xy</body></html>"),
+        # after the forced pop, metadata tags follow the in-body rules
+        # (inserted at the current position, i.e. the body)
+        ("<head><meta>x<link>",
+         "<html><head><meta></head><body>x<link></body></html>"),
+        # template content keeps its own insertion point
+        ("<head><template>x</template>y",
+         "<html><head><template>x</template></head><body>y</body></html>"),
+    ],
+)
+def test_pre_body_whitespace_modes(source, expected):
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    assert parse_dom(source, "text/html").serialize() == expected
