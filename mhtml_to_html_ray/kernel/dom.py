@@ -1559,7 +1559,12 @@ def parse_html(source: str) -> Document:
             if not foreign and tag == "frame":
                 continue  # <frame> only exists inside a frameset
             if not foreign and tag in _FRAMESET_NOT_OK_TAGS:
-                frameset_ok = False
+                # spec "in body" <input>: a type=hidden input does NOT
+                # flip frameset-ok (the one exemption in the list)
+                if not (tag == "input" and any(
+                        name == "type" and value.lower() == "hidden"
+                        for name, value in attrs)):
+                    frameset_ok = False
 
             # "in select" mode: a nested <select> acts as </select>; form
             # controls pop the select first; everything but option/optgroup/

@@ -2515,3 +2515,46 @@ def test_pre_body_whitespace_modes(source, expected):
     from mhtml_to_html_ray.kernel.dom import parse_dom
 
     assert parse_dom(source, "text/html").serialize() == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # whitespace and hidden inputs leave frameset-ok set: a following
+        # <frameset> replaces the body (spec in-body frameset rule)
+        ("<body> <frameset>x</frameset>",
+         "<html><head></head><frameset></frameset></html>"),
+        ("<input type=hidden><frameset>",
+         "<html><head></head><frameset></frameset></html>"),
+        # any other input / br / text flips frameset-ok — frameset ignored
+        ("<input><frameset>",
+         "<html><head></head><body><input></body></html>"),
+        ("<br><frameset>",
+         "<html><head></head><body><br></body></html>"),
+        ("<body>t<frameset>",
+         "<html><head></head><body>t</body></html>"),
+    ],
+)
+def test_frameset_ok_flag(source, expected):
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    assert parse_dom(source, "text/html").serialize() == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # in select: non-control start tags (svg here) are ignored outright,
+        # their text content still lands in the select
+        ("<body><select><svg><g>x</g></svg></select></body>",
+         "<body><select>x</select></body>"),
+        # a <form> inside a template does not set the form pointer
+        ("<body><template><form>x</form></template><form>y</form></body>",
+         "<body><template><form>x</form></template><form>y</form></body>"),
+        ("<body><select><template><option>a</template><option>b</select></body>",
+         "<body><select><template><option>a</option></template>"
+         "<option>b</option></select></body>"),
+    ],
+)
+def test_select_template_gates(source, expected):
+    assert body_html(source) == expected
