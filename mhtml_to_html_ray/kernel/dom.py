@@ -1857,6 +1857,19 @@ def parse_html(source: str) -> Document:
             boundary_stop = tag not in (
                 "table", "tbody", "thead", "tfoot", "tr", "td", "th",
                 "caption", "colgroup", "col", "select", "optgroup", "option")
+            # table-structure end tags use TABLE scope (html/table/template
+            # boundaries): a nested table or an open template hides the
+            # target and the token is ignored — "in table" ignores stray
+            # td/th/tr/section end tags instead of destroying the inner
+            # structure. </table> itself matches the nearest table but is
+            # still hidden by a template.
+            if tag in ("tbody", "thead", "tfoot", "tr", "td", "th",
+                       "caption", "colgroup", "col"):
+                table_scope_stop = ("table", "template")
+            elif tag == "table":
+                table_scope_stop = ("template",)
+            else:
+                table_scope_stop = ()
             for index in range(len(stack) - 1, -1, -1):
                 node = stack[index]
                 # .lower(): foreign-content tag names are stored camelCase
@@ -1865,6 +1878,10 @@ def parse_html(source: str) -> Document:
                     break
                 if boundary_stop and _scope_hides(node):
                     break  # target hidden by the boundary — ignore token
+                if (table_scope_stop and isinstance(node, Element)
+                        and node.namespace == "html"
+                        and node.tag_name in table_scope_stop):
+                    break  # hidden by table scope — ignore token
 
     # rawtext elements pushed above may remain if their end tag never came
 

@@ -2558,3 +2558,36 @@ def test_frameset_ok_flag(source, expected):
 )
 def test_select_template_gates(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # td/th/tr/section end tags use TABLE scope: a nested table hides
+        # the target — the token is ignored, and following text fosters
+        # into the CELL (before the inner table), not out of the outer one
+        ("<body><table><td><table></td>y</body>",
+         "<body><table><tbody><tr><td>y<table></table></td></tr></tbody>"
+         "</table></body>"),
+        ("<body><table><td><table></tr>z</body>",
+         "<body><table><tbody><tr><td>z<table></table></td></tr></tbody>"
+         "</table></body>"),
+        # an open template hides </table> and </td> (template scope)
+        ("<body><table><template></table>x</template>y</body>",
+         "<body>y<table><template>x</template></table></body>"),
+        ("<body><table><td><template></td>a</template>b</body>",
+         "<body><table><tbody><tr><td><template>a</template>b</td></tr>"
+         "</tbody></table></body>"),
+        # unhidden closes keep working: row/cell end tags, table end from
+        # inside a cell, caption close by </table>
+        ("<body><table><td>a<td>b</td>c</body>",
+         "<body>c<table><tbody><tr><td>a</td><td>b</td></tr></tbody>"
+         "</table></body>"),
+        ("<body><table><td>x</table>done</body>",
+         "<body><table><tbody><tr><td>x</td></tr></tbody></table>done</body>"),
+        ("<body><table><caption>x</table>after</body>",
+         "<body><table><caption>x</caption></table>after</body>"),
+    ],
+)
+def test_table_scope_end_tags(source, expected):
+    assert body_html(source) == expected
