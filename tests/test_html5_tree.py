@@ -2591,3 +2591,41 @@ def test_select_template_gates(source, expected):
 )
 def test_table_scope_end_tags(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # caption pushes a formatting marker: <i> opened inside does not
+        # reconstruct after; fostered y merges into the open outer <b>
+        ("<body><b>o<table><caption><i>x</caption>y</body>",
+         "<body><b>oy<table><caption><i>x</i></caption></table></b></body>"),
+        # </table> from inside a caption closes the caption first
+        ("<body><table><caption><b>x</table>z</body>",
+         "<body><table><caption><b>x</b></caption></table>z</body>"),
+        # li start under an open table: the outer li is hidden by the
+        # special-element stop, the new li fosters into it before the table
+        ("<body><ul><li>a<table><li>b</table>c</body>",
+         "<body><ul><li>a<li>b</li><table></table>c</li></ul></body>"),
+        # in-table <form> inserts-and-pops; </form> clears the pointer so
+        # a second form is allowed
+        ("<body><table><form></form><form><td>x</body>",
+         "<body><table><form></form><form></form>"
+         "<tbody><tr><td>x</td></tr></tbody></table></body>"),
+        # template content accepts orphan cells at EOF
+        ("<body><template><td>x</body>",
+         "<body><template><td>x</td></template></body>"),
+        # in column group, text pops the colgroup and fosters; a later
+        # <col> opens a fresh colgroup
+        ("<body><table><colgroup>x<col></body>",
+         "<body>x<table><colgroup></colgroup><colgroup><col></colgroup>"
+         "</table></body>"),
+        # caption in select without an open table is ignored
+        ("<body><select><caption></body>", "<body><select></select></body>"),
+        # fostered <p> nests into the outer p (button scope hidden by table)
+        ("<body><p><table><p>x</body>",
+         "<body><p><p>x</p><table></table></p></body>"),
+    ],
+)
+def test_probe_pins_pass14(source, expected):
+    assert body_html(source) == expected
