@@ -2629,3 +2629,37 @@ def test_table_scope_end_tags(source, expected):
 )
 def test_probe_pins_pass14(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # a slash inside an unquoted attribute value is value text; after
+        # whitespace it is the (ignored) self-closing flag
+        ("<body><div a=b/>x</body>", '<body><div a="b/">x</div></body>'),
+        ("<body><div a=b />x</body>", '<body><div a="b">x</div></body>'),
+        # comment termination variants: empty, abrupt (<!--->, <!-->),
+        # trailing dash, inner double dash, nested opener
+        ("<body>x<!---->y</body>", "<body>x<!---->y</body>"),
+        ("<body>x<!--->y</body>", "<body>x<!---->y</body>"),
+        ("<body>x<!-->y</body>", "<body>x<!---->y</body>"),
+        ("<body>x<!-- --->y</body>", "<body>x<!-- --->y</body>"),
+        ("<body>x<!-- a--b -->y</body>", "<body>x<!-- a--b -->y</body>"),
+        ("<body>x<!--a<!--b-->y</body>", "<body>x<!--a<!--b-->y</body>"),
+        # malformed references and tag opens stay literal text
+        ("<body>&#xg; &#; & &x <3 a<b</body>",
+         "<body>&amp;#xg; &amp;#; &amp; &amp;x &lt;3 a</body>"),
+        # </ + non-letter opens a bogus comment
+        ("<body></ x>y</body>", "<body><!-- x-->y</body>"),
+        # NUL bytes: U+FFFD inside tag/attribute names and values,
+        # dropped from ordinary body text
+        ("<body><di\x00v>x</body>", "<body><di�v>x</di�v></body>"),
+        ("<body><div a\x00b=1>x</body>",
+         '<body><div a�b="1">x</div></body>'),
+        ('<body><div a="b\x00">x</body>',
+         '<body><div a="b�">x</div></body>'),
+        ("<body>x\x00y</body>", "<body>xy</body>"),
+    ],
+)
+def test_probe_pins_pass15_tokenizer(source, expected):
+    assert body_html(source) == expected
