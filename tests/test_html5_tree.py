@@ -2646,9 +2646,11 @@ def test_probe_pins_pass14(source, expected):
         ("<body>x<!-- --->y</body>", "<body>x<!-- --->y</body>"),
         ("<body>x<!-- a--b -->y</body>", "<body>x<!-- a--b -->y</body>"),
         ("<body>x<!--a<!--b-->y</body>", "<body>x<!--a<!--b-->y</body>"),
-        # malformed references and tag opens stay literal text
+        # malformed references stay literal text; '<' joins the tag name
+        # (so a<b</body> opens a 'b<' element whose '/' restarts attribute
+        # parsing — 'body' becomes an attribute)
         ("<body>&#xg; &#; & &x <3 a<b</body>",
-         "<body>&amp;#xg; &amp;#; &amp; &amp;x &lt;3 a</body>"),
+         '<body>&amp;#xg; &amp;#; &amp; &amp;x &lt;3 a<b< body=""></b<></body>'),
         # </ + non-letter opens a bogus comment
         ("<body></ x>y</body>", "<body><!-- x-->y</body>"),
         # NUL bytes: U+FFFD inside tag/attribute names and values,
