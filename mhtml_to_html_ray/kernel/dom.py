@@ -448,6 +448,11 @@ class _Tokenizer:
         self.source = source
         self.pos = 0
         self.foreign = False
+        # tree-builder feedback like ``foreign``: set while processing a
+        # raw-container start tag the builder IGNORED (frameset modes,
+        # in-select) — parse5 only switches the tokenizer when the element
+        # is actually inserted, so the content must parse as markup
+        self.suppress_raw = False
 
     def tokens(self):
         source = self.source
@@ -550,6 +555,9 @@ class _Tokenizer:
                 yield ("starttag", tag, attrs, self_closing)
                 if self.foreign:
                     continue  # no raw-content modes inside foreign content
+                if self.suppress_raw:
+                    self.suppress_raw = False
+                    continue  # builder ignored the tag — content is markup
                 if tag == "plaintext":
                     # spec: NULLs in RAWTEXT/RCDATA/script-data/PLAINTEXT
                     # states become U+FFFD at the tokenizer
@@ -716,6 +724,14 @@ _MATH_BOUNDARY_TAGS = frozenset(
     ("mi", "mo", "mn", "ms", "mtext", "annotation-xml"))
 
 _TABLE_SECTION_TAGS = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+
+
+def _is_table_context(node) -> bool:
+    """HTML-namespace table structure only: a FOREIGN element that happens
+    to be named table/tr/tbody (e.g. <svg><tr>) is an ordinary foreign
+    container — text and inserts inside it must never foster-parent."""
+    return (isinstance(node, Element) and node.namespace == "html"
+            and node.tag_name in _TABLE_SECTION_TAGS)
 # start tags legal at each table-context insertion point; everything else is
 # FOSTER-PARENTED before the table (HTML spec "in table" mode, as parse5 does)
 _TABLE_ALLOWED = {
@@ -1126,7 +1142,7 @@ def parse_html(source: str) -> Document:
         if not active_formatting:
             return
         target_now = current() if stack else None
-        if isinstance(target_now, Element) and target_now.tag_name in _TABLE_SECTION_TAGS:
+        if _is_table_context(target_now):
             return  # formatting never reconstructs into table structure here
         open_ids = {id(node) for node in stack}
         start = len(active_formatting)
@@ -1180,9 +1196,7 @@ def parse_html(source: str) -> Document:
         template content and table foster-parenting."""
         if isinstance(parent, Element) and parent.content is not None:
             parent.content.append_child(node)
-        elif (isinstance(parent, Element)
-                and parent.tag_name in _TABLE_SECTION_TAGS
-                and insert_fostered(node)):
+        elif _is_table_context(parent) and insert_fostered(node):
             pass
         else:
             parent.append_child(node)
@@ -1385,8 +1399,7 @@ def parse_html(source: str) -> Document:
                 parent = insertion_parent(for_text=True, ws=is_ws)
             if (
                 not is_ws
-                and isinstance(parent, Element)
-                and parent.tag_name in _TABLE_SECTION_TAGS
+                and _is_table_context(parent)
                 and insert_fostered(Text(text))
             ):
                 continue  # character tokens in a table foster-parent out
@@ -1501,7 +1514,20 @@ def parse_html(source: str) -> Document:
                     element = Element("noframes", attrs)
                     parent.append_child(element)
                     stack.append(element)  # its rawtext token follows
+                elif (tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA
+                        or tag == "plaintext"):
+                    # ignored raw container: the tokenizer must NOT switch —
+                    # its content parses as markup (and is itself ignored
+                    # by the frameset modes), never as a body text node
+                    tokenizer.suppress_raw = True
                 continue
+            if (body_el is None and stack and head_el is not None
+                    and stack[-1] is head_el and tag not in _HEAD_TAGS):
+                # spec "in head" anything-else: any start tag the head
+                # cannot hold pops it (→ after head, reprocess) — it must
+                # never be appended inside an explicitly open <head>
+                stack.pop()
+                head_closed = True
             context_ns = token_namespace(tag)
             foreign = context_ns != "html"
             if foreign and (
@@ -1598,7 +1624,15 @@ def parse_html(source: str) -> Document:
                     if (stack and isinstance(stack[-1], Element)
                             and stack[-1].tag_name == "optgroup"):
                         stack.pop()
-                elif tag not in ("option", "optgroup", "script", "style", "template"):
+                elif tag not in ("option", "optgroup", "script", "template"):
+                    # spec/parse5 "in select" allow-list: option, optgroup,
+                    # script, template (style is NOT allowed — parse5
+                    # startTagInSelect ignores it). An ignored raw container
+                    # keeps the tokenizer in data state: its content parses
+                    # as markup and lands in the select as text
+                    if (tag in _TOKENIZER_RAW or tag in _TOKENIZER_RCDATA
+                            or tag == "plaintext"):
+                        tokenizer.suppress_raw = True
                     continue
 
             if (
@@ -1636,7 +1670,11 @@ def parse_html(source: str) -> Document:
                 else:
                     parent = ensure_body()
             else:
-                auto_close(tag)
+                if not foreign:
+                    # foreign-dispatched tokens insert plain foreign
+                    # elements — the in-body implied-end rules (option
+                    # pops option, td pops td, …) are HTML-content only
+                    auto_close(tag)
                 if tag == "table" and not foreign:
                     # spec "in table" <table>: acts as </table> then
                     # reprocesses — the new table becomes a SIBLING after
@@ -1653,7 +1691,10 @@ def parse_html(source: str) -> Document:
                             break
                         if name not in ("tbody", "thead", "tfoot", "tr", "colgroup"):
                             break
-                if tag in _TABLE_STRUCTURE_TAGS:
+                if tag in _TABLE_STRUCTURE_TAGS and not foreign:
+                    # (foreign-dispatched table tags — e.g. <colgroup>
+                    # inside <svg><math> — are ordinary foreign elements
+                    # and must not clear the HTML table context)
                     # "clear the stack back to" the spec context for THIS
                     # tag: sections/caption/colgroup clear to the table
                     # itself (closing any open section/row/cell), <tr>
@@ -1712,7 +1753,7 @@ def parse_html(source: str) -> Document:
                     parent = current()
 
             fostered = False
-            if isinstance(parent, Element) and parent.tag_name in _TABLE_SECTION_TAGS:
+            if _is_table_context(parent):
                 allowed = _TABLE_ALLOWED[parent.tag_name]
                 if tag in allowed:
                     parent = synthesize_table_structure(parent, tag)
@@ -1732,11 +1773,7 @@ def parse_html(source: str) -> Document:
                 # IMMEDIATELY — the form stays empty and following content
                 # (e.g. a non-hidden <input>) fosters out of the table
                 # instead of nesting inside the form
-                form_in_table = (
-                    not fostered
-                    and isinstance(parent, Element)
-                    and parent.tag_name in _TABLE_SECTION_TAGS
-                )
+                form_in_table = not fostered and _is_table_context(parent)
 
             if not foreign:
                 if tag in _FORMATTING_TAGS:
@@ -1774,6 +1811,17 @@ def parse_html(source: str) -> Document:
             tag = token[1]
             if tag not in ("body", "html"):
                 post_body = None  # any other end tag resumes in-body
+            if (body_el is None and stack and head_el is not None
+                    and stack[-1] is head_el and tag != "head"):
+                # spec "in head" end tags: body/html/br act as anything
+                # else (pop the head, reprocess after head); any other end
+                # tag is a parse error and IGNORED — never the in-body
+                # </p>/</br> quirks inside the head
+                if tag in ("body", "html", "br"):
+                    stack.pop()
+                    head_closed = True
+                else:
+                    continue
             if tag in ("br", "p") and token_namespace(tag) == "html":
                 if frameset_el is not None and body_el is None:
                     continue  # "in/after frameset": ignored
@@ -1787,11 +1835,8 @@ def parse_html(source: str) -> Document:
                     reconstruct_active()
                 parent = current() if stack else insertion_parent()
                 element = Element("br")
-                if not (
-                    isinstance(parent, Element)
-                    and parent.tag_name in _TABLE_SECTION_TAGS
-                    and insert_fostered(element)
-                ):
+                if not (_is_table_context(parent)
+                        and insert_fostered(element)):
                     parent.append_child(element)
                 continue
             if tag == "p" and token_namespace("p") == "html":
@@ -1802,11 +1847,8 @@ def parse_html(source: str) -> Document:
                 if not pop_scoped(_P_TARGET, _BUTTON_SCOPE_BOUNDARY):
                     parent = current() if stack else insertion_parent()
                     element = Element("p")
-                    if not (
-                        isinstance(parent, Element)
-                        and parent.tag_name in _TABLE_SECTION_TAGS
-                        and insert_fostered(element)
-                    ):
+                    if not (_is_table_context(parent)
+                            and insert_fostered(element)):
                         parent.append_child(element)
                 continue
             if tag == "head":

@@ -1,0 +1,84 @@
+"""Offline DOM soak: random structured tag soup → parse/serialize fixpoint.
+
+The property: serialize(parse(serialize(parse(s)))) is a fixpoint after one
+round trip (the reference serializer's idempotence guard). <plaintext> is
+excluded — the reference itself is non-idempotent there (content to EOF is
+written verbatim followed by a synthetic </plaintext>, so each reparse
+swallows the previous close; dom-parser-node.js escapes only script/style).
+
+Usage: PYTHONPATH=/root/repo python scripts/soak_dom.py [n_cases] [seed]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+from mhtml_to_html_ray.kernel.dom import parse_dom
+
+TOKENS = [
+    "<table>", "</table>", "<td>", "</td>", "<th>", "<tr>", "</tr>",
+    "<tbody>", "</tbody>", "<thead>", "<tfoot>", "<caption>", "</caption>",
+    "<template>", "</template>", "<select>", "</select>", "<option>",
+    "</option>", "<optgroup>", "</optgroup>", "<head>", "</head>", "<body>",
+    "</body>", "<html>", "</html>", "<b>", "</b>", "<i>", "</i>", "<em>",
+    "</em>", "<a href=x>", "</a>", "<p>", "</p>", "<li>", "</li>", "<ul>",
+    "</ul>", "<dd>", "<dt>", "<form>", "</form>", "<input type=hidden>",
+    "<input>", "<button>", "</button>", "<frameset>", "</frameset>",
+    "<frame>", "<noframes>", "</noframes>", "<svg>", "</svg>", "<math>",
+    "</math>", "<mi>", "</mi>", "<mtext>", "</mtext>", "<foreignObject>",
+    "</foreignObject>", "<annotation-xml encoding=text/html>",
+    "</annotation-xml>", "<div>", "</div>", "<span a=1 b='2'>", "</span>",
+    "<col>", "<colgroup>", "</colgroup>", "<style>", "</style>", "<script>",
+    "</script>", "<title>", "</title>", "<textarea>", "</textarea>",
+    "<xmp>", "</xmp>", "<noscript>", "</noscript>", "<iframe>", "</iframe>",
+    "<noembed>", "</noembed>", "<pre>", "</pre>", "<listing>", "<image>",
+    "<br>", "<hr>", "<wbr>", "<marquee>", "</marquee>", "<object>",
+    "</object>", "<ruby>", "<rb>", "<rt>", "<rtc>", "<rp>", "</ruby>",
+    "<h1>", "</h1>", "<h2>", "<nobr>", "</nobr>", "<!DOCTYPE html>",
+    "x", "y z", " ", "\n", "\t", "&amp;", "&notin;", "&#65;", "&#x2f;",
+    "&bogus;", "&", "<", ">", "<!--c-->", "<!--", "<![CDATA[d]]>", "<?pi?>",
+    "<!bogus>", "</>", "</ junk>", "\x00",
+]
+
+
+def main() -> int:
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    rng = random.Random(seed)
+    failures = 0
+    skipped = 0
+    for i in range(n_cases):
+        source = "".join(rng.choices(TOKENS, k=rng.randint(1, 40)))
+        if "<script>" in source and "<!--" in source:
+            # known reference-faithful non-idempotence: a script holding
+            # '<!--' plus a nested '<script>' enters the double-escaped
+            # tokenizer state on reparse, where the serializer's appended
+            # </script> no longer closes (parse5's serializer has the same
+            # hole — it escapes only '</' -> '<\\/'); each reparse then
+            # swallows one close tag. Behavior parity is pinned in
+            # test_html5_tree (script double-escaped state); skip here.
+            skipped += 1
+            continue
+        try:
+            once = parse_dom(source).serialize()
+            twice = parse_dom(once).serialize()
+            thrice = parse_dom(twice).serialize()
+        except Exception as exc:  # noqa: BLE001 — report and keep going
+            failures += 1
+            print(f"RAISE #{i}: {source!r}\n  {type(exc).__name__}: {exc}")
+            if failures >= 5:
+                break
+            continue
+        if twice != thrice:
+            failures += 1
+            print(f"FIXPOINT #{i}: {source!r}\n  twice:  {twice!r}"
+                  f"\n  thrice: {thrice!r}")
+            if failures >= 5:
+                break
+    print(f"soak done: {n_cases} cases ({skipped} script-comment cases skipped), {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

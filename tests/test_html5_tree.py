@@ -2665,3 +2665,113 @@ def test_probe_pins_pass14(source, expected):
 )
 def test_probe_pins_pass15_tokenizer(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # an IGNORED raw-container start tag must not switch the tokenizer
+        # (parse5 switches only when the element is inserted): in frameset
+        # modes the content re-parses as markup and is itself ignored —
+        # no body text node ever appears next to a frameset
+        ("<frameset></frameset><style>a{}</style><noframes>n</noframes>",
+         "<html><head></head><frameset></frameset>"
+         "<noframes>n</noframes></html>"),
+        ("<frameset><style>x</style><frame></frameset>",
+         "<html><head></head><frameset><frame></frameset></html>"),
+        ("<frameset></frameset><textarea>t</textarea>",
+         "<html><head></head><frameset></frameset></html>"),
+    ],
+)
+def test_ignored_raw_containers_in_frameset(source, expected):
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    assert parse_dom(source, "text/html").serialize() == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # in select, style/title/xmp are NOT in the allow-list (parse5
+        # startTagInSelect): the tag is ignored, the tokenizer stays in
+        # data state, and the content lands in the select as text
+        ("<body><select><style>s</style>x</select></body>",
+         "<body><select>sx</select></body>"),
+        ("<body><select><title>t</title>y</select></body>",
+         "<body><select>ty</select></body>"),
+        ("<body><select><xmp>z</xmp>w</select></body>",
+         "<body><select>zw</select></body>"),
+        # script stays allowed (spec in-select handles it)
+        ("<body><select><script>s</script>x</select></body>",
+         "<body><select><script>s</script>x</select></body>"),
+    ],
+)
+def test_ignored_raw_containers_in_select(source, expected):
+    assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # with an explicitly open <head>, any start tag the head cannot
+        # hold pops it (in-head anything-else) — nothing non-metadata is
+        # ever appended inside the head
+        ("<head><div>x",
+         "<html><head></head><body><div>x</div></body></html>"),
+        ("<head><wbr>x",
+         "<html><head></head><body><wbr>x</body></html>"),
+        ("<head><svg>s</svg>",
+         "<html><head></head><body><svg>s</svg></body></html>"),
+        ("<head><table><td>t",
+         "<html><head></head><body><table><tbody><tr><td>t</td></tr>"
+         "</tbody></table></body></html>"),
+        # in-head end tags: body/html/br act as anything-else (<head></br>x
+        # puts the br quirk in the body); any other end tag is IGNORED —
+        # the </p> empty-insert quirk never fires inside the head
+        ("<head></br>x",
+         "<html><head></head><body><br>x</body></html>"),
+        ("<head></p>x",
+         "<html><head></head><body>x</body></html>"),
+        ("<head></button>x",
+         "<html><head></head><body>x</body></html>"),
+        # metadata stays in the head; template keeps its own content
+        ("<head><meta>x",
+         "<html><head><meta></head><body>x</body></html>"),
+        ("<head><template><div>d</div></template>m",
+         "<html><head><template><div>d</div></template></head>"
+         "<body>m</body></html>"),
+    ],
+)
+def test_open_head_non_head_tokens(source, expected):
+    from mhtml_to_html_ray.kernel.dom import parse_dom
+
+    assert parse_dom(source, "text/html").serialize() == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # foreign elements that HAPPEN to carry table names are ordinary
+        # foreign containers: no table-context clearing, no foster
+        # parenting, no implied-end sibling rules
+        ("<body><table><svg><math><colgroup>a<caption>b</body>",
+         "<body><svg><math><colgroup>a<caption>b</caption></colgroup>"
+         "</math></svg><table></table></body>"),
+        ("<body><table><tr><svg><tr>z</body>",
+         "<body><svg><tr>z</tr></svg><table><tbody><tr></tr></tbody>"
+         "</table></body>"),
+        ("<body><svg><option>a<option>b</svg></body>",
+         "<body><svg><option>a<option>b</option></option></svg></body>"),
+        ("<body><svg><td>a<td>b</svg></body>",
+         "<body><svg><td>a<td>b</td></td></svg></body>"),
+        # breakout names (h1, li) still leave foreign content and follow
+        # the HTML implied-end rules; integration points parse as HTML
+        ("<body><svg><h1>x<h2>y</svg></body>",
+         "<body><svg></svg><h1>x</h1><h2>y</h2></body>"),
+        ("<body><svg><desc><option>a<option>b</desc></svg></body>",
+         "<body><svg><desc><option>a</option><option>b</option></desc>"
+         "</svg></body>"),
+    ],
+)
+def test_foreign_table_names_are_plain_foreign(source, expected):
+    assert body_html(source) == expected

@@ -237,3 +237,28 @@ def test_adoption_agency_structural_integrity(tokens):
     thrice_doc = parse_html(twice)
     thrice = serialize(thrice_doc.body) if thrice_doc.body is not None else ""
     assert twice == thrice
+
+
+_SOUP_TOKENS = [
+    "<table>", "</table>", "<td>", "</td>", "<tr>", "</tr>", "<tbody>",
+    "</tbody>", "<caption>", "</caption>", "<template>", "</template>",
+    "<select>", "</select>", "<option>", "<optgroup>", "</optgroup>",
+    "<head>", "</head>", "<body>", "</body>", "<b>", "</b>", "<i>", "</i>",
+    "<p>", "</p>", "<li>", "<form>", "</form>", "<input type=hidden>",
+    "<input>", "<frameset>", "</frameset>", "<svg>", "</svg>", "<math>",
+    "</math>", "x", " ", "\n", "<!--c-->", "<col>", "<colgroup>", "<div>",
+    "</div>", "<a>", "</a>", "<button>",
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(_SOUP_TOKENS), max_size=24))
+def test_structured_soup_reparse_fixpoint(tokens):
+    # targeted stress over the mode machinery (table scope, templates,
+    # select gates, frameset-ok, pre-body whitespace): any soup must parse
+    # without raising and reach a serialize fixpoint after one reparse
+    source = "".join(tokens)
+    once = parse_dom(source).serialize()
+    twice = parse_dom(once).serialize()
+    thrice = parse_dom(twice).serialize()
+    assert twice == thrice
