@@ -56,11 +56,12 @@ _TABLE_STRUCTURE_TAGS = frozenset(
 _NO_RECONSTRUCT_TAGS = (_P_CLOSERS | frozenset(
     ("html", "head", "body", "frameset", "frame", "caption", "colgroup",
      "col", "tbody", "thead", "tfoot", "tr", "td", "th", "li", "dd", "dt",
-     "optgroup", "option", "select", "script", "style", "template", "title",
-     "meta", "link", "base", "noscript", "noframes", "textarea", "svg",
-     "math")
+     "script", "style", "template", "title",
+     "meta", "link", "base", "noscript", "noframes", "textarea")
     # xmp is the one p-closer whose spec rule DOES reconstruct active
-    # formatting (close p → reconstruct → raw text)
+    # formatting (close p → reconstruct → raw text); select/svg/math and
+    # (outside a select) option/optgroup all reconstruct per their in-body
+    # rules — a closed-but-active <b> wraps the new select/svg subtree
 )) - frozenset(("xmp",))
 _P_TARGET = frozenset(("p",))
 # HTML spec "tree construction dispatcher": MathML text integration points —
@@ -1415,8 +1416,13 @@ def parse_html(source: str) -> Document:
                 text = text[1:]
                 if not text:
                     continue
-            if active_formatting and parent is not head_el:
-                # character tokens reconstruct active formatting (spec)
+            if (active_formatting and parent is not head_el
+                    and open_select() is None
+                    and token_namespace() == "html"):
+                # character tokens reconstruct active formatting (spec in
+                # body; "in select" and foreign content insert characters
+                # WITHOUT the reconstruct step — integration points count
+                # as HTML here, which token_namespace() encodes)
                 reconstruct_active()
                 if stack:
                     parent = current()
@@ -1742,9 +1748,18 @@ def parse_html(source: str) -> Document:
                     parent = current() if stack else insertion_parent()
             if (
                 active_formatting
-                and not foreign
+                # dispatch-context gate, NOT the element namespace: an
+                # <svg>/<math> ROOT in HTML content follows the in-body
+                # rule (reconstruct, THEN insert the foreign element) even
+                # though the element itself is foreign
+                and context_ns == "html"
                 and not in_head_insert
                 and tag not in _NO_RECONSTRUCT_TAGS
+                # "in select" has its own option/optgroup rules WITHOUT the
+                # reconstruct step (formatting never reconstructs into an
+                # open select)
+                and (tag not in ("option", "optgroup")
+                     or open_select() is None)
             ):
                 # phrasing start tags reconstruct active formatting (spec
                 # "any other start tag" + the formatting tags themselves)
@@ -1825,8 +1840,22 @@ def parse_html(source: str) -> Document:
             if tag in ("br", "p") and token_namespace(tag) == "html":
                 if frameset_el is not None and body_el is None:
                     continue  # "in/after frameset": ignored
-                if open_select() is not None:
-                    continue  # "in select": any other end tag is ignored
+            if (open_select() is not None
+                    and token_namespace(tag) == "html"
+                    and tag not in ("option", "optgroup", "select",
+                                    "template", "script")):
+                # spec "in select": any other end tag is IGNORED — no
+                # adoption agency, no formatting reconstruction into the
+                # select. Exception ("in select in table"): table-family
+                # end tags with a real table open pop the select and close
+                # the table element (the generic walk below does both).
+                if not (tag in ("table", "tbody", "tfoot", "thead", "tr",
+                                "td", "th", "caption")
+                        and any(isinstance(node, Element)
+                                and node.tag_name == "table"
+                                and node.namespace == "html"
+                                for node in stack)):
+                    continue
             if tag == "br" and token_namespace("br") == "html":
                 # spec: </br> acts as a <br> START tag (no end-tag form) —
                 # including its frameset-ok effect

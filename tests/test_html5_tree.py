@@ -2775,3 +2775,43 @@ def test_open_head_non_head_tokens(source, expected):
 )
 def test_foreign_table_names_are_plain_foreign(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # formatting reconstructs at select/svg/math/option START tags (the
+        # in-body rules), so a closed-but-active <b>/<a> wraps the subtree
+        ("<body><p><b>t</p><select>u</select>v</body>",
+         "<body><p><b>t</b></p><b><select>u</select>v</b></body>"),
+        ("<body><p><b>t</p><svg>s</svg></body>",
+         "<body><p><b>t</b></p><b><svg>s</svg></b></body>"),
+        ("<body><p><b>t</p><math>m</math></body>",
+         "<body><p><b>t</b></p><b><math>m</math></b></body>"),
+        ("<body><p><b>t</p><option>u</body>",
+         "<body><p><b>t</b></p><b><option>u</option></b></body>"),
+        ("<body><p><a href=x></p><select>z</body>",
+         '<body><p><a href="x"></a></p><a href="x"><select>z</select></a>'
+         "</body>"),
+        # but NEVER inside an open select: characters insert plainly and
+        # any other end tag is ignored (no adoption, no reconstruction)
+        ("<body><b><b><select></b></body>",
+         "<body><b><b><select></select></b></b></body>"),
+        ("<body><select>a</option>b</select>c</body>",
+         "<body><select>ab</select>c</body>"),
+        ("<body><select>a</body>b</body>",
+         "<body><select>ab</select></body>"),
+        # "in select in table": a table-family end tag with a real table
+        # open pops the select and closes the table element
+        ("<body><table><td><select>y</table>z</body>",
+         "<body><table><tbody><tr><td><select>y</select></td></tr>"
+         "</tbody></table>z</body>"),
+        # foreign text never reconstructs (the <b> clone goes around the
+        # svg root at its start tag, not around the text inside)
+        ("<body><b>1<table><svg>s</svg><td>2</body>",
+         "<body><b>1<svg>s</svg><table><tbody><tr><td>2</td></tr>"
+         "</tbody></table></b></body>"),
+    ],
+)
+def test_reconstruction_context_gates(source, expected):
+    assert body_html(source) == expected
