@@ -39,6 +39,15 @@ TOKENS = [
     "x", "y z", " ", "\n", "\t", "&amp;", "&notin;", "&#65;", "&#x2f;",
     "&bogus;", "&", "<", ">", "<!--c-->", "<!--", "<![CDATA[d]]>", "<?pi?>",
     "<!bogus>", "</>", "</ junk>", "\x00",
+    "<select multiple>", "<keygen>", "<base href=b>", "<body class=c>",
+    "<html lang=l>", "<head>", "<meta charset=utf-8>", "<link rel=r>",
+    "<mglyph>", "<malignmark>", "<annotation-xml>", "<desc>", "</desc>",
+    "<mo>", "</mo>", "<applet>", "</applet>", "<bdi>", "<summary>",
+    "<details>", "<fieldset>", "</fieldset>", "<label>", "<legend>",
+    "<address>", "</address>", "<center>", "</center>", "<font color=f>",
+    "</font>", "<small>", "</small>", "<strike>", "</strike>", "<tt>",
+    "</tt>", "<u>", "</u>", "<s>", "</s>", "<big>", "</big>", "<code>",
+    "</code>", "&#xD800;", "&#55296;", "&#x10FFFF;", "a=b", '"quoted"',
 ]
 
 
