@@ -512,7 +512,8 @@ def phash_dedup(documents_ds, batch_size: int = 32, concurrency=2):
 
 
 def phash_neardup(documents_ds, max_hamming: int = 3,
-                  batch_size: int = 32, concurrency=2):
+                  batch_size: int = 32, concurrency=2,
+                  bucket_cap: int = 512):
     """Perceptual near-duplicate pairs: hamming distance ≤ ``max_hamming``
     between DISTINCT 64-bit aHashes, reported between cluster keepers.
 
@@ -548,6 +549,13 @@ def phash_neardup(documents_ds, max_hamming: int = 3,
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows > bucket_cap:
+            # degenerate band values (all-zero / all-one bands from flat
+            # images) can collect huge buckets; the n×n XOR matrices below
+            # are quadratic, so cap one map_groups task's work the same way
+            # dedup.simhash_pairs does. Deterministic: keep the bucket_cap
+            # smallest keepers.
+            group = group.sort_by("keeper").slice(0, bucket_cap)
         lo = np.asarray(group.column("hash_lo"), dtype=np.uint64)
         hi = np.asarray(group.column("hash_hi"), dtype=np.uint64)
         keeper = np.asarray(group.column("keeper"), dtype=np.int64)

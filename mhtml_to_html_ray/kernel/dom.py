@@ -554,11 +554,14 @@ class _Tokenizer:
                 if not terminated:
                     continue  # spec eof-in-tag: dropped, not emitted
                 yield ("starttag", tag, attrs, self_closing)
-                if self.foreign:
-                    continue  # no raw-content modes inside foreign content
                 if self.suppress_raw:
+                    # consume the flag BEFORE the foreign check — a
+                    # suppression requested in foreign context must not
+                    # leak onto a later unrelated raw container
                     self.suppress_raw = False
                     continue  # builder ignored the tag — content is markup
+                if self.foreign:
+                    continue  # no raw-content modes inside foreign content
                 if tag == "plaintext":
                     # spec: NULLs in RAWTEXT/RCDATA/script-data/PLAINTEXT
                     # states become U+FFFD at the tokenizer
@@ -1014,9 +1017,20 @@ def parse_html(source: str) -> Document:
                     break
 
     def open_select() -> Element | None:
+        """The select whose "in select" rules govern the CURRENT insertion
+        point, or None. Emulates the insertion-mode machine with select
+        scope: only option/optgroup may sit between the top and the select
+        (spec "has a select in select scope" — every OTHER element type,
+        template and foreign elements included, terminates the search), and
+        a foreign-namespace element named select (<svg><select>) is not a
+        select at all."""
         for node in reversed(stack):
-            if isinstance(node, Element) and node.tag_name == "select":
+            if not isinstance(node, Element) or node.namespace != "html":
+                return None
+            if node.tag_name == "select":
                 return node
+            if node.tag_name not in ("option", "optgroup"):
+                return None
         return None
 
     def pop_stack_to(element: Element) -> None:
@@ -1941,6 +1955,11 @@ def parse_html(source: str) -> Document:
                 table_scope_stop = ("template",)
             else:
                 table_scope_stop = ()
+            # </select> uses SELECT scope: every element type except
+            # option/optgroup hides the target (spec "has a select in
+            # select scope") — in particular an open template, so
+            # <select><template>a</select> keeps both open
+            select_scope = tag == "select"
             for index in range(len(stack) - 1, -1, -1):
                 node = stack[index]
                 # .lower(): foreign-content tag names are stored camelCase
@@ -1953,6 +1972,10 @@ def parse_html(source: str) -> Document:
                         and node.namespace == "html"
                         and node.tag_name in table_scope_stop):
                     break  # hidden by table scope — ignore token
+                if select_scope and isinstance(node, Element) and not (
+                        node.namespace == "html"
+                        and node.tag_name in ("option", "optgroup")):
+                    break  # hidden by select scope — ignore token
 
     # rawtext elements pushed above may remain if their end tag never came
 

@@ -85,7 +85,9 @@ def main() -> int:
                   f"\n  thrice: {thrice!r}")
             if failures >= 5:
                 break
-    print(f"soak done: {n_cases} cases ({skipped} script-comment cases skipped), {failures} failures")
+    ran = i + 1 if n_cases else 0
+    print(f"soak done: {ran} cases ({skipped} script-comment cases skipped), "
+          f"{failures} failures")
     return 1 if failures else 0
 
 

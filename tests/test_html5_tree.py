@@ -2815,3 +2815,32 @@ def test_foreign_table_names_are_plain_foreign(source, expected):
 )
 def test_reconstruction_context_gates(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # a FOREIGN (svg-namespace) select never triggers "in select":
+        # integration-point content under it parses as HTML and its end
+        # tags close normally
+        ("<body><svg><select><foreignObject>y</foreignObject></svg>z</body>",
+         "<body><svg><select><foreignobject>y</foreignobject></select>"
+         "</svg>z</body>"),
+        # suppress_raw must be consumed before the tokenizer's foreign
+        # check: a suppression requested under an integration point must
+        # not leak onto a later textarea
+        ("<body><svg><select><foreignObject><style>.a{}</style>"
+         "</foreignObject></svg></select><textarea><b>t</b></textarea></body>",
+         "<body><svg><select><foreignobject><style>.a{}</style>"
+         "</foreignobject></select></svg>"
+         "<textarea>&lt;b&gt;t&lt;/b&gt;</textarea></body>"),
+        # select scope terminates at template: inside the template the
+        # in-select gates are OFF (div inserts) and </select> is hidden
+        ("<body><select><template><div>x</div></template></select></body>",
+         "<body><select><template><div>x</div></template></select></body>"),
+        ("<body><select><template>a</select>x</body>",
+         "<body><select><template>ax</template></select></body>"),
+    ],
+)
+def test_select_scope_and_foreign_select(source, expected):
+    assert body_html(source) == expected
