@@ -720,6 +720,19 @@ _SPECIAL_TAGS = frozenset(
 
 _LI_DD_DT_STOP = _SPECIAL_TAGS - frozenset(("address", "div", "p"))
 
+# end tags WITH their own "in body" rules (block closers, list items,
+# headings, form/p/br, applet-marquee-object, body/html/template/head and
+# the formatting tags, which run the adoption agency first): these keep the
+# default-scope walk below. Every OTHER end tag follows the spec's "any
+# other end tag" loop, which IGNORES the token as soon as it meets a
+# SPECIAL-category element (</span> never closes through an open <div>).
+_OWN_RULE_END_TAGS = frozenset(
+    """address article aside blockquote button center details dialog dir
+    div dl fieldset figcaption figure footer header hgroup listing main
+    menu nav ol pre search section summary ul form p li dd dt h1 h2 h3 h4
+    h5 h6 applet marquee object br template body html head""".split()
+)
+
 # foreign-content boundary/special sets shared by _is_special_element and
 # _scope_hides (SVG HTML-integration points; MathML text IPs +
 # annotation-xml)
@@ -1941,7 +1954,10 @@ def parse_html(source: str) -> Document:
             # "in table"/"in row"/"in cell" pop-to rules).
             boundary_stop = tag not in (
                 "table", "tbody", "thead", "tfoot", "tr", "td", "th",
-                "caption", "colgroup", "col", "select", "optgroup", "option")
+                "caption", "colgroup", "col", "select")
+            # option/optgroup end tags are "any other end tag" in body
+            # (special-category stop); in a select only option/optgroup can
+            # separate them from their match, so the same loop serves both
             # table-structure end tags use TABLE scope (html/table/template
             # boundaries): a nested table or an open template hides the
             # target and the token is ignored — "in table" ignores stray
@@ -1960,14 +1976,28 @@ def parse_html(source: str) -> Document:
             # select scope") — in particular an open template, so
             # <select><template>a</select> keeps both open
             select_scope = tag == "select"
+            any_other = (boundary_stop and tag not in _OWN_RULE_END_TAGS
+                         and tag not in _FORMATTING_TAGS)
             for index in range(len(stack) - 1, -1, -1):
                 node = stack[index]
                 # .lower(): foreign-content tag names are stored camelCase
-                if isinstance(node, Element) and node.tag_name.lower() == tag:
+                if isinstance(node, Element) and (
+                        node.tag_name.lower() == tag
+                        # spec heading end tags close the NEAREST open
+                        # heading of any rank (</h2> pops an open <h1>)
+                        or (tag in _HEADING_TAGS
+                            and node.namespace == "html"
+                            and node.tag_name in _HEADING_TAGS)):
                     prune_stack(index)
                     break
                 if boundary_stop and _scope_hides(node):
                     break  # target hidden by the boundary — ignore token
+                if (any_other and isinstance(node, Element)
+                        and _is_special_element(node)):
+                    # spec "any other end tag": a special-category element
+                    # between the current node and the match IGNORES the
+                    # token (</span>/<\/option> never close through <div>)
+                    break
                 if (table_scope_stop and isinstance(node, Element)
                         and node.namespace == "html"
                         and node.tag_name in table_scope_stop):

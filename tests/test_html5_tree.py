@@ -2844,3 +2844,37 @@ def test_reconstruction_context_gates(source, expected):
 )
 def test_select_scope_and_foreign_select(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    ("source", "expected"),
+    [
+        # spec "any other end tag": a SPECIAL-category element between the
+        # current node and the match ignores the token — span/abbr/option/
+        # optgroup/rb never close through an open div/p
+        ("<body><span><div>x</span>y</body>",
+         "<body><span><div>xy</div></span></body>"),
+        ("<body><abbr><p>x</abbr>y</body>",
+         "<body><abbr><p>xy</p></abbr></body>"),
+        ("<body><option><div>x</option>y</body>",
+         "<body><option><div>xy</div></option></body>"),
+        ("<body><optgroup><div>x</optgroup>y</body>",
+         "<body><optgroup><div>xy</div></optgroup></body>"),
+        ("<body><ruby><rb><div>x</rb>y</body>",
+         "<body><ruby><rb><div>xy</div></rb></ruby></body>"),
+        # non-special separators still close through (b is formatting)
+        ("<body><option><b>x</option>y</body>",
+         "<body><option><b>x</b></option><b>y</b></body>"),
+        # own-rule end tags keep popping through non-boundaries
+        ("<body><li><div>x</li>y</body>",
+         "<body><li><div>x</div></li>y</body>"),
+        ("<body><button><div>x</button>y</body>",
+         "<body><button><div>x</div></button>y</body>"),
+        # heading end tags close the nearest open heading of ANY rank
+        ("<body><h1>x</h2>y</body>", "<body><h1>x</h1>y</body>"),
+        ("<body><h1><div>x</h2>y</body>",
+         "<body><h1><div>x</div></h1>y</body>"),
+    ],
+)
+def test_any_other_end_tag_special_stop(source, expected):
+    assert body_html(source) == expected
