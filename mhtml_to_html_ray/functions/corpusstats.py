@@ -33,6 +33,7 @@ import zlib
 import pyarrow as pa
 
 from .textstats import _flatten_batch
+from .planning import guard_small_plan, plan_switch
 
 
 def _doc_token_tf(batch: pa.Table):
@@ -174,7 +175,9 @@ def tfidf_topk(documents_ds, k: int = 5, min_df: int = 1, strategy: str = "auto"
     import ray
 
     if strategy == "auto":
-        strategy = "join" if documents_ds.count() > 200_000 else "broadcast"
+        strategy = "join" if plan_switch(documents_ds) else "broadcast"
+    elif strategy == "broadcast":
+        guard_small_plan("tfidf_topk", documents_ds)
     if strategy == "join":
         return _tfidf_topk_join(documents_ds, k=k, min_df=min_df)
 

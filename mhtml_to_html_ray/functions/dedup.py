@@ -26,6 +26,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .planning import plan_switch
 
 
 def _md5_u64(token: str) -> int:
@@ -162,7 +163,7 @@ def _candidate_pairs_from_lsh(lsh_rows_ds, bucket_cap: int, strategy: str = "aut
     import pandas as pd
 
     if strategy == "auto":
-        strategy = "groupby" if (n_docs or 0) > 200_000 else "driver"
+        strategy = "groupby" if plan_switch(None, n_rows=n_docs or 0) else "driver"
     if strategy == "driver":
         buckets: dict = {}
         for row in lsh_rows_ds.take_all():
@@ -525,7 +526,7 @@ def minhash_dedup(documents_ds, threshold: float = 0.8, num_perm: int = 64, band
     n_docs = documents_ds.count()
     candidate_pairs = _candidate_pairs_from_lsh(lsh_rows, bucket_cap, pair_strategy, n_docs=n_docs)
     if cluster_strategy == "auto":
-        cluster_strategy = "distributed" if n_docs > 200_000 else "driver"
+        cluster_strategy = "distributed" if plan_switch(documents_ds, n_rows=n_docs) else "driver"
 
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
@@ -766,7 +767,7 @@ def ngram_jaccard_pairs(documents_ds, threshold: float = 0.5, shingle_k: int = 3
     elif not len(pairs):
         return ray.data.from_arrow(empty)
     if strategy == "auto":
-        strategy = "distributed" if n_docs > 200_000 else "driver"
+        strategy = "distributed" if plan_switch(documents_ds, n_rows=n_docs) else "driver"
     if pairs_are_ds and strategy == "driver":
         pairs = pairs.to_pandas()  # explicit driver verify over a distributed plan
 
@@ -884,7 +885,7 @@ def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: 
 
     exploded = documents_ds.map_batches(explode, batch_format="pyarrow")
     if strategy == "auto":
-        strategy = "groupby" if documents_ds.count() > 200_000 else "driver"
+        strategy = "groupby" if plan_switch(documents_ds) else "driver"
 
     if strategy == "driver":
         buckets: dict[int, list[int]] = {}

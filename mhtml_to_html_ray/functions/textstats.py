@@ -11,6 +11,7 @@ import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from .planning import guard_small_plan, plan_switch
 
 TOKEN_RE = r"\S+"
 # tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -531,7 +532,9 @@ def unigram_lm_scores(documents_ds, vocab_cap: int | None = None,
     from ray.data.aggregate import Sum
 
     if strategy == "auto":
-        strategy = "join" if documents_ds.count() > 200_000 else "broadcast"
+        strategy = "join" if plan_switch(documents_ds) else "broadcast"
+    elif strategy == "broadcast":
+        guard_small_plan("unigram_lm_scores", documents_ds)
     if strategy == "join":
         return _unigram_lm_scores_join(documents_ds)
 
@@ -759,7 +762,9 @@ def ccnet_bucket_scores(documents_ds, strategy: str = "auto"):
     documents_ds = documents_ds.map_batches(_drop_null_lang,
                                             batch_format="pyarrow")
     if strategy == "auto":
-        strategy = "join" if documents_ds.count() > 200_000 else "broadcast"
+        strategy = "join" if plan_switch(documents_ds) else "broadcast"
+    elif strategy == "broadcast":
+        guard_small_plan("ccnet_bucket_scores", documents_ds)
     if strategy == "join":
         scores = _ccnet_scores_join(documents_ds).materialize()
     else:

@@ -4678,96 +4678,18 @@ def q_meta_robots_gate(sf_dir: str):
 
 QUERIES = {
     # --- driver correctness window (first 50, validated per round at
-    # sf0.01 against ORACLE_SQL): round 4 rotates the registry so the
-    # entries never driver-checked in rounds 1-3 — the LLM-data operator
-    # suite — come first (incl. the three never-checked approximate ops,
-    # which get the weaker rows-only check), then oracled entries checked
-    # in r01/r02 but outside r03's window, then oracled flagship rows
-    # exercising this round's refactors (dedup/tfidf/lm join plans). ---
-    "pack_sequences": q_pack_sequences,
-    "train_prep": q_train_prep,
-    "chunk_spans": q_chunk_spans,
-    "source_quality_filter": q_source_quality_filter,
-    "c4_filter": q_c4_filter,
-    "gopher_filter": q_gopher_filter,
-    "lm_score": q_lm_score,
-    "tfidf_topk": q_tfidf_topk,
-    "inverted_index_stats": q_inverted_index_stats,
-    "bm25_topk": q_bm25_topk,
-    "sample_stratified": q_sample_stratified,
-    "mixture_sample": q_mixture_sample,
-    "pii_redact": q_pii_redact,
-    "media_decode_real": q_media_decode_real,
-    "line_dedup": q_line_dedup,
-    "substring_dedup": q_substring_dedup,
-    "decontaminate": q_decontaminate,
-    "domain_cap": q_domain_cap,
-    "length_quantiles": q_length_quantiles,
-    "dedup_incremental": q_dedup_incremental,
-    "semdedup": q_semdedup,
-    "embedding_kmeans_assign": q_embedding_kmeans_assign,
-    # (compression_ratio's rows-only slot yielded to the exact-oracled
-    # shard_manifest; it moves just below the window)
-    "shard_manifest": q_shard_manifest,
-    # (embedding_kmeans yielded its window slot to web_curation: its code
-    # path already gets an exact in-window check via embedding_kmeans_assign)
-    "web_curation": q_web_curation,
-    # --- round-4 additions (never driver-checked, so inside the window):
-    # new operators with exact oracles, incl. the pixel/audio/video media
-    # suite built this round ---
-    "ccnet_buckets": q_ccnet_buckets,
-    "hash_classifier": q_hash_classifier,
-    "substring_scrub": q_substring_scrub,
-    "curation_prep": q_curation_prep,
-    "anchor_texts": q_anchor_texts,
-    "image_features": q_image_features,
-    "image_resize": q_image_resize,
-    "image_phash": q_image_phash,
-    "phash_dedup": q_phash_dedup,
-    "phash_neardup": q_phash_neardup,
-    "frame_sample": q_frame_sample,
-    "audio_features": q_audio_features,
-    "video_meta": q_video_meta,
-    "webp_meta": q_webp_meta,
-    # --- oracled rows exercising this round's refactors (distributed pair
-    # plans, Arrow wave selection) ---
-    "dedup_minhash": q_dedup_minhash,
-    "ngram_jaccard": q_ngram_jaccard,
-    # --- this session's new operators (never driver-checked → in-window);
-    # each displaces a row already driver-green in r02/r03 ---
-    "hits": q_hits,
-    "dsir_select": q_dsir_select,
-    "url_blocklist": q_url_blocklist,
-    "word_blocklist": q_word_blocklist,
-    "boilerplate": q_boilerplate,
-    "langid_confusion": q_langid_confusion,
-    "more_like_this": q_more_like_this,
-    # --- late round-4 oracled operators, never driver-checked, rotated
-    # into the window. Six slots were freed by (a) crawl_bfs_wave1
-    # (exact-green in r01+r02+r03), (b) neardup_incremental (rows-only —
-    # weaker evidence than an exact oracle), (c) langid (its oracle is
-    # wrapped verbatim by in-window langid_confusion), and (d)
-    # token_postings / token_offsets / sample_docs, whose machinery is
-    # exercised by in-window siblings (inverted_index_stats+bm25_topk,
-    # chunk_spans+pack_sequences, sample_stratified+mixture_sample). The
-    # displaced six are first in line for round 5's rotation. ---
-    "self_dedup_lines": q_self_dedup_lines,
-    "embedding_pq_topk": q_embedding_pq_topk,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    # sf0.01 against ORACLE_SQL). Standing rotation policy: order the
+    # registry by driver-evidence age — never-driver-checked oracled
+    # entries first, then the stalest previously-checked entries — so no
+    # entry ages out of evidence. Round 5 puts the 43 never-checked
+    # oracled round-4 additions in the window, plus 7 refresh slots for
+    # the stalest (last checked r02) rows. ---
     "bigram_lm_score": q_bigram_lm_score,
     "fineweb_filter": q_fineweb_filter,
     "epoch_shuffle": q_epoch_shuffle,
-    # --- below the 50-entry window: displaced-this-rotation entries first
-    # (queued for round 5's window), then entries hash-green in an earlier
-    # round's CORRECTNESS artifact or pinned by tests ---
     "token_offsets": q_token_offsets,
     "token_postings": q_token_postings,
     "sample_docs": q_sample_docs,
-    "langid": q_langid,
-    "neardup_incremental": q_neardup_incremental,
-    "crawl_bfs_wave1": q_crawl_bfs_wave1,
-    # --- operators built after the final round-4 rotation (oracled; local
-    # gate + tests only until round 5's window) ---
     "phrase_search": q_phrase_search,
     "ngram_novelty": q_ngram_novelty,
     "pmi_collocations": q_pmi_collocations,
@@ -4781,36 +4703,70 @@ QUERIES = {
     "pagerank_personalized": q_pagerank_personalized,
     "token_budget_sample": q_token_budget_sample,
     "simhash_blocks": q_simhash_blocks,
-    "extract_charset_title": q_extract_charset_title,
-    "canonicalize_urls": q_canonicalize_urls,
-    "url_seen_antijoin": q_url_seen_antijoin,
     "recrawl_schedule": q_recrawl_schedule,
-    "extract_text": q_extract_text,
+    "wet_extract": q_wet_extract,
+    "unfound_report": q_unfound_report,
+    "favicon_report": q_favicon_report,
+    "host_graph": q_host_graph,
+    "meta_extract": q_meta_extract,
+    "script_gate_report": q_script_gate_report,
+    "srcset_report": q_srcset_report,
+    "char_entropy": q_char_entropy,
+    "base_href_links": q_base_href_links,
+    "transfer_decode": q_transfer_decode,
+    "frame_report": q_frame_report,
+    "synth_index": q_synth_index,
+    "mhtml_recursion": q_mhtml_recursion,
+    "quality_ensemble": q_quality_ensemble,
+    "sitemap_extract": q_sitemap_extract,
+    "wat_roundtrip": q_wat_roundtrip,
+    "cdx_lookup": q_cdx_lookup,
+    "host_pagerank": q_host_pagerank,
+    "extract_errors": q_extract_errors,
+    "charset_bom_report": q_charset_bom_report,
+    "sft_format": q_sft_format,
+    "span_corruption": q_span_corruption,
+    "meta_robots_gate": q_meta_robots_gate,
+    # --- refresh slots: oracled entries last driver-checked in r02,
+    # re-validated at HEAD ---
+    "langid": q_langid,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "media_decode": q_media_decode,
     "lang_distribution": q_lang_distribution,
+    # --- below the 50-entry window. First: the never-driver-checked
+    # no_oracle entries (rows-only evidence lives in
+    # scripts/check_correctness.py + tests/; the judge ran them 5/5 OK
+    # in round 4). Then all remaining entries ordered by the round of
+    # their most recent green driver CORRECTNESS row (r02 → r03 → r04),
+    # i.e. first in line for future rotations. ---
+    "neardup_incremental": q_neardup_incremental,
+    "compression_ratio": q_compression_ratio,
+    "embedding_kmeans": q_embedding_kmeans,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_counts": q_bpe_encode_counts,
+    # --- last driver-checked r02 ---
     "embedding_label_stats": q_embedding_label_stats,
     "token_count_bpe": q_token_count_bpe,
     "stopword_stats": q_stopword_stats,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
     "length_filter": q_length_filter,
-    "q1_pricing_summary": q1_pricing_summary,
-    "connected_components": q_connected_components,
-    # --- beyond the 50-entry driver window: every row below was
-    # driver-checked green in an earlier round (CORRECTNESS_r01-03);
-    # local re-verification stays in scripts/check_correctness.py. ---
-    "pagerank": q_pagerank,
-    "compression_ratio": q_compression_ratio,
-    "embedding_kmeans": q_embedding_kmeans,
     "dedup_simhash": q_dedup_simhash,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_ivf_indexed": q_embedding_ivf_indexed,
     "dedup_embedding": q_dedup_embedding,
+    "crawl_bfs_wave1": q_crawl_bfs_wave1,
+    "extract_charset_title": q_extract_charset_title,
+    "canonicalize_urls": q_canonicalize_urls,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "extract_text": q_extract_text,
+    "q1_pricing_summary": q1_pricing_summary,
+    "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
     "extract_page_stats": q_extract_page_stats,
     "extract_anomaly_stats": q_extract_anomaly_stats,
     "frontier_seed": q_frontier_seed,
@@ -4853,33 +4809,56 @@ QUERIES = {
     "approx_top_tokens": q_approx_top_tokens,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "bpe_pair_counts": q_bpe_pair_counts,
-    "bpe_train_merges": q_bpe_train_merges,
-    "bpe_encode_counts": q_bpe_encode_counts,
-    # --- round-4 continuation batch (below the window; round-5 rotation
-    # queue): WET round trip, converter report surfaces, host graph ---
-    "wet_extract": q_wet_extract,
-    "unfound_report": q_unfound_report,
-    "favicon_report": q_favicon_report,
-    "host_graph": q_host_graph,
-    "meta_extract": q_meta_extract,
-    "script_gate_report": q_script_gate_report,
-    "srcset_report": q_srcset_report,
-    "char_entropy": q_char_entropy,
-    "base_href_links": q_base_href_links,
-    "transfer_decode": q_transfer_decode,
-    "frame_report": q_frame_report,
-    "synth_index": q_synth_index,
-    "mhtml_recursion": q_mhtml_recursion,
-    "quality_ensemble": q_quality_ensemble,
-    "sitemap_extract": q_sitemap_extract,
-    "wat_roundtrip": q_wat_roundtrip,
-    "cdx_lookup": q_cdx_lookup,
-    "host_pagerank": q_host_pagerank,
-    "extract_errors": q_extract_errors,
-    "charset_bom_report": q_charset_bom_report,
-    "sft_format": q_sft_format,
-    "span_corruption": q_span_corruption,
-    "meta_robots_gate": q_meta_robots_gate,
+    "pack_sequences": q_pack_sequences,
+    "train_prep": q_train_prep,
+    "chunk_spans": q_chunk_spans,
+    "source_quality_filter": q_source_quality_filter,
+    "c4_filter": q_c4_filter,
+    "gopher_filter": q_gopher_filter,
+    "lm_score": q_lm_score,
+    "tfidf_topk": q_tfidf_topk,
+    "inverted_index_stats": q_inverted_index_stats,
+    "bm25_topk": q_bm25_topk,
+    "sample_stratified": q_sample_stratified,
+    "mixture_sample": q_mixture_sample,
+    "pii_redact": q_pii_redact,
+    "media_decode_real": q_media_decode_real,
+    "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
+    "decontaminate": q_decontaminate,
+    "domain_cap": q_domain_cap,
+    "length_quantiles": q_length_quantiles,
+    "dedup_incremental": q_dedup_incremental,
+    "semdedup": q_semdedup,
+    "embedding_kmeans_assign": q_embedding_kmeans_assign,
+    "shard_manifest": q_shard_manifest,
+    "web_curation": q_web_curation,
+    "ccnet_buckets": q_ccnet_buckets,
+    "hash_classifier": q_hash_classifier,
+    "substring_scrub": q_substring_scrub,
+    "curation_prep": q_curation_prep,
+    "anchor_texts": q_anchor_texts,
+    "image_features": q_image_features,
+    "image_resize": q_image_resize,
+    "image_phash": q_image_phash,
+    "phash_dedup": q_phash_dedup,
+    "phash_neardup": q_phash_neardup,
+    "frame_sample": q_frame_sample,
+    "audio_features": q_audio_features,
+    "video_meta": q_video_meta,
+    "webp_meta": q_webp_meta,
+    "dedup_minhash": q_dedup_minhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "hits": q_hits,
+    "dsir_select": q_dsir_select,
+    "url_blocklist": q_url_blocklist,
+    "word_blocklist": q_word_blocklist,
+    "boilerplate": q_boilerplate,
+    "langid_confusion": q_langid_confusion,
+    "more_like_this": q_more_like_this,
+    "self_dedup_lines": q_self_dedup_lines,
+    "embedding_pq_topk": q_embedding_pq_topk,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 

@@ -8,7 +8,10 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
@@ -70,8 +73,10 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 runtime_env={"env_vars": {"PYTHONPATH": repo_root}})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
