@@ -195,6 +195,57 @@ def bench_queries() -> dict[str, float]:
     return timings
 
 
+def bench_distributed_plans() -> dict[str, dict[str, float]]:
+    """Both plan families of the dual-plan operators, timed side by side
+    (VERDICT round 4 #2: the committed BENCH only ever exercised the driver
+    plans — sf0.1 corpora sit below the auto switch, so the distributed
+    join/groupby plans' wall-time was soak-evidenced only). Each lane forces
+    one strategy explicitly; the plans are equivalence-tested elsewhere, so
+    this lane measures cost, not correctness."""
+    import ray.data
+
+    from mhtml_to_html_ray.functions import corpusstats, dedup, textstats
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()  # shared input: the lanes time the plans, not the read
+
+    lanes = {
+        "dedup_minhash": {
+            "driver": lambda: dedup.minhash_dedup(
+                docs, threshold=0.8, pair_strategy="driver", cluster_strategy="driver"),
+            "distributed": lambda: dedup.minhash_dedup(
+                docs, threshold=0.8, pair_strategy="groupby", cluster_strategy="distributed"),
+        },
+        "tfidf_topk": {
+            "driver": lambda: corpusstats.tfidf_topk(docs, k=5, strategy="broadcast"),
+            "distributed": lambda: corpusstats.tfidf_topk(docs, k=5, strategy="join"),
+        },
+        "lm_score": {
+            "driver": lambda: textstats.unigram_lm_scores(docs, strategy="broadcast"),
+            "distributed": lambda: textstats.unigram_lm_scores(docs, strategy="join"),
+        },
+        "winnow_pairs": {
+            "driver": lambda: dedup.winnow_overlap_pairs(docs, min_shared=25, strategy="driver"),
+            "distributed": lambda: dedup.winnow_overlap_pairs(docs, min_shared=25, strategy="groupby"),
+        },
+    }
+    out: dict[str, dict[str, float]] = {}
+    for name, plans in lanes.items():
+        out[name] = {}
+        for plan_name, thunk in plans.items():
+            best = None
+            for _trial in range(2):  # best of two (CPU-steal noise)
+                started = time.monotonic()
+                result = thunk()
+                if isinstance(result, ray.data.Dataset):
+                    result.count()
+                elapsed = time.monotonic() - started
+                best = elapsed if best is None else min(best, elapsed)
+            out[name][plan_name] = round(best, 3)
+    return out
+
+
 def _cpu_ticks() -> list[int] | None:
     try:
         with open("/proc/stat") as handle:
@@ -219,6 +270,7 @@ def run_bench() -> dict:
     flagship_sec, flagship_rows = bench_flagship()
     crawl_sec, crawl_urls = bench_crawl()
     queries = bench_queries()
+    distributed_plans = bench_distributed_plans()
     ticks_after = _cpu_ticks()
     ray.shutdown()
 
@@ -246,6 +298,11 @@ def run_bench() -> dict:
         "sf": _sf_value(SF_DIR),
         "num_cpus": NUM_CPUS,
         "steal_pct": steal_pct,
+        # both plan families of the dual-plan operators (driver/broadcast vs
+        # join/groupby), timed on the same materialized input; headline
+        # `value` intentionally excludes this lane for cross-round
+        # comparability
+        "distributed_plans": distributed_plans,
         "pages_extracted_per_sec": round(extract_rows / extract_sec, 1),
         "flagship_pages_per_sec": round(flagship_rows / flagship_sec, 1),
         "frontier_urls_per_sec": round(crawl_urls / crawl_sec, 1),

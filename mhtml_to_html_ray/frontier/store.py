@@ -62,10 +62,15 @@ class MemoryFrontier:
     def size(self) -> int:
         return len(self.rows)
 
-    def select_wave(self, budget: int, per_host_cap: int | None = None) -> list[dict]:
+    def select_wave(self, budget: int, per_host_cap: int | None = None,
+                    prefetch: dict | None = None) -> list[dict]:
         self.rows.sort(key=lambda row: (-row["priority"], row["discovery_index"]))
         selected, self.rows = _apply_host_cap(self.rows, per_host_cap, budget)
         return selected
+
+    def prefetch_wave(self, budget: int, per_host_cap: int | None = None) -> None:
+        """No-op: in-memory selection is microseconds, nothing to overlap."""
+        return None
 
     def snapshot_table(self) -> pa.Table:
         return _frontier_table(self.rows)

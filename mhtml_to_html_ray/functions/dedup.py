@@ -176,25 +176,50 @@ def _candidate_pairs_from_lsh(lsh_rows_ds, bucket_cap: int, strategy: str = "aut
         return pd.DataFrame({"a": pd.Series([p[0] for p in ordered], dtype="int64"),
                              "b": pd.Series([p[1] for p in ordered], dtype="int64")})
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        pairs = list(_pairs_from_buckets(group["doc_id"].tolist(), bucket_cap))
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        a, b = zip(*pairs)
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+    # Distributed plan, two vectorized rounds. Pair emission hash-partitions
+    # the (band_id, band_hash) key space into a BOUNDED number of coarse
+    # partitions and self-merges each partition in pandas: one Python call
+    # per partition instead of per bucket. (groupby(bucket_key).map_groups
+    # costs ~1 ms of per-group scaffolding; the bucket count is corpus-sized
+    # at web scale, which made the old shape ~200x the driver plan even at
+    # bench scale — round 5.) Cross-partition pair dedup (the same pair
+    # surfaces from every band whose hashes collide) is a native Count
+    # aggregate, not Python-per-pair; pairs never leave the cluster as a
+    # driver-side structure.
+    n_partitions = 256
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[:1][["a", "b"]]
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(
+            batch.column("band_hash"), pa.scalar(n_partitions - 1, pa.int64())
+        )
+        return batch.append_column("part", pc.cast(part, pa.int32()))
 
-    # distributed dedup: the same pair surfaces from every band whose hashes
-    # collide — groupby the pair key and keep one row; pairs never leave the
-    # cluster as a driver-side structure
+    def partition_pairs(part_df: pd.DataFrame) -> pa.Table:
+        # identical semantics to _pairs_from_buckets per bucket: distinct
+        # doc_ids, ascending, first bucket_cap, all i<j pairs. Returns
+        # ARROW so the downstream Count aggregate stays on Arrow blocks.
+        df = part_df[["band_id", "band_hash", "doc_id"]].drop_duplicates()
+        df = df.sort_values(["band_id", "band_hash", "doc_id"])
+        df = df.groupby(["band_id", "band_hash"], sort=False).head(bucket_cap)
+        merged = df.merge(df, on=["band_id", "band_hash"])
+        merged = merged[merged["doc_id_x"] < merged["doc_id_y"]]
+        pairs = merged[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return pa.table({"a": pa.array(pairs["doc_id_x"].astype("int64").to_numpy(), pa.int64()),
+                         "b": pa.array(pairs["doc_id_y"].astype("int64").to_numpy(), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    def strip_count(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("a").cast(pa.int64()),
+                         "b": batch.column("b").cast(pa.int64())})
+
     return (
-        lsh_rows_ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        lsh_rows_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
         .groupby(["a", "b"])
-        .map_groups(first_row, batch_format="pandas")
+        .aggregate(Count(alias_name="_bands"))
+        .map_batches(strip_count, batch_format="pyarrow")
     )
 
 
@@ -352,34 +377,57 @@ def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_
     )
 
 
-def connected_components_ds(pairs_ds, max_iter: int = 50):
+def connected_components_ds(pairs_ds, max_iter: int = 50, n_partitions: int = 256):
     """Distributed connected components by min-label propagation with
     POINTER DOUBLING: each iteration first spreads labels one hop along
-    edges (per-node group: spread the group's best known label to every
-    neighbor → groupby(node).min(label)), then shortcuts label(node) →
-    label(label(node)) — so label distances halve per round and convergence
-    is O(log diameter) shuffle rounds, not O(diameter) (ADVICE round 2: a
-    long chain of sliding-boilerplate near-dups previously needed one round
-    per hop). Replaces the driver union-find the day near-dup pairs stop
-    fitting one process (VERDICT round-1 item 9).
+    edges, then shortcuts label(node) -> label(label(node)) - so label
+    distances halve per round and convergence is O(log diameter) shuffle
+    rounds, not O(diameter) (ADVICE round 2: a long chain of
+    sliding-boilerplate near-dups previously needed one round per hop).
+    Replaces the driver union-find the day near-dup pairs stop fitting one
+    process (VERDICT round-1 item 9).
 
-    Both steps are union + groupby(key).map_groups equijoins (not
-    ``Dataset.join`` — see _verified_pairs_ds for why)."""
+    Round-5 shape: the equijoins hash-partition the node-id key space into
+    ``n_partitions`` coarse partitions and run VECTORIZED pandas merges per
+    partition (one Python call per partition, not per node - per-node
+    map_groups scaffolding was the scale bottleneck), emit Arrow, and the
+    hop's partials feed the shortcut directly (duplicate candidate labels
+    are resolved by the per-partition partial-min plus the one canonical
+    Min aggregate per iteration) - 3 all-to-alls per iteration instead of
+    the previous 4. Built on groupby rather than ``Dataset.join``
+    deliberately (see _verified_pairs_ds for why)."""
     import pandas as pd
     from ray.data.aggregate import Min
+
+    part_mask = pa.scalar(n_partitions - 1, pa.int64())
+
+    def _with_part(table: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(table.column("key"), part_mask)
+        return table.append_column("part", pc.cast(part, pa.int32()))
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("a").combine_chunks()
         b = batch.column("b").combine_chunks()
-        return pa.table(
+        return _with_part(pa.table(
             {
                 "key": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
                 "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
                 "label": pa.nulls(2 * batch.num_rows, pa.int64()),
             }
-        )
+        ))
 
     edge_side = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # Pin the block count for the iteration state, data-proportionally.
+    # union() concatenates block lists and the shuffle ops emit one block
+    # per input block, so without this the label table's block count
+    # COMPOUNDS across iterations (48 -> 192 -> 480 ... in the round-5
+    # profile) and per-block fixed costs swamp the tiny per-iteration data.
+    rows_per_block = 1_000_000  # ~16 MB of (int64, int64) rows
+    target_blocks = max(1, min(edge_side.num_blocks(),
+                               -(-edge_side.count() // rows_per_block)))
+    if edge_side.num_blocks() > target_blocks:
+        edge_side = edge_side.repartition(target_blocks).materialize()
 
     labels = (
         edge_side.map_batches(
@@ -388,86 +436,90 @@ def connected_components_ds(pairs_ds, max_iter: int = 50):
         )
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
+        .repartition(target_blocks)
         .materialize()
     )
     previous_sum = labels.sum("label")
 
     def label_side(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        # (node, label) rows keyed by the node itself
+        return _with_part(pa.table(
             {
-                "key": batch.column("node"),
+                "key": batch.column("node").cast(pa.int64()),
                 "dst": pa.nulls(batch.num_rows, pa.int64()),
-                "label": batch.column("label"),
+                "label": batch.column("label").cast(pa.int64()),
             }
-        )
-
-    def propagate(group: pd.DataFrame) -> pa.Table:
-        label_rows = group[group["label"].notna()]
-        if label_rows.empty:  # node somehow without a label row — keep quiet
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
-            )
-        best = int(label_rows["label"].min())
-        neighbors = [int(d) for d in group["dst"].dropna()]
-        nodes = [int(group["key"].iloc[0])] + neighbors
-        return pa.table(
-            {
-                "node": pa.array(nodes, pa.int64()),
-                "label": pa.array([best] * len(nodes), pa.int64()),
-            }
-        )
+        ))
 
     def shortcut_request(batch: pa.Table) -> pa.Table:
         # a (node, label) row asks node `label` for ITS label
-        return pa.table(
+        return _with_part(pa.table(
             {
-                "key": batch.column("label"),
-                "dst": batch.column("node"),
+                "key": batch.column("label").cast(pa.int64()),
+                "dst": batch.column("node").cast(pa.int64()),
                 "label": pa.nulls(batch.num_rows, pa.int64()),
             }
-        )
+        ))
 
-    def shortcut(group: pd.DataFrame) -> pa.Table:
-        """key = some node k; label rows carry label(k); dst rows are nodes
-        whose current label is k → their new label is label(k)."""
-        label_rows = group[group["label"].notna()]
-        requesters = [int(d) for d in group["dst"].dropna()]
-        if label_rows.empty:
-            # k has no label row (k is itself a minimal label) — keep as-is
-            return pa.table(
-                {
-                    "node": pa.array(requesters, pa.int64()),
-                    "label": pa.array([int(group["key"].iloc[0])] * len(requesters), pa.int64()),
-                }
-            )
-        best = int(label_rows["label"].min())
-        nodes = [int(group["key"].iloc[0])] + requesters
-        return pa.table(
-            {
-                "node": pa.array(nodes, pa.int64()),
-                "label": pa.array([best] * len(nodes), pa.int64()),
-            }
-        )
+    def _node_label_table(nodes, labs) -> pa.Table:
+        out = pd.DataFrame({"node": nodes, "label": labs})
+        # partial min per node inside the partition: shrinks the rows the
+        # next shuffle carries without changing the final Min
+        out = out.groupby("node", sort=False)["label"].min().reset_index()
+        return pa.table({"node": pa.array(out["node"].to_numpy(np.int64), pa.int64()),
+                         "label": pa.array(out["label"].to_numpy(np.int64), pa.int64())})
+
+    def propagate_part(part_df: pd.DataFrame) -> pa.Table:
+        """One coarse partition: label rows spread each node's best known
+        label to all its neighbors (vectorized merge), nodes keep their own
+        best label."""
+        has_label = part_df["label"].notna()
+        labels_df = (part_df.loc[has_label, ["key", "label"]]
+                     .groupby("key", sort=False)["label"].min().reset_index())
+        edges_df = part_df.loc[part_df["dst"].notna(), ["key", "dst"]]
+        merged = edges_df.merge(labels_df, on="key", how="inner")
+        nodes = np.concatenate([labels_df["key"].to_numpy(np.int64),
+                                merged["dst"].to_numpy(np.int64)])
+        labs = np.concatenate([labels_df["label"].to_numpy(np.int64),
+                               merged["label"].to_numpy(np.int64)])
+        return _node_label_table(nodes, labs)
+
+    def shortcut_part(part_df: pd.DataFrame) -> pa.Table:
+        """key = some node k; label rows carry candidate labels of k; dst
+        rows are nodes whose current label is k -> their new label is
+        label(k) (k itself when k is a minimal label with no label row)."""
+        has_label = part_df["label"].notna()
+        labels_df = (part_df.loc[has_label, ["key", "label"]]
+                     .groupby("key", sort=False)["label"].min().reset_index())
+        req = part_df.loc[part_df["dst"].notna(), ["key", "dst"]]
+        merged = req.merge(labels_df, on="key", how="left")
+        new_label = merged["label"].fillna(merged["key"]).astype("int64")
+        nodes = np.concatenate([labels_df["key"].to_numpy(np.int64),
+                                merged["dst"].to_numpy(np.int64)])
+        labs = np.concatenate([labels_df["label"].to_numpy(np.int64),
+                               new_label.to_numpy(np.int64)])
+        return _node_label_table(nodes, labs)
 
     converged = False
     for _ in range(max_iter):
-        # one hop along edges
-        labels = (
+        # one hop along edges -> (node, label) candidate partials (dupes OK:
+        # every consumer takes a min)
+        hop = (
             edge_side.union(labels.map_batches(label_side, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(propagate, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .groupby("part")
+            .map_groups(propagate_part, batch_format="pandas")
             .materialize()
         )
-        # pointer doubling: label(node) ← label(label(node))
+        # pointer doubling straight off the hop partials, then ONE canonical
+        # Min aggregate per iteration
         labels = (
-            labels.map_batches(shortcut_request, batch_format="pyarrow")
-            .union(labels.map_batches(label_side, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(shortcut, batch_format="pandas")
+            hop.map_batches(shortcut_request, batch_format="pyarrow")
+            .union(hop.map_batches(label_side, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(shortcut_part, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(target_blocks)  # keep the iteration block count flat
             .materialize()
         )
         # labels only ever decrease, so an unchanged sum means a fixpoint
@@ -478,7 +530,7 @@ def connected_components_ds(pairs_ds, max_iter: int = 50):
         previous_sum = current_sum
     if not converged:
         # a component with diameter > max_iter would exit here mid-propagation
-        # and silently split one cluster into several — say so loudly
+        # and silently split one cluster into several - say so loudly
         import warnings
 
         warnings.warn(
@@ -687,36 +739,54 @@ def simhash_pairs(documents_ds, max_hamming: int = 3, concurrency: int | tuple |
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        sub = (
-            group[["doc_id", "simhash"]]
-            .drop_duplicates("doc_id")
-            .sort_values("doc_id")  # deterministic under shuffle order
-            .head(bucket_cap)
+    # Vectorized distributed pair emission (round 5): hash-partition the
+    # block-value key space into a bounded number of coarse partitions and
+    # self-merge each partition in pandas — one Python call per PARTITION,
+    # not per (block_id, block_value) bucket, with the hamming verify as a
+    # numpy popcount over the merged columns. Arrow out: pandas blocks make
+    # the downstream Count aggregate ~15x slower (round-5 profile).
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(
+            pc.cast(batch.column("block_value"), pa.int64()),
+            pa.scalar(n_partitions - 1, pa.int64()),
         )
-        # NEVER .values on the mixed int64/uint64 frame: numpy promotes the
-        # pair to float64, silently corrupting the low bits of the 64-bit
-        # hash and mis-verifying hamming (caught by the dedup_simhash SQL
-        # oracle in round 4 — the rows-only check had hidden it since r1)
-        rows = list(zip(
-            sub["doc_id"].to_numpy(dtype=np.int64).tolist(),
-            sub["simhash"].to_numpy(dtype=np.uint64).tolist(),
-        ))
-        out_a, out_b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                (a, ha), (b, hb) = rows[i], rows[j]
-                if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+        return batch.append_column("part", pc.cast(part, pa.int32()))
+
+    def partition_block_pairs(part_df: pd.DataFrame) -> pa.Table:
+        df = part_df[["block_id", "block_value", "doc_id", "simhash"]]
+        df = df.drop_duplicates(["block_id", "block_value", "doc_id"])
+        df = df.sort_values(["block_id", "block_value", "doc_id"])
+        df = df.groupby(["block_id", "block_value"], sort=False).head(bucket_cap)
+        merged = df.merge(df, on=["block_id", "block_value"])
+        merged = merged[merged["doc_id_x"] < merged["doc_id_y"]]
+        # NEVER mix the int64 doc ids and uint64 hashes in one .values
+        # array: numpy promotes to float64, corrupting the hash low bits
+        # (caught by the dedup_simhash SQL oracle in round 4) — keep the
+        # hash columns uint64 end to end and popcount the xor vectorized
+        hx = merged["simhash_x"].to_numpy(dtype=np.uint64)
+        hy = merged["simhash_y"].to_numpy(dtype=np.uint64)
+        xor = np.bitwise_xor(hx, hy)
+        ham = np.unpackbits(xor.view(np.uint8)).reshape(len(xor), 8 * 8).sum(axis=1) \
+            if len(xor) else np.array([], dtype=np.int64)
+        keep = ham <= max_hamming
+        a = merged["doc_id_x"].to_numpy(dtype=np.int64)[keep]
+        b = merged["doc_id_y"].to_numpy(dtype=np.int64)[keep]
+        # dedupe within the partition; cross-partition dedup is the Count
+        # aggregate below
+        pairs = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.table({"a": pa.array(pairs["a"].to_numpy(), pa.int64()),
+                         "b": pa.array(pairs["b"].to_numpy(), pa.int64())})
 
     # materialize: the count() empty-check below would otherwise execute
     # the full simhash + shuffle lineage, then the groupby would re-run it
-    pairs_ds = exploded.groupby(["block_id", "block_value"]).map_groups(
-        block_pairs, batch_format="pandas"
-    ).materialize()
+    pairs_ds = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_block_pairs, batch_format="pandas")
+        .materialize()
+    )
     if pairs_ds.count() == 0:
         return ray.data.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
@@ -899,22 +969,46 @@ def winnow_overlap_pairs(documents_ds, min_shared: int = 3, k: int = 8, window: 
                     pair_counts[(docs[i], docs[j])] += 1
         out = sorted((a, b, c) for (a, b), c in pair_counts.items() if c >= min_shared)
     else:
-        def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-            docs = sorted(set(group["doc_id"].tolist()))[:bucket_cap]
-            out_a, out_b = [], []
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    out_a.append(docs[i])
-                    out_b.append(docs[j])
-            return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                                 "b": pd.Series(out_b, dtype="int64")})
+        # vectorized distributed plan (round 5): hash-partition fingerprints
+        # into a bounded number of coarse partitions, self-merge each
+        # partition in pandas (one Python call per PARTITION — the old
+        # groupby(fingerprint).map_groups paid ~1 ms scaffolding per
+        # fingerprint, 200x the driver plan at bench scale), emit per-pair
+        # PARTIAL shared counts, then one native Sum aggregate. A
+        # fingerprint lives in exactly one partition, so the partial counts
+        # sum to the exact shared-fingerprint count.
+        n_partitions = 256
 
-        from ray.data.aggregate import Count
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = pc.bit_wise_and(
+                batch.column("fingerprint"), pa.scalar(n_partitions - 1, pa.int64())
+            )
+            return batch.append_column("part", pc.cast(part, pa.int32()))
 
-        pairs_ds = exploded.groupby("fingerprint").map_groups(
-            bucket_pairs, batch_format="pandas"
+        def partition_pair_counts(part_df: pd.DataFrame) -> pa.Table:
+            # returns ARROW: the downstream Sum aggregate is ~15x faster
+            # over Arrow blocks than pandas blocks (round-5 profile)
+            df = part_df[["fingerprint", "doc_id"]].drop_duplicates()
+            df = df.sort_values(["fingerprint", "doc_id"])
+            df = df.groupby("fingerprint", sort=False).head(bucket_cap)
+            merged = df.merge(df, on="fingerprint")
+            merged = merged[merged["doc_id_x"] < merged["doc_id_y"]]
+            out = (merged.groupby(["doc_id_x", "doc_id_y"], sort=False)
+                   .size().reset_index(name="shared_partial"))
+            return pa.table(
+                {"a": pa.array(out["doc_id_x"].astype("int64").to_numpy(), pa.int64()),
+                 "b": pa.array(out["doc_id_y"].astype("int64").to_numpy(), pa.int64()),
+                 "shared_partial": pa.array(out["shared_partial"].astype("int64").to_numpy(), pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        counted = (
+            exploded.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(partition_pair_counts, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Sum("shared_partial", alias_name="shared"))
         )
-        counted = pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="shared"))
 
         # threshold filter stays distributed: the counted pair table on a
         # duplicate-heavy corpus is pair-sized, so it must never take_all()

@@ -109,7 +109,12 @@ def hits_units(edges_ds, n_iter: int = 2, src: str = "src",
             "score": pa.array(np.full(batch.num_rows, h0, np.int64)),
         })
 
-    hubs = nodes.map_batches(init_hubs, batch_format="pyarrow").materialize()
+    # pin the superstep block count (see _pagerank_core for the rationale)
+    rows_per_block = 1_000_000
+    target_blocks = max(1, min(nodes.num_blocks(), -(-n_nodes // rows_per_block)))
+
+    hubs = (nodes.map_batches(init_hubs, batch_format="pyarrow")
+            .repartition(target_blocks).materialize())
 
     def zero_scores(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -153,7 +158,7 @@ def hits_units(edges_ds, n_iter: int = 2, src: str = "src",
             return raw_ds.map_batches(
                 lambda b: pa.table({"node": b.column("node"),
                                     "score": b.column("raw")}),
-                batch_format="pyarrow").materialize()
+                batch_format="pyarrow").repartition(target_blocks).materialize()
 
         def scale(batch: pa.Table) -> pa.Table:
             raws = batch.column("raw").to_pylist()
@@ -163,7 +168,8 @@ def hits_units(edges_ds, n_iter: int = 2, src: str = "src",
                                   pa.int64()),
             })
 
-        return raw_ds.map_batches(scale, batch_format="pyarrow").materialize()
+        return (raw_ds.map_batches(scale, batch_format="pyarrow")
+                .repartition(target_blocks).materialize())
 
     auths = None
     for _ in range(n_iter):
@@ -251,7 +257,16 @@ def _pagerank_core(edges_ds, n_iter, src, dst, init_units, fold_base,
             "rank_units": pa.array(init_units(node, n_nodes), pa.int64()),
         })
 
-    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    # Pin the superstep block count, data-proportionally: union() and the
+    # join/groupby ops emit one block per input block, so the node-sized
+    # rank table's block count otherwise COMPOUNDS across supersteps and
+    # per-block fixed costs dominate (round-5 profile: 5 supersteps over
+    # 2k edges took 57 s before pinning, ~3 s after).
+    rows_per_block = 1_000_000
+    target_blocks = max(1, min(nodes.num_blocks(), -(-n_nodes // rows_per_block)))
+
+    ranks = (nodes.map_batches(init_ranks, batch_format="pyarrow")
+             .repartition(target_blocks).materialize())
 
     # materialize: the (possibly expensive) upstream edge derivation would
     # otherwise re-execute once per superstep plus once for the degree pass
@@ -305,7 +320,8 @@ def _pagerank_core(edges_ds, n_iter, src, dst, init_units, fold_base,
         ranks_only = summed.map_batches(fold, batch_format="pyarrow")
         # re-attach the static out-degree for the next superstep, then
         # materialize: the node-sized rank table is the superstep checkpoint
-        ranks = hash_join(ranks_only, nodes, key="node").materialize()
+        ranks = (hash_join(ranks_only, nodes, key="node")
+                 .repartition(target_blocks).materialize())
 
     return ranks.select_columns(["node", "rank_units"])
 
