@@ -726,6 +726,11 @@ _LI_DD_DT_STOP = _SPECIAL_TAGS - frozenset(("address", "div", "p"))
 # default-scope walk below. Every OTHER end tag follows the spec's "any
 # other end tag" loop, which IGNORES the token as soon as it meets a
 # SPECIAL-category element (</span> never closes through an open <div>).
+# spec "generate implied end tags" set (no exclusions)
+_IMPLIED_END_TAGS = frozenset(
+    ("dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc")
+)
+
 _OWN_RULE_END_TAGS = frozenset(
     """address article aside blockquote button center details dialog dir
     div dl fieldset figcaption figure footer header hgroup listing main
@@ -1679,16 +1684,21 @@ def parse_html(source: str) -> Document:
             ):
                 continue  # spec "in body": stray td/th/tr/sections are ignored
 
-            if (
-                tag == "form"
-                and not foreign
-                and form_el is not None
-                and not any(
+            if tag == "form" and not foreign:
+                template_open = any(
                     isinstance(node, Element) and node.tag_name == "template"
                     for node in stack
                 )
-            ):
-                continue  # spec form-element pointer: a nested <form> is ignored
+                if form_el is not None and not template_open:
+                    # spec form-element pointer: a nested <form> is ignored
+                    continue
+                if template_open and stack and isinstance(stack[-1], Element) \
+                        and stack[-1].namespace == "html" \
+                        and stack[-1].tag_name in (
+                            "table", "tbody", "thead", "tfoot", "tr"):
+                    # spec "in table" <form>: with a template on the stack
+                    # the token is ignored OUTRIGHT (no insert-and-pop)
+                    continue
 
             element = Element(tag_out, attrs, namespace=element_ns)
             in_head_insert = False
@@ -1810,7 +1820,14 @@ def parse_html(source: str) -> Document:
                 parent.append_child(element)
             form_in_table = False
             if tag == "form" and not foreign:
-                form_el = element  # spec form-element pointer
+                # spec form-element pointer: set ONLY when no template is on
+                # the stack (a form inside template content must not make
+                # later top-level <form> tokens be ignored)
+                if not any(
+                    isinstance(node, Element) and node.tag_name == "template"
+                    for node in stack
+                ):
+                    form_el = element
                 # spec "in table" <form>: insert, set the pointer, and pop
                 # IMMEDIATELY — the form stays empty and following content
                 # (e.g. a non-hidden <input>) fosters out of the table
@@ -1929,7 +1946,44 @@ def parse_html(source: str) -> Document:
                 post_body = "after_html" if tag == "html" else "after_body"
                 continue
             if tag == "form" and token_namespace("form") == "html":
-                form_el = None  # spec: </form> clears the pointer
+                template_open = any(
+                    isinstance(node, Element) and node.tag_name == "template"
+                    for node in stack
+                )
+                if not template_open:
+                    # spec "in body" </form> (no template on the stack):
+                    # take the POINTED form, null the pointer, and — only if
+                    # that node is in default scope — generate implied end
+                    # tags and REMOVE it from the stack in place (elements
+                    # above it stay open: <form><div></form>x keeps x in the
+                    # div). A pointer hidden behind a table boundary means
+                    # the token is ignored (<form><table></form> keeps the
+                    # form open in the tree), and a null pointer ignores the
+                    # token outright.
+                    node = form_el
+                    form_el = None
+                    in_scope = False
+                    for entry in reversed(stack):
+                        if entry is node:
+                            in_scope = True
+                            break
+                        if _scope_hides(entry):
+                            break
+                    if node is None or not in_scope:
+                        continue  # spec: ignore the token
+                    while (stack and isinstance(stack[-1], Element)
+                           and stack[-1] is not node
+                           and stack[-1].namespace == "html"
+                           and stack[-1].tag_name in _IMPLIED_END_TAGS):
+                        prune_stack(len(stack) - 1)
+                    for index in range(len(stack) - 1, -1, -1):
+                        if stack[index] is node:
+                            del stack[index]
+                            break
+                    continue
+                # template on the stack: fall through to the generic
+                # pop-to-form-in-scope handling (the template boundary in
+                # the loop below hides a form outside the template)
             if tag in _FORMATTING_TAGS:
                 # spec foreign-content "any other end tag": when a FOREIGN
                 # element matching the tag sits above the nearest HTML

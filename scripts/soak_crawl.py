@@ -36,6 +36,8 @@ def rss_mb() -> float:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--hosts", type=int, default=1000)
+    parser.add_argument("--no-overlap", action="store_true",
+                        help="disable overlapped frontier selection (A/B lane)")
     parser.add_argument("--pages", type=int, default=500)
     parser.add_argument("--wave-budget", type=int, default=100_000)
     parser.add_argument("--cpus", type=int, default=32)
@@ -70,6 +72,7 @@ def main() -> int:
         retry_sleep_scale=0.0,
         admit_strategy=args.admit_strategy,
         frontier_storage="parquet",
+        overlap_select=not args.no_overlap,
         frontier_dir=os.path.join(work, "frontier"),
         results_dir=os.path.join(work, "results"),
     )

@@ -12,6 +12,7 @@ Usage: PYTHONPATH=/root/repo python scripts/soak_dom.py [n_cases] [seed]
 from __future__ import annotations
 
 import random
+import re
 import sys
 
 from mhtml_to_html_ray.kernel.dom import parse_dom
@@ -48,6 +49,19 @@ TOKENS = [
     "</font>", "<small>", "</small>", "<strike>", "</strike>", "<tt>",
     "</tt>", "<u>", "</u>", "<s>", "</s>", "<big>", "</big>", "<code>",
     "</code>", "&#xD800;", "&#55296;", "&#x10FFFF;", "a=b", '"quoted"',
+    # round-5 composite tokens: raise the hit rate of the interactions
+    # where round-4's fixes clustered (VERDICT #5) — template-in-table
+    # fostering, <form> pointer semantics across tables, and
+    # after-frameset / after-after-frameset comment+space placement
+    "<table><template>", "</template></table>", "<table><form>",
+    "</form></table>", "<form><table><form>", "<table><tr><td><form>",
+    "<table>x<template>", "<template><tr><td>", "<template><col>",
+    "<template><caption>", "<table><template><tr>", "<table><input>",
+    "<form></form><form>", "<td><form><div>", "<table><form><input type=hidden>",
+    "<frameset></frameset><!--after-->", "</frameset><!--c--> ",
+    "<html><frameset></frameset></html><!--aaf-->",
+    "<frameset><frame></frameset> \n<!--tail-->", "<table><tr><template><td>",
+    "<caption><template>", "<colgroup><template>", "<select><template>",
 ]
 
 
@@ -71,6 +85,24 @@ def main() -> int:
             continue
         try:
             once = parse_dom(source).serialize()
+            # known reference-faithful non-idempotence #2: a form element
+            # DESCENDANT of another form in the tree (possible when </form>
+            # removes the outer form from the STACK while its subtree stays
+            # open: <form><div></form><form> nests form2 inside the div).
+            # The serialization cannot express "the outer form was closed
+            # first", so any spec parser (parse5 included) drops the inner
+            # form on reparse via the form-element-pointer ignore rule.
+            # Behavior parity is pinned in test_html5_tree
+            # (test_form_pointer_spec_semantics); skip the fixpoint here.
+            depth, nested_form = 0, False
+            for m in re.finditer(r"<(/?)form[ >]", once):
+                depth += -1 if m.group(1) else 1
+                if depth >= 2:
+                    nested_form = True
+                    break
+            if nested_form:
+                skipped += 1
+                continue
             twice = parse_dom(once).serialize()
             thrice = parse_dom(twice).serialize()
         except Exception as exc:  # noqa: BLE001 — report and keep going
@@ -86,7 +118,7 @@ def main() -> int:
             if failures >= 5:
                 break
     ran = i + 1 if n_cases else 0
-    print(f"soak done: {ran} cases ({skipped} script-comment cases skipped), "
+    print(f"soak done: {ran} cases ({skipped} known-nonidempotent cases skipped), "
           f"{failures} failures")
     return 1 if failures else 0
 

@@ -1359,3 +1359,91 @@ def test_strip_tracking_fragment_with_question_mark():
     assert strip_tracking(
         "https://a.test/p?utm_term=t&k=1#/route?gclid=abc") == \
         "https://a.test/p?k=1#/route?gclid=abc"
+
+
+def _frontier_row(index: int, priority: float, host: str = "h.test") -> dict:
+    return {
+        "url": f"https://{host}/p{index}",
+        "canon_url": f"https://{host}/p{index}",
+        "host": host,
+        "host_hash": hash(host) & 0x7FFFFFFF,
+        "depth": 0,
+        "priority": priority,
+        "discovered_ts": 0,
+        "wave": 0,
+        "parent_url": "",
+        "discovery_index": index,
+    }
+
+
+def test_parquet_prefetch_select_parity(ray_session, tmp_path):
+    """prefetch_wave + later adds + select_wave(prefetch=...) must select
+    EXACTLY the rows the unprefetched path would — including when the
+    post-prefetch adds outrank the prefetched window (the merge trims the
+    union back to the window before the host cap)."""
+    from mhtml_to_html_ray.frontier.store import ParquetFrontier
+
+    def build(root):
+        store = ParquetFrontier(str(root))
+        store.add([_frontier_row(i, priority=0.1 + (i % 7) / 10.0,
+                                 host=f"h{i % 3}.test") for i in range(40)])
+        return store
+
+    plain = build(tmp_path / "plain")
+    overlapped = build(tmp_path / "ovl")
+
+    handle = overlapped.prefetch_wave(10, per_host_cap=4)
+    assert handle is not None and len(handle["rows"]) > 0
+    # admits land AFTER the prefetch — some outrank everything prefetched
+    late = [_frontier_row(100 + i, priority=5.0, host="h9.test") for i in range(6)]
+    plain.add(late)
+    overlapped.add(late)
+
+    expect = plain.select_wave(10, per_host_cap=4)
+    got = overlapped.select_wave(10, per_host_cap=4, prefetch=handle)
+    assert [r["discovery_index"] for r in got] == \
+        [r["discovery_index"] for r in expect]
+    # and the surviving backlogs are identical too
+    remaining_plain = sorted(r["discovery_index"] for r in plain._read_table().to_pylist())
+    remaining_ovl = sorted(r["discovery_index"] for r in overlapped._read_table().to_pylist())
+    assert remaining_ovl == remaining_plain
+
+
+def test_overlap_select_crawl_parity(ray_session, tmp_path):
+    """A parquet-frontier crawl with overlap_select produces the identical
+    fetch order and seen set as overlap_select=False, and the wave metrics
+    record that later waves actually consumed a prefetched window."""
+    from mhtml_to_html_ray.frontier.scheduler import (
+        CrawlConfig, CrawlScheduler, request_log)
+    from mhtml_to_html_ray.frontier.transports import DictTransportFactory
+
+    def html_page(links):
+        body = "".join(f'<a href="{link}">x</a>' for link in links)
+        return ("text/html", f"<html><body>{body}</body></html>".encode())
+
+    routes = {}
+    for i in range(12):
+        routes[f"https://ov.example/s{i}"] = html_page(
+            [f"https://ov.example/c{i}-{j}" for j in range(3)])
+        for j in range(3):
+            routes[f"https://ov.example/c{i}-{j}"] = html_page([])
+    seeds = [f"https://ov.example/s{i}" for i in range(12)]
+    base = dict(discovery_mode="hyperlinks", retry_sleep_scale=0.0,
+                num_seen_shards=2, fetch_concurrency=1, batch_size=8,
+                wave_budget=5, max_waves=20, frontier_storage="parquet")
+
+    runs = {}
+    for label, overlap in (("off", False), ("on", True)):
+        scheduler = CrawlScheduler(
+            DictTransportFactory(routes),
+            CrawlConfig(frontier_dir=str(tmp_path / label), overlap_select=overlap,
+                        **base),
+        )
+        result = scheduler.run(seeds)
+        runs[label] = (request_log(result), result.seen_urls, result.metrics)
+        scheduler.close()
+
+    assert runs["on"][0] == runs["off"][0], "overlap changed the crawl order"
+    assert runs["on"][1] == runs["off"][1]
+    overlapped_waves = [m for m in runs["on"][2] if m.get("select_overlapped")]
+    assert overlapped_waves, "no wave ever consumed a prefetched window"

@@ -2878,3 +2878,48 @@ def test_select_scope_and_foreign_select(source, expected):
 )
 def test_any_other_end_tag_special_stop(source, expected):
     assert body_html(source) == expected
+
+
+@pytest.mark.parametrize(
+    "source, expected",
+    [
+        # spec "in body" </form> (no template open): the POINTED form is
+        # REMOVED from the stack in place — elements above it stay open,
+        # so x keeps flowing into the div (parse5 does the same; the old
+        # pop-to-form closed the div too)
+        ("<body><form><div></form>x</body>",
+         "<body><form><div>x</div></form></body>"),
+        # ... but implied-end-tag elements (p, li, ...) above the form DO
+        # pop first ("generate implied end tags" precedes the removal)
+        ("<body><form><p><li></form>x</body>",
+         "<body><form><p><li></li></p></form>x</body>"),
+        # a table boundary hides the pointed form from scope: the token is
+        # ignored BUT the pointer still nulls, so the next <form> in table
+        # inserts (insert-and-pop) instead of being pointer-ignored
+        ("<body><form><table></form><form><tr><td>x</table></body>",
+         "<body><form><table><form></form><tbody><tr><td>x</td></tr>"
+         "</tbody></table></form></body>"),
+        # a form inside template content does NOT set the form element
+        # pointer: a later top-level <form> still inserts
+        ('<body><template><form a=1>x</form></template><form b=2>y</body>',
+         '<body><template><form a="1">x</form></template>'
+         '<form b="2">y</form></body>'),
+        # in-template the form token is plain in-body (mode is "in
+        # template", not "in table"), so it nests normally
+        ("<body><table><template><form>z</template></table></body>",
+         "<body><table><template><form>z</form></template></table></body>"),
+        # stray </form> with a null pointer is ignored outright
+        ("<body></form>x<form>y</body>",
+         "<body>x<form>y</form></body>"),
+        # "in table" <form> with a template on the stack is ignored
+        # OUTRIGHT (no insert-and-pop): dom-parser parity with parse5's
+        # in-table form rule
+        ("<body><template><table><form></table>t</template></body>",
+         "<body><template><table></table>t</template></body>"),
+    ],
+)
+def test_form_pointer_spec_semantics(source, expected):
+    """Round-5 tranche: form element pointer semantics across tables and
+    templates (WHATWG 13.2.6.4.7 <form>/</form>, 13.2.6.4.9 in-table
+    <form>); found by the structured soak's new composite tokens."""
+    assert body_html(source) == expected
