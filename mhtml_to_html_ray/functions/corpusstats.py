@@ -276,28 +276,47 @@ def _tfidf_topk_join(documents_ds, k: int, min_df: int):
             }
         )
 
-    def attach_df(group: pd.DataFrame) -> pa.Table:
-        df_rows = group[group["df"].notna()]
-        tf_rows = group[group["df"].isna()]
-        schema = pa.schema(
-            [("doc_id", pa.int64()), ("token", pa.string()),
-             ("tf", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64())]
-        )
-        if df_rows.empty or tf_rows.empty:
-            return schema.empty_table()
-        df_val = int(df_rows["df"].iloc[0])
-        if df_val < min_df:
-            return schema.empty_table()
+    # Round-5 shape: both equijoin rounds hash-partition their key space
+    # into a bounded number of coarse partitions and run VECTORIZED pandas
+    # merges/folds per partition — one Python call per PARTITION, not per
+    # token/doc group (per-group map_groups scaffolding made the join plan
+    # ~25x the broadcast plan at the 200k-doc switch point).
+    n_partitions = 256
+    scored_schema = pa.schema(
+        [("doc_id", pa.int64()), ("token", pa.string()),
+         ("tf", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64())]
+    )
+
+    def add_token_part(batch: pa.Table) -> pa.Table:
+        part = _token_partition(batch.column("token").to_pylist(), n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def attach_df_part(part_df: pd.DataFrame) -> pa.Table:
         from .rounding import round_half_away
 
-        idf = math.log(n_docs / df_val)
-        tf = tf_rows["tf"].to_numpy(dtype=np.float64)
+        df_rows = part_df.loc[part_df["df"].notna(), ["token", "df"]]
+        tf_rows = part_df.loc[part_df["df"].isna(), ["token", "doc_id", "tf"]]
+        if df_rows.empty or tf_rows.empty:
+            return scored_schema.empty_table()
+        df_rows = df_rows.drop_duplicates("token")
+        if min_df > 1:
+            df_rows = df_rows[df_rows["df"] >= min_df]
+        merged = tf_rows.merge(df_rows, on="token", how="inner")
+        if merged.empty:
+            return scored_schema.empty_table()
+        # idf per DISTINCT token with the identical math.log calls the
+        # broadcast plan makes — bit-equal to DuckDB's LN
+        uniq = merged[["token", "df"]].drop_duplicates("token")
+        idf_map = {tok: math.log(n_docs / int(df_val))
+                   for tok, df_val in zip(uniq["token"], uniq["df"])}
+        idf = merged["token"].map(idf_map).to_numpy(dtype=np.float64)
+        tf = merged["tf"].to_numpy(dtype=np.float64)
         return pa.table(
             {
-                "doc_id": pa.array(tf_rows["doc_id"].astype("int64"), pa.int64()),
-                "token": pa.array([group["token"].iloc[0]] * len(tf_rows), pa.string()),
-                "tf": pa.array(tf_rows["tf"].astype("int64"), pa.int64()),
-                "df": pa.array([df_val] * len(tf_rows), pa.int64()),
+                "doc_id": pa.array(merged["doc_id"].to_numpy(np.int64), pa.int64()),
+                "token": pa.array(merged["token"], pa.string()),
+                "tf": pa.array(merged["tf"].to_numpy(np.int64), pa.int64()),
+                "df": pa.array(merged["df"].to_numpy(np.int64), pa.int64()),
                 "tfidf": pa.array(round_half_away(tf * idf, 6), pa.float64()),
             }
         )
@@ -305,16 +324,29 @@ def _tfidf_topk_join(documents_ds, k: int, min_df: int):
     scored = (
         documents_ds.map_batches(tf_side, batch_format="pyarrow")
         .union(df_ds.map_batches(df_side, batch_format="pyarrow"))
-        .groupby("token")
-        .map_groups(attach_df, batch_format="pandas")
+        .map_batches(add_token_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_df_part, batch_format="pandas")
     )
 
-    def rank_doc(group: pd.DataFrame) -> pa.Table:
-        frame = group.sort_values(
-            ["tfidf", "token"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        frame = frame.assign(rank=np.arange(1, len(frame) + 1))
-        return pa.Table.from_pandas(frame, preserve_index=False).cast(
+    import pyarrow.compute as pc
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(batch.column("doc_id"),
+                               pa.scalar(n_partitions - 1, pa.int64()))
+        return batch.append_column("part", pc.cast(part, pa.int32()))
+
+    def rank_part(part_df: pd.DataFrame) -> pa.Table:
+        frame = part_df.sort_values(
+            ["doc_id", "tfidf", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        frame = frame.assign(rank=frame.groupby("doc_id", sort=False).cumcount() + 1)
+        frame = frame[frame["rank"] <= k]
+        return pa.Table.from_pandas(
+            frame[["doc_id", "token", "tf", "df", "tfidf", "rank"]],
+            preserve_index=False,
+        ).cast(
             pa.schema(
                 [("doc_id", pa.int64()), ("token", pa.string()),
                  ("tf", pa.int64()), ("df", pa.int64()),
@@ -322,7 +354,11 @@ def _tfidf_topk_join(documents_ds, k: int, min_df: int):
             )
         )
 
-    return scored.groupby("doc_id").map_groups(rank_doc, batch_format="pandas")
+    return (
+        scored.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_part, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -677,20 +677,44 @@ def _unigram_lm_scores_join(documents_ds):
             }
         )
 
-    def attach_logp(group: pd.DataFrame) -> pa.Table:
-        count_rows = group[group["n"].notna()]
-        doc_rows = group[group["n"].isna()]
-        schema = pa.schema(
-            [("doc_id", pa.int64()), ("k", pa.int64()), ("klogp", pa.float64())]
+    # Round-5 shape: coarse hash partitions + vectorized per-partition
+    # merges instead of per-token / per-doc map_groups (see corpusstats
+    # _tfidf_topk_join for the rationale — ~1 ms scaffolding per GROUP made
+    # the join plan far slower than broadcast right at the switch point).
+    n_partitions = 256
+    attach_schema = pa.schema(
+        [("doc_id", pa.int64()), ("k", pa.int64()), ("klogp", pa.float64())]
+    )
+
+    def add_tok_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        part = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % n_partitions
+             for t in batch.column("tok").to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
         )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def attach_logp_part(part_df: pd.DataFrame) -> pa.Table:
+        count_rows = part_df.loc[part_df["n"].notna(), ["tok", "n"]]
+        doc_rows = part_df.loc[part_df["n"].isna(), ["tok", "doc_id", "k"]]
         if count_rows.empty or doc_rows.empty:
-            return schema.empty_table()
-        logp = math.log(int(count_rows["n"].iloc[0]) / total)
-        k = doc_rows["k"].to_numpy(dtype=np.float64)
+            return attach_schema.empty_table()
+        count_rows = count_rows.drop_duplicates("tok")
+        merged = doc_rows.merge(count_rows, on="tok", how="inner")
+        if merged.empty:
+            return attach_schema.empty_table()
+        # logp per DISTINCT token with the same math.log calls as broadcast
+        uniq = merged[["tok", "n"]].drop_duplicates("tok")
+        logp_map = {tok: math.log(int(n_val) / total)
+                    for tok, n_val in zip(uniq["tok"], uniq["n"])}
+        logp = merged["tok"].map(logp_map).to_numpy(dtype=np.float64)
+        k = merged["k"].to_numpy(dtype=np.float64)
         return pa.table(
             {
-                "doc_id": pa.array(doc_rows["doc_id"].astype("int64"), pa.int64()),
-                "k": pa.array(doc_rows["k"].astype("int64"), pa.int64()),
+                "doc_id": pa.array(merged["doc_id"].to_numpy(np.int64), pa.int64()),
+                "k": pa.array(merged["k"].to_numpy(np.int64), pa.int64()),
                 "klogp": pa.array(k * logp, pa.float64()),
             }
         )
@@ -698,24 +722,40 @@ def _unigram_lm_scores_join(documents_ds):
     joined = (
         documents_ds.map_batches(doc_side, batch_format="pyarrow")
         .union(counts_ds.map_batches(count_side, batch_format="pyarrow"))
-        .groupby("tok")
-        .map_groups(attach_logp, batch_format="pandas")
+        .map_batches(add_tok_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_logp_part, batch_format="pandas")
     )
 
-    def fold_doc(group: pd.DataFrame) -> pa.Table:
+    import pyarrow.compute as pc
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(batch.column("doc_id"),
+                               pa.scalar(n_partitions - 1, pa.int64()))
+        return batch.append_column("part", pc.cast(part, pa.int32()))
+
+    def fold_part(part_df: pd.DataFrame) -> pa.Table:
         from .rounding import round_half_away
 
-        n_tokens = int(group["k"].sum())
-        score = float(round_half_away(group["klogp"].sum() / n_tokens, 6))
+        grouped = (part_df.groupby("doc_id", sort=False)
+                   .agg(n_tokens=("k", "sum"), klogp=("klogp", "sum"))
+                   .reset_index())
+        score = round_half_away(
+            grouped["klogp"].to_numpy(np.float64)
+            / grouped["n_tokens"].to_numpy(np.float64), 6)
         return pa.table(
             {
-                "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
-                "n_tokens": pa.array([n_tokens], pa.int64()),
-                "lm_score": pa.array([score], pa.float64()),
+                "doc_id": pa.array(grouped["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_tokens": pa.array(grouped["n_tokens"].to_numpy(np.int64), pa.int64()),
+                "lm_score": pa.array(score, pa.float64()),
             }
         )
 
-    return joined.groupby("doc_id").map_groups(fold_doc, batch_format="pandas")
+    return (
+        joined.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pandas")
+    )
 
 
 def ccnet_bucket_scores(documents_ds, strategy: str = "auto"):
@@ -963,25 +1003,48 @@ def _ccnet_scores_join(documents_ds):
             }
         )
 
-    def attach_logp(group: pd.DataFrame) -> pa.Table:
-        count_rows = group[group["n"].notna()]
-        doc_rows = group[group["n"].isna()]
-        schema = pa.schema(
-            [("doc_id", pa.int64()), ("lang", pa.string()),
-             ("k", pa.int64()), ("klogp", pa.float64())]
+    # coarse hash partitions + vectorized per-partition merges (see
+    # _unigram_lm_scores_join / _tfidf_topk_join for the rationale)
+    n_partitions = 256
+    attach_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("k", pa.int64()), ("klogp", pa.float64())]
+    )
+
+    def add_key_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        part = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % n_partitions
+             for t in batch.column("key").to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
         )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def attach_logp_part(part_df: pd.DataFrame) -> pa.Table:
+        count_rows = part_df.loc[part_df["n"].notna(), ["key", "n"]]
+        doc_rows = part_df.loc[part_df["n"].isna(), ["key", "doc_id", "k"]]
         if count_rows.empty or doc_rows.empty:
-            return schema.empty_table()
-        lang = str(group["key"].iloc[0]).split("\n", 1)[0]
+            return attach_schema.empty_table()
+        count_rows = count_rows.drop_duplicates("key")
+        merged = doc_rows.merge(count_rows, on="key", how="inner")
+        if merged.empty:
+            return attach_schema.empty_table()
         all_totals = ray.get(totals_ref)
-        logp = math.log(int(count_rows["n"].iloc[0]) / all_totals[lang])
-        k = doc_rows["k"].to_numpy(dtype=np.float64)
+        uniq = merged[["key", "n"]].drop_duplicates("key")
+        logp_map = {}
+        lang_map = {}
+        for key_val, n_val in zip(uniq["key"], uniq["n"]):
+            lang = str(key_val).split("\n", 1)[0]
+            lang_map[key_val] = lang
+            logp_map[key_val] = math.log(int(n_val) / all_totals[lang])
+        logp = merged["key"].map(logp_map).to_numpy(dtype=np.float64)
+        k = merged["k"].to_numpy(dtype=np.float64)
         return pa.table(
             {
-                "doc_id": pa.array(doc_rows["doc_id"].astype("int64"),
-                                   pa.int64()),
-                "lang": pa.array([lang] * len(doc_rows), pa.string()),
-                "k": pa.array(doc_rows["k"].astype("int64"), pa.int64()),
+                "doc_id": pa.array(merged["doc_id"].to_numpy(np.int64), pa.int64()),
+                "lang": pa.array(merged["key"].map(lang_map), pa.string()),
+                "k": pa.array(merged["k"].to_numpy(np.int64), pa.int64()),
                 "klogp": pa.array(k * logp, pa.float64()),
             }
         )
@@ -989,25 +1052,42 @@ def _ccnet_scores_join(documents_ds):
     joined = (
         documents_ds.map_batches(doc_side, batch_format="pyarrow")
         .union(counts_ds.map_batches(count_side, batch_format="pyarrow"))
-        .groupby("key")
-        .map_groups(attach_logp, batch_format="pandas")
+        .map_batches(add_key_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_logp_part, batch_format="pandas")
     )
 
-    def fold_doc(group: pd.DataFrame) -> pa.Table:
+    import pyarrow.compute as _pc2
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        part = _pc2.bit_wise_and(batch.column("doc_id"),
+                                 pa.scalar(n_partitions - 1, pa.int64()))
+        return batch.append_column("part", _pc2.cast(part, pa.int32()))
+
+    def fold_part(part_df: pd.DataFrame) -> pa.Table:
         from .rounding import round_half_away
 
-        n_tokens = int(group["k"].sum())
-        score = float(round_half_away(group["klogp"].sum() / n_tokens, 6))
+        grouped = (part_df.groupby("doc_id", sort=False)
+                   .agg(lang=("lang", "first"), n_tokens=("k", "sum"),
+                        klogp=("klogp", "sum"))
+                   .reset_index())
+        score = round_half_away(
+            grouped["klogp"].to_numpy(np.float64)
+            / grouped["n_tokens"].to_numpy(np.float64), 6)
         return pa.table(
             {
-                "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
-                "lang": pa.array([str(group["lang"].iloc[0])], pa.string()),
-                "n_tokens": pa.array([n_tokens], pa.int64()),
-                "lm_score": pa.array([score], pa.float64()),
+                "doc_id": pa.array(grouped["doc_id"].to_numpy(np.int64), pa.int64()),
+                "lang": pa.array(grouped["lang"], pa.string()),
+                "n_tokens": pa.array(grouped["n_tokens"].to_numpy(np.int64), pa.int64()),
+                "lm_score": pa.array(score, pa.float64()),
             }
         )
 
-    return joined.groupby("doc_id").map_groups(fold_doc, batch_format="pandas")
+    return (
+        joined.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pandas")
+    )
 
 
 def hashed_bigram_classifier(documents_ds, n_buckets: int = 64):
@@ -1397,28 +1477,43 @@ def bigram_lm_scores(documents_ds):
             "n12": batch.column("n12").cast(pa.int64()),
         })
 
-    def attach_n12(group: pd.DataFrame) -> pa.Table:
-        counts = group[group["n12"].notna()]
-        docs = group[group["doc_id"].notna()]
+    # coarse hash partitions + vectorized per-partition merges for all
+    # three equijoin rounds (see _tfidf_topk_join for the rationale)
+    n_partitions = 256
+
+    def _crc_part_column(batch: pa.Table, col: str) -> pa.Table:
+        import zlib
+
+        part = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % n_partitions
+             for t in batch.column(col).to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def attach_n12_part(part_df: pd.DataFrame) -> pa.Table:
+        counts = part_df.loc[part_df["n12"].notna(), ["key", "n12"]]
+        docs = part_df.loc[part_df["doc_id"].notna(), ["key", "doc_id", "k"]]
         if docs.empty or counts.empty:
             return pa.table({"w1": pa.array([], pa.string()),
                              "doc_id": pa.array([], pa.int64()),
                              "k": pa.array([], pa.int64()),
                              "n12": pa.array([], pa.int64())})
-        n12 = int(counts["n12"].iloc[0])
-        w1 = str(group["key"].iloc[0]).split(SEP, 1)[0]
+        merged = docs.merge(counts.drop_duplicates("key"), on="key", how="inner")
+        w1 = [str(key).split(SEP, 1)[0] for key in merged["key"]]
         return pa.table({
-            "w1": pa.array([w1] * len(docs), pa.string()),
-            "doc_id": pa.array(docs["doc_id"].astype(np.int64)),
-            "k": pa.array(docs["k"].astype(np.int64)),
-            "n12": pa.array(np.full(len(docs), n12, np.int64)),
+            "w1": pa.array(w1, pa.string()),
+            "doc_id": pa.array(merged["doc_id"].to_numpy(np.int64), pa.int64()),
+            "k": pa.array(merged["k"].to_numpy(np.int64), pa.int64()),
+            "n12": pa.array(merged["n12"].to_numpy(np.int64), pa.int64()),
         })
 
     with_n12 = (
         doc_rows.map_batches(tag_doc, batch_format="pyarrow")
         .union(c12.map_batches(tag_c12, batch_format="pyarrow"))
-        .groupby("key")
-        .map_groups(attach_n12, batch_format="pandas")
+        .map_batches(lambda b: _crc_part_column(b, "key"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_n12_part, batch_format="pandas")
     )
 
     # join 2: attach n1 per context w1, compute k·logp per row
@@ -1442,44 +1537,67 @@ def bigram_lm_scores(documents_ds):
             "n1": batch.column("n1").cast(pa.int64()),
         })
 
-    def attach_logp(group: pd.DataFrame) -> pa.Table:
-        counts = group[group["n1"].notna()]
-        docs = group[group["doc_id"].notna()]
+    def attach_logp_part(part_df: pd.DataFrame) -> pa.Table:
+        counts = part_df.loc[part_df["n1"].notna(), ["w1", "n1"]]
+        docs = part_df.loc[part_df["doc_id"].notna(),
+                           ["w1", "doc_id", "k", "n12"]]
         if docs.empty or counts.empty:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "k": pa.array([], pa.int64()),
                              "klp": pa.array([], pa.float64())})
-        n1 = int(counts["n1"].iloc[0])
-        klp = [
-            float(k) * math.log((int(n12) + 1) / (n1 + vocab))
-            for k, n12 in zip(docs["k"], docs["n12"])
-        ]
+        merged = docs.merge(counts.drop_duplicates("w1"), on="w1", how="inner")
+        # logp per DISTINCT (n12, n1) — identical math.log args (and so
+        # identical bits) to the old per-row loop
+        pairs = merged[["n12", "n1"]].drop_duplicates()
+        logp_map = {(int(a), int(b)): math.log((int(a) + 1) / (int(b) + vocab))
+                    for a, b in zip(pairs["n12"], pairs["n1"])}
+        logp = np.fromiter(
+            (logp_map[(int(a), int(b))]
+             for a, b in zip(merged["n12"], merged["n1"])),
+            dtype=np.float64, count=len(merged),
+        )
+        klp = merged["k"].to_numpy(np.float64) * logp
         return pa.table({
-            "doc_id": pa.array(docs["doc_id"].astype(np.int64)),
-            "k": pa.array(docs["k"].astype(np.int64)),
+            "doc_id": pa.array(merged["doc_id"].to_numpy(np.int64), pa.int64()),
+            "k": pa.array(merged["k"].to_numpy(np.int64), pa.int64()),
             "klp": pa.array(klp, pa.float64()),
         })
 
     scored = (
         with_n12.map_batches(tag_rows, batch_format="pyarrow")
         .union(c1.map_batches(tag_c1, batch_format="pyarrow"))
-        .groupby("w1")
-        .map_groups(attach_logp, batch_format="pandas")
+        .map_batches(lambda b: _crc_part_column(b, "w1"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_logp_part, batch_format="pandas")
     )
 
-    def fold_doc(group: pd.DataFrame) -> pa.Table:
+    import pyarrow.compute as _pc3
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        part = _pc3.bit_wise_and(batch.column("doc_id"),
+                                 pa.scalar(n_partitions - 1, pa.int64()))
+        return batch.append_column("part", _pc3.cast(part, pa.int32()))
+
+    def fold_part(part_df: pd.DataFrame) -> pa.Table:
         from .rounding import round_half_away
 
-        n = int(group["k"].sum())
-        score = float(round_half_away(group["klp"].sum() / n, 6))
+        grouped = (part_df.groupby("doc_id", sort=False)
+                   .agg(n_bigrams=("k", "sum"), klp=("klp", "sum"))
+                   .reset_index())
+        score = round_half_away(
+            grouped["klp"].to_numpy(np.float64)
+            / grouped["n_bigrams"].to_numpy(np.float64), 6)
         return pa.table({
-            "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
-            "n_bigrams": pa.array([n], pa.int64()),
-            "bigram_lm_score": pa.array([score], pa.float64()),
+            "doc_id": pa.array(grouped["doc_id"].to_numpy(np.int64), pa.int64()),
+            "n_bigrams": pa.array(grouped["n_bigrams"].to_numpy(np.int64), pa.int64()),
+            "bigram_lm_score": pa.array(score, pa.float64()),
         })
 
-    return scored.groupby("doc_id").map_groups(fold_doc,
-                                               batch_format="pandas")
+    return (
+        scored.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pandas")
+    )
 
 
 def char_entropy_batch(batch: pa.Table) -> pa.Table:
