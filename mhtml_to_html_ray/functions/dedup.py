@@ -295,85 +295,114 @@ def _verified_pairs_ds(documents_ds, candidate_pairs, threshold: float, shingle_
         wanted = set(candidate_pairs["a"]).union(candidate_pairs["b"])
     docs = _candidate_shingles_ds(documents_ds, wanted, shingle_k)
 
+    # Round-5 shape: both union-equijoin rounds hash-partition the doc-id
+    # key space into coarse partitions and run one VECTORIZED pandas merge
+    # per partition (per-endpoint map_groups scaffolding was the scale
+    # bottleneck — see _candidate_pairs_from_lsh). The jaccard itself stays
+    # a per-candidate set intersection (intrinsic work), but over the whole
+    # partition in one call.
+    n_partitions = 256
+    part_mask = pa.scalar(n_partitions - 1, pa.int64())
+
+    def _key_part(table: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(table.column("key"), part_mask)
+        return table.append_column("part", pc.cast(part, pa.int32()))
+
     # shared union schema: key + pair payloads + doc payload (nulls mark side)
     def pair_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
+        return _key_part(pa.table(
             {
-                "key": batch.column("a"),
-                "other": batch.column("b"),
+                "key": batch.column("a").cast(pa.int64()),
+                "other": batch.column("b").cast(pa.int64()),
                 "sh_pair": pa.nulls(n, pa.large_binary()),
                 "sh_doc": pa.nulls(n, pa.large_binary()),
             }
-        )
+        ))
 
     def doc_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
+        return _key_part(pa.table(
             {
-                "key": batch.column("doc_id"),
+                "key": batch.column("doc_id").cast(pa.int64()),
                 "other": pa.nulls(n, pa.int64()),
                 "sh_pair": pa.nulls(n, pa.large_binary()),
                 "sh_doc": batch.column("shingles").cast(pa.large_binary()),
             }
-        )
+        ))
 
     # materialize: side_docs feeds BOTH join rounds, and the full corpus
     # scan + per-doc shingling behind it must not execute twice
     side_docs = docs.map_batches(doc_side, batch_format="pyarrow").materialize()
 
-    def attach_a(group: pd.DataFrame) -> pa.Table:
-        doc_rows = group[group["sh_doc"].notna()]
-        pair_rows = group[group["sh_doc"].isna()]
+    def attach_a_part(part_df: pd.DataFrame) -> pa.Table:
+        doc_rows = part_df.loc[part_df["sh_doc"].notna(), ["key", "sh_doc"]]
+        pair_rows = part_df.loc[part_df["sh_doc"].isna(), ["key", "other"]]
         if doc_rows.empty or pair_rows.empty:
+            merged = None
+        else:
+            merged = pair_rows.merge(doc_rows.drop_duplicates("key"),
+                                     on="key", how="inner")
+        if merged is None or merged.empty:
             return pa.table(
                 {
                     "key": pa.array([], pa.int64()),
                     "other": pa.array([], pa.int64()),
                     "sh_pair": pa.array([], pa.large_binary()),
                     "sh_doc": pa.array([], pa.large_binary()),
+                    "part": pa.array([], pa.int32()),
                 }
             )
-        payload = doc_rows["sh_doc"].iloc[0]
-        n = len(pair_rows)
+        n = len(merged)
+        new_key = merged["other"].to_numpy(np.int64)
         # re-key by the pair's OTHER endpoint (b) for round 2
         return pa.table(
             {
-                "key": pa.array(pair_rows["other"].astype("int64"), pa.int64()),
-                "other": pa.array(pair_rows["key"].astype("int64"), pa.int64()),
-                "sh_pair": pa.array([payload] * n, pa.large_binary()),
+                "key": pa.array(new_key, pa.int64()),
+                "other": pa.array(merged["key"].to_numpy(np.int64), pa.int64()),
+                "sh_pair": pa.array(list(merged["sh_doc"]), pa.large_binary()),
                 "sh_doc": pa.nulls(n, pa.large_binary()),
+                "part": pa.array((new_key & (n_partitions - 1)).astype(np.int32),
+                                 pa.int32()),
             }
         )
 
     round1 = (
         pairs_ds.map_batches(pair_side, batch_format="pyarrow")
         .union(side_docs)
-        .groupby("key")
-        .map_groups(attach_a, batch_format="pandas")
+        .groupby("part")
+        .map_groups(attach_a_part, batch_format="pandas")
     )
 
-    def verify_b(group: pd.DataFrame) -> pa.Table:
-        doc_rows = group[group["sh_doc"].notna()]
-        pair_rows = group[group["sh_doc"].isna()]
+    def verify_b_part(part_df: pd.DataFrame) -> pa.Table:
+        doc_rows = part_df.loc[part_df["sh_doc"].notna(), ["key", "sh_doc"]]
+        pair_rows = part_df.loc[part_df["sh_doc"].isna(),
+                                ["key", "other", "sh_pair"]]
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
         if not doc_rows.empty and not pair_rows.empty:
-            shingles_b = _unpack_shingles(doc_rows["sh_doc"].iloc[0])
-            for other, sh_pair in zip(pair_rows["other"], pair_rows["sh_pair"]):
+            merged = pair_rows.merge(doc_rows.drop_duplicates("key"),
+                                     on="key", how="inner")
+            cache: dict[int, set] = {}
+            for key_b, other, sh_pair, sh_doc in zip(
+                    merged["key"], merged["other"], merged["sh_pair"],
+                    merged["sh_doc"]):
+                shingles_b = cache.get(key_b)
+                if shingles_b is None:
+                    shingles_b = cache[key_b] = _unpack_shingles(sh_doc)
                 sim = jaccard(_unpack_shingles(sh_pair), shingles_b)
                 if sim >= threshold:
                     out_a.append(int(other))
-                    out_b.append(int(group["key"].iloc[0]))
+                    out_b.append(int(key_b))
                     out_j.append(sim)
         cols = {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
         if emit_jaccard:
             cols["jaccard"] = pa.array(out_j, pa.float64())
         return pa.table(cols)
 
-    return round1.union(side_docs).groupby("key").map_groups(
-        verify_b, batch_format="pandas"
+    return round1.union(side_docs).groupby("part").map_groups(
+        verify_b_part, batch_format="pandas"
     )
 
 
@@ -1415,29 +1444,82 @@ def substring_dup_stats(documents_ds, k: int = 5, hashed: bool = False):
     grams = rows.filter(expr="pos >= 0")
     stats = rows.filter(expr="pos < 0")
 
-    def dup_members(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
+    # coarse hash partitions + vectorized per-partition folds: one Python
+    # call per PARTITION, not per gram key / per doc (round 5 — see
+    # _candidate_pairs_from_lsh for the map_groups-scaffolding rationale)
+    n_partitions = 256
+
+    def add_key_part(batch: pa.Table) -> pa.Table:
+        if hashed:
+            part = pc.cast(
+                pc.bit_wise_and(batch.column("key"),
+                                pa.scalar(n_partitions - 1, pa.int64())),
+                pa.int32())
+        else:
+            import zlib
+
+            part = pa.array(
+                np.fromiter(
+                    (zlib.crc32(g.encode("utf-8")) % n_partitions
+                     for g in batch.column("key").to_pylist()),
+                    dtype=np.int64, count=batch.num_rows,
+                ), pa.int32())
+        return batch.append_column("part", part)
+
+    def dup_members_part(part_df) -> pa.Table:
+        if part_df.empty:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64())})
-        return group.select(["doc_id", "pos"])
+        sizes = part_df.groupby("key")["doc_id"].transform("size")
+        kept = part_df[sizes >= 2]
+        return pa.table({"doc_id": pa.array(kept["doc_id"].to_numpy(np.int64), pa.int64()),
+                         "pos": pa.array(kept["pos"].to_numpy(np.int64), pa.int64())})
 
-    dup_occ = grams.groupby("key").map_groups(dup_members,
-                                              batch_format="pyarrow")
+    dup_occ = (
+        grams.map_batches(add_key_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_members_part, batch_format="pandas")
+    )
 
-    def coverage(group: pa.Table) -> pa.Table:
-        pos = np.sort(group.column("pos").to_numpy(zero_copy_only=False))
-        covered = int(np.minimum(np.diff(pos), k).sum()) + k if len(pos) else 0
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(batch.column("doc_id"),
+                               pa.scalar(n_partitions - 1, pa.int64()))
+        return batch.append_column("part", pc.cast(part, pa.int32()))
+
+    def coverage_part(part_df) -> pa.Table:
+        if part_df.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_dup_grams": pa.array([], pa.int64()),
+                             "n_dup_tokens": pa.array([], pa.int64())})
+        frame = part_df.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = frame["doc_id"].to_numpy(np.int64)
+        p = frame["pos"].to_numpy(np.int64)
+        n = len(d)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        # covered tokens = Σ min(gap, k) over within-doc gaps, + k
+        gap = np.minimum(np.r_[0, p[1:] - p[:-1]], k)
+        gap[starts] = 0
+        csum = np.cumsum(gap)
+        ends = np.r_[starts[1:] - 1, n - 1]
+        covered = (csum[ends] - csum[starts]) + k
+        n_dup = np.r_[starts[1:], n] - starts
         return pa.table(
             {
-                "doc_id": group.column("doc_id")[:1],
-                "n_tokens": pa.array([0], pa.int64()),
-                "n_grams": pa.array([0], pa.int64()),
-                "n_dup_grams": pa.array([len(pos)], pa.int64()),
-                "n_dup_tokens": pa.array([covered], pa.int64()),
+                "doc_id": pa.array(d[starts], pa.int64()),
+                "n_tokens": pa.array(np.zeros(len(starts), np.int64), pa.int64()),
+                "n_grams": pa.array(np.zeros(len(starts), np.int64), pa.int64()),
+                "n_dup_grams": pa.array(n_dup, pa.int64()),
+                "n_dup_tokens": pa.array(covered, pa.int64()),
             }
         )
 
-    cov = dup_occ.groupby("doc_id").map_groups(coverage, batch_format="pyarrow")
+    cov = (
+        dup_occ.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(coverage_part, batch_format="pandas")
+    )
 
     def stat_rows(batch: pa.Table) -> pa.Table:
         n_tokens = batch.column("n_tokens")
@@ -1590,6 +1672,7 @@ def neardup_against_index(new_ds, index_dir: str, threshold: float = 0.5):
     import os
 
     import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
 
     with open(os.path.join(index_dir, "index_meta.json")) as handle:
         meta = json.load(handle)
@@ -1638,9 +1721,13 @@ def neardup_against_index(new_ds, index_dir: str, threshold: float = 0.5):
         .groupby("part")
         .map_groups(probe, batch_format="pyarrow")
         # a pair can collide in several bands whose hashes land in
-        # DIFFERENT partitions — dedup across partitions too
+        # DIFFERENT partitions — dedup across partitions with a native
+        # Count aggregate (not one Python call per pair)
         .groupby(["new_doc_id", "old_doc_id"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Count(alias_name="_bands"))
+        .map_batches(
+            lambda t: t.select(["new_doc_id", "old_doc_id"]),
+            batch_format="pyarrow")
     )
 
     def attach_old_sig(group: pa.Table) -> pa.Table:
@@ -1787,24 +1874,49 @@ def substring_scrub(documents_ds, k: int = 5, hashed: bool = False):
             }
         )
 
-    def flag_canonical(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
+    # coarse hash partitions + one vectorized pandas fold per partition
+    # (round 5): unique grams drop, the first (doc_id, pos) occurrence per
+    # duplicated gram is canonical — same semantics as the old per-gram
+    # map_groups at a fraction of the scaffolding
+    n_partitions = 256
+
+    def add_key_part(batch: pa.Table) -> pa.Table:
+        if hashed:
+            part = pc.cast(
+                pc.bit_wise_and(batch.column("key"),
+                                pa.scalar(n_partitions - 1, pa.int64())),
+                pa.int32())
+        else:
+            import zlib
+
+            part = pa.array(
+                np.fromiter(
+                    (zlib.crc32(g.encode("utf-8")) % n_partitions
+                     for g in batch.column("key").to_pylist()),
+                    dtype=np.int64, count=batch.num_rows,
+                ), pa.int32())
+        return batch.append_column("part", part)
+
+    def flag_part(part_df) -> pa.Table:
+        if part_df.empty:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64()),
                              "canon": pa.array([], pa.bool_())})
-        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"),
-                                                  ("pos", "ascending")])
-        g = group.take(order)
-        canon = np.zeros(g.num_rows, dtype=bool)
-        canon[0] = True
-        return pa.table({"doc_id": g.column("doc_id"),
-                         "pos": g.column("pos"),
-                         "canon": pa.array(canon, pa.bool_())})
+        sizes = part_df.groupby("key")["doc_id"].transform("size")
+        dup = part_df[sizes >= 2]
+        frame = dup.sort_values(["key", "doc_id", "pos"], kind="mergesort")
+        canon = ~frame.duplicated("key").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(frame["doc_id"].to_numpy(np.int64), pa.int64()),
+            "pos": pa.array(frame["pos"].to_numpy(np.int64), pa.int64()),
+            "canon": pa.array(canon, pa.bool_()),
+        })
 
     occurrences = (
         documents_ds.map_batches(gram_rows, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(flag_canonical, batch_format="pyarrow")
+        .map_batches(add_key_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag_part, batch_format="pandas")
     )
 
     def occ_side(batch: pa.Table) -> pa.Table:
